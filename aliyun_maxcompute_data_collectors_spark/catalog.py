@@ -1,0 +1,529 @@
+"""Project/schema/table catalog over parquet - the engine's table format.
+
+Replicates the reference's catalog surface (SURVEY.md 1.1, 2.13) Spark-first:
+
+- identifiers ``project[.schema].table`` with a data schema + a separate
+  partition-column schema (``OdpsTable.scala:81-97``)
+- table types MANAGED_TABLE / EXTERNAL_TABLE / VIRTUAL_VIEW with view text
+  (``OdpsTable.scala:37-44,89``)
+- identity-transform partitions only; a partition is an ordered ``k=v`` spec
+  whose values are *stored as strings* and cast to the column type for
+  pruning (``OdpsScan.scala:176-185``, ``OdpsTableCatalog.scala:549-571,703-711``)
+- hash/range bucket spec with sort columns (``OdpsTable.scala:46-79``) written
+  via the ODPS-compatible hash (operators.hashing, SURVEY 2.9)
+- DDL: create/drop/rename/truncate table, create/drop schema with
+  cascade/restrict, add/drop partition, show columns, views; ALTER TABLE
+  (add/rename column) which the reference refuses (``OdpsTableCatalog.scala:164``)
+  is supported here
+- meta cache: 100 entries, 30 s TTL (``OdpsOptions.scala:40-42``)
+- dynamic-partition write limit (default 1000, ``OdpsWriteBuilder.scala:144-156``)
+- ``max_pt`` (``udf/MaxPtUDF.java:31-41``)
+
+Physical layout::
+
+    {warehouse}/{project}/{schema}/{table}/_odps_meta.json
+    {warehouse}/{project}/{schema}/{table}/data/pt1=v1/pt2=v2/*.parquet
+
+Hive-style partition directories make Spark's built-in partition pruning,
+dynamic partition overwrite and dynamic partition pruning (DPP) apply
+directly - the pruning logic the reference hand-rolls is free here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aliyun_maxcompute_data_collectors_spark import types as ot
+from aliyun_maxcompute_data_collectors_spark.operators.hashing import odps_bucket_id
+
+MANAGED_TABLE = "MANAGED_TABLE"
+EXTERNAL_TABLE = "EXTERNAL_TABLE"
+VIRTUAL_VIEW = "VIRTUAL_VIEW"
+
+BUCKET_COL = "__odps_bucket__"
+
+DEFAULT_DYNAMIC_PARTITION_LIMIT = 1000
+META_CACHE_SIZE = 100
+META_CACHE_TTL_SEC = 30.0
+
+
+class CatalogError(Exception):
+    pass
+
+
+class NoSuchTableError(CatalogError):
+    pass
+
+
+class TableAlreadyExistsError(CatalogError):
+    pass
+
+
+class PartitionLimitExceeded(CatalogError):
+    pass
+
+
+@dataclass
+class BucketSpec:
+    """OdpsBucketSpec parity (OdpsTable.scala:46-79)."""
+
+    cluster_type: str  # "hash" | "range"
+    num_buckets: int
+    bucket_columns: list[str]
+    sort_columns: list[tuple[str, str]] = field(default_factory=list)  # (name, ASC|DESC)
+
+    def to_json(self):
+        return {
+            "cluster_type": self.cluster_type,
+            "num_buckets": self.num_buckets,
+            "bucket_columns": self.bucket_columns,
+            "sort_columns": [list(sc) for sc in self.sort_columns],
+        }
+
+    @staticmethod
+    def from_json(d):
+        if d is None:
+            return None
+        return BucketSpec(
+            d["cluster_type"], d["num_buckets"], d["bucket_columns"],
+            [tuple(sc) for sc in d.get("sort_columns", [])],
+        )
+
+
+@dataclass
+class TableMeta:
+    table_type: str
+    columns: list[tuple[str, str]]            # data columns: (name, odps_type)
+    partition_columns: list[tuple[str, str]]  # partition columns: (name, odps_type)
+    bucket: BucketSpec | None = None
+    view_text: str | None = None
+    properties: dict = field(default_factory=dict)
+    comment: str | None = None
+
+    @property
+    def data_schema(self):
+        return ot.schema_from_odps(self.columns)
+
+    @property
+    def partition_schema(self):
+        return ot.schema_from_odps(self.partition_columns)
+
+    @property
+    def full_schema(self):
+        # schema = StructType(dataSchema ++ partitionSchema) (OdpsTable.scala:97)
+        from pyspark.sql.types import StructType
+        return StructType(self.data_schema.fields + self.partition_schema.fields)
+
+
+def _ident(name: str, default_project: str, default_schema: str) -> tuple[str, str, str]:
+    parts = name.split(".")
+    if len(parts) == 1:
+        return default_project, default_schema, parts[0]
+    if len(parts) == 2:
+        return parts[0], default_schema, parts[1]
+    if len(parts) == 3:
+        return parts[0], parts[1], parts[2]
+    raise CatalogError(f"bad identifier {name!r} (want [project.[schema.]]table)")
+
+
+class OdpsCatalog:
+    """File-backed catalog; all reads/writes flow through Spark parquet."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        default_project: str = "default_project",
+        default_schema: str = "default",
+        dynamic_partition_limit: int = DEFAULT_DYNAMIC_PARTITION_LIMIT,
+    ):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.default_project = default_project
+        self.default_schema = default_schema
+        self.dynamic_partition_limit = dynamic_partition_limit
+        self._meta_cache: dict[str, tuple[float, TableMeta]] = {}
+        os.makedirs(warehouse, exist_ok=True)
+        self.create_schema(f"{default_project}.{default_schema}", if_not_exists=True)
+
+    # -- paths ------------------------------------------------------------
+    def _table_dir(self, name: str) -> str:
+        p, s, t = _ident(name, self.default_project, self.default_schema)
+        return os.path.join(self.warehouse, p, s, t)
+
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "_odps_meta.json")
+
+    def data_dir(self, name: str) -> str:
+        meta = self.get_meta(name)
+        loc = meta.properties.get("location")
+        return loc or os.path.join(self._table_dir(name), "data")
+
+    # -- schemas (namespaces) --------------------------------------------
+    def create_schema(self, name: str, if_not_exists: bool = False) -> None:
+        p, s, _ = _ident(name + "._", self.default_project, self.default_schema)
+        d = os.path.join(self.warehouse, p, s)
+        if os.path.exists(d) and not if_not_exists:
+            raise CatalogError(f"schema {p}.{s} already exists")
+        os.makedirs(d, exist_ok=True)
+
+    def drop_schema(self, name: str, cascade: bool = False) -> None:
+        p, s, _ = _ident(name + "._", self.default_project, self.default_schema)
+        d = os.path.join(self.warehouse, p, s)
+        if not os.path.isdir(d):
+            raise CatalogError(f"no such schema {p}.{s}")
+        if os.listdir(d) and not cascade:
+            # RESTRICT semantics (OdpsTableCatalog.scala dropSchema)
+            raise CatalogError(f"schema {p}.{s} is not empty (use cascade=True)")
+        shutil.rmtree(d)
+        self._meta_cache.clear()
+
+    def list_schemas(self, project: str | None = None) -> list[str]:
+        p = project or self.default_project
+        d = os.path.join(self.warehouse, p)
+        return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+    def list_tables(self, schema: str | None = None) -> list[str]:
+        if schema:
+            p, s, _ = _ident(schema + "._", self.default_project, self.default_schema)
+        else:
+            p, s = self.default_project, self.default_schema
+        d = os.path.join(self.warehouse, p, s)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            t for t in os.listdir(d)
+            if os.path.exists(os.path.join(d, t, "_odps_meta.json"))
+        )
+
+    # -- table DDL --------------------------------------------------------
+    def create_table(
+        self,
+        name: str,
+        columns: list[tuple[str, str]],
+        partition_columns: list[tuple[str, str]] | None = None,
+        bucket: BucketSpec | None = None,
+        external_location: str | None = None,
+        properties: dict | None = None,
+        comment: str | None = None,
+        if_not_exists: bool = False,
+    ) -> None:
+        if os.path.exists(self._meta_path(name)):
+            if if_not_exists:
+                return
+            raise TableAlreadyExistsError(name)
+        props = dict(properties or {})
+        table_type = MANAGED_TABLE
+        if external_location:
+            table_type = EXTERNAL_TABLE
+            props["location"] = external_location
+        meta = TableMeta(
+            table_type=table_type,
+            columns=list(columns),
+            partition_columns=list(partition_columns or []),
+            bucket=bucket,
+            properties=props,
+            comment=comment,
+        )
+        # validate types eagerly (catalog-declared, never inferred)
+        meta.full_schema
+        self._write_meta(name, meta)
+        os.makedirs(self.data_dir(name), exist_ok=True)
+
+    def create_view(self, name: str, view_text: str, if_not_exists: bool = False) -> None:
+        """Persisted view: stored SQL text, expanded at read time
+        (OdpsTable.scala:89, HiveExternalCatalog.scala:452-480)."""
+        if os.path.exists(self._meta_path(name)):
+            if if_not_exists:
+                return
+            raise TableAlreadyExistsError(name)
+        meta = TableMeta(VIRTUAL_VIEW, [], [], view_text=view_text)
+        self._write_meta(name, meta)
+
+    def drop_table(self, name: str, if_exists: bool = False) -> None:
+        d = self._table_dir(name)
+        if not os.path.exists(os.path.join(d, "_odps_meta.json")):
+            if if_exists:
+                return
+            raise NoSuchTableError(name)
+        shutil.rmtree(d)
+        self._meta_cache.pop(self._meta_path(name), None)
+
+    def rename_table(self, old: str, new: str) -> None:
+        po, so, _ = _ident(old, self.default_project, self.default_schema)
+        pn, sn, _ = _ident(new, self.default_project, self.default_schema)
+        if (po, so) != (pn, sn):
+            # same-project restriction, as the reference (OdpsTableCatalog.scala:195-230)
+            raise CatalogError("rename across project/schema is not supported")
+        if os.path.exists(self._meta_path(new)):
+            raise TableAlreadyExistsError(new)
+        os.rename(self._table_dir(old), self._table_dir(new))
+        self._meta_cache.clear()
+
+    def truncate_table(self, name: str) -> None:
+        d = self.data_dir(name)
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        self.refresh(name)
+
+    def alter_table_add_columns(self, name: str, columns: list[tuple[str, str]]) -> None:
+        """Supported natively (the reference throws, OdpsTableCatalog.scala:164-166).
+        Parquet schema merging fills missing columns with NULL on read."""
+        meta = self.get_meta(name)
+        existing = {c[0] for c in meta.columns} | {c[0] for c in meta.partition_columns}
+        for c, t in columns:
+            if c in existing:
+                raise CatalogError(f"column {c} already exists")
+            ot.parse_odps_type(t)
+        meta.columns = meta.columns + list(columns)
+        self._write_meta(name, meta)
+
+    def show_columns(self, name: str) -> list[str]:
+        meta = self.get_meta(name)
+        return [c for c, _ in meta.columns] + [c for c, _ in meta.partition_columns]
+
+    # -- meta -------------------------------------------------------------
+    def get_meta(self, name: str) -> TableMeta:
+        path = self._meta_path(name)
+        hit = self._meta_cache.get(path)
+        now = time.monotonic()
+        if hit and now - hit[0] < META_CACHE_TTL_SEC:
+            return hit[1]
+        if not os.path.exists(path):
+            raise NoSuchTableError(name)
+        with open(path) as f:
+            d = json.load(f)
+        meta = TableMeta(
+            table_type=d["table_type"],
+            columns=[tuple(c) for c in d["columns"]],
+            partition_columns=[tuple(c) for c in d["partition_columns"]],
+            bucket=BucketSpec.from_json(d.get("bucket")),
+            view_text=d.get("view_text"),
+            properties=d.get("properties", {}),
+            comment=d.get("comment"),
+        )
+        if len(self._meta_cache) >= META_CACHE_SIZE:
+            self._meta_cache.pop(next(iter(self._meta_cache)))
+        self._meta_cache[path] = (now, meta)
+        return meta
+
+    def _write_meta(self, name: str, meta: TableMeta) -> None:
+        d = self._table_dir(name)
+        os.makedirs(d, exist_ok=True)
+        payload = {
+            "table_type": meta.table_type,
+            "columns": [list(c) for c in meta.columns],
+            "partition_columns": [list(c) for c in meta.partition_columns],
+            "bucket": meta.bucket.to_json() if meta.bucket else None,
+            "view_text": meta.view_text,
+            "properties": meta.properties,
+            "comment": meta.comment,
+        }
+        tmp = self._meta_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=1)
+        os.replace(tmp, self._meta_path(name))
+        self._meta_cache.pop(self._meta_path(name), None)
+
+    def refresh(self, name: str) -> None:
+        self._meta_cache.pop(self._meta_path(name), None)
+        try:
+            self.spark.catalog.refreshByPath(self.data_dir(name))
+        except Exception:
+            pass
+
+    # -- read path --------------------------------------------------------
+    def read_table(self, name: str) -> DataFrame:
+        """DataFrame over the table; filters/projections push down to the
+        parquet scan, partition predicates prune directories (built-in)."""
+        meta = self.get_meta(name)
+        if meta.table_type == VIRTUAL_VIEW:
+            return self.spark.sql(meta.view_text)
+        ddir = self.data_dir(name)
+        if not _has_data(ddir):
+            return self.spark.createDataFrame([], meta.full_schema)
+        reader = self.spark.read
+        if meta.partition_columns:
+            reader = reader.option("basePath", ddir)
+        df = reader.parquet(ddir)
+        # partition values live in dir names as strings; cast to declared
+        # types (OdpsTableCatalog.scala:703-711) and order columns per schema
+        cols = []
+        for f_name, f_type in meta.columns:
+            if f_name in df.columns:
+                cols.append(F.col(f_name).cast(ot.parse_odps_type(f_type)).alias(f_name))
+            else:  # column added by ALTER after old files were written
+                cols.append(F.lit(None).cast(ot.parse_odps_type(f_type)).alias(f_name))
+        for p_name, p_type in meta.partition_columns:
+            cols.append(F.col(p_name).cast(ot.parse_odps_type(p_type)).alias(p_name))
+        return df.select(cols)
+
+    def register_temp_view(self, name: str, view_name: str | None = None) -> None:
+        self.read_table(name).createOrReplaceTempView(view_name or name.split(".")[-1])
+
+    # -- partitions -------------------------------------------------------
+    def list_partitions(self, name: str) -> list[dict[str, str]]:
+        """Partition specs as string values, from directory names
+        (partition values are stored as strings, SURVEY 1.1)."""
+        meta = self.get_meta(name)
+        if not meta.partition_columns:
+            return []
+        out = []
+        base = self.data_dir(name)
+        pcols = [c for c, _ in meta.partition_columns]
+
+        def walk(d, depth, spec):
+            if depth == len(pcols):
+                out.append(dict(spec))
+                return
+            if not os.path.isdir(d):
+                return
+            for entry in sorted(os.listdir(d)):
+                if entry.startswith(f"{pcols[depth]}="):
+                    v = entry.split("=", 1)[1]
+                    walk(os.path.join(d, entry), depth + 1, spec + [(pcols[depth], v)])
+
+        walk(base, 0, [])
+        return out
+
+    def partition_exists(self, name: str, spec: dict[str, str]) -> bool:
+        return os.path.isdir(self._partition_dir(name, spec))
+
+    def add_partition(self, name: str, spec: dict[str, str]) -> None:
+        os.makedirs(self._partition_dir(name, spec), exist_ok=True)
+
+    def drop_partition(self, name: str, spec: dict[str, str], if_exists: bool = False) -> None:
+        d = self._partition_dir(name, spec)
+        if not os.path.isdir(d):
+            if if_exists:
+                return
+            raise CatalogError(f"no such partition {spec} in {name}")
+        shutil.rmtree(d)
+        self.refresh(name)
+
+    def _partition_dir(self, name: str, spec: dict[str, str]) -> str:
+        meta = self.get_meta(name)
+        pcols = [c for c, _ in meta.partition_columns]
+        if sorted(spec) != sorted(pcols):
+            raise CatalogError(f"partition spec {spec} != partition columns {pcols}")
+        parts = [f"{c}={spec[c]}" for c in pcols]  # ordered k=v, as the reference
+        return os.path.join(self.data_dir(name), *parts)
+
+    def max_pt(self, name: str) -> str | None:
+        """Newest value of the first-level partition column (MaxPtUDF.java:31-41):
+        max over non-empty partitions, string-compared like ODPS."""
+        parts = self.list_partitions(name)
+        if not parts:
+            return None
+        meta = self.get_meta(name)
+        first = meta.partition_columns[0][0]
+        non_empty = []
+        for p in parts:
+            d = self._partition_dir(name, p)
+            if any(f.endswith(".parquet") for f in os.listdir(d)):
+                non_empty.append(p[first])
+        return max(non_empty) if non_empty else None
+
+    # -- write path -------------------------------------------------------
+    def insert(
+        self,
+        name: str,
+        df: DataFrame,
+        overwrite: bool = False,
+        static_partition: dict[str, str] | None = None,
+    ) -> None:
+        """INSERT [OVERWRITE] ... [PARTITION (k=v, ...)].
+
+        - static partition spec (W3): constant partition values appended as
+          literal columns (OdpsExtensions.scala:63-81 semantics)
+        - dynamic partitions (W2/W4): Spark's dynamic partitionOverwriteMode
+          replaces only the partitions present in ``df``; the distinct
+          partition count is validated against ``dynamic_partition_limit``
+          (OdpsWriteBuilder.scala:144-156)
+        - bucketed tables (O5/SO1): rows are routed to ``pmod(odps_hash(cols), n)``
+          and sorted within buckets by the declared sort columns
+        """
+        meta = self.get_meta(name)
+        if meta.table_type == VIRTUAL_VIEW:
+            raise CatalogError(f"cannot insert into view {name}")
+        pcols = [c for c, _ in meta.partition_columns]
+        static_partition = dict(static_partition or {})
+        for k, v in static_partition.items():
+            if k not in pcols:
+                raise CatalogError(f"{k} is not a partition column of {name}")
+            df = df.withColumn(k, F.lit(v))
+
+        # align to declared schema (by name, cast to declared types)
+        dcols = [
+            F.col(c).cast(ot.parse_odps_type(t)).alias(c) for c, t in meta.columns
+        ]
+        pexprs = [
+            F.col(c).cast("string").alias(c) for c in pcols  # values stored as strings
+        ]
+        missing = [c for c, _ in meta.columns + meta.partition_columns if c not in df.columns]
+        if missing:
+            raise CatalogError(f"insert into {name}: missing columns {missing}")
+        out = df.select(dcols + pexprs)
+
+        dynamic_cols = [c for c in pcols if c not in static_partition]
+        if dynamic_cols:
+            n_parts = out.select(pcols).distinct().count()
+            if n_parts > self.dynamic_partition_limit:
+                raise PartitionLimitExceeded(
+                    f"dynamic partition count {n_parts} exceeds limit "
+                    f"{self.dynamic_partition_limit}"
+                )
+
+        if meta.bucket and meta.bucket.cluster_type == "hash":
+            b = meta.bucket
+            out = out.withColumn(BUCKET_COL, odps_bucket_id(out, b.bucket_columns, b.num_buckets))
+            sort_cols = [F.col(BUCKET_COL)] + [
+                F.col(c).asc() if o.upper() == "ASC" else F.col(c).desc()
+                for c, o in b.sort_columns
+            ]
+            # co-locate each bucket id, keep rows sorted within buckets
+            # (write-side Sort injection, OdpsExtensions.scala:99-119)
+            out = out.repartition(b.num_buckets, F.col(BUCKET_COL)).sortWithinPartitions(*sort_cols)
+            part_by = pcols + [BUCKET_COL]
+        else:
+            part_by = pcols
+
+        writer = out.write.mode("overwrite" if overwrite else "append")
+        if part_by:
+            writer = writer.partitionBy(*part_by)
+        writer.parquet(self.data_dir(name))
+        self.refresh(name)
+
+    def ctas(self, name: str, query: str | DataFrame, **create_kw) -> None:
+        """CREATE TABLE AS SELECT (W6)."""
+        df = self.spark.sql(query) if isinstance(query, str) else query
+        cols = [(f.name, ot.to_odps_type(f.dataType)) for f in df.schema.fields]
+        self.create_table(name, cols, **create_kw)
+        self.insert(name, df, overwrite=True)
+
+    # -- stats ------------------------------------------------------------
+    def table_stats(self, name: str) -> dict:
+        """sizeInBytes/numFiles for CBO-style decisions (OdpsScan.scala:267-279)."""
+        ddir = self.data_dir(name)
+        size = 0
+        files = 0
+        for root, _, fnames in os.walk(ddir):
+            for fn in fnames:
+                if fn.endswith(".parquet"):
+                    files += 1
+                    size += os.path.getsize(os.path.join(root, fn))
+        return {"size_in_bytes": size, "num_files": files}
+
+
+def _has_data(ddir: str) -> bool:
+    for _root, _dirs, files in os.walk(ddir):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False

@@ -1,0 +1,216 @@
+"""ODPS-compatible bucket hashing.
+
+Re-implements the semantics of the reference's bucket hasher
+(``spark-connector/common/.../bucket/OdpsDefaultHasher.java:37-178`` and the
+Catalyst expression ``catalyst/expressions/hash.scala:60-232``) so bucketed
+layouts produced by this engine are bit-compatible with ODPS hash-clustered
+tables.  Spark's built-in ``hash()`` is Murmur3 and is NOT compatible
+(SURVEY.md 2.9 O1-O2), hence this module.
+
+Algorithm (from the reference's observable behavior, re-derived in Python):
+- int/long/float-bits/double-bits -> 64-bit avalanche mix -> low 32 bits
+- boolean -> magic constants 0x172ba9c7 / -0x3a59cb12
+- string/binary -> bytewise shift-add-xor over *signed* UTF-8 bytes
+- timestamp -> (floor-div-seconds << 30 | nanos) then long mix
+- row combine -> 32-bit sum of per-column hashes, then ``s ^ (s >> 8)``
+- NULL hashes to 0 for every type
+- bucket id = pmod(combined, num_buckets)
+
+All arithmetic is two's-complement 32/64-bit with arithmetic right shifts,
+emulated here with numpy wraparound ints.  The hot path is an Arrow-batched
+pandas UDF (JVM hashing would need a Scala extension; at 100 TB the bucketed
+*write* is the only consumer, and it is shuffle-bound, not hash-bound).
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_DOWN, Decimal
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+_I32 = np.int32
+_I64 = np.int64
+
+# numpy >=2 raises on Python-int overflow in scalar ops; everything below
+# keeps values inside arrays so arithmetic wraps like Java primitives.
+_ERR = np.errstate(over="ignore")
+
+
+def _to_i64(v: int) -> np.ndarray:
+    """Python int -> 1-element int64 array with two's-complement wraparound."""
+    return np.array([v & 0xFFFFFFFFFFFFFFFF], dtype=np.uint64).astype(_I64)
+
+
+def _basic_long_hasher(arr: np.ndarray) -> np.ndarray:
+    """64-bit mix -> int32 (OdpsDefaultHasher.basicLongHasher semantics)."""
+    with _ERR:
+        l = arr.astype(_I64, copy=True)
+        l = (~l) + (l << _I64(18))
+        l ^= l >> _I64(31)
+        l *= _I64(21)
+        l ^= l >> _I64(11)
+        l += l << _I64(6)
+        l ^= l >> _I64(22)
+        return l.astype(_I32)
+
+
+def hash_long(v: int | None) -> int:
+    if v is None:
+        return 0
+    return int(_basic_long_hasher(_to_i64(v))[0])
+
+
+def hash_double(v: float | None) -> int:
+    if v is None:
+        return 0
+    bits = np.array([v], dtype=np.float64).view(_I64)
+    return int(_basic_long_hasher(bits)[0])
+
+
+def hash_float(v: float | None) -> int:
+    if v is None:
+        return 0
+    bits = np.array([v], dtype=np.float32).view(_I32).astype(_I64)
+    return int(_basic_long_hasher(bits)[0])
+
+
+def hash_boolean(v: bool | None) -> int:
+    if v is None:
+        return 0
+    return 0x172BA9C7 if v else -0x3A59CB12
+
+
+def hash_string(v: str | bytes | None) -> int:
+    if v is None:
+        return 0
+    data = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+    b = np.frombuffer(data, dtype=np.int8).astype(_I32)
+    with _ERR:
+        h = _I32(0)
+        for x in b:
+            h = _I32(h + x)
+            h = _I32(h + (h << _I32(10)))
+            h = _I32(h ^ (h >> _I32(6)))
+        h = _I32(h + (h << _I32(3)))
+        h = _I32(h ^ (h >> _I32(11)))
+        h = _I32(h + (h << _I32(15)))
+    return int(h)
+
+
+def hash_timestamp(epoch_micros: int | None) -> int:
+    """Timestamp hashing: seconds = floor(millis/1000); packed
+    ``seconds << 30 | nanos`` then the long mix."""
+    if epoch_micros is None:
+        return 0
+    millis, sub_us = divmod(int(epoch_micros), 1000)
+    seconds, sub_ms = divmod(millis, 1000)  # python divmod floors, as required
+    nanos = (sub_ms * 1000 + sub_us) * 1000
+    packed = ((seconds << 30) | nanos) & 0xFFFFFFFFFFFFFFFF
+    return int(_basic_long_hasher(_to_i64(packed))[0])
+
+
+def hash_decimal(v: Decimal | None) -> int:
+    """Decimal hashing: divideAndRemainder(10^9) -> (quot << 30 | rem-int),
+    both truncated toward zero, then the long mix."""
+    if v is None:
+        return 0
+    q = int((v / Decimal(10) ** 9).to_integral_value(rounding=ROUND_DOWN))
+    r = int((v - q * Decimal(10) ** 9).to_integral_value(rounding=ROUND_DOWN))
+    # Java: totalSec <<= 30; totalSec |= nanos  (nanos sign-extended to 64-bit)
+    packed = ((q << 30) | (r & 0xFFFFFFFFFFFFFFFF)) if r < 0 else ((q << 30) | r)
+    return int(_basic_long_hasher(_to_i64(packed))[0])
+
+
+def hash_date(days: int | None) -> int:
+    if days is None:
+        return 0
+    return hash_long(int(days))
+
+
+def combine_hashes(vals: list[int]) -> int:
+    with _ERR:
+        s = _I32(0)
+        for v in vals:
+            s = _I32(s + _I32(np.uint32(v & 0xFFFFFFFF).astype(_I32)))
+        return int(_I32(s ^ (s >> _I32(8))))
+
+
+# ---------------------------------------------------------------------------
+# vectorized column hashing
+# ---------------------------------------------------------------------------
+
+def _hash_series(s: pd.Series, dt: T.DataType) -> np.ndarray:
+    """Hash one pandas series under its Spark type; returns int32 array."""
+    n = len(s)
+    out = np.zeros(n, dtype=_I32)
+    null = s.isna().to_numpy()
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        vals = s.fillna(0).to_numpy().astype(_I64)
+        out = _basic_long_hasher(vals)
+    elif isinstance(dt, T.DoubleType):
+        vals = s.fillna(0.0).to_numpy().astype(np.float64).view(_I64)
+        out = _basic_long_hasher(vals)
+    elif isinstance(dt, T.FloatType):
+        vals = s.fillna(0.0).to_numpy().astype(np.float32).view(_I32).astype(_I64)
+        out = _basic_long_hasher(vals)
+    elif isinstance(dt, T.BooleanType):
+        v = s.fillna(False).to_numpy().astype(bool)
+        out = np.where(v, _I32(0x172BA9C7), _I32(-0x3A59CB12))
+    elif isinstance(dt, (T.StringType, T.BinaryType)):
+        out = np.fromiter(
+            (0 if isnull else hash_string(v) for v, isnull in zip(s.to_numpy(), null)),
+            dtype=_I32,
+            count=n,
+        )
+    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        vals = s.to_numpy()
+        micros = vals.astype("datetime64[us]").astype(_I64)
+        out = np.fromiter(
+            (0 if isnull else hash_timestamp(int(us)) for us, isnull in zip(micros, null)),
+            dtype=_I32,
+            count=n,
+        )
+    elif isinstance(dt, T.DateType):
+        days = s.to_numpy().astype("datetime64[D]").astype(_I64)
+        out = _basic_long_hasher(days)
+    elif isinstance(dt, T.DecimalType):
+        out = np.fromiter(
+            (0 if isnull else hash_decimal(v) for v, isnull in zip(s.to_numpy(), null)),
+            dtype=_I32,
+            count=n,
+        )
+    else:
+        raise TypeError(f"odps_hash: unsupported bucket column type {dt}")
+    out = out.copy()
+    out[null] = 0
+    return out
+
+
+def odps_hash(df: DataFrame, cols: list[str]) -> Column:
+    """Column expression: ODPS row hash of ``cols`` (int32), Arrow-batched.
+
+    Usage: ``df.withColumn("h", odps_hash(df, ["k1", "k2"]))``.
+    """
+    dtypes = [df.schema[c].dataType for c in cols]
+
+    @pandas_udf(T.IntegerType())
+    def _h(*series: pd.Series) -> pd.Series:
+        with _ERR:
+            acc = np.zeros(len(series[0]), dtype=_I32)
+            for s, dt in zip(series, dtypes):
+                acc += _hash_series(s, dt)
+            return pd.Series(acc ^ (acc >> _I32(8)))
+
+    return _h(*[F.col(c) for c in cols])
+
+
+def odps_bucket_id(df: DataFrame, cols: list[str], num_buckets: int) -> Column:
+    """pmod(odps_hash(cols), n) - the bucket id expression
+    (reference partitioning.scala:71: ``Pmod(OdpsHash(exprs), n)``)."""
+    h = odps_hash(df, cols)
+    return F.pmod(h, F.lit(num_buckets))

@@ -1,0 +1,697 @@
+"""Driver-facing query registry: every implemented operator from SURVEY.md
+section 2 exposed as a (spark, sf_dir) -> DataFrame callable plus a DuckDB
+oracle SQL string.
+
+Numeric determinism convention (so the driver's value-hash matches):
+- sums of float/double columns are computed in DECIMAL (exact, associative,
+  shuffle-order-independent), then rounded and cast to DOUBLE;
+- averages divide the exact decimal sum (as DOUBLE) by the count in double
+  arithmetic - identical IEEE ops in both engines;
+- raw column passthrough is used freely (no arithmetic -> bit-identical);
+- timestamps in outputs are rendered as strings or cast to DATE (Spark
+  returns tz-aware values, DuckDB naive - strings sidestep that);
+- every ORDER BY carries a unique tiebreak key so LIMIT is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from aliyun_maxcompute_data_collectors_spark.session import load_tables
+
+# DECIMAL(18,6) is wide enough for every measure in the test tables while
+# leaving sum headroom in both engines.
+_DEC = "decimal(18,6)"
+
+
+def _dec(c) -> F.Column:
+    return (F.col(c) if isinstance(c, str) else c).cast(_DEC)
+
+
+def _money(col, scale: int = 2) -> F.Column:
+    """Exact decimal -> rounded double (see module docstring)."""
+    return F.round(col, scale).cast("double")
+
+
+def _avg(sum_dec, count_col, scale: int = 4) -> F.Column:
+    return F.round(sum_dec.cast("double") / count_col, scale)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational core (scan / filter / join / agg surface; SURVEY 2.1-2.5)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-filter-aggregate flagship (columnar scan S1/S6 + pushdown P1-P3):
+    filters and the 7-column projection reach the parquet reader."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = t["lineitem"].where(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02"))
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast(_DEC) + _dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+            _money(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
+            _money(F.sum(disc_price)).alias("sum_disc_price"),
+            _money(F.sum(charge)).alias("sum_charge"),
+            _avg(F.sum(_dec("l_quantity")), F.count(F.lit(1))).alias("avg_qty"),
+            _avg(F.sum(_dec("l_extendedprice")), F.count(F.lit(1))).alias("avg_price"),
+            _avg(F.sum(_dec("l_discount")), F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) * (1 + CAST(l_tax AS DECIMAL(18,6)))), 2) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + deterministic top-10 (J3 host-engine joins; the
+    customer side is broadcast - dims stay under the broadcast threshold)."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].where(F.col("o_orderdate").cast("date") < F.lit("1998-03-15"))
+    li = t["lineitem"].where(F.col("l_shipdate").cast("date") > F.lit("1995-03-15"))
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"), "o_orderpriority")
+        .agg(_money(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-way join chain with broadcast dims (region/nation/supplier) -
+    the scale path: only orders x lineitem shuffles."""
+    t = load_tables(spark, sf_dir, ["region", "nation", "customer", "supplier", "orders", "lineitem"])
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount")))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.year("o_orderdate").between(1995, 1997))
+        .groupBy("r_name", "n_name")
+        .agg(_money(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+_Q5_SQL = """
+SELECT r_name, n_name,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE EXTRACT(year FROM o_orderdate) BETWEEN 1995 AND 1997
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/S5: count(*) without column reads - Spark answers this from parquet
+    row-group metadata (the reference's empty-column scan, OdpsScan.scala:237-245)."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return t["lineitem"].agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P4: pruned projection + conjunctive pushed filters; raw column
+    passthrough (no arithmetic -> bit-exact vs the oracle)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .where((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 1000.0)
+               & (F.col("o_orderpriority") != "1-URGENT"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+_SCAN_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 1000.0 AND o_orderpriority <> '1-URGENT'
+ORDER BY o_orderkey
+"""
+
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO-family: top-k = orderBy + limit; Spark plans TakeOrderedAndProject
+    (no global sort materialization at scale)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+_TOPK_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+"""
+
+
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + exact distinct scan."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    return t["orders"].agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderpriority").alias("n_prios"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_DISTINCT_SQL = """
+SELECT COUNT(DISTINCT o_custkey) AS n_custs,
+       COUNT(DISTINCT o_orderpriority) AS n_prios,
+       COUNT(*) AS n_orders
+FROM orders
+"""
+
+
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets surface (SURVEY 2.5 'absent in reference, Spark built-in')."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             _money(F.sum(_dec("o_totalprice"))).alias("total"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (SURVEY 2.8)."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    building = t["customer"].where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = t["customer"].where(F.col("c_acctbal") > 0).select("c_custkey")
+    has_orders = t["orders"].select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return spark.createDataFrame(
+        [],
+        "u long, i long, e long",
+    ).union(
+        spark.range(1).select(
+            F.lit(building.union(rich).distinct().count()).alias("u"),
+            F.lit(building.intersect(has_orders).count()).alias("i"),
+            F.lit(rich.exceptAll(has_orders).distinct().count()).alias("e"),
+        )
+    )
+
+
+_SETOPS_SQL = """
+SELECT
+ (SELECT COUNT(*) FROM (
+    SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0) t) AS u,
+ (SELECT COUNT(*) FROM (
+    SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING'
+    INTERSECT
+    SELECT DISTINCT o_custkey FROM orders) t) AS i,
+ (SELECT COUNT(*) FROM (
+    SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 0
+    EXCEPT
+    SELECT DISTINCT o_custkey FROM orders) t) AS e
+"""
+
+
+# ---------------------------------------------------------------------------
+# window functions (SURVEY 2.6) + merge/lookup joins (2.4)
+# ---------------------------------------------------------------------------
+
+def window_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/WF2: cumulative sum per customer (Metabase :window-functions/cumulative)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t["orders"]
+        .select(
+            "o_custkey", "o_orderkey",
+            _money(F.sum(_dec("o_totalprice")).over(w)).alias("cum_spend"),
+            F.row_number().over(w).alias("order_seq"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+_CUM_SQL = """
+SELECT o_custkey, o_orderkey,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE) AS cum_spend,
+  ROW_NUMBER() OVER w AS order_seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WF1: lag/lead (Metabase :window-functions/offset). Raw doubles pass
+    through untouched -> exact."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t["orders"]
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+            F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+_LAGLEAD_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+  LAG(o_totalprice, 1) OVER w AS prev_price,
+  LEAD(o_totalprice, 1) OVER w AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def merge_newest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: Sqoop MergeJob semantics - newest record per key wins
+    (MergeJob.java:53-126) as a window dedup over the events stream table."""
+    from aliyun_maxcompute_data_collectors_spark.operators.merge import newest_wins
+    t = load_tables(spark, sf_dir, ["events"])
+    out = newest_wins(t["events"], keys=["user_id"], order_by=["ts", "event_id"])
+    return (
+        out.select(
+            "user_id", "event_id", "event_type", "value",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        ).orderBy("user_id")
+    )
+
+
+_MERGE_SQL = """
+SELECT user_id, event_id, event_type, value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: Flink lookup (dimension) join -> broadcast hash join on the dim
+    (OdpsLookupFunction.java:42-150)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.lookup import lookup_join as lkp
+    t = load_tables(spark, sf_dir, ["customer", "nation"])
+    joined = lkp(t["customer"], t["nation"], on={"c_nationkey": "n_nationkey"})
+    return (
+        joined.groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             _money(F.sum(_dec("c_acctbal"))).alias("total_acctbal"))
+        .orderBy("n_name")
+    )
+
+
+_LOOKUP_SQL = """
+SELECT n_name, COUNT(*) AS n_customers,
+  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_acctbal
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4: GoldenGate-style I/U/D apply - final state after replaying the ops
+    stream in (ts, id) order; deletes remove the key."""
+    from aliyun_maxcompute_data_collectors_spark.streaming.cdc import apply_cdc_batch
+    t = load_tables(spark, sf_dir, ["events"])
+    ops = t["events"].select(
+        F.col("user_id").alias("key"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U").alias("op"),
+        F.col("ts").alias("optime"),
+        F.col("event_id").alias("opseq"),
+        F.col("value"),
+    )
+    final = apply_cdc_batch(ops, key_cols=["key"], order_cols=["optime", "opseq"],
+                            op_col="op", value_cols=["value"])
+    return final.orderBy("key")
+
+
+_CDC_SQL = """
+SELECT key, value FROM (
+  SELECT user_id AS key,
+         CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+         value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND op <> 'D'
+ORDER BY key
+"""
+
+
+# ---------------------------------------------------------------------------
+# scalar dialect surface (SURVEY 2.10)
+# ---------------------------------------------------------------------------
+
+def date_trunc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datetrunc + datepart families (maxcompute.clj:741-783)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("month")
+    )
+
+
+_TRUNC_SQL = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       EXTRACT(year FROM o_orderdate) AS yr,
+       EXTRACT(quarter FROM o_orderdate) AS qtr,
+       COUNT(*) AS cnt
+FROM orders
+GROUP BY 1, 2, 3
+ORDER BY month
+"""
+
+
+def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract surface incl. ISO week and day-of-week (Spark: 1=Sunday;
+    DuckDB dayofweek is 0=Sunday, offset in the oracle)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            F.year("ts").alias("y"),
+            F.month("ts").alias("mo"),
+            F.dayofmonth("ts").alias("d"),
+            F.hour("ts").alias("h"),
+            F.minute("ts").alias("mi"),
+            F.second("ts").alias("s"),
+            F.dayofweek("ts").alias("dow"),
+            F.dayofyear("ts").alias("doy"),
+            F.weekofyear("ts").alias("wk"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_PARTS_SQL = """
+SELECT event_id,
+  EXTRACT(year FROM ts) AS y, EXTRACT(month FROM ts) AS mo,
+  EXTRACT(day FROM ts) AS d, EXTRACT(hour FROM ts) AS h,
+  EXTRACT(minute FROM ts) AS mi, CAST(EXTRACT(second FROM ts) AS INT) AS s,
+  dayofweek(ts) + 1 AS dow, dayofyear(ts) AS doy, weekofyear(ts) AS wk
+FROM events ORDER BY event_id
+"""
+
+
+def datetime_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datetime-diff surface (maxcompute.clj:931-958): day diffs order->ship."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    j = t["lineitem"].join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+    lag_days = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.min(lag_days).alias("min_lag"),
+            F.max(lag_days).alias("max_lag"),
+            F.round(F.sum(lag_days).cast("double") / F.count(F.lit(1)), 4).alias("avg_lag"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_DIFF_SQL = """
+SELECT o_orderpriority,
+  MIN(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS min_lag,
+  MAX(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS max_lag,
+  ROUND(CAST(SUM(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS DOUBLE) / COUNT(*), 4) AS avg_lag
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def unix_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timestamp_seconds/millis/micros surface (maxcompute.clj:785-789):
+    epoch extraction + roundtrip re-render."""
+    t = load_tables(spark, sf_dir, ["events"])
+    tz = F.col("ts").cast("timestamp")  # NTZ -> session-tz(UTC) instant
+    epoch_s = F.floor(F.unix_micros(tz) / 1_000_000).cast("long")
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            epoch_s.alias("epoch_s"),
+            F.unix_millis(tz).alias("epoch_ms"),
+            F.date_format(F.timestamp_seconds(epoch_s), "yyyy-MM-dd HH:mm:ss").alias("ts_rt"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_EPOCH_SQL = """
+SELECT event_id,
+  CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS epoch_s,
+  CAST(epoch_ms(ts) AS BIGINT) AS epoch_ms,
+  strftime(make_timestamp(CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS ts_rt
+FROM events ORDER BY event_id
+"""
+
+
+def regexp_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regex-match-first (maxcompute.clj:812-814) + P13 regex row parsing."""
+    t = load_tables(spark, sf_dir, ["events"])
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1)
+    return (
+        t["events"]
+        .select("event_id", k.alias("k_str"), k.cast("int").alias("k_int"))
+        .where(F.col("k_str") != "")
+        .orderBy("event_id")
+    )
+
+
+_REGEX_SQL = """
+SELECT event_id,
+  regexp_extract(props, '"k":\\s*(\\d+)', 1) AS k_str,
+  CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) AS k_int
+FROM events
+WHERE regexp_extract(props, '"k":\\s*(\\d+)', 1) <> ''
+ORDER BY event_id
+"""
+
+
+def json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/U4: get_json_object pushable function-call parity."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .select("event_id", F.get_json_object("props", "$.k").alias("k"))
+        .orderBy("event_id")
+    )
+
+
+_JSON_SQL = """
+SELECT event_id, json_extract_string(props, '$.k') AS k
+FROM events ORDER BY event_id
+"""
+
+
+def percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: percentile/median SQL-gen surface (maxcompute.clj:816-854)."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    q = F.col("l_quantity")
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile(q, F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile(q, F.lit(0.5)), 4).alias("median"),
+            F.round(F.percentile(q, F.lit(0.75)), 4).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_PCT_SQL = """
+SELECT l_returnflag,
+  ROUND(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 4) AS p25,
+  ROUND(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4) AS median,
+  ROUND(CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE), 4) AS p75
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def stddev_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: stddev/variance dialect support (maxcompute.clj:81)."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.stddev_pop("l_discount"), 4).alias("sdp_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_STDDEV_SQL = """
+SELECT l_returnflag,
+  ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+  ROUND(var_samp(l_quantity), 4) AS var_qty,
+  ROUND(stddev_pop(l_discount), 4) AS sdp_disc
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# ingest routing surfaces (W11/W13, ST2)
+# ---------------------------------------------------------------------------
+
+def time_partition_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11/ST2: DateTimePartitionAssigner 'dt=yyyy-MM-dd--HH' partition values
+    (DateTimePartitionAssigner.java:35-36) applied to event time."""
+    from aliyun_maxcompute_data_collectors_spark.streaming.assigner import datetime_partition_value
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy(datetime_partition_value(F.col("ts")).alias("dt"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("dt")
+    )
+
+
+_ASSIGN_SQL = """
+SELECT strftime(ts, '%Y-%m-%d--%H') AS dt, COUNT(*) AS cnt
+FROM events GROUP BY 1 ORDER BY dt
+"""
+
+
+def template_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W13: %{col} / %{datetime-pattern} routing templates
+    (OdpsUploadProcessor.java:211-233, BucketPath.java:30-35)."""
+    from aliyun_maxcompute_data_collectors_spark.functions.templating import render_template
+    t = load_tables(spark, sf_dir, ["events"])
+    route = render_template("sink/%{event_type}/dt=%{yyyy-MM-dd}", time_col="ts")
+    return (
+        t["events"]
+        .groupBy(route.alias("route"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("route")
+    )
+
+
+_TEMPLATE_SQL = """
+SELECT 'sink/' || event_type || '/dt=' || strftime(ts, '%Y-%m-%d') AS route, COUNT(*) AS cnt
+FROM events GROUP BY 1 ORDER BY route
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+# name -> (callable, oracle_sql | None)
+REGISTRY: dict[str, tuple] = {
+    "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, _Q3_SQL),
+    "q5_region_revenue": (q5_region_revenue, _Q5_SQL),
+    "count_star": (count_star, "SELECT COUNT(*) AS cnt FROM lineitem"),
+    "scan_filter_project": (scan_filter_project, _SCAN_SQL),
+    "topk_orders": (topk_orders, _TOPK_SQL),
+    "distinct_agg": (distinct_agg, _DISTINCT_SQL),
+    "rollup_orders": (rollup_orders, _ROLLUP_SQL),
+    "set_ops": (set_ops, _SETOPS_SQL),
+    "window_cumulative": (window_cumulative, _CUM_SQL),
+    "window_lag_lead": (window_lag_lead, _LAGLEAD_SQL),
+    "merge_newest_wins": (merge_newest_wins, _MERGE_SQL),
+    "lookup_join": (lookup_join, _LOOKUP_SQL),
+    "cdc_apply": (cdc_apply, _CDC_SQL),
+    "date_trunc_extract": (date_trunc_extract, _TRUNC_SQL),
+    "date_parts": (date_parts, _PARTS_SQL),
+    "datetime_diff": (datetime_diff, _DIFF_SQL),
+    "unix_epoch": (unix_epoch, _EPOCH_SQL),
+    "regexp_extract": (regexp_extract_q, _REGEX_SQL),
+    "json_get": (json_get, _JSON_SQL),
+    "percentile_quantity": (percentile_quantity, _PCT_SQL),
+    "stddev_variance": (stddev_variance, _STDDEV_SQL),
+    "time_partition_assign": (time_partition_assign, _ASSIGN_SQL),
+    "template_routing": (template_routing, _TEMPLATE_SQL),
+}
+
+
+def register_llm_ops():
+    """Extend REGISTRY with the training-data-pipeline operators (dedup,
+    similarity, text analysis).  Kept in a separate module; imported lazily so
+    a failure there never breaks the relational core."""
+    from aliyun_maxcompute_data_collectors_spark import queries_llm
+    REGISTRY.update(queries_llm.REGISTRY)
+
+
+try:
+    register_llm_ops()
+except ImportError:
+    pass

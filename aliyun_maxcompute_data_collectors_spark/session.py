@@ -1,0 +1,122 @@
+"""Tuned SparkSession factory.
+
+Encodes the reference's performance-relevant defaults (BASELINE.md) as their
+Spark equivalents:
+
+- split target 256 MB (``OdpsOptions.scala:69``) -> ``spark.sql.files.maxPartitionBytes``
+- vectorized read, batch 4096 (``OdpsOptions.scala:46,56``) -> Spark columnar
+  parquet reader (built-in) + ``parquet.columnarReaderBatchSize``
+- zstd transport (``OdpsOptions.scala:82``) -> parquet zstd codec
+- AQE on: runtime coalescing / skew-join handling replaces the reference's
+  hand-rolled split sizing (``OdpsScan.scala:105-120``)
+
+Designed for a 1000-executor cluster; on ``local[N]`` the same knobs apply
+with N cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "aliyun-maxcompute-data-collectors-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when the env var is
+    set, else ``local[*]``.  On a real cluster pass ``master=None`` and submit
+    through spark-submit; every config below is cluster-safe.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- determinism / semantics -------------------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # TIMESTAMP(NANOS) parquet columns surface as long and are converted
+        # to micros in load_tables (ODPS TIMESTAMP truncates nanos - SURVEY 1.2)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # ODPS DATETIME is millis / TIMESTAMP is micros (SURVEY 1.2); Spark
+        # micros covers both - see types.datetime_millis for the ms surface.
+        # --- adaptive execution ------------------------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- scan sizing (reference: 256MB splits, OdpsOptions.scala:69) --
+        .config("spark.sql.files.maxPartitionBytes", "268435456")
+        .config("spark.sql.files.openCostInBytes", "4194304")
+        # --- columnar / arrow --------------------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.parquet.columnarReaderBatchSize", "4096")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # --- partitioned writes (reference W2 dynamic overwrite) ----------
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # --- quality of life ---------------------------------------------
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict:
+    """Load the driver's parquet tables and register temp views.
+
+    Returns {name: DataFrame}. Views let both the DataFrame API and
+    ``spark.sql`` paths address the same tables.
+    """
+    all_names = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out = {}
+    for name in names or all_names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df = _fix_nanos_timestamps(df, path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+        elif names is not None:
+            # caller asked for this table explicitly - fail with the path,
+            # not a downstream KeyError
+            raise FileNotFoundError(f"table {name!r} not found at {path}")
+    return out
+
+
+def _fix_nanos_timestamps(df, path: str):
+    """TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong); convert
+    to NTZ micros - truncation toward earlier, the same unit DuckDB reads."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    schema = pq.read_schema(path)
+    for f in schema:
+        if str(f.type) == "timestamp[ns]":
+            df = df.withColumn(
+                f.name,
+                F.timestamp_micros(F.floor(F.col(f.name) / 1000).cast("long"))
+                .cast("timestamp_ntz"),
+            )
+    return df
