@@ -1,0 +1,355 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Design for 100 TB (SURVEY.md build plan phase 5):
+- exact dedup is one hash-groupBy (map-side combine, single shuffle);
+- near-dup never goes quadratic: MinHash banding / LSH bucketing / label
+  blocking bound candidate pairs, and only candidates get verified;
+- all shingle/signature expressions are built-in functions (JVM-side);
+  SimHash alone uses an Arrow-batched pandas UDF (bit-twiddling).
+
+MinHash math: h(s) = first-8-hex-of-md5 as int; permutation_i(h) =
+(a_i*h + b_i) mod p, p = 2^31-1.  md5 is engine-portable, which is what lets
+the DuckDB oracle replicate signatures bit-for-bit (see minhash_sql_parts).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from aliyun_maxcompute_data_collectors_spark.operators.text import normalized
+
+# deterministic permutation constants (generated once from a fixed LCG seed;
+# odd multipliers, distinct offsets)
+MINHASH_P = 2147483647  # 2^31 - 1
+_A0, _B0, _M = 1103515245, 12345, 2**31
+
+
+def _lcg_stream(seed: int):
+    x = seed
+    while True:
+        x = (_A0 * x + _B0) % _M
+        yield x
+
+
+def minhash_perms(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    g = _lcg_stream(seed)
+    out = []
+    for _ in range(k):
+        a = (next(g) % (MINHASH_P - 2)) + 1
+        b = next(g) % (MINHASH_P - 1)
+        out.append((a | 1, b))  # odd a
+    return out
+
+
+DEFAULT_K = 16
+DEFAULT_BANDS = 4  # 4 rows per band with k=16
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+def word_shingles(col: Column | str, n: int = 5) -> Column:
+    """Distinct word n-gram shingles of normalized text as array<string>.
+    Documents shorter than n words get a single whole-text shingle."""
+    c = normalized(col)
+    words = F.split(c, r"\s+")
+    k = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - F.lit(n)),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return F.array_distinct(F.when(k >= n, grams).otherwise(F.array(c)))
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """(id, shingle) exploded - the join-able form used by every near-dup op."""
+    return (
+        df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Fingerprint groups with >1 member: (fp, representative=min id, n_dups).
+    One hash-groupBy; the canonical first pass of any dedup pipeline."""
+    from aliyun_maxcompute_data_collectors_spark.operators.text import fingerprint
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_members"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one representative (min id) per identical normalized text."""
+    from aliyun_maxcompute_data_collectors_spark.operators.text import fingerprint
+    groups = exact_dedup_groups(df, id_col, text_col)
+    return (
+        df.withColumn("__fp__", fingerprint(text_col))
+        .join(groups.select("fp", "keep_id"), F.col("__fp__") == F.col("fp"))
+        .where(F.col(id_col) == F.col("keep_id"))
+        .drop("__fp__", "fp", "keep_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard pairs (exact verification; candidates come from a join on
+# shared shingles, never a cross product)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(id1, id2, jaccard) for pairs >= threshold.  Cost ~ sum over shingles
+    of (docs sharing it)^2 - bounded for natural text; for adversarial hot
+    shingles, cap with a document-frequency filter before the self-join."""
+    sh = shingle_table(df, id_col, text_col, n).cache()
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    c1 = counts.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"))
+    c2 = counts.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(c1, "id1").join(c2, "id2")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _md5_int(col: Column) -> Column:
+    """First 8 hex digits of md5 as a bigint - the engine-portable base hash."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_K,
+    n: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig_0..sig_{k-1}): min over shingles of each permuted hash.
+    Computed as explode -> groupBy(id).min(...) - one shuffle keyed by doc id,
+    partial aggregation map-side."""
+    perms = minhash_perms(k, seed)
+    sh = shingle_table(df, id_col, text_col, n)
+    h = _md5_int(F.col("shingle"))
+    exprs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(perms)
+    ]
+    return sh.groupBy(F.col(id_col).alias("id")).agg(*exprs)
+
+
+def minhash_sql_parts(text_expr: str, k: int = DEFAULT_K, n: int = 5, seed: int = 42
+                      ) -> tuple[str, list[str]]:
+    """DuckDB mirror of (shingle hash, per-permutation min exprs) generated
+    from the same constants as minhash_signature - single source of truth."""
+    perms = minhash_perms(k, seed)
+    h = "CAST(('0x' || substr(md5(shingle),1,8)) AS BIGINT)"
+    mins = [
+        f"MIN(({a} * {h} + {b}) % {MINHASH_P}) AS sig_{i}"
+        for i, (a, b) in enumerate(perms)
+    ]
+    shingles = f"""
+      SELECT id, shingle FROM (
+        SELECT id, unnest(CASE WHEN len(w) >= {n}
+               THEN list_distinct(list_transform(range(1, len(w)-{n}+2), i -> array_to_string(w[i:i+{n-1}], ' ')))
+               ELSE [array_to_string(w, ' ')] END) AS shingle
+        FROM (SELECT id, string_split(trim(regexp_replace(lower({text_expr}), '\\s+', ' ', 'g')), ' ') AS w FROM _src)
+      )"""
+    return shingles, mins
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    n: int = 5,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via banding: docs sharing any band bucket become
+    candidates; candidates are verified with the exact signature similarity
+    (fraction of matching minhashes >= threshold).
+
+    Scale shape: signatures (1 row/doc) -> explode to `bands` rows/doc ->
+    groupBy band bucket (shuffle ~ corpus size, not pairs) -> pair join only
+    within buckets."""
+    rows = k // bands
+    sig = minhash_signature(df, id_col, text_col, k, n, seed)
+    band_cols = []
+    for bi in range(bands):
+        cols = [F.col(f"sig_{bi * rows + r}") for r in range(rows)]
+        band_cols.append(F.struct(F.lit(bi).alias("band"),
+                                  F.md5(F.concat_ws(",", *cols)).alias("bucket")))
+    exploded = sig.select(
+        "id", *[F.col(f"sig_{i}") for i in range(k)],
+        F.explode(F.array(*band_cols)).alias("bb"),
+    ).select("id", *[f"sig_{i}" for i in range(k)],
+             F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
+            *[F.col(f"a.sig_{i}").alias(f"a{i}") for i in range(k)],
+            *[F.col(f"b.sig_{i}").alias(f"b{i}") for i in range(k)],
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    )
+    return (
+        cand.withColumn("sig_sim", F.round(matches / F.lit(float(k)), 4))
+        .where(F.col("sig_sim") >= threshold)
+        .select("id1", "id2", "sig_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit) - pandas UDF (bit ops over token hashes)
+# ---------------------------------------------------------------------------
+
+def simhash64(tokens_hash: list[int]) -> int:
+    """Pure-python reference: sign-aggregate each of 64 bits."""
+    acc = [0] * 64
+    for h in tokens_hash:
+        for bit in range(64):
+            acc[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(64):
+        if acc[bit] > 0:
+            out |= 1 << bit
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+@pandas_udf(T.LongType())
+def _simhash_udf(texts: pd.Series) -> pd.Series:
+    import hashlib
+
+    def one(t):
+        if t is None:
+            return None
+        toks = " ".join(str(t).lower().split()).split(" ")
+        if not toks or toks == [""]:
+            return 0
+        hs = np.array(
+            [int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big") for w in toks],
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
+        out = np.uint64(0)
+        for bit in np.nonzero(acc > 0)[0]:
+            out |= np.uint64(1) << np.uint64(bit)
+        return int(out.astype(np.int64))
+
+    return texts.map(one)
+
+
+def simhash(col: Column | str) -> Column:
+    """64-bit SimHash of whitespace tokens (md5-based token hashes)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _simhash_udf(c)
+
+
+def simhash_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, candidate-limited by
+    bit-chunk blocking: the signature splits into ``max_hamming + 1`` chunks,
+    so any pair within the distance shares at least one chunk (pigeonhole) -
+    detection is exact, never probabilistic.  Smaller chunks (higher
+    max_hamming) admit more candidates; the verify stage stays cheap
+    (one XOR+popcount per candidate)."""
+    n_chunks = min(max_hamming + 1, 16)
+    chunk_bits = 64 // n_chunks
+    mask = (1 << chunk_bits) - 1
+    sig = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sh"))
+    chunks = sig.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("ci"),
+                     F.shiftrightunsigned("sh", chunk_bits * i)
+                     .bitwiseAND(F.lit(mask)).alias("cv"))
+            for i in range(n_chunks)
+        ])).alias("c"),
+    ).select("id", "sh", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.ci") == F.col("b.ci")) & (F.col("a.cv") == F.col("b.cv"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
+                F.col("a.sh").alias("sh1"), F.col("b.sh").alias("sh2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """(id1, id2, cos) for pairs with cosine >= threshold.  ``block_col``
+    (e.g. a cluster/label/LSH-bucket column) bounds the pair space; without
+    it this is an O(n^2) verify - use lsh blocking from similarity.py first."""
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import cosine_expr
+    sel = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col:
+        sel.append(F.col(block_col).alias("blk"))
+    s = df.select(*sel)
+    a, b = s.alias("a"), s.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    return (
+        a.join(b, cond)
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
+                F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

@@ -36,9 +36,11 @@ from pyspark.sql.functions import pandas_udf
 _I32 = np.int32
 _I64 = np.int64
 
-# numpy >=2 raises on Python-int overflow in scalar ops; everything below
-# keeps values inside arrays so arithmetic wraps like Java primitives.
-_ERR = np.errstate(over="ignore")
+# all arithmetic wraps like Java primitives; overflow warnings are suppressed
+# with a FRESH np.errstate per call (a module-level instance does not survive
+# pickling into pandas-UDF workers)
+def _ERR():
+    return np.errstate(over="ignore")
 
 
 def _to_i64(v: int) -> np.ndarray:
@@ -48,7 +50,7 @@ def _to_i64(v: int) -> np.ndarray:
 
 def _basic_long_hasher(arr: np.ndarray) -> np.ndarray:
     """64-bit mix -> int32 (OdpsDefaultHasher.basicLongHasher semantics)."""
-    with _ERR:
+    with _ERR():
         l = arr.astype(_I64, copy=True)
         l = (~l) + (l << _I64(18))
         l ^= l >> _I64(31)
@@ -90,7 +92,7 @@ def hash_string(v: str | bytes | None) -> int:
         return 0
     data = v.encode("utf-8") if isinstance(v, str) else bytes(v)
     b = np.frombuffer(data, dtype=np.int8).astype(_I32)
-    with _ERR:
+    with _ERR():
         h = _I32(0)
         for x in b:
             h = _I32(h + x)
@@ -133,7 +135,7 @@ def hash_date(days: int | None) -> int:
 
 
 def combine_hashes(vals: list[int]) -> int:
-    with _ERR:
+    with _ERR():
         s = _I32(0)
         for v in vals:
             s = _I32(s + _I32(np.uint32(v & 0xFFFFFFFF).astype(_I32)))
@@ -200,7 +202,7 @@ def odps_hash(df: DataFrame, cols: list[str]) -> Column:
 
     @pandas_udf(T.IntegerType())
     def _h(*series: pd.Series) -> pd.Series:
-        with _ERR:
+        with _ERR():
             acc = np.zeros(len(series[0]), dtype=_I32)
             for s, dt in zip(series, dtypes):
                 acc += _hash_series(s, dt)

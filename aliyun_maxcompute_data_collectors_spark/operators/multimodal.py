@@ -1,0 +1,147 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The Spark-side contract (schemas, partitioning, batch shapes, UDF signatures)
+is real and tested; the actual media decode is STUBBED - the container has no
+image/audio libraries - behind ``decode_fn`` hooks.  Swap in PIL/ffmpeg
+decoders on a real cluster without touching the plumbing.
+
+Scale notes: binary payloads ride the shuffle - avoid repartitioning blobs;
+``mapInPandas`` streams Arrow batches so one task never materializes a whole
+partition of blobs; metadata-only operations project the blob column away
+before any wide transform.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("media_type", T.StringType()),   # image|audio|video
+    T.StructField("format", T.StringType()),       # png|jpeg|wav|mp4|...
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+])
+
+
+def with_blob_meta(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Cheap metadata that never decodes: byte size + content hash.
+    Stays JVM-side."""
+    b = F.col(blob_col)
+    return df.withColumn("n_bytes", F.octet_length(b)).withColumn(
+        "content_hash", F.md5(b)
+    )
+
+
+def fake_decode_image(payload: bytes) -> dict:
+    """Deterministic stand-in for an image decoder: derives plausible
+    dimensions from the payload bytes.  Replace with PIL on a real cluster."""
+    n = len(payload)
+    return {
+        "media_type": "image",
+        "format": "fake",
+        "width": 64 + (n % 512),
+        "height": 64 + ((n // 7) % 512),
+        "n_frames": 1,
+        "sample_rate": None,
+        "duration_ms": None,
+    }
+
+
+def real_decode_image(payload: bytes) -> dict:  # pragma: no cover - no PIL here
+    raise NotImplementedError(
+        "media decoding requires an image library (PIL/opencv) not present "
+        "in this container; use fake_decode_image for plumbing tests"
+    )
+
+
+def decode_media(
+    df: DataFrame,
+    blob_col: str = "blob",
+    decode_fn: Callable[[bytes], dict] = fake_decode_image,
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """Attach a ``meta`` struct column by decoding each blob in Arrow batches.
+
+    The output schema is fixed (MEDIA_META_SCHEMA) regardless of decoder -
+    the contract downstream operators partition/filter on."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField("meta", MEDIA_META_SCHEMA)])
+    other_cols = [f.name for f in df.schema.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                None if payload is None else decode_fn(bytes(payload))
+                for payload in pdf[blob_col]
+            ]
+            pdf = pdf.copy()
+            pdf["meta"] = [
+                None if m is None else {k: m.get(k) for k in
+                                        ("media_type", "format", "width", "height",
+                                         "n_frames", "sample_rate", "duration_ms")}
+                for m in metas
+            ]
+            yield pdf[other_cols + ["meta"]]
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    every_ms: int,
+    blob_col: str = "blob",
+    meta_col: str = "meta",
+) -> DataFrame:
+    """Explode a video row into per-frame extraction tasks
+    (frame_idx, frame_ts_ms) WITHOUT decoding - pure plan arithmetic, so the
+    expensive decode fans out across the cluster with the blob shipped once
+    per task group."""
+    dur = F.col(f"{meta_col}.duration_ms")
+    n = F.greatest(F.floor(dur / every_ms).cast("int"), F.lit(1))
+    return df.where(F.col(f"{meta_col}.media_type") == "video").select(
+        "*",
+        F.explode(F.sequence(F.lit(0), n - 1)).alias("frame_idx"),
+    ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+
+
+def extract_features(
+    df: DataFrame,
+    blob_col: str = "blob",
+    feature_fn: Callable[[bytes], list[float]] | None = None,
+    dim: int = 8,
+) -> DataFrame:
+    """Feature extraction as mapInPandas -> array<float>.  Default is a
+    deterministic byte-histogram fake (plumbing-testable); real models plug
+    into ``feature_fn``."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("features", T.ArrayType(T.FloatType()))]
+    )
+    cols = [f.name for f in df.schema.fields]
+
+    def default_fn(payload: bytes) -> list[float]:
+        import numpy as np
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        if arr.size == 0:
+            return [0.0] * dim
+        hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
+        return (hist / arr.size).astype(float).round(6).tolist()
+
+    fn = feature_fn or default_fn
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["features"] = [
+                None if p is None else fn(bytes(p)) for p in pdf[blob_col]
+            ]
+            yield pdf[cols + ["features"]]
+
+    return df.mapInPandas(gen, schema=out_schema)

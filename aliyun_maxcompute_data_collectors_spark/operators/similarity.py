@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exactness baseline - cross join bounded by a
+  query subset and/or block column, all math in built-in higher-order
+  functions (aggregate/zip_with - JVM side, no Python);
+- LSH-bucketed ANN: random-hyperplane signatures -> candidates share a
+  bucket -> exact re-rank within candidates.  The scale path: shuffle is
+  keyed by bucket, candidate count ~ n/2^bits per probe.
+
+Accumulation is sequential-left-fold in DOUBLE (F.aggregate), which a DuckDB
+``list_reduce`` mirrors exactly - that is what makes cosine values
+bit-comparable for the oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    ))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    same_id_excluded: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, neighbor_id, cos, rank).
+
+    queries is expected to be small (it is broadcast); corpus scans once.
+    Rank ties (at 6-decimal cosine) break by neighbor id - deterministic."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+                   if same_id_excluded else F.lit(True))
+    scored = pairs.select(
+        "query_id", "neighbor_id",
+        F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (fixed seed -> reproducible plans)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim)).tolist()
+
+
+def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Signature bucket id: bit i = sign(dot(vec, plane_i)).  Pure built-ins:
+    one aggregate per plane over a literal array."""
+    bit_cols = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        d = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        bit_cols.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe_planes: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: candidates = corpus rows sharing the query's LSH bucket
+    (multi-probe via ``n_probe_planes`` independent plane sets widens recall),
+    exact cosine re-rank within candidates.
+
+    At scale: corpus bucketing is one narrow projection; the join is
+    bucket-equi (shuffle ~ corpus), never a cross product."""
+    probes = []
+    for p in range(n_probe_planes):
+        planes = hyperplanes(dim, bits, seed + p)
+        probes.append((f"b{p}", planes))
+    qsel = [F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")]
+    csel = [F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")]
+    for name, planes in probes:
+        qsel.append(lsh_bucket_expr(F.col(vec_col), planes).alias(f"q_{name}"))
+        csel.append(lsh_bucket_expr(F.col(vec_col), planes).alias(f"c_{name}"))
+    q = queries.select(*qsel)
+    c = corpus.select(*csel)
+    cond = F.col("query_id") != F.col("neighbor_id")
+    probe_match = None
+    for name, _ in probes:
+        m = F.col(f"q_{name}") == F.col(f"c_{name}")
+        probe_match = m if probe_match is None else (probe_match | m)
+    cand = c.join(F.broadcast(q), cond & probe_match).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,196 @@
+"""Text analysis operators for training-data pipelines.
+
+Beyond the reference's surface (SURVEY.md build plan, phase 5): language ID,
+quality scoring, token counting, and document fingerprinting over a
+``documents(doc_id, text, lang, source, n_chars)`` table.
+
+Everything here is built-in ``pyspark.sql.functions`` - JVM-side, whole-stage
+codegen, no Python in the hot path - so the operators scale to 100 TB of text
+with no UDF serialization cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / counting
+# ---------------------------------------------------------------------------
+
+WS = r"\s+"
+# BPE-ish word/number/punct pieces (approximates subword pre-tokenization)
+BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), WS)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Regex piece count approximating BPE pre-tokenization (letters runs,
+    single digits, single punctuation)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH), F.lit(0)))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_PUNCT_CLASS = r"[^\.,!\?;:]"
+# fixed small stopword list - deterministic, language-marker doubling below
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """punctuation chars / total chars (0 for empty text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(F.regexp_replace(c, _PUNCT_CLASS, ""))
+    return F.when(F.length(c) > 0, n_punct.cast("double") / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """stopword tokens / total tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    sw = stopwords or STOPWORDS
+    pattern = r"\b(" + "|".join(sw) + r")\b"
+    hits = F.regexp_count(F.lower(c), F.lit(pattern))
+    total = token_count(c)
+    return F.when(total > 0, hits.cast("double") / total).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    total = token_count(c)
+    nonspace = F.length(F.regexp_replace(c, WS, ""))
+    return F.when(total > 0, nonspace.cast("double") / total).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length sweet-spot x stopword
+    presence x non-degenerate word length.  Deterministic closed form so an
+    SQL oracle can mirror it exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = stopword_ratio(c)
+    sw_ok = F.when((sw > 0.0) & (sw < 0.7), F.lit(1.0)).otherwise(F.lit(0.0))
+    mwl = mean_word_length(c)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round((len_ok + sw_ok + mwl_ok) / 3.0, 4)
+
+
+# ---------------------------------------------------------------------------
+# language identification (n-gram / marker-word heuristic)
+# ---------------------------------------------------------------------------
+
+# marker words per language; scoring = count of marker hits, argmax with
+# deterministic preference order en > de > fr > es on ties
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "is", "of", "to", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "dans"],
+    "es": ["el", "los", "las", "es", "y", "en"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        pattern = r"\b(" + "|".join(words) + r")\b"
+        out[lang] = F.regexp_count(c, F.lit(pattern))
+    return out
+
+
+def lang_id(col: Column | str, default: str = "und") -> Column:
+    """Predicted language = argmax marker score (ties broken by LANG_ORDER);
+    'und' when no marker hits at all."""
+    scores = lang_scores(col)
+    best = None
+    for lang in reversed(LANG_ORDER):  # build nested CASE; earlier langs win ties
+        cond = None
+        s = scores[lang]
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            prior = other in LANG_ORDER[:LANG_ORDER.index(lang)]
+            # strictly greater than later langs; >= earlier langs never true on tie
+            cmp = (s > scores[other]) if prior else (s >= scores[other])
+            cond = cmp if cond is None else (cond & cmp)
+        this = F.when((s > 0) & cond, F.lit(lang))
+        best = this.otherwise(best) if best is not None else this.otherwise(F.lit(default))
+    return best
+
+
+def lang_id_sql(text_expr: str = "text", default: str = "und") -> str:
+    """The exact same decision function as ``lang_id``, rendered as ANSI SQL
+    (for DuckDB oracles) - generated from the same constants so the two can
+    never drift."""
+    def score(lang):
+        pat = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+        return f"len(regexp_extract_all(lower({text_expr}), '{pat}'))"
+
+    cases = []
+    for lang in LANG_ORDER:
+        conds = [f"{score(lang)} > 0"]
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            prior = other in LANG_ORDER[:LANG_ORDER.index(lang)]
+            op = ">" if prior else ">="
+            conds.append(f"{score(lang)} {op} {score(other)}")
+        cases.append("WHEN " + " AND ".join(conds) + f" THEN '{lang}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{default}' END"
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+def normalized(col: Column | str) -> Column:
+    """Canonical text: lowercase, whitespace collapsed to single spaces,
+    trimmed - the usual exact-dedup normalization."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), WS, " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content fingerprint = md5(normalized text).  md5 is identical across
+    engines, making this oracle-checkable; for pure-Spark use xxhash64 is
+    cheaper at scale."""
+    return F.md5(normalized(col))
+
+
+def fingerprint_fast(col: Column | str) -> Column:
+    """64-bit xxhash fingerprint - the scale path (no crypto cost)."""
+    return F.xxhash64(normalized(col))
+
+
+def document_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full per-document analysis column set."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_bpe_tokens"),
+        F.round(punct_ratio(c), 4).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 4).alias("stopword_ratio"),
+        F.round(mean_word_length(c), 4).alias("mean_word_len"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("pred_lang"),
+        fingerprint(c).alias("fp"),
+    )

@@ -1,0 +1,336 @@
+"""Training-data-pipeline queries (dedup / similarity / text analysis /
+multimodal plumbing) for the driver registry.
+
+Oracles are *generated from the same constants* as the Spark implementations
+(minhash permutations, language markers, stopwords) so the two sides cannot
+drift.  SimHash and LSH-ANN are genuinely non-SQL-expressible; they ship
+without oracles (driver records rows-only checks) and get pytest parity
+tests against pure-Python references instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aliyun_maxcompute_data_collectors_spark.operators import dedup as D
+from aliyun_maxcompute_data_collectors_spark.operators import text as X
+from aliyun_maxcompute_data_collectors_spark.operators.similarity import cosine_topk, lsh_topk
+from aliyun_maxcompute_data_collectors_spark.session import load_tables
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    c = F.col("text")
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            X.token_count(c).alias("n_tokens"),
+            X.bpe_ish_token_count(c).alias("n_bpe_tokens"),
+            F.round(X.punct_ratio(c), 4).alias("punct_ratio"),
+            F.round(X.stopword_ratio(c), 4).alias("stopword_ratio"),
+            F.round(X.mean_word_length(c), 4).alias("mean_word_len"),
+            X.quality_score(c).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sw_pattern() -> str:
+    return r"\b(" + "|".join(X.STOPWORDS) + r")\b"
+
+
+def _text_profile_sql() -> str:
+    ntok = "len(string_split_regex(trim(text), '\\s+'))"
+    nbpe = "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))"
+    npunct = "length(regexp_replace(text, '[^.,!?;:]', '', 'g'))"
+    sw_hits = f"len(regexp_extract_all(lower(text), '{_sw_pattern()}'))"
+    nonspace = "length(regexp_replace(text, '\\s+', '', 'g'))"
+    sw_ratio = f"(CASE WHEN {ntok} > 0 THEN CAST({sw_hits} AS DOUBLE) / {ntok} ELSE 0.0 END)"
+    mwl = f"(CASE WHEN {ntok} > 0 THEN CAST({nonspace} AS DOUBLE) / {ntok} ELSE 0.0 END)"
+    len_ok = f"(CASE WHEN {ntok} >= 10 AND {ntok} <= 100000 THEN 1.0 ELSE 0.0 END)"
+    sw_ok = f"(CASE WHEN {sw_ratio} > 0.0 AND {sw_ratio} < 0.7 THEN 1.0 ELSE 0.0 END)"
+    mwl_ok = f"(CASE WHEN {mwl} >= 2.0 AND {mwl} <= 12.0 THEN 1.0 ELSE 0.0 END)"
+    return f"""
+SELECT doc_id,
+  {ntok} AS n_tokens,
+  {nbpe} AS n_bpe_tokens,
+  ROUND(CASE WHEN length(text) > 0 THEN CAST({npunct} AS DOUBLE)/length(text) ELSE 0.0 END, 4) AS punct_ratio,
+  ROUND({sw_ratio}, 4) AS stopword_ratio,
+  ROUND({mwl}, 4) AS mean_word_len,
+  ROUND(({len_ok} + {sw_ok} + {mwl_ok}) / 3.0, 4) AS quality
+FROM documents ORDER BY doc_id
+"""
+
+
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .select("doc_id", "lang", X.lang_id("text").alias("pred_lang"))
+        .orderBy("doc_id")
+    )
+
+
+def _lang_id_sql() -> str:
+    return f"SELECT doc_id, lang, {X.lang_id_sql('text')} AS pred_lang FROM documents ORDER BY doc_id"
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .select("doc_id", X.fingerprint("text").alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+_FP_SQL = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact-dedup summary (hash-groupBy, one shuffle)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    g = D.exact_dedup_groups(t["documents"], "doc_id", "text")
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_members").alias("n_docs"),
+        F.sum(F.when(F.col("n_members") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.min("keep_id").alias("min_keep_id"),
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT COUNT(*) AS n_groups, SUM(n) AS n_docs,
+       SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+       MIN(keep_id) AS min_keep_id
+FROM (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         MIN(doc_id) AS keep_id, COUNT(*) AS n
+  FROM documents GROUP BY 1
+)
+"""
+
+
+# shared SQL fragment: distinct word-5-shingles per doc
+def _shingle_cte(n: int = 5) -> str:
+    return f"""
+shingles AS (
+  SELECT DISTINCT id, shingle FROM (
+    SELECT id, unnest(CASE WHEN len(w) >= {n}
+      THEN list_transform(range(1, len(w)-{n}+2), i -> array_to_string(w[i:i+{n - 1}], ' '))
+      ELSE [array_to_string(w, ' ')] END) AS shingle
+    FROM (SELECT doc_id AS id,
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+          FROM documents)
+  )
+)"""
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        D.ngram_jaccard_pairs(t["documents"], "doc_id", "text", n=5, threshold=0.8)
+        .orderBy("id1", "id2")
+    )
+
+
+_JACCARD_SQL = f"""
+WITH {_shingle_cte(5)},
+counts AS (SELECT id, COUNT(*) AS n_sh FROM shingles GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT id1, id2, ROUND(CAST(i AS DOUBLE) / (c1.n_sh + c2.n_sh - i), 4) AS jaccard
+FROM inter JOIN counts c1 ON c1.id = id1 JOIN counts c2 ON c2.id = id2
+WHERE ROUND(CAST(i AS DOUBLE) / (c1.n_sh + c2.n_sh - i), 4) >= 0.8
+ORDER BY id1, id2
+"""
+
+
+def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        D.minhash_signature(t["documents"], "doc_id", "text", k=D.DEFAULT_K)
+        .orderBy("id")
+    )
+
+
+def _minhash_sql(k: int = D.DEFAULT_K) -> str:
+    shingles, mins = D.minhash_sql_parts("text", k=k, n=5)
+    return f"""
+WITH _src AS (SELECT doc_id AS id, text FROM documents),
+sh AS ({shingles})
+SELECT id, {", ".join(mins)}
+FROM sh GROUP BY id ORDER BY id
+"""
+
+
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        D.minhash_lsh_pairs(t["documents"], "doc_id", "text",
+                            k=D.DEFAULT_K, bands=D.DEFAULT_BANDS, threshold=0.8)
+        .orderBy("id1", "id2")
+    )
+
+
+def _minhash_lsh_sql(k: int = D.DEFAULT_K, bands: int = D.DEFAULT_BANDS,
+                     threshold: float = 0.8) -> str:
+    rows = k // bands
+    shingles, mins = D.minhash_sql_parts("text", k=k, n=5)
+    band_selects = []
+    for bi in range(bands):
+        cols = ", ".join(f"sig_{bi * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT id, {', '.join(f'sig_{i}' for i in range(k))}, "
+            f"{bi} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sig"
+        )
+    return f"""
+WITH _src AS (SELECT doc_id AS id, text FROM documents),
+sh AS ({shingles}),
+sig AS (SELECT id, {", ".join(mins)} FROM sh GROUP BY id),
+bands AS (
+  {" UNION ALL ".join(band_selects)}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2,
+    {", ".join(f"a.sig_{i} AS a{i}, b.sig_{i} AS b{i}" for i in range(k))}
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT id1, id2, ROUND(({" + ".join(f"(CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END)" for i in range(k))}) / {float(k)}, 4) AS sig_sim
+FROM cand
+WHERE ROUND(({" + ".join(f"(CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END)" for i in range(k))}) / {float(k)}, 4) >= {threshold}
+ORDER BY id1, id2
+"""
+
+
+def simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures + chunk-blocked near-dup pairs.  Non-SQL-expressible
+    (64-bit bit-twiddling) -> rows-only driver check; pytest covers parity
+    with the pure-Python reference."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        D.simhash_dup_pairs(t["documents"], "doc_id", "text", max_hamming=12)
+        .orderBy("id1", "id2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_reduce(list_transform(list_zip(a.embedding, b.embedding),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (s, x) -> s + x)"
+    " / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (s, x) -> s + x))"
+    " * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (s, x) -> s + x)))"
+)
+
+
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 8 query vectors - the exactness baseline."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = t["embeddings"]
+    return (
+        cosine_topk(e.where(F.col("vec_id") < 8), e, k=5)
+        .orderBy("query_id", "rank")
+    )
+
+
+_TOPK_EMB_SQL = f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND({_COS}, 6) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < 8 AND b.vec_id <> a.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-blocked cosine near-dup pairs (blocking bounds the pair space -
+    the same role an IVF/LSH bucket plays at scale)."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return (
+        D.embedding_dup_pairs(t["embeddings"], "vec_id", "embedding",
+                              threshold=0.35, block_col="label")
+        .orderBy("id1", "id2")
+    )
+
+
+_EMB_DUPS_SQL = f"""
+SELECT a.vec_id AS id1, b.vec_id AS id2, ROUND({_COS}, 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND({_COS}, 6) >= 0.35
+ORDER BY id1, id2
+"""
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-5 (the 100TB path: bucket join, no cross
+    product).  Approximate by construction -> rows-only check; recall vs
+    brute force is asserted in pytest."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = t["embeddings"]
+    return (
+        lsh_topk(e.where(F.col("vec_id") < 8), e, k=5, bits=4, dim=64,
+                 n_probe_planes=8)
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: text -> blob -> byte-size + content hash
+    (decode-free metadata path of operators.multimodal)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.multimodal import with_blob_meta
+    t = load_tables(spark, sf_dir, ["documents"])
+    blobs = t["documents"].select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    return (
+        with_blob_meta(blobs, "blob")
+        .select("doc_id", "n_bytes", "content_hash")
+        .orderBy("doc_id")
+    )
+
+
+_BLOB_SQL = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash
+FROM documents ORDER BY doc_id
+"""
+
+
+REGISTRY: dict[str, tuple] = {
+    "text_profile": (text_profile, _text_profile_sql()),
+    "lang_id": (lang_id_q, _lang_id_sql()),
+    "doc_fingerprint": (doc_fingerprint, _FP_SQL),
+    "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
+    "ngram_jaccard": (ngram_jaccard, _JACCARD_SQL),
+    "minhash_signature": (minhash_signature, _minhash_sql()),
+    "minhash_lsh": (minhash_lsh, _minhash_lsh_sql()),
+    "simhash_pairs": (simhash_sig, None),  # rows-only: bit-level, not SQL-expressible
+    "embedding_topk": (embedding_topk, _TOPK_EMB_SQL),
+    "embedding_dups": (embedding_dups, _EMB_DUPS_SQL),
+    "ann_lsh_topk": (ann_lsh, None),  # rows-only: approximate by construction
+    "blob_meta": (blob_meta, _BLOB_SQL),
+}

@@ -32,7 +32,8 @@ BENCH_QUERIES = [
     "date_trunc_extract",
     "dedup_exact",
     "minhash_signature",
-    "text_quality",
+    "minhash_lsh",
+    "text_profile",
     "embedding_topk",
 ]
 

@@ -1,0 +1,158 @@
+"""Catalog surface tests mirroring the reference's tier-2 scenarios
+(SQLQuerySuite / OdpsTableSuite, SURVEY.md section 5): insert/overwrite
+round-trips, partitioned inserts (static + dynamic + limit), partition
+management, bucketed writes, views, DDL."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aliyun_maxcompute_data_collectors_spark.catalog import (
+    BucketSpec,
+    CatalogError,
+    NoSuchTableError,
+    OdpsCatalog,
+    PartitionLimitExceeded,
+    TableAlreadyExistsError,
+)
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return OdpsCatalog(spark, str(tmp_path / "wh"), dynamic_partition_limit=10)
+
+
+def test_insert_count_roundtrip(cat, spark):
+    # spark_sql_test_table(name STRING, num BIGINT) - SQLQuerySuite.scala:102-130
+    cat.create_table("t1", [("name", "STRING"), ("num", "BIGINT")])
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "name string, num long")
+    cat.insert("t1", df)
+    assert cat.read_table("t1").count() == 2
+    cat.insert("t1", df)  # INSERT INTO appends
+    assert cat.read_table("t1").count() == 4
+    cat.insert("t1", df, overwrite=True)  # INSERT OVERWRITE replaces
+    assert cat.read_table("t1").count() == 2
+    got = {(r["name"], r["num"]) for r in cat.read_table("t1").collect()}
+    assert got == {("a", 1), ("b", 2)}
+
+
+def test_static_and_dynamic_partitions(cat, spark):
+    # TestPartitionData(a,b,ds) - FIXTURES.md section 2
+    cat.create_table("tp", [("a", "STRING"), ("b", "STRING")], [("ds", "STRING")])
+    df = spark.createDataFrame([("x", "y")], "a string, b string")
+    cat.insert("tp", df, static_partition={"ds": "20220101"})
+    assert cat.list_partitions("tp") == [{"ds": "20220101"}]
+
+    dyn = spark.createDataFrame(
+        [("m", "n", "20220102"), ("o", "p", "20220103")], "a string, b string, ds string"
+    )
+    cat.insert("tp", dyn)
+    assert {p["ds"] for p in cat.list_partitions("tp")} == {"20220101", "20220102", "20220103"}
+
+    # partition-pruned read returns only the partition's rows
+    got = cat.read_table("tp").where(F.col("ds") == "20220101").collect()
+    assert [(r["a"], r["b"]) for r in got] == [("x", "y")]
+
+    # dynamic overwrite replaces only touched partitions
+    over = spark.createDataFrame([("zz", "zz", "20220102")], "a string, b string, ds string")
+    cat.insert("tp", over, overwrite=True)
+    left = {(r["a"], r["ds"]) for r in cat.read_table("tp").collect()}
+    assert ("zz", "20220102") in left and ("x", "20220101") in left
+    assert ("m", "20220102") not in left
+
+    assert cat.max_pt("tp") == "20220103"
+
+
+def test_dynamic_partition_limit(cat, spark):
+    # OdpsWriteBuilder.scala:144-156 / SQLQuerySuite dynamic partition limit
+    cat.create_table("tl", [("v", "BIGINT")], [("pt", "STRING")])
+    df = spark.range(50).select(
+        F.col("id").alias("v"), (F.col("id") % 20).cast("string").alias("pt")
+    )
+    with pytest.raises(PartitionLimitExceeded):
+        cat.insert("tl", df)
+
+
+def test_partition_management(cat, spark):
+    cat.create_table("pm", [("v", "BIGINT")], [("pt", "STRING")])
+    cat.add_partition("pm", {"pt": "a"})
+    assert cat.partition_exists("pm", {"pt": "a"})
+    cat.drop_partition("pm", {"pt": "a"})
+    assert not cat.partition_exists("pm", {"pt": "a"})
+    with pytest.raises(CatalogError):
+        cat.drop_partition("pm", {"pt": "zzz"})
+    cat.drop_partition("pm", {"pt": "zzz"}, if_exists=True)
+
+
+def test_bucketed_write_layout(cat, spark):
+    import os
+
+    from aliyun_maxcompute_data_collectors_spark.operators.hashing import (
+        combine_hashes, hash_long)
+
+    spec = BucketSpec("hash", 4, ["k"], [("k", "ASC")])
+    cat.create_table("bt", [("k", "BIGINT"), ("v", "STRING")], bucket=spec)
+    df = spark.range(100).select(F.col("id").alias("k"), F.lit("v").alias("v"))
+    cat.insert("bt", df)
+    ddir = cat.data_dir("bt")
+    buckets = sorted(d for d in os.listdir(ddir) if d.startswith("__odps_bucket__="))
+    assert buckets  # bucket directories exist
+    # every row is in the directory its ODPS hash says
+    for b in buckets:
+        bid = int(b.split("=")[1])
+        rows = spark.read.parquet(os.path.join(ddir, b)).collect()
+        for r in rows:
+            assert combine_hashes([hash_long(r["k"])]) % 4 == bid
+    # read path hides the bucket column
+    assert cat.read_table("bt").columns == ["k", "v"]
+
+
+def test_views_and_ddl(cat, spark):
+    cat.create_table("src", [("x", "BIGINT")])
+    cat.insert("src", spark.range(5).select(F.col("id").alias("x")))
+    cat.register_temp_view("src")
+    cat.create_view("v1", "SELECT x * 2 AS y FROM src")
+    assert cat.read_table("v1").agg(F.sum("y")).collect()[0][0] == 20
+
+    with pytest.raises(TableAlreadyExistsError):
+        cat.create_table("src", [("x", "BIGINT")])
+    cat.rename_table("src", "src2")
+    assert "src2" in cat.list_tables() and "src" not in cat.list_tables()
+    with pytest.raises(NoSuchTableError):
+        cat.read_table("nope")
+
+    cat.truncate_table("src2")
+    assert cat.read_table("src2").count() == 0
+    cat.drop_table("src2")
+    assert "src2" not in cat.list_tables()
+
+
+def test_alter_add_columns_reads_old_files(cat, spark):
+    cat.create_table("ac", [("a", "BIGINT")])
+    cat.insert("ac", spark.range(3).select(F.col("id").alias("a")))
+    cat.alter_table_add_columns("ac", [("b", "STRING")])
+    rows = cat.read_table("ac").collect()
+    assert all(r["b"] is None for r in rows)
+    assert cat.show_columns("ac") == ["a", "b"]
+
+
+def test_ctas_and_stats(cat, spark):
+    cat.create_table("base", [("x", "BIGINT")])
+    cat.insert("base", spark.range(10).select(F.col("id").alias("x")))
+    cat.register_temp_view("base")
+    cat.ctas("derived", "SELECT x, x * 2 AS y FROM base WHERE x < 5")
+    assert cat.read_table("derived").count() == 5
+    st = cat.table_stats("derived")
+    assert st["size_in_bytes"] > 0 and st["num_files"] >= 1
+
+
+def test_schema_namespace_ops(cat):
+    cat.create_schema("default_project.s2")
+    assert "s2" in cat.list_schemas()
+    cat.create_table("default_project.s2.t", [("x", "BIGINT")])
+    assert cat.list_tables("default_project.s2") == ["t"]
+    with pytest.raises(CatalogError):
+        cat.drop_schema("default_project.s2")  # RESTRICT: not empty
+    cat.drop_schema("default_project.s2", cascade=True)
+    assert "s2" not in cat.list_schemas()

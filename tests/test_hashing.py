@@ -1,0 +1,131 @@
+"""ODPS hash parity tests: the numpy implementation vs an independent
+pure-bigint emulation of Java two's-complement semantics, plus the
+Arrow-batched column UDF vs the scalar path."""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timezone
+from decimal import Decimal
+
+import pytest
+
+from aliyun_maxcompute_data_collectors_spark.operators import hashing as H
+
+
+def _i32(x):
+    x &= 0xFFFFFFFF
+    return x - (1 << 32) if x >= (1 << 31) else x
+
+
+def _i64(x):
+    x &= 0xFFFFFFFFFFFFFFFF
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _mix_ref(val):
+    l = _i64(val)
+    l = _i64(_i64(~l) + _i64(l << 18))
+    l = _i64(l ^ (l >> 31))
+    l = _i64(l * 21)
+    l = _i64(l ^ (l >> 11))
+    l = _i64(l + _i64(l << 6))
+    l = _i64(l ^ (l >> 22))
+    return _i32(l)
+
+
+def _str_ref(s: str):
+    h = 0
+    for b in s.encode("utf-8"):
+        sb = b - 256 if b >= 128 else b
+        h = _i32(h + sb)
+        h = _i32(h + _i32(h << 10))
+        h = _i32(h ^ (h >> 6))
+    h = _i32(h + _i32(h << 3))
+    h = _i32(h ^ (h >> 11))
+    h = _i32(h + _i32(h << 15))
+    return h
+
+
+def test_long_hash_parity():
+    random.seed(7)
+    vals = [0, 1, -1, 2**31 - 1, -(2**31), 2**63 - 1, -(2**63)] + [
+        random.randint(-(2**63), 2**63 - 1) for _ in range(500)
+    ]
+    for v in vals:
+        assert H.hash_long(v) == _mix_ref(v)
+
+
+def test_string_hash_parity():
+    for s in ["", "a", "abc", "hello world", "列七", "ünïcode", "x" * 500, "\t\n"]:
+        assert H.hash_string(s) == _str_ref(s)
+
+
+def test_boolean_magic_constants():
+    assert H.hash_boolean(True) == 0x172BA9C7
+    assert H.hash_boolean(False) == -0x3A59CB12
+    assert H.hash_boolean(None) == 0
+
+
+def test_timestamp_packing():
+    # positive: 2024-01-01 00:00:00.123456 -> seconds<<30 | nanos
+    us = 1704067200_123456
+    assert H.hash_timestamp(us) == _mix_ref(
+        ((1704067200 << 30) | 123456000) & 0xFFFFFFFFFFFFFFFF
+    )
+    # negative epoch: -1.5s -> floor seconds -2, nanos 500ms (Timestamp semantics)
+    assert H.hash_timestamp(-1_500_000) == _mix_ref(
+        (((-2) << 30) | 500_000_000) & 0xFFFFFFFFFFFFFFFF
+    )
+
+
+def test_decimal_div_rem_truncates_toward_zero():
+    v = Decimal("1234567890.5")
+    q, r = 1, 234567890  # 1234567890.5 divideAndRemainder(1e9) -> (1, 234567890.5->234567890)
+    assert H.hash_decimal(v) == _mix_ref(((q << 30) | r) & 0xFFFFFFFFFFFFFFFF)
+    vneg = Decimal("-1234567890.5")
+    qn, rn = -1, -234567890
+    assert H.hash_decimal(vneg) == _mix_ref(
+        ((qn << 30) | (rn & 0xFFFFFFFFFFFFFFFF)) & 0xFFFFFFFFFFFFFFFF
+    )
+
+
+def test_combine():
+    vals = [H.hash_long(7), H.hash_string("abc"), H.hash_boolean(True)]
+    s = 0
+    for v in vals:
+        s = _i32(s + v)
+    assert H.combine_hashes(vals) == _i32(s ^ (s >> 8))
+
+
+def test_column_udf_matches_scalar(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", 1.5, True, datetime(2024, 1, 1, 12, 0, 0, 123456)),
+            (2, None, -2.25, False, datetime(1969, 12, 31, 23, 59, 58, 500000)),
+            (None, "列七", None, None, None),
+        ],
+        "k long, s string, d double, b boolean, ts timestamp_ntz",
+    )
+    rows = df.withColumn("h", H.odps_hash(df, ["k", "s", "d", "b", "ts"])).collect()
+    for r in rows:
+        parts = [
+            H.hash_long(r["k"]),
+            H.hash_string(r["s"]),
+            H.hash_double(r["d"]),
+            H.hash_boolean(r["b"]),
+            H.hash_timestamp(
+                None if r["ts"] is None
+                else int(r["ts"].replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+            ),
+        ]
+        assert r["h"] == H.combine_hashes(parts)
+
+
+def test_bucket_id_range(spark):
+    df = spark.range(1000).selectExpr("id", "CAST(id AS STRING) AS s")
+    out = df.withColumn("b", H.odps_bucket_id(df, ["id", "s"], 16)).collect()
+    assert all(0 <= r["b"] < 16 for r in out)
+    assert len({r["b"] for r in out}) > 8  # spreads across buckets

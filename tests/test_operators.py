@@ -1,0 +1,147 @@
+"""Operator unit tests: merge, CDC, dedup (simhash parity, LSH recall),
+similarity, multimodal plumbing, types, templating."""
+
+from __future__ import annotations
+
+import hashlib
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aliyun_maxcompute_data_collectors_spark import types as ot
+from aliyun_maxcompute_data_collectors_spark.operators import dedup as D
+from aliyun_maxcompute_data_collectors_spark.operators.merge import merge_datasets
+from aliyun_maxcompute_data_collectors_spark.operators.multimodal import (
+    decode_media, extract_features, with_blob_meta)
+from aliyun_maxcompute_data_collectors_spark.operators.similarity import cosine_topk, lsh_topk
+
+
+def test_merge_new_beats_old_on_tie(spark):
+    old = spark.createDataFrame([(1, "old", 10), (2, "old", 10)], "k int, src string, ts int")
+    new = spark.createDataFrame([(1, "new", 10), (3, "new", 5)], "k int, src string, ts int")
+    got = {(r["k"], r["src"]) for r in merge_datasets(old, new, ["k"], ["ts"]).collect()}
+    assert got == {(1, "new"), (2, "old"), (3, "new")}
+
+
+def test_cdc_merge_into(spark):
+    from aliyun_maxcompute_data_collectors_spark.streaming.cdc import merge_cdc_into
+    target = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    ops = spark.createDataFrame(
+        [(2, "U", 1, "B2"), (3, "D", 1, None), (4, "I", 1, "d"),
+         (4, "U", 2, "D2")],  # later op wins
+        "k int, op string, seq int, v string",
+    )
+    got = {(r["k"], r["v"]) for r in
+           merge_cdc_into(target, ops, ["k"], ["seq"]).collect()}
+    assert got == {(1, "a"), (2, "B2"), (4, "D2")}
+
+
+def test_simhash_matches_pure_python(spark):
+    texts = ["the quick brown fox", "the quick brown fox", "jumped over lazy dogs",
+             "completely different words here"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, text string")
+    rows = {r["id"]: r["sh"] for r in
+            df.select("id", D.simhash("text").alias("sh")).collect()}
+
+    def py_simhash(t):
+        toks = " ".join(t.lower().split()).split(" ")
+        hs = [int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big") for w in toks]
+        return D.simhash64(hs)
+
+    for i, t in enumerate(texts):
+        assert rows[i] == py_simhash(t), f"simhash mismatch for {t!r}"
+    assert rows[0] == rows[1]  # identical text -> identical signature
+
+
+def test_simhash_pairs_find_near_dups(spark):
+    base = ("spark engine shuffles data across partitions while reading parquet "
+            "files and writing them back to distributed storage with consistent ordering")
+    near = base.replace("parquet", "orc")  # hamming 8 from base
+    far = ("totally unrelated content about cooking pasta with tomatoes and basil "
+           "in a large pot over medium heat for twenty minutes")
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "id int, text string")
+    pairs = {(r["id1"], r["id2"]) for r in
+             D.simhash_dup_pairs(df, "id", "text", max_hamming=12).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(5, "Same  Text"), (2, "same text"), (9, "other")], "id int, text string")
+    kept = sorted(r["id"] for r in D.exact_dedup(df, "id", "text").collect())
+    assert kept == [2, 9]  # normalization folds case/whitespace; min id wins
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    from aliyun_maxcompute_data_collectors_spark.session import load_tables
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    exact = cosine_topk(q, e, k=5)
+    approx = lsh_topk(q, e, k=5, bits=4, dim=64, n_probe_planes=8)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 100)), (2, bytearray(b"y" * 9)), (3, None)],
+        "id int, blob binary",
+    )
+    meta = with_blob_meta(df, "blob").collect()
+    by_id = {r["id"]: r for r in meta}
+    assert by_id[1]["n_bytes"] == 100 and by_id[3]["n_bytes"] is None
+
+    dec = {r["id"]: r for r in decode_media(df, "blob").collect()}
+    assert dec[1]["meta"]["media_type"] == "image"
+    assert dec[1]["meta"]["width"] == 64 + 100 % 512
+    assert dec[3]["meta"] is None
+
+    feats = {r["id"]: r["features"] for r in extract_features(df, "blob", dim=4).collect()}
+    assert feats[1] == [0.0, 1.0, 0.0, 0.0]  # 'x'=120 -> bin 1 of [0,64,128,192,256]
+    assert feats[3] is None
+
+
+def test_odps_type_roundtrip():
+    cases = [
+        ("BIGINT", T.LongType()),
+        ("decimal", T.DecimalType(38, 18)),
+        ("DECIMAL(10,2)", T.DecimalType(10, 2)),
+        ("VARCHAR(10)", T.StringType()),
+        ("ARRAY<INT>", T.ArrayType(T.IntegerType())),
+        ("MAP<STRING,ARRAY<BIGINT>>", T.MapType(T.StringType(), T.ArrayType(T.LongType()))),
+        ("STRUCT<a:INT,b:STRING>", T.StructType([
+            T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())])),
+    ]
+    for s, dt in cases:
+        assert ot.parse_odps_type(s) == dt
+    assert ot.to_odps_type(T.DecimalType(38, 18)) == "DECIMAL(38,18)"
+    assert ot.to_odps_type(T.ArrayType(T.LongType())) == "ARRAY<BIGINT>"
+    with pytest.raises(ot.OdpsTypeError):
+        ot.parse_odps_type("GEOMETRY")
+
+
+def test_string_coercion():
+    assert ot.coerce_string("42", T.IntegerType()) == 42
+    assert ot.coerce_string("true", T.BooleanType()) is True
+    assert ot.coerce_string("N", T.BooleanType()) is False
+    assert ot.coerce_string("", T.StringType()) is None
+    assert ot.coerce_string("1.5", T.DecimalType(10, 2)) == Decimal("1.5")
+    with pytest.raises(ot.OdpsTypeError):
+        ot.coerce_string("maybe", T.BooleanType())
+
+
+def test_template_rendering(spark):
+    from aliyun_maxcompute_data_collectors_spark.functions.templating import render_template
+    df = spark.createDataFrame([("click", "2024-03-01 10:30:00")], "et string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = df.select(
+        render_template("t/%{et}/dt=%{yyyy-MM-dd}/h=%{HH}", time_col="ts").alias("r")
+    ).collect()
+    assert out[0]["r"] == "t/click/dt=2024-03-01/h=10"
