@@ -69,9 +69,14 @@ def word_shingles(col: Column | str, n: int = 5) -> Column:
 
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
-    """(id, shingle) exploded - the join-able form used by every near-dup op."""
+    """(id, shingle) exploded - the join-able form used by every near-dup op.
+
+    Shingling amplifies rows ~(words-n)x, so the input is spread across the
+    cluster first when its scan parallelism is low (single small file)."""
+    from aliyun_maxcompute_data_collectors_spark.session import ensure_parallelism
+    src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
     return (
-        df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
+        src.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
     )
 
 
@@ -159,12 +164,15 @@ def minhash_signature(
     partial aggregation map-side."""
     perms = minhash_perms(k, seed)
     sh = shingle_table(df, id_col, text_col, n)
-    h = _md5_int(F.col("shingle"))
+    # materialize the md5-derived hash ONCE per shingle before aggregating -
+    # aggregate expressions are not common-subexpression-eliminated, so
+    # referencing _md5_int inside each of the k mins would run md5 k times
+    hashed = sh.select(F.col(id_col).alias("id"), _md5_int(F.col("shingle")).alias("h"))
     exprs = [
-        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)).alias(f"sig_{i}")
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"sig_{i}")
         for i, (a, b) in enumerate(perms)
     ]
-    return sh.groupBy(F.col(id_col).alias("id")).agg(*exprs)
+    return hashed.groupBy("id").agg(*exprs)
 
 
 def minhash_sql_parts(text_expr: str, k: int = DEFAULT_K, n: int = 5, seed: int = 42
@@ -295,10 +303,12 @@ def simhash_dup_pairs(
     detection is exact, never probabilistic.  Smaller chunks (higher
     max_hamming) admit more candidates; the verify stage stays cheap
     (one XOR+popcount per candidate)."""
+    from aliyun_maxcompute_data_collectors_spark.session import ensure_parallelism
     n_chunks = min(max_hamming + 1, 16)
     chunk_bits = 64 // n_chunks
     mask = (1 << chunk_bits) - 1
-    sig = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sh"))
+    src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    sig = src.select(F.col(id_col).alias("id"), simhash(text_col).alias("sh"))
     chunks = sig.select(
         "id", "sh",
         F.explode(F.array(*[

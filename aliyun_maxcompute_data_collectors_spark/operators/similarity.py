@@ -51,8 +51,11 @@ def cosine_topk(
 
     queries is expected to be small (it is broadcast); corpus scans once.
     Rank ties (at 6-decimal cosine) break by neighbor id - deterministic."""
+    from aliyun_maxcompute_data_collectors_spark.session import ensure_parallelism
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    )
     pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
                    if same_id_excluded else F.lit(True))
     scored = pairs.select(
@@ -114,13 +117,14 @@ def lsh_topk(
     for p in range(n_probe_planes):
         planes = hyperplanes(dim, bits, seed + p)
         probes.append((f"b{p}", planes))
+    from aliyun_maxcompute_data_collectors_spark.session import ensure_parallelism
     qsel = [F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")]
     csel = [F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")]
     for name, planes in probes:
         qsel.append(lsh_bucket_expr(F.col(vec_col), planes).alias(f"q_{name}"))
         csel.append(lsh_bucket_expr(F.col(vec_col), planes).alias(f"c_{name}"))
     q = queries.select(*qsel)
-    c = corpus.select(*csel)
+    c = ensure_parallelism(corpus).select(*csel)
     cond = F.col("query_id") != F.col("neighbor_id")
     probe_match = None
     for name, _ in probes:

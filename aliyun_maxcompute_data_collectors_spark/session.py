@@ -105,6 +105,23 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return out
 
 
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Round-robin repartition iff the plan's partitioning is below the
+    cluster's parallelism.
+
+    Use before CPU-amplifying operators (explode fan-out, pandas UDFs, cross
+    joins): when the input is a few small files / single row-group parquet,
+    the scan yields 1-2 partitions and the expensive work would run on one
+    core.  On a healthy many-split scan this is a no-op - no shuffle is
+    added at 100 TB where the scan is already wide.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _fix_nanos_timestamps(df, path: str):
     """TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong); convert
     to NTZ micros - truncation toward earlier, the same unit DuckDB reads."""

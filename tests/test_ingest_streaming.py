@@ -1,0 +1,126 @@
+"""Ingest parsers (P13) + Structured Streaming sinks (ST1-ST8) end-to-end:
+file stream source -> parse -> partitioned catalog sink with availableNow,
+CDC stream apply, dirty side channel, event-time windows."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aliyun_maxcompute_data_collectors_spark.catalog import OdpsCatalog
+from aliyun_maxcompute_data_collectors_spark.sources.ingest import (
+    parse_delimited, parse_json, parse_regex, split_dirty)
+from aliyun_maxcompute_data_collectors_spark.streaming.sink import (
+    cdc_stream_writer, partitioned_stream_writer, run_to_completion,
+    windowed_aggregate)
+
+
+def test_parse_delimited_with_index_mapping(spark):
+    df = spark.createDataFrame([("7|x|3.5",), ("|y|",)], "line string")
+    out = parse_delimited(
+        df, "line",
+        [("num", "BIGINT"), ("name", "STRING"), ("val", "DOUBLE")],
+        delimiter="|",
+    ).collect()
+    assert (out[0]["num"], out[0]["name"], out[0]["val"]) == (7, "x", 3.5)
+    assert out[1]["num"] is None and out[1]["val"] is None  # '' -> NULL
+
+
+def test_parse_regex_groups(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 GET /a 200",), ("garbage",)], "line string")
+    out = parse_regex(
+        df, "line", r"^(\S+) (\S+) (\S+) (\d+)$",
+        [("day", "STRING"), ("verb", "STRING"), ("path", "STRING"), ("code", "BIGINT")],
+    )
+    rows = out.collect()
+    assert rows[0]["verb"] == "GET" and rows[0]["code"] == 200
+    assert rows[1]["code"] is None
+
+    clean, dirty = split_dirty(out, required=["code"], raw_cols=["line"])
+    assert clean.count() == 1 and dirty.collect()[0]["line"] == "garbage"
+
+
+def test_parse_json_field_map(spark):
+    df = spark.createDataFrame(
+        [('{"k": 1, "txt": "a"}',), ('{"k": 2}',)], "line string")
+    out = parse_json(df, "line", [("key", "BIGINT"), ("txt", "STRING")],
+                     field_map={"key": "k"}).collect()
+    assert out[0]["key"] == 1 and out[0]["txt"] == "a"
+    assert out[1]["key"] == 2 and out[1]["txt"] is None
+
+
+@pytest.fixture()
+def stream_env(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    cat = OdpsCatalog(spark, str(tmp_path / "wh"))
+    return spark, src, cat, tmp_path
+
+
+def test_stream_partitioned_sink_availablenow(stream_env):
+    spark, src, cat, tmp = stream_env
+    with open(src / "batch1.json", "w") as f:
+        for i in range(20):
+            f.write(json.dumps({"id": i, "et": "click" if i % 2 else "view",
+                                "ts": f"2024-03-01 {i % 24:02d}:00:00"}) + "\n")
+    cat.create_table("ev", [("id", "BIGINT"), ("et", "STRING")], [("dt", "STRING")])
+    stream = (
+        spark.readStream.schema("id long, et string, ts string")
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    )
+    writer = partitioned_stream_writer(
+        stream, cat, "ev", str(tmp / "ckpt"), time_col="ts",
+    )
+    run_to_completion(writer)
+    out = cat.read_table("ev")
+    assert out.count() == 20
+    # partition values follow yyyy-MM-dd--HH of the event time (ST2)
+    dts = {r["dt"] for r in out.select("dt").distinct().collect()}
+    assert "2024-03-01--00" in dts and all(d.startswith("2024-03-01--") for d in dts)
+    # restart with same checkpoint: no reprocessing (exactly-once per batch)
+    run_to_completion(partitioned_stream_writer(
+        stream, cat, "ev", str(tmp / "ckpt"), time_col="ts"))
+    assert cat.read_table("ev").count() == 20
+
+
+def test_stream_cdc_apply(stream_env):
+    spark, src, cat, tmp = stream_env
+    cat.create_table("state", [("k", "BIGINT"), ("v", "STRING")])
+    cat.insert("state", spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    ops = [
+        {"k": 2, "op": "U", "seq": 1, "v": "B"},
+        {"k": 1, "op": "D", "seq": 2, "v": None},
+        {"k": 3, "op": "I", "seq": 3, "v": "c"},
+    ]
+    with open(src / "ops.json", "w") as f:
+        for o in ops:
+            f.write(json.dumps(o) + "\n")
+    stream = spark.readStream.schema("k long, op string, seq long, v string").json(str(src))
+    writer = cdc_stream_writer(stream, cat, "state", str(tmp / "ck2"),
+                               key_cols=["k"], order_cols=["seq"])
+    run_to_completion(writer)
+    got = {(r["k"], r["v"]) for r in cat.read_table("state").collect()}
+    assert got == {(2, "B"), (3, "c")}
+
+
+def test_windowed_aggregate_event_time(stream_env):
+    spark, src, cat, tmp = stream_env
+    with open(src / "w.json", "w") as f:
+        for h, n in [(0, 3), (1, 2)]:
+            for i in range(n):
+                f.write(json.dumps({"ts": f"2024-03-01 0{h}:1{i}:00", "v": 1.0}) + "\n")
+    stream = (
+        spark.readStream.schema("ts string, v double").json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    agg = windowed_aggregate(stream, "ts", "1 hour", "10 minutes")
+    q = agg.writeStream.format("memory").queryName("winagg") \
+        .outputMode("complete").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT window.start AS s, cnt FROM winagg ORDER BY s").collect()
+    assert [r["cnt"] for r in rows] == [3, 2]
