@@ -650,6 +650,149 @@ FROM events GROUP BY 1 ORDER BY route
 """
 
 
+def filter_pushdown_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P9 extended predicate surface: IN, IS [NOT] NULL, null-safe =,
+    startswith/endswith/contains (FilterType.java:22-38) - all pushed or
+    codegen'd by Catalyst."""
+    t = load_tables(spark, sf_dir, ["customer"])
+    return (
+        t["customer"]
+        .where(
+            F.col("c_mktsegment").startswith("BUIL")
+            & F.col("c_name").contains("0")
+            & F.col("c_name").endswith("5").__invert__()
+            & F.col("c_acctbal").isNotNull()
+            & F.col("c_nationkey").isin(0, 5, 10, 15, 20)
+            & F.col("c_mktsegment").eqNullSafe(F.lit("BUILDING"))
+        )
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+_FILTER_EXT_SQL = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer
+WHERE starts_with(c_mktsegment, 'BUIL')
+  AND contains(c_name, '0')
+  AND NOT ends_with(c_name, '5')
+  AND c_acctbal IS NOT NULL
+  AND c_nationkey IN (0, 5, 10, 15, 20)
+  AND c_mktsegment IS NOT DISTINCT FROM 'BUILDING'
+ORDER BY c_custkey
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (beyond-reference pipeline operator): 30-min
+    gap sessions over the events stream table, rolled up per session."""
+    from aliyun_maxcompute_data_collectors_spark.operators.relational import session_stats
+    t = load_tables(spark, sf_dir, ["events"])
+    s = session_stats(t["events"], "user_id", "ts", gap="30 minutes")
+    return (
+        s.select(
+            "user_id", "session_seq",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("start_s"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("end_s"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
+  COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per priority (window rank - one shuffle, no collect)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.relational import topk_per_group as tpg
+    t = load_tables(spark, sf_dir, ["orders"])
+    out = tpg(
+        t["orders"].select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        ["o_orderpriority"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+    )
+    return out.orderBy("o_orderpriority", "rank")
+
+
+_TOPK_GRP_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
+ORDER BY o_orderpriority, rank
+"""
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (2.5 family, Spark built-in)."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(),
+                 F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation; results must equal the plain groupBy
+    (the oracle) - proving salting is semantics-preserving."""
+    from aliyun_maxcompute_data_collectors_spark.operators.skew import salted_agg
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = t["lineitem"].withColumn("qty_dec", _dec("l_quantity"))
+    out = salted_agg(
+        li, ["l_returnflag"],
+        {"sum_qty_d": ("qty_dec", "sum"), "n": ("l_orderkey", "count"),
+         "max_qty": ("l_quantity", "max")},
+        n_salts=8,
+    )
+    return (
+        out.select(
+            "l_returnflag", _money(F.col("sum_qty_d")).alias("sum_qty"),
+            "n", "max_qty",
+        ).orderBy("l_returnflag")
+    )
+
+
+_SALTED_SQL = """
+SELECT l_returnflag,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+  COUNT(l_orderkey) AS n, MAX(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -680,6 +823,11 @@ REGISTRY: dict[str, tuple] = {
     "stddev_variance": (stddev_variance, _STDDEV_SQL),
     "time_partition_assign": (time_partition_assign, _ASSIGN_SQL),
     "template_routing": (template_routing, _TEMPLATE_SQL),
+    "filter_pushdown_ext": (filter_pushdown_ext, _FILTER_EXT_SQL),
+    "sessionize_events": (sessionize_events, _SESSION_SQL),
+    "topk_per_group": (topk_per_group, _TOPK_GRP_SQL),
+    "cube_agg": (cube_agg, _CUBE_SQL),
+    "salted_agg": (salted_agg_q, _SALTED_SQL),
 }
 
 

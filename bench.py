@@ -30,6 +30,8 @@ BENCH_QUERIES = [
     "cdc_apply",
     "percentile_quantity",
     "date_trunc_extract",
+    "sessionize_events",
+    "topk_per_group",
     "dedup_exact",
     "minhash_signature",
     "minhash_lsh",

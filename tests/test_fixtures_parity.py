@@ -1,0 +1,143 @@
+"""Reference-fixture parity tests (FIXTURES.md sections 3, 4, 7) plus the
+skew/relational operators."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from aliyun_maxcompute_data_collectors_spark.catalog import OdpsCatalog
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return OdpsCatalog(spark, str(tmp_path / "wh"))
+
+
+def test_unicode_special_column_names(cat, spark):
+    """FIXTURES section 3: conjunctive equality filters over quoted
+    unicode/numeric/special column names -> exactly 1 row."""
+    cols = ["c0", "c1", "列2", "列3", "44", "5列", "列六", "'列七'"]
+    cat.create_table("exotic", [(c, "BIGINT") for c in cols])
+    df = spark.createDataFrame(
+        [tuple(range(0, 8)), tuple(range(1, 9))],
+        schema="`c0` long, `c1` long, `列2` long, `列3` long, `44` long, `5列` long, `列六` long, `'列七'` long",
+    )
+    cat.insert("exotic", df)
+    out = cat.read_table("exotic")
+    cond = None
+    for i, c in enumerate(cols):
+        e = F.col(f"`{c}`") == i
+        cond = e if cond is None else (cond & e)
+    rows = out.where(cond).collect()
+    assert len(rows) == 1 and rows[0][0] == 0
+
+    from aliyun_maxcompute_data_collectors_spark.functions.dialect import quote_identifier
+    out.createOrReplaceTempView("exotic_v")
+    sql_rows = spark.sql(
+        "SELECT * FROM exotic_v WHERE "
+        + " AND ".join(f"{quote_identifier(c)} = {i}" for i, c in enumerate(cols))
+    ).collect()
+    assert len(sql_rows) == 1
+
+
+def test_decimal_38_26_filter_falls_back_correctly(cat, spark):
+    """FIXTURES section 4: scale-26 decimal disables storage pushdown in the
+    reference; here parquet+Catalyst evaluate it correctly either way - the
+    filter must still return exactly the matching row, scale-padded."""
+    from aliyun_maxcompute_data_collectors_spark.plans.checks import decimal_pushdown_guard
+    cat.create_table("dec26", [("c0", "BIGINT"), ("c1", "BIGINT"), ("c2", "DECIMAL(38,26)")])
+    df = spark.createDataFrame(
+        [(0, 1, Decimal("2.00000000000000001111")), (1, 2, Decimal("3.0"))],
+        "c0 long, c1 long, c2 decimal(38,26)",
+    )
+    cat.insert("dec26", df)
+    out = cat.read_table("dec26").where(
+        F.col("c2") == F.lit(Decimal("2.00000000000000001111")).cast("decimal(38,26)")
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["c0"] == 0
+    assert rows[0]["c2"] == Decimal("2.00000000000000001111")
+    # the guard itself reports pushdown must be disabled for bucket parity
+    assert not decimal_pushdown_guard([t.dataType for t in out.schema.fields])
+
+    # scale-18: pushdown allowed
+    cat.create_table("dec18", [("c0", "BIGINT"), ("c2", "DECIMAL(38,18)")])
+    cat.insert("dec18", spark.createDataFrame(
+        [(0, Decimal("2.000000000000000001")), (1, Decimal("3.0"))],
+        "c0 long, c2 decimal(38,18)"))
+    out18 = cat.read_table("dec18").where(
+        F.col("c2") == F.lit(Decimal("2.000000000000000001")).cast("decimal(38,18)"))
+    assert out18.count() == 1
+    assert decimal_pushdown_guard([f.dataType for f in out18.schema.fields])
+
+
+def test_duplicate_map_keys_dedup(spark):
+    """FIXTURES section 7 (enableUniqueMapKey): duplicate map keys dedup
+    rather than fail."""
+    from aliyun_maxcompute_data_collectors_spark.operators.relational import unique_map_keys
+    df = spark.createDataFrame(
+        [(1, [("k", "1"), ("k", "2"), ("x", "9")])],
+        "id int, entries array<struct<key:string,value:string>>",
+    )
+    last = df.select(unique_map_keys(F.col("entries")).alias("m")).collect()[0]["m"]
+    assert last == {"k": "2", "x": "9"}
+    first = df.select(
+        unique_map_keys(F.col("entries"), last_wins=False).alias("m")).collect()[0]["m"]
+    assert first == {"k": "1", "x": "9"}
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    from aliyun_maxcompute_data_collectors_spark.operators.skew import key_histogram, salted_agg
+    from aliyun_maxcompute_data_collectors_spark.session import load_tables
+    t = load_tables(spark, sf_dir, ["orders"])
+    o = t["orders"]
+    plain = {
+        r["o_orderstatus"]: (r["n"], r["mx"]) for r in
+        o.groupBy("o_orderstatus").agg(
+            F.count("o_orderkey").alias("n"), F.max("o_totalprice").alias("mx")).collect()
+    }
+    salted = {
+        r["o_orderstatus"]: (r["n"], r["mx"]) for r in
+        salted_agg(o, ["o_orderstatus"],
+                   {"n": ("o_orderkey", "count"), "mx": ("o_totalprice", "max")},
+                   n_salts=8).collect()
+    }
+    assert plain == salted
+    hist = key_histogram(o, ["o_orderstatus"], top=2).collect()
+    assert len(hist) == 2 and hist[0]["n_rows"] >= hist[1]["n_rows"]
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    from aliyun_maxcompute_data_collectors_spark.operators.skew import salted_join
+    from aliyun_maxcompute_data_collectors_spark.session import load_tables
+    t = load_tables(spark, sf_dir, ["customer", "nation"])
+    plain = (
+        t["customer"].join(t["nation"].withColumnRenamed("n_nationkey", "c_nationkey"),
+                           ["c_nationkey"]).count()
+    )
+    salted = salted_join(
+        t["customer"],
+        t["nation"].withColumnRenamed("n_nationkey", "c_nationkey"),
+        ["c_nationkey"], n_salts=4,
+    ).count()
+    assert plain == salted
+
+
+def test_sessionize_gap_semantics(spark):
+    from aliyun_maxcompute_data_collectors_spark.operators.relational import session_stats
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),  # session 1
+        (1, "2024-01-01 11:00:00"),                               # gap 50m -> session 2
+        (2, "2024-01-01 09:00:00"),                               # session 1 (user 2)
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz"))
+    out = session_stats(df, "user_id", "ts", gap="30 minutes").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append((r["session_seq"], r["n_events"]))
+    assert sorted(by_user[1]) == [(1, 2), (2, 1)]
+    assert sorted(by_user[2]) == [(1, 1)]
