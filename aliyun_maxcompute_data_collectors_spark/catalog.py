@@ -416,6 +416,60 @@ class OdpsCatalog:
         parts = [f"{c}={spec[c]}" for c in pcols]  # ordered k=v, as the reference
         return os.path.join(self.data_dir(name), *parts)
 
+    def read_buckets(self, name: str, bucket_ids: list[int]) -> DataFrame:
+        """Scan only the given bucket directories of a hash-clustered table.
+
+        The bucket id is a partition directory (``__odps_bucket__=k``), so
+        Spark prunes every other bucket at the file-listing level - the
+        cluster-scan primitive the reference's bucketed layout exists for."""
+        meta = self.get_meta(name)
+        if not meta.bucket:
+            raise CatalogError(f"{name} is not bucketed")
+        ddir = self.data_dir(name)
+        df = self.spark.read.option("basePath", ddir).parquet(ddir)
+        out = df.where(F.col(BUCKET_COL).isin([int(b) for b in bucket_ids]))
+        cols = [c for c, _ in meta.columns] + [c for c, _ in meta.partition_columns]
+        return out.select(*cols)
+
+    def lookup_by_key(self, name: str, key_values: dict) -> DataFrame:
+        """Point lookup on the bucket columns: the ODPS hash of the key is
+        computed driver-side, only that one bucket directory is scanned, and
+        the equality predicates are pushed into it.  O(table/num_buckets) IO
+        instead of a full scan - the hash-clustered fast path."""
+        from aliyun_maxcompute_data_collectors_spark.operators import hashing as H
+        from aliyun_maxcompute_data_collectors_spark import types as ot2
+        from pyspark.sql import types as T
+
+        meta = self.get_meta(name)
+        if not meta.bucket or meta.bucket.cluster_type != "hash":
+            raise CatalogError(f"{name} is not hash-clustered")
+        b = meta.bucket
+        if sorted(key_values) != sorted(b.bucket_columns):
+            raise CatalogError(
+                f"lookup needs exactly the bucket columns {b.bucket_columns}")
+        typemap = dict(meta.columns + meta.partition_columns)
+        parts = []
+        for c in b.bucket_columns:
+            v = key_values[c]
+            dt = ot2.parse_odps_type(typemap[c])
+            if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+                parts.append(H.hash_long(int(v)))
+            elif isinstance(dt, T.DoubleType):
+                parts.append(H.hash_double(float(v)))
+            elif isinstance(dt, T.FloatType):
+                parts.append(H.hash_float(float(v)))
+            elif isinstance(dt, T.BooleanType):
+                parts.append(H.hash_boolean(bool(v)))
+            elif isinstance(dt, (T.StringType, T.BinaryType)):
+                parts.append(H.hash_string(v))
+            else:
+                raise CatalogError(f"unsupported bucket key type {dt} for {c}")
+        bucket_id = H.combine_hashes(parts) % b.num_buckets
+        out = self.read_buckets(name, [bucket_id])
+        for c, v in key_values.items():
+            out = out.where(F.col(c) == F.lit(v))
+        return out
+
     def max_pt(self, name: str) -> str | None:
         """Newest value of the first-level partition column (MaxPtUDF.java:31-41):
         max over non-empty partitions, string-compared like ODPS."""

@@ -94,8 +94,14 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     for name in names or all_names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
-            df = _fix_nanos_timestamps(df, path)
+            key = (id(spark), path)
+            df = _DF_CACHE.get(key)
+            if df is None:
+                df = spark.read.parquet(path)
+                df = _fix_nanos_timestamps(df, path)
+                if len(_DF_CACHE) > 64:
+                    _DF_CACHE.clear()
+                _DF_CACHE[key] = df
             df.createOrReplaceTempView(name)
             out[name] = df
         elif names is not None:
@@ -103,6 +109,11 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
             # not a downstream KeyError
             raise FileNotFoundError(f"table {name!r} not found at {path}")
     return out
+
+
+# plan cache: re-reading the same parquet path re-lists files and re-reads
+# footers on the driver; the logical plan is immutable so reuse is safe
+_DF_CACHE: dict = {}
 
 
 def ensure_parallelism(df, min_partitions: int | None = None):

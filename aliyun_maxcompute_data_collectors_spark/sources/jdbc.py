@@ -247,6 +247,66 @@ def read_jdbc_parallel(
 
 
 # ---------------------------------------------------------------------------
+# incremental import (Sqoop --incremental append/lastmodified + merge)
+# ---------------------------------------------------------------------------
+
+def incremental_predicate(
+    mode: str,                 # 'append' | 'lastmodified'
+    check_col: str,
+    last_value,
+) -> str:
+    """WHERE fragment selecting only new/changed rows since last_value
+    (SqoopOptions incremental modes: append = check_col > last, lastmodified
+    = check_col >= last)."""
+    if last_value is None:
+        return "1=1"
+    if isinstance(last_value, str):
+        lit = _s(last_value)
+    elif isinstance(last_value, dt.datetime):
+        lit = _ts_lit(last_value, "TIMESTAMP")
+    else:
+        lit = repr(last_value)
+    op = ">" if mode == "append" else ">="
+    return f"{check_col} {op} {lit}"
+
+
+def incremental_import(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    target,                    # OdpsCatalog-like with read_table/insert
+    target_table: str,
+    mode: str,
+    check_col: str,
+    merge_key: list[str] | None = None,
+    properties: dict | None = None,
+) -> None:
+    """One incremental cycle: read rows past the target's high-watermark,
+    then append (append mode) or merge-key reconcile newest-wins
+    (lastmodified mode, Sqoop MergeJob J2).
+
+    The watermark comes from the target itself (max(check_col)), so the
+    pipeline is restartable without external state."""
+    from pyspark.sql import functions as F
+
+    from aliyun_maxcompute_data_collectors_spark.operators.merge import merge_datasets
+
+    existing = target.read_table(target_table)
+    last = existing.agg(F.max(check_col)).collect()[0][0]
+    pred = incremental_predicate(mode, check_col, last)
+    fresh = spark.read.jdbc(
+        url, f"(SELECT * FROM {table} WHERE {pred}) q", properties=properties or {})
+    if fresh.isEmpty():
+        return
+    if mode == "append" or not merge_key:
+        target.insert(target_table, fresh)
+        return
+    merged = merge_datasets(existing, fresh, merge_key, [check_col])
+    merged = merged.localCheckpoint(eager=True)  # decouple from files being replaced
+    target.insert(target_table, merged, overwrite=True)
+
+
+# ---------------------------------------------------------------------------
 # export (W12): append / update / upsert via foreachPartition batches
 # ---------------------------------------------------------------------------
 

@@ -68,6 +68,41 @@ def merge_cdc_into(
     return untouched.unionByName(upserts)
 
 
+def validate_before_images(
+    target: DataFrame,
+    ops: DataFrame,
+    key_cols: list[str],
+    before_suffix: str = "_before",
+    op_col: str = "op",
+) -> tuple[DataFrame, DataFrame]:
+    """Split update ops into (consistent, conflicting) by checking their
+    before-images against the current target values.
+
+    The reference stamps before-images onto update records
+    (``RecordBuilder.java``: ``c[name]_before`` columns); a mismatch means the
+    op was computed against a stale snapshot.  Conflicts go to the dirty
+    side channel (ST6) instead of being applied blindly."""
+    before_cols = [c for c in ops.columns if c.endswith(before_suffix)]
+    if not before_cols:
+        return ops, ops.limit(0)
+    tgt = target.select(
+        *key_cols,
+        *[F.col(c[: -len(before_suffix)]).alias(f"__cur_{c}") for c in before_cols],
+    )
+    joined = ops.join(tgt, key_cols, "left")
+    cond = F.lit(True)
+    for c in before_cols:
+        # NULL-safe compare; non-update ops are always consistent
+        cond = cond & (
+            (F.col(op_col) != OP_UPDATE)
+            | F.col(c).eqNullSafe(F.col(f"__cur_{c}"))
+        )
+    cur_cols = [f"__cur_{c}" for c in before_cols]
+    consistent = joined.where(cond).drop(*cur_cols)
+    conflicting = joined.where(~cond).drop(*cur_cols)
+    return consistent, conflicting
+
+
 def cdc_foreach_batch_writer(catalog, table: str, key_cols: list[str],
                              order_cols: list[str], op_col: str = "op"):
     """foreachBatch hook: checkpoint-coordinated CDC apply (ST1+ST4).

@@ -1,0 +1,90 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The reference's streaming is stateless routing (partition assigners, batch
+queues); its only state is open-writer maps (ST3).  These operators cover
+the genuinely stateful pipeline needs Structured Streaming can express with
+per-key state - the 'custom operator' escape hatch of SURVEY's build plan:
+
+- streaming_dedup: drop events whose key was already seen (with TTL) -
+  at-most-once emission per key across micro-batches;
+- running_counter: per-key running aggregates that survive across batches.
+
+State is per-key, stored in the state store (checkpointed, recoverable) -
+scales horizontally with the shuffle partition count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Exactly-one-emission per key: the first event for a key passes, later
+    ones are dropped while its state lives (forever, or for ttl_ms)."""
+    out_schema = stream_df.schema
+    state_schema = "seen boolean"
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms
+               else GroupStateTimeout.NoTimeout)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first_batch = True
+        for pdf in pdfs:
+            if state.exists:
+                continue  # key already emitted in an earlier batch
+            if first_batch and len(pdf) > 0:
+                yield pdf.head(1)
+                state.update((True,))
+                if ttl_ms:
+                    state.setTimeoutDuration(ttl_ms)
+                first_batch = False
+
+    return stream_df.groupBy(*key_cols).applyInPandasWithState(
+        fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append", timeoutConf=timeout,
+    )
+
+
+def running_counter(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-key running (count, sum) maintained across micro-batches; emits
+    one updated row per key per batch."""
+    key_fields = ", ".join(f"{c} {_spark_type_name(stream_df, c)}" for c in key_cols)
+    out_schema = f"{key_fields}, n_events long, total double"
+    state_schema = "n long, s double"
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0.0)
+        seen = 0
+        for pdf in pdfs:
+            seen += len(pdf)
+            s += float(pdf[value_col].fillna(0.0).sum())
+        if seen:
+            n += seen
+            state.update((n, s))
+            yield pd.DataFrame(
+                [list(key) + [n, s]],
+                columns=key_cols + ["n_events", "total"],
+            )
+
+    return stream_df.groupBy(*key_cols).applyInPandasWithState(
+        fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _spark_type_name(df: DataFrame, col: str) -> str:
+    return df.schema[col].dataType.simpleString()
