@@ -160,19 +160,29 @@ def minhash_signature(
     seed: int = 42,
 ) -> DataFrame:
     """(id, sig_0..sig_{k-1}): min over shingles of each permuted hash.
-    Computed as explode -> groupBy(id).min(...) - one shuffle keyed by doc id,
-    partial aggregation map-side."""
+
+    Computed entirely per-row with higher-order array functions
+    (transform -> array_min): ZERO shuffles and no row explosion - the
+    explode+groupBy formulation costs a full shuffle of ~words-per-doc x rows,
+    this one is a narrow projection.  The md5-derived hash array is
+    materialized once per document, then each permutation folds over it."""
+    from aliyun_maxcompute_data_collectors_spark.session import ensure_parallelism
     perms = minhash_perms(k, seed)
-    sh = shingle_table(df, id_col, text_col, n)
-    # materialize the md5-derived hash ONCE per shingle before aggregating -
-    # aggregate expressions are not common-subexpression-eliminated, so
-    # referencing _md5_int inside each of the k mins would run md5 k times
-    hashed = sh.select(F.col(id_col).alias("id"), _md5_int(F.col("shingle")).alias("h"))
-    exprs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"sig_{i}")
-        for i, (a, b) in enumerate(perms)
-    ]
-    return hashed.groupBy("id").agg(*exprs)
+    src = ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+    hs = F.transform(
+        word_shingles(text_col, n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+    stage = src.select("id", hs.alias("__hs__"))
+
+    def perm_min(a: int, b: int) -> Column:
+        return F.array_min(F.transform(
+            F.col("__hs__"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+        ))
+
+    return stage.select(
+        "id", *[perm_min(a, b).alias(f"sig_{i}") for i, (a, b) in enumerate(perms)]
+    )
 
 
 def minhash_sql_parts(text_expr: str, k: int = DEFAULT_K, n: int = 5, seed: int = 42
@@ -213,35 +223,40 @@ def minhash_lsh_pairs(
     groupBy band bucket (shuffle ~ corpus size, not pairs) -> pair join only
     within buckets."""
     rows = k // bands
-    sig = minhash_signature(df, id_col, text_col, k, n, seed)
+    # materialize signatures once: the band self-join references them on BOTH
+    # sides, and without a lineage cut each side would recompute the full
+    # shingle->md5->min pipeline (2x the dominant cost)
+    sig = minhash_signature(df, id_col, text_col, k, n, seed).localCheckpoint(eager=True)
     band_cols = []
     for bi in range(bands):
         cols = [F.col(f"sig_{bi * rows + r}") for r in range(rows)]
         band_cols.append(F.struct(F.lit(bi).alias("band"),
                                   F.md5(F.concat_ws(",", *cols)).alias("bucket")))
-    exploded = sig.select(
-        "id", *[F.col(f"sig_{i}") for i in range(k)],
-        F.explode(F.array(*band_cols)).alias("bb"),
-    ).select("id", *[f"sig_{i}" for i in range(k)],
-             F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    # narrow (id, band, bucket) rows only - the self-join and distinct never
+    # carry the k signature columns; signatures re-attach to the (much
+    # smaller) candidate pair set afterwards
+    buckets = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
-            *[F.col(f"a.sig_{i}").alias(f"a{i}") for i in range(k)],
-            *[F.col(f"b.sig_{i}").alias(f"b{i}") for i in range(k)],
-        )
-        .dropDuplicates(["id1", "id2"])
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
     )
+    s1 = sig.select(F.col("id").alias("id1"),
+                    *[F.col(f"sig_{i}").alias(f"a{i}") for i in range(k)])
+    s2 = sig.select(F.col("id").alias("id2"),
+                    *[F.col(f"sig_{i}").alias(f"b{i}") for i in range(k)])
+    paired = cand.join(s1, "id1").join(s2, "id2")
     matches = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
     )
     return (
-        cand.withColumn("sig_sim", F.round(matches / F.lit(float(k)), 4))
+        paired.withColumn("sig_sim", F.round(matches / F.lit(float(k)), 4))
         .where(F.col("sig_sim") >= threshold)
         .select("id1", "id2", "sig_sim")
     )

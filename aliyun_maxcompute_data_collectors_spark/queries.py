@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from aliyun_maxcompute_data_collectors_spark.session import load_tables
+from aliyun_maxcompute_data_collectors_spark.session import ensure_parallelism, load_tables
 
 # DECIMAL(18,6) is wide enough for every measure in the test tables while
 # leaving sum headroom in both engines.
@@ -47,7 +47,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan-filter-aggregate flagship (columnar scan S1/S6 + pushdown P1-P3):
     filters and the 7-column projection reach the parquet reader."""
     t = load_tables(spark, sf_dir, ["lineitem"])
-    li = t["lineitem"].where(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02"))
+    # decimal-exact aggregation is CPU-heavy per row; spread a poorly-split
+    # scan before the partial aggregate (no-op when the scan is already wide)
+    li = ensure_parallelism(
+        t["lineitem"].where(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02"))
+    )
     disc_price = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
     charge = disc_price * (F.lit(1).cast(_DEC) + _dec("l_tax"))
     return (

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from aliyun_maxcompute_data_collectors_spark.operators import dedup as D
 from aliyun_maxcompute_data_collectors_spark.operators import text as X
 from aliyun_maxcompute_data_collectors_spark.operators.similarity import cosine_topk, lsh_topk
-from aliyun_maxcompute_data_collectors_spark.session import load_tables
+from aliyun_maxcompute_data_collectors_spark.session import ensure_parallelism, load_tables
 
 # ---------------------------------------------------------------------------
 # text analysis
@@ -26,7 +26,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     c = F.col("text")
     return (
-        t["documents"]
+        ensure_parallelism(t["documents"])  # regex-heavy per-row compute
         .select(
             "doc_id",
             X.token_count(c).alias("n_tokens"),
