@@ -550,6 +550,12 @@ class OdpsCatalog:
             part_by = pcols
 
         writer = out.write.mode("overwrite" if overwrite else "append")
+        # W5 writer chunking parity: the reference bounds writer chunks/blocks
+        # (4MB chunks, 20k blocks); here the knob is rows-per-file via the
+        # table property 'write.max-records-per-file'
+        max_rec = meta.properties.get("write.max-records-per-file")
+        if max_rec:
+            writer = writer.option("maxRecordsPerFile", int(max_rec))
         if part_by:
             writer = writer.partitionBy(*part_by)
         writer.parquet(self.data_dir(name))

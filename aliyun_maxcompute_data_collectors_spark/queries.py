@@ -769,6 +769,82 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
 
+def cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal/numeric coercion surface (maxcompute.clj :591-609 temporal
+    matrix + :418-465 result parsing types): cast chains across
+    string/int/double/decimal/date/timestamp evaluated identically."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price_str"),
+            F.col("o_totalprice").cast("int").alias("price_int"),
+            F.col("o_orderkey").cast("string").alias("key_str"),
+            F.col("o_orderkey").cast("double").alias("key_dbl"),
+            F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+            F.date_format(F.col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+            F.to_date(F.col("o_orderdate").cast("date").cast("string")).cast("string").alias("date_rt"),
+            F.lit("123").cast("long").alias("s2l"),
+            F.lit("1.5").cast("double").alias("s2d"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_CAST_SQL = """
+SELECT o_orderkey,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+  CAST(trunc(o_totalprice) AS INT) AS price_int, -- Spark cast truncates; DuckDB rounds
+
+  CAST(o_orderkey AS VARCHAR) AS key_str,
+  CAST(o_orderkey AS DOUBLE) AS key_dbl,
+  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_str,
+  CAST(CAST(CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS DATE) AS VARCHAR) AS date_rt,
+  CAST('123' AS BIGINT) AS s2l,
+  CAST('1.5' AS DOUBLE) AS s2d
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface: case, trim, substring, replace, pad, concat,
+    split, length - the everyday dialect functions."""
+    t = load_tables(spark, sf_dir, ["customer"])
+    n = F.col("c_name")
+    return (
+        t["customer"]
+        .select(
+            "c_custkey",
+            F.upper(n).alias("up"),
+            F.lower(n).alias("lo"),
+            F.substring(n, 1, 8).alias("sub"),
+            F.regexp_replace(n, "[0-9]", "#").alias("masked"),
+            F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+            F.concat_ws("-", F.lit("cust"), F.col("c_custkey").cast("string")).alias("tagged"),
+            F.length(n).alias("len"),
+            F.reverse(n).alias("rev"),
+            F.split(n, "#").getItem(0).alias("head"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_STRFN_SQL = """
+SELECT c_custkey,
+  upper(c_name) AS up, lower(c_name) AS lo,
+  substr(c_name, 1, 8) AS sub,
+  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+  concat_ws('-', 'cust', CAST(c_custkey AS VARCHAR)) AS tagged,
+  length(c_name) AS len,
+  reverse(c_name) AS rev,
+  string_split(c_name, '#')[1] AS head
+FROM customer ORDER BY c_custkey
+"""
+
+
 def salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation; results must equal the plain groupBy
     (the oracle) - proving salting is semantics-preserving."""
@@ -832,6 +908,8 @@ REGISTRY: dict[str, tuple] = {
     "topk_per_group": (topk_per_group, _TOPK_GRP_SQL),
     "cube_agg": (cube_agg, _CUBE_SQL),
     "salted_agg": (salted_agg_q, _SALTED_SQL),
+    "cast_matrix": (cast_matrix, _CAST_SQL),
+    "string_functions": (string_functions, _STRFN_SQL),
 }
 
 

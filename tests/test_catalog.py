@@ -156,3 +156,13 @@ def test_schema_namespace_ops(cat):
         cat.drop_schema("default_project.s2")  # RESTRICT: not empty
     cat.drop_schema("default_project.s2", cascade=True)
     assert "s2" not in cat.list_schemas()
+
+
+def test_max_records_per_file_property(cat, spark):
+    import os
+    cat.create_table("chunked", [("x", "BIGINT")],
+                     properties={"write.max-records-per-file": "25"})
+    cat.insert("chunked", spark.range(100).select(F.col("id").alias("x")).coalesce(1))
+    files = [f for f in os.listdir(cat.data_dir("chunked")) if f.endswith(".parquet")]
+    assert len(files) >= 4  # 100 rows / 25 per file
+    assert cat.read_table("chunked").count() == 100

@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis): hash parity over arbitrary inputs,
+split planners are loss-proof partitions, type parser round-trips."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aliyun_maxcompute_data_collectors_spark.operators import hashing as H
+from aliyun_maxcompute_data_collectors_spark.sources.jdbc import integer_splits
+
+
+def _i32(x):
+    x &= 0xFFFFFFFF
+    return x - (1 << 32) if x >= (1 << 31) else x
+
+
+def _i64(x):
+    x &= 0xFFFFFFFFFFFFFFFF
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _mix_ref(val):
+    l = _i64(val)
+    l = _i64(_i64(~l) + _i64(l << 18))
+    l = _i64(l ^ (l >> 31))
+    l = _i64(l * 21)
+    l = _i64(l ^ (l >> 11))
+    l = _i64(l + _i64(l << 6))
+    l = _i64(l ^ (l >> 22))
+    return _i32(l)
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=300, deadline=None)
+def test_hash_long_matches_reference_semantics(v):
+    assert H.hash_long(v) == _mix_ref(v)
+
+
+@given(st.text(max_size=64))
+@settings(max_examples=300, deadline=None)
+def test_hash_string_any_unicode(s):
+    h = 0
+    for b in s.encode("utf-8"):
+        sb = b - 256 if b >= 128 else b
+        h = _i32(h + sb)
+        h = _i32(h + _i32(h << 10))
+        h = _i32(h ^ (h >> 6))
+    h = _i32(h + _i32(h << 3))
+    h = _i32(h ^ (h >> 11))
+    h = _i32(h + _i32(h << 15))
+    assert H.hash_string(s) == h
+
+
+@given(st.integers(min_value=-(2**50), max_value=2**50))
+@settings(max_examples=200, deadline=None)
+def test_hash_timestamp_pack(us):
+    millis, sub_us = divmod(us, 1000)
+    seconds, sub_ms = divmod(millis, 1000)
+    nanos = (sub_ms * 1000 + sub_us) * 1000
+    assert 0 <= nanos < 1_000_000_000  # Timestamp invariant: nanos non-negative
+    assert H.hash_timestamp(us) == _mix_ref(((seconds << 30) | nanos) & 0xFFFFFFFFFFFFFFFF)
+
+
+@given(
+    st.integers(min_value=-10**9, max_value=10**9),
+    st.integers(min_value=0, max_value=10**6),
+    st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_integer_splits_are_a_partition(lo, width, n):
+    """Every value in [lo, hi] matches exactly one split predicate."""
+    hi = lo + width
+    preds = integer_splits("c", lo, hi, n)
+    parsed = []
+    for p in preds:
+        # "c >= A AND c <(=) B"
+        left, right = p.split(" AND ")
+        a = int(left.split(">= ")[1])
+        closed = "<=" in right
+        b = int(right.split("= " if closed else "< ")[1])
+        parsed.append((a, b, closed))
+    for probe in {lo, hi, lo + width // 2, lo + 1, hi - 1} | {
+        lo + width // 3, lo + 2 * width // 3
+    }:
+        if probe < lo or probe > hi:
+            continue
+        hits = sum(
+            1 for a, b, closed in parsed if a <= probe and (probe <= b if closed else probe < b)
+        )
+        assert hits == 1, (probe, preds)
+
+
+@given(st.from_regex(r"(BIGINT|INT|STRING|DOUBLE|DECIMAL\(1[0-9],[0-9]\)|ARRAY<INT>|MAP<STRING,BIGINT>)", fullmatch=True))
+@settings(max_examples=50, deadline=None)
+def test_type_parse_roundtrip(tname):
+    from aliyun_maxcompute_data_collectors_spark import types as ot
+    dt = ot.parse_odps_type(tname)
+    back = ot.to_odps_type(dt)
+    assert ot.parse_odps_type(back) == dt
