@@ -508,7 +508,9 @@ def unix_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             epoch_s.alias("epoch_s"),
-            F.unix_millis(tz).alias("epoch_ms"),
+            # floor explicitly: Spark's unix_millis ROUNDS sub-ms micros,
+            # DuckDB's epoch_ms truncates
+            F.floor(F.unix_micros(tz) / 1000).cast("long").alias("epoch_ms"),
             F.date_format(F.timestamp_seconds(epoch_s), "yyyy-MM-dd HH:mm:ss").alias("ts_rt"),
         )
         .orderBy("event_id")

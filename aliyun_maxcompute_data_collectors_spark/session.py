@@ -142,9 +142,11 @@ def _fix_nanos_timestamps(df, path: str):
     schema = pq.read_schema(path)
     for f in schema:
         if str(f.type) == "timestamp[ns]":
+            # integer `div`, NOT `/`: float division of epoch-nanos longs
+            # (~1.7e18) exceeds double precision and corrupts the low digits
             df = df.withColumn(
                 f.name,
-                F.timestamp_micros(F.floor(F.col(f.name) / 1000).cast("long"))
+                F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
                 .cast("timestamp_ntz"),
             )
     return df
