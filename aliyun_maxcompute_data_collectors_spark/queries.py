@@ -771,6 +771,83 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join - orders with at least one late
+    lineitem, counted per priority.  Spark plans a LeftSemi join."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    late = t["lineitem"].select("l_orderkey").distinct()
+    o = t["orders"].where(F.year("o_orderdate").between(1996, 1997))
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXTRACT(year FROM o_orderdate) BETWEEN 1996 AND 1997
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi / left_anti surface: customers with vs without orders."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    keys = t["orders"].select("o_custkey").distinct()
+    c = t["customer"]
+    with_orders = c.join(keys, c.c_custkey == keys.o_custkey, "left_semi").count()
+    without = c.join(keys, c.c_custkey == keys.o_custkey, "left_anti").count()
+    return spark.range(1).select(
+        F.lit(with_orders).alias("with_orders"),
+        F.lit(without).alias("without_orders"),
+    )
+
+
+_SEMI_SQL = """
+SELECT
+ (SELECT COUNT(*) FROM customer WHERE EXISTS
+   (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS with_orders,
+ (SELECT COUNT(*) FROM customer WHERE NOT EXISTS
+   (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS without_orders
+"""
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (below 50%% of the per-part
+    average quantity) - Catalyst decorrelates to an aggregate + join."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    li = t["lineitem"]
+    # threshold computed in DOUBLE from the exact decimal sum: decimal
+    # division scales differ between engines, IEEE double ops do not
+    avg_qty = (
+        li.groupBy(F.col("l_partkey").alias("ap"))
+        .agg((F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"))
+    )
+    return (
+        li.join(F.broadcast(avg_qty), li.l_partkey == F.col("ap"))
+        .where(F.col("l_quantity") < F.col("avg_qty") * 0.5)
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            _money(F.sum(_dec("l_extendedprice"))).alias("total_price"),
+        )
+    )
+
+
+_Q17_SQL = """
+SELECT COUNT(*) AS n_small,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+FROM lineitem l
+JOIN (SELECT l_partkey AS ap,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey) a ON l.l_partkey = a.ap
+WHERE l_quantity < avg_qty * 0.5
+"""
+
+
 def cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal/numeric coercion surface (maxcompute.clj :591-609 temporal
     matrix + :418-465 result parsing types): cast chains across
@@ -912,6 +989,9 @@ REGISTRY: dict[str, tuple] = {
     "salted_agg": (salted_agg_q, _SALTED_SQL),
     "cast_matrix": (cast_matrix, _CAST_SQL),
     "string_functions": (string_functions, _STRFN_SQL),
+    "q4_order_priority": (q4_order_priority, _Q4_SQL),
+    "semi_anti_join": (semi_anti_join, _SEMI_SQL),
+    "q17_small_quantity": (q17_small_quantity, _Q17_SQL),
 }
 
 

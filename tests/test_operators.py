@@ -145,3 +145,17 @@ def test_template_rendering(spark):
         render_template("t/%{et}/dt=%{yyyy-MM-dd}/h=%{HH}", time_col="ts").alias("r")
     ).collect()
     assert out[0]["r"] == "t/click/dt=2024-03-01/h=10"
+
+
+def test_frame_sample_plan(spark):
+    from aliyun_maxcompute_data_collectors_spark.operators.multimodal import frame_sample_plan
+    df = spark.createDataFrame(
+        [(1, ("video", "fake", None, None, 10, None, 2500)),
+         (2, ("image", "fake", 64, 64, 1, None, None))],
+        "id int, meta struct<media_type:string,format:string,width:int,height:int,"
+        "n_frames:int,sample_rate:int,duration_ms:bigint>",
+    )
+    out = frame_sample_plan(df, every_ms=1000).collect()
+    # only the video row explodes; 2500ms / 1000ms -> 2 frames at 0ms and 1000ms
+    assert {r["id"] for r in out} == {1}
+    assert sorted((r["frame_idx"], r["frame_ts_ms"]) for r in out) == [(0, 0), (1, 1000)]
