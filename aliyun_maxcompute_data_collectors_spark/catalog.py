@@ -144,6 +144,8 @@ class OdpsCatalog:
         default_schema: str = "default",
         dynamic_partition_limit: int = DEFAULT_DYNAMIC_PARTITION_LIMIT,
     ):
+        from aliyun_maxcompute_data_collectors_spark.session import ensure_runtime_confs
+        ensure_runtime_confs(spark)  # dynamic overwrite etc. on foreign sessions
         self.spark = spark
         self.warehouse = warehouse
         self.default_project = default_project

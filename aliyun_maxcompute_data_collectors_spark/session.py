@@ -80,12 +80,34 @@ def get_spark(
     return b.getOrCreate()
 
 
+# runtime-settable confs every query path depends on; applied defensively in
+# load_tables because the caller (e.g. the verification driver) may hand us a
+# session built without get_spark
+_REQUIRED_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",   # events.ts is TIMESTAMP(NANOS)
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict:
     """Load the driver's parquet tables and register temp views.
 
     Returns {name: DataFrame}. Views let both the DataFrame API and
     ``spark.sql`` paths address the same tables.
     """
+    ensure_runtime_confs(spark)
     all_names = [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
