@@ -1,0 +1,87 @@
+"""Engine facade - the single entry point a reference user switches to.
+
+Ties together the catalog, the SQL surface, the dialect functions and the
+write/scan guards:
+
+    from aliyun_maxcompute_data_collectors_spark.engine import Engine
+    eng = Engine(warehouse="/data/wh")
+    eng.catalog.create_table("sales", [("k", "BIGINT"), ("v", "DOUBLE")],
+                             partition_columns=[("ds", "STRING")])
+    eng.catalog.insert("sales", df, static_partition={"ds": "20240101"})
+    eng.sql("SELECT ds, SUM(v) AS total FROM sales GROUP BY ds").show()
+
+``sql`` resolves table names against the engine catalog (registering views on
+demand), applies the full-scan guard when enabled, and exposes ``explain``
+helpers from plans.checks for the optimize-the-plan loop.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aliyun_maxcompute_data_collectors_spark.catalog import OdpsCatalog
+from aliyun_maxcompute_data_collectors_spark.plans import checks as _checks
+from aliyun_maxcompute_data_collectors_spark.session import ensure_runtime_confs, get_spark
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+class Engine:
+    def __init__(
+        self,
+        warehouse: str,
+        spark: SparkSession | None = None,
+        default_project: str = "default_project",
+        default_schema: str = "default",
+        allow_full_scan: bool = True,
+        **catalog_kw,
+    ):
+        self.spark = spark or get_spark()
+        ensure_runtime_confs(self.spark)
+        self.catalog = OdpsCatalog(
+            self.spark, warehouse,
+            default_project=default_project, default_schema=default_schema,
+            **catalog_kw,
+        )
+        self.allow_full_scan = allow_full_scan
+
+    # -- SQL surface ------------------------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL with engine-catalog tables resolvable by bare name.
+
+        Every identifier in the query that names a catalog table (in the
+        default schema) is registered as a temp view before execution; views
+        (VIRTUAL_VIEW) expand through their stored text.  Partitioned tables
+        are checked by the full-scan guard unless allow_full_scan.
+        """
+        known = set(self.catalog.list_tables())
+        referenced = [t for t in set(_IDENT.findall(query)) if t in known]
+        for t in referenced:
+            self.catalog.register_temp_view(t)
+        df = self.spark.sql(query)
+        if not self.allow_full_scan:
+            for t in referenced:
+                pcols = [c for c, _ in self.catalog.get_meta(t).partition_columns]
+                if pcols:
+                    _checks.check_full_scan(df, pcols, allow_full_scan=False)
+        return df
+
+    def table(self, name: str) -> DataFrame:
+        return self.catalog.read_table(name)
+
+    # -- plan introspection ----------------------------------------------
+    def explain(self, df: DataFrame) -> str:
+        return _checks.formatted_plan(df)
+
+    def plan_report(self, df: DataFrame) -> dict:
+        """One-call plan audit: what was pushed, read, shuffled, broadcast."""
+        return {
+            "pushed_filters": _checks.pushed_filters(df),
+            "partition_filters": _checks.partition_filters(df),
+            "read_schema": _checks.read_schema_columns(df),
+            "shuffles": _checks.shuffle_count(df),
+            "broadcast_joins": _checks.broadcast_join_count(df),
+            "codegen_spans": _checks.wholestage_codegen_spans(df),
+        }

@@ -350,6 +350,38 @@ def simhash_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# one-call corpus dedup pipeline
+# ---------------------------------------------------------------------------
+
+def dedupe_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    method: str = "exact",          # exact | minhash | simhash | ngram
+    threshold: float = 0.8,
+    **kw,
+) -> DataFrame:
+    """Return the deduplicated corpus: one survivor (min id) per duplicate
+    group under the chosen method.  Near-dup methods build pair graphs and
+    drop every doc that pairs with a lower id - a transitive-lite policy
+    (no connected components; each doc compares against its direct pairs),
+    which is the standard one-pass choice at corpus scale."""
+    if method == "exact":
+        return exact_dedup(df, id_col, text_col)
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold, **kw)
+    elif method == "simhash":
+        pairs = simhash_dup_pairs(df, id_col, text_col,
+                                  max_hamming=int(kw.pop("max_hamming", 3)))
+    elif method == "ngram":
+        pairs = ngram_jaccard_pairs(df, id_col, text_col, threshold=threshold, **kw)
+    else:
+        raise ValueError(f"unknown dedup method {method!r}")
+    losers = pairs.select(F.col("id2").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 

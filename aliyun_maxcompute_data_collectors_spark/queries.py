@@ -771,6 +771,121 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight range filters + single aggregate; everything
+    pushes to the scan."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = t["lineitem"].where(
+        (F.col("l_shipdate").cast("date") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01"))
+        & (F.col("l_discount").between(0.02, 0.08))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        _money(F.sum(_dec("l_extendedprice") * _dec("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_Q6_SQL = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.08
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem", "nation"])
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount")))
+    return (
+        t["lineitem"].where(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_money(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join + two-level aggregation (how many
+    customers have k orders)."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    per_cust = (
+        t["customer"].join(
+            t["orders"].where(~F.col("o_orderpriority").startswith("4")),
+            F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND NOT starts_with(o_orderpriority, '4')
+  GROUP BY c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q19_discounted_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-attribute predicates over a join
+    (brand x size x quantity bands)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    j = t["lineitem"].join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 20)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(10, 30))
+           & (F.col("l_quantity").between(10, 30)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(20, 50))
+           & (F.col("l_quantity").between(20, 40)))
+    )
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount")))
+    return j.where(cond).agg(
+        _money(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_rows"))
+
+
+_Q19_SQL = """
+SELECT
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS semi-join - orders with at least one late
     lineitem, counted per priority.  Spark plans a LeftSemi join."""
@@ -992,6 +1107,10 @@ REGISTRY: dict[str, tuple] = {
     "q4_order_priority": (q4_order_priority, _Q4_SQL),
     "semi_anti_join": (semi_anti_join, _SEMI_SQL),
     "q17_small_quantity": (q17_small_quantity, _Q17_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, _Q6_SQL),
+    "q10_returned_items": (q10_returned_items, _Q10_SQL),
+    "q13_customer_distribution": (q13_customer_distribution, _Q13_SQL),
+    "q19_discounted_parts": (q19_discounted_parts, _Q19_SQL),
 }
 
 

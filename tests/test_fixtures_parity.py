@@ -141,3 +141,44 @@ def test_sessionize_gap_semantics(spark):
         by_user.setdefault(r["user_id"], []).append((r["session_seq"], r["n_events"]))
     assert sorted(by_user[1]) == [(1, 2), (2, 1)]
     assert sorted(by_user[2]) == [(1, 1)]
+
+
+def test_engine_sql_facade(spark, tmp_path):
+    from aliyun_maxcompute_data_collectors_spark.engine import Engine
+    from aliyun_maxcompute_data_collectors_spark.plans.checks import FullScanDisallowed
+    eng = Engine(str(tmp_path / "wh"), spark=spark)
+    eng.catalog.create_table("sales", [("k", "BIGINT"), ("v", "DOUBLE")],
+                             partition_columns=[("ds", "STRING")])
+    df = spark.createDataFrame([(1, 2.0, "a"), (2, 3.0, "b")], "k long, v double, ds string")
+    eng.catalog.insert("sales", df)
+    rows = eng.sql("SELECT ds, SUM(v) AS total FROM sales GROUP BY ds ORDER BY ds").collect()
+    assert [(r["ds"], r["total"]) for r in rows] == [("a", 2.0), ("b", 3.0)]
+
+    rep = eng.plan_report(eng.sql("SELECT k FROM sales WHERE ds = 'a'"))
+    assert any("ds" in f for f in rep["partition_filters"])
+
+    eng.allow_full_scan = False
+    import pytest as _pytest
+    with _pytest.raises(FullScanDisallowed):
+        eng.sql("SELECT * FROM sales")
+    eng.sql("SELECT * FROM sales WHERE ds = 'a'")  # guarded but fine
+
+
+def test_dedupe_corpus_methods(spark):
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import dedupe_corpus
+    base = "one two three four five six seven eight nine ten " * 3
+    near = base.replace("ten", "eleven")
+    rows = [(1, base), (2, base), (3, near), (4, "totally different text with other words entirely")]
+    df = spark.createDataFrame(rows, "id int, text string")
+    assert sorted(r["id"] for r in dedupe_corpus(df, "id", "text", "exact").collect()) == [1, 3, 4]
+    kept_mh = sorted(r["id"] for r in
+                     dedupe_corpus(df, "id", "text", "minhash", threshold=0.5).collect())
+    assert 1 in kept_mh and 4 in kept_mh and 2 not in kept_mh
+    # "ten"->"eleven" x3 in a 30-word doc gives jaccard 0.33 on distinct
+    # 5-shingles: at 0.3 doc 3 is a near-dup of 1, at 0.5 it survives
+    kept_ng = sorted(r["id"] for r in
+                     dedupe_corpus(df, "id", "text", "ngram", threshold=0.3).collect())
+    assert kept_ng == [1, 4]
+    kept_ng_hi = sorted(r["id"] for r in
+                        dedupe_corpus(df, "id", "text", "ngram", threshold=0.5).collect())
+    assert kept_ng_hi == [1, 3, 4]
