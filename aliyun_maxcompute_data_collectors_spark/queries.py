@@ -247,16 +247,12 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     building = t["customer"].where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     rich = t["customer"].where(F.col("c_acctbal") > 0).select("c_custkey")
     has_orders = t["orders"].select(F.col("o_custkey").alias("c_custkey")).distinct()
-    return spark.createDataFrame(
-        [],
-        "u long, i long, e long",
-    ).union(
-        spark.range(1).select(
-            F.lit(building.union(rich).distinct().count()).alias("u"),
-            F.lit(building.intersect(has_orders).count()).alias("i"),
-            F.lit(rich.exceptAll(has_orders).distinct().count()).alias("e"),
-        )
-    )
+    # one plan, no driver-side collects: each set-op count is a 1-row agg,
+    # combined by cross join (all three evaluate in a single job)
+    u = building.union(rich).distinct().agg(F.count(F.lit(1)).alias("u"))
+    i = building.intersect(has_orders).agg(F.count(F.lit(1)).alias("i"))
+    e = rich.exceptAll(has_orders).distinct().agg(F.count(F.lit(1)).alias("e"))
+    return u.crossJoin(i).crossJoin(e)
 
 
 _SETOPS_SQL = """
@@ -914,12 +910,11 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["customer", "orders"])
     keys = t["orders"].select("o_custkey").distinct()
     c = t["customer"]
-    with_orders = c.join(keys, c.c_custkey == keys.o_custkey, "left_semi").count()
-    without = c.join(keys, c.c_custkey == keys.o_custkey, "left_anti").count()
-    return spark.range(1).select(
-        F.lit(with_orders).alias("with_orders"),
-        F.lit(without).alias("without_orders"),
-    )
+    semi = (c.join(keys, c.c_custkey == keys.o_custkey, "left_semi")
+            .agg(F.count(F.lit(1)).alias("with_orders")))
+    anti = (c.join(keys, c.c_custkey == keys.o_custkey, "left_anti")
+            .agg(F.count(F.lit(1)).alias("without_orders")))
+    return semi.crossJoin(anti)
 
 
 _SEMI_SQL = """

@@ -28,6 +28,11 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q17_small_quantity",
+    "q19_discounted_parts",
     "count_star",
     "scan_filter_project",
     "topk_orders",
