@@ -1,0 +1,206 @@
+"""Corpus preparation operators for training-data pipelines: chunking,
+sequence packing, deterministic sampling, mixture weighting, corpus stats.
+
+All pure built-in expressions (no UDFs) and all *deterministic* - sampling
+uses md5-derived hashes instead of RNGs so every run (and the DuckDB oracle)
+selects exactly the same rows; at 100 TB that also means samples are
+reproducible across retries and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from aliyun_maxcompute_data_collectors_spark.operators.text import token_count, tokens
+
+
+# ---------------------------------------------------------------------------
+# chunking: one document -> fixed-size token windows
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split each document into token windows of ``chunk_tokens`` (optionally
+    overlapping via ``stride`` < chunk_tokens).  Output: (id, chunk_idx,
+    chunk_text, n_chunk_tokens).
+
+    Narrow per-row transform (split -> slice windows -> explode); the explode
+    amplifies rows ~len/stride so the usual fan-out guidance applies."""
+    stride = stride or chunk_tokens
+    words = tokens(text_col)
+    n = F.size(words)
+    n_chunks = F.greatest(F.ceil((n - chunk_tokens) / stride) + 1, F.lit(1)).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    out = df.select(F.col(id_col).alias("id"), words.alias("__w__"), idx)
+    piece = F.slice(out["__w__"], F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return out.select(
+        "id", "chunk_idx",
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("n_chunk_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: greedy fill of fixed context windows
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    budget: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """APPROXIMATE context-window packing: documents are laid out
+    contiguously in ``order_col`` order and cut into ``budget``-token spans
+    by a window cumsum; a document straddling a span boundary joins the span
+    its end falls in, so a bin may exceed the budget by up to one document
+    (bounded: bin total < 2 x budget; lengths are capped at budget first).
+
+    One window (single shuffle), fully deterministic, SQL-expressible - the
+    cheap path when downstream tolerates slack.  For the strict invariant
+    (no bin over budget) use :func:`greedy_pack`.
+
+    Output adds ``bin_id`` and ``bin_offset`` (running tokens before the doc
+    within its bin)."""
+    order = order_col or id_col
+    capped = F.least(F.col(len_col), F.lit(budget))
+    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(capped).over(w)
+    out = df.withColumn("__cum__", cum)
+    bin_id = F.ceil(F.col("__cum__") / budget) - 1
+    return (
+        out.withColumn("bin_id", bin_id.cast("long"))
+        .withColumn("bin_offset", (F.col("__cum__") - capped - F.col("bin_id") * budget)
+                    .cast("long"))
+        .drop("__cum__")
+    )
+
+
+def greedy_pack(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    budget: int,
+    n_groups: int = 64,
+) -> DataFrame:
+    """EXACT first-fit packing: no bin ever exceeds ``budget`` (oversized
+    documents are capped into their own bin).  Greedy packing is a sequential
+    recurrence, so the corpus is split into ``n_groups`` deterministic hash
+    groups, each packed sequentially inside one ``applyInPandas`` task - bins
+    never cross groups, and all groups pack in parallel.
+
+    bin_id = group * 2^32 + local bin index (globally unique, stable)."""
+    import pandas as pd
+
+    grouped = df.withColumn(
+        "__grp__", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).cast("int")
+    )
+    schema_str = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in grouped.schema.fields)
+        + ", bin_id long, bin_offset long"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        grp = int(pdf["__grp__"].iloc[0]) if len(pdf) else 0
+        base = grp << 32
+        bins, offsets = [], []
+        cur_bin, cur_fill = 0, 0
+        for ln in pdf[len_col]:
+            ln = min(int(ln), budget)
+            if cur_fill + ln > budget:
+                cur_bin += 1
+                cur_fill = 0
+            bins.append(base + cur_bin)
+            offsets.append(cur_fill)
+            cur_fill += ln
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["bin_offset"] = pd.Series(offsets, dtype="int64")
+        return pdf
+
+    return grouped.groupBy("__grp__").applyInPandas(pack, schema_str).drop("__grp__")
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+def _hash_frac(col: Column, salt: str = "") -> Column:
+    """Deterministic [0,1) fraction from md5 (engine-portable)."""
+    h = F.conv(F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 8), 16, 10)
+    return h.cast("double") / F.lit(float(2 ** 32))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    salt: str = "s42",
+) -> DataFrame:
+    """Keep ~fraction of rows, chosen by id hash - reproducible across runs,
+    engines and cluster sizes (unlike rand()-based sample)."""
+    return df.where(_hash_frac(F.col(id_col), salt) < fraction)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "s42",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language-balanced corpora)."""
+    frac = F.lit(default_fraction)
+    for value, p in fractions.items():
+        frac = F.when(F.col(stratum_col) == value, F.lit(p)).otherwise(frac)
+    return df.where(_hash_frac(F.col(id_col), salt) < frac)
+
+
+def mixture_weights(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+) -> DataFrame:
+    """Attach a sampling weight per source (training-mixture spec); rows from
+    unknown sources weigh 0.  Downstream: deterministic_sample with the
+    weight as the per-row fraction, or loss-weighting at train time."""
+    w = F.lit(0.0)
+    for src, wt in weights.items():
+        w = F.when(F.col(source_col) == src, F.lit(float(wt))).otherwise(w)
+    return df.withColumn("mix_weight", w)
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics
+# ---------------------------------------------------------------------------
+
+def corpus_stats(
+    df: DataFrame,
+    text_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Token/char statistics per group: counts, totals, mean/max lengths and
+    token quantiles - the standard pre-training corpus report."""
+    n_tok = token_count(text_col)
+    return (
+        df.withColumn("__nt__", n_tok)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt__").alias("total_tokens"),
+            F.round(F.sum("__nt__").cast("double") / F.count(F.lit(1)), 4).alias("mean_tokens"),
+            F.max("__nt__").alias("max_tokens"),
+            F.min("__nt__").alias("min_tokens"),
+            F.round(F.percentile(F.col("__nt__").cast("double"), F.lit(0.5)), 4).alias("p50_tokens"),
+            F.round(F.percentile(F.col("__nt__").cast("double"), F.lit(0.95)), 4).alias("p95_tokens"),
+        )
+    )

@@ -320,7 +320,132 @@ FROM documents ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus preparation (chunking / packing / sampling / stats)
+# ---------------------------------------------------------------------------
+
+_NTOK = "len(string_split_regex(trim(text), '\\s+'))"
+_HFRAC = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's42'), 1, 8)) AS BIGINT)"
+          " / 4294967296.0")
+
+
+def det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling - reproducible across runs/engines/cluster
+    sizes, unlike rand()."""
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import deterministic_sample
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        deterministic_sample(t["documents"], "doc_id", 0.2)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+_DET_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_HFRAC} < 0.2
+ORDER BY doc_id
+"""
+
+
+def strat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced stratified sampling."""
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import stratified_sample
+    t = load_tables(spark, sf_dir, ["documents"])
+    fr = {"en": 0.1, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.5}
+    return (
+        stratified_sample(t["documents"], "doc_id", "lang", fr)
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang")
+    )
+
+
+_STRAT_SQL = f"""
+SELECT lang, COUNT(*) AS n FROM documents
+WHERE {_HFRAC} < (CASE lang WHEN 'en' THEN 0.1 WHEN 'de' THEN 0.5
+                  WHEN 'fr' THEN 0.5 WHEN 'es' THEN 0.5 WHEN 'zh' THEN 0.5
+                  ELSE 0.0 END)
+GROUP BY lang ORDER BY lang
+"""
+
+
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (20-token chunks, stride 20)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import chunk_documents
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        chunk_documents(t["documents"], "doc_id", "text", chunk_tokens=20)
+        .select("id", "chunk_idx", "n_chunk_tokens", F.md5("chunk_text").alias("chunk_md5"))
+        .orderBy("id", "chunk_idx")
+    )
+
+
+_CHUNK_SQL = f"""
+WITH w AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS words,
+         {_NTOK} AS n FROM documents
+),
+c AS (
+  SELECT id, words, n,
+         unnest(range(0, GREATEST(CAST(ceil((n - 20) / 20.0) AS BIGINT) + 1, 1))) AS chunk_idx
+  FROM w
+)
+SELECT id, chunk_idx,
+       len(words[chunk_idx*20 + 1 : LEAST(chunk_idx*20 + 20, n)]) AS n_chunk_tokens,
+       md5(array_to_string(words[chunk_idx*20 + 1 : LEAST(chunk_idx*20 + 20, n)], ' ')) AS chunk_md5
+FROM c ORDER BY id, chunk_idx
+"""
+
+
+def pack_seqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy context-window packing (budget 512 tokens) via window cumsum."""
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import pack_sequences
+    from aliyun_maxcompute_data_collectors_spark.operators.text import token_count
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", token_count("text").alias("n_tok"))
+    return (
+        pack_sequences(docs, "doc_id", "n_tok", budget=512)
+        .select("doc_id", "n_tok", "bin_id", "bin_offset")
+        .orderBy("doc_id")
+    )
+
+
+_PACK_SQL = f"""
+WITH d AS (SELECT doc_id, {_NTOK} AS n_tok FROM documents),
+c AS (
+  SELECT doc_id, n_tok,
+    SUM(LEAST(n_tok, 512)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT doc_id, n_tok,
+  CAST(ceil(cum / 512.0) - 1 AS BIGINT) AS bin_id,
+  CAST(cum - LEAST(n_tok, 512) - (CAST(ceil(cum / 512.0) - 1 AS BIGINT)) * 512 AS BIGINT) AS bin_offset
+FROM c ORDER BY doc_id
+"""
+
+
+def corpus_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import corpus_stats
+    t = load_tables(spark, sf_dir, ["documents"])
+    return corpus_stats(t["documents"], "text", ["lang"]).orderBy("lang")
+
+
+_CORPUS_STATS_SQL = f"""
+SELECT lang, COUNT(*) AS n_docs, SUM({_NTOK}) AS total_tokens,
+  ROUND(CAST(SUM({_NTOK}) AS DOUBLE) / COUNT(*), 4) AS mean_tokens,
+  MAX({_NTOK}) AS max_tokens, MIN({_NTOK}) AS min_tokens,
+  ROUND(CAST(quantile_cont(CAST({_NTOK} AS DOUBLE), 0.5) AS DOUBLE), 4) AS p50_tokens,
+  ROUND(CAST(quantile_cont(CAST({_NTOK} AS DOUBLE), 0.95) AS DOUBLE), 4) AS p95_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "det_sample": (det_sample, _DET_SAMPLE_SQL),
+    "stratified_sample": (strat_sample, _STRAT_SQL),
+    "chunk_documents": (chunk_docs, _CHUNK_SQL),
+    "pack_sequences": (pack_seqs, _PACK_SQL),
+    "corpus_stats": (corpus_stats_q, _CORPUS_STATS_SQL),
     "text_profile": (text_profile, _text_profile_sql()),
     "lang_id": (lang_id_q, _lang_id_sql()),
     "doc_fingerprint": (doc_fingerprint, _FP_SQL),

@@ -182,3 +182,24 @@ def test_dedupe_corpus_methods(spark):
     kept_ng_hi = sorted(r["id"] for r in
                         dedupe_corpus(df, "id", "text", "ngram", threshold=0.5).collect())
     assert kept_ng_hi == [1, 3, 4]
+
+
+def test_packing_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import (
+        greedy_pack, pack_sequences)
+    d = spark.range(200).select(F.col("id"), (F.col("id") % 7 * 100 + 30).alias("n"))
+
+    # approximate packing: bins bounded by 2x budget (documented slack)
+    approx = pack_sequences(d, "id", "n", budget=512)
+    sums = approx.groupBy("bin_id").agg(F.sum(F.least("n", F.lit(512))).alias("s"))
+    assert sums.where(F.col("s") >= 2 * 512).count() == 0
+
+    # greedy packing: STRICT - no bin over budget, offsets consistent
+    exact = greedy_pack(d, "id", "n", budget=512, n_groups=8)
+    esums = exact.groupBy("bin_id").agg(F.sum(F.least("n", F.lit(512))).alias("s"))
+    assert esums.where(F.col("s") > 512).count() == 0
+    assert exact.count() == 200
+    row = exact.where(F.col("bin_offset") < 0).count()
+    assert row == 0
