@@ -66,7 +66,9 @@ class CachedDimension:
                     if self._df is not None:
                         self._df.unpersist()
                     self._df = df
-                    self._loaded_at = now
+                    # TTL starts when the load COMPLETES - timing from method
+                    # entry made any load slower than the TTL permanently stale
+                    self._loaded_at = time.monotonic()
                     err = None
                     break
                 except Exception as e:  # retry on load failure

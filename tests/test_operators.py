@@ -159,3 +159,48 @@ def test_frame_sample_plan(spark):
     # only the video row explodes; 2500ms / 1000ms -> 2 frames at 0ms and 1000ms
     assert {r["id"] for r in out} == {1}
     assert sorted((r["frame_idx"], r["frame_ts_ms"]) for r in out) == [(0, 0), (1, 1000)]
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    """HLL sketch path: approx within 5% of exact on the orders keys."""
+    from aliyun_maxcompute_data_collectors_spark.session import load_tables
+    t = load_tables(spark, sf_dir, ["orders"])
+    exact = t["orders"].select("o_custkey").distinct().count()
+    approx = t["orders"].agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("a")).collect()[0]["a"]
+    assert abs(approx - exact) / exact < 0.05, (approx, exact)
+
+
+def test_cached_dimension_ttl_refresh(spark):
+    """J1 lookup-cache semantics: the dim reloads only after the TTL."""
+    import time
+
+    from aliyun_maxcompute_data_collectors_spark.operators.lookup import CachedDimension
+    calls = {"n": 0}
+
+    def loader():
+        calls["n"] += 1
+        return spark.createDataFrame([(1, f"v{calls['n']}")], "k int, v string")
+
+    dim = CachedDimension(loader, cache_expire_ms=400)
+    assert dim.get().collect()[0]["v"] == "v1"
+    assert dim.get().collect()[0]["v"] == "v1"  # within TTL: cached
+    assert calls["n"] == 1
+    time.sleep(0.5)
+    assert dim.get().collect()[0]["v"] == "v2"  # TTL expired: reloaded
+    assert calls["n"] == 2
+
+
+def test_cached_dimension_retries_on_failure(spark):
+    from aliyun_maxcompute_data_collectors_spark.operators.lookup import CachedDimension
+    attempts = {"n": 0}
+
+    def flaky():
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise RuntimeError("transient")
+        return spark.createDataFrame([(1, "ok")], "k int, v string")
+
+    dim = CachedDimension(flaky, max_retries=3)
+    assert dim.get().collect()[0]["v"] == "ok"
+    assert attempts["n"] == 3
