@@ -1,0 +1,94 @@
+"""Connected components over pair graphs - transitive duplicate clustering.
+
+Pair-based dedup (minhash/simhash/ngram) emits edges; turning edges into
+duplicate GROUPS (a~b, b~c => {a,b,c}) needs connected components.  This is
+iterative min-label propagation on DataFrames:
+
+- each node starts labeled with itself;
+- every iteration, a node takes the min label among itself and its
+  neighbors (one shuffle per iteration);
+- stops when no label changes (diameter-bounded; dedup clusters are tiny,
+  so convergence is 2-4 iterations in practice).
+
+Lineage is cut each iteration with localCheckpoint - without it the plan
+doubles every round and the job dies on plan explosion long before data
+size matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; component =
+    min node id reachable.  Raises if not converged in max_iterations."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce("nbr_min", "component"))
+                .alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u").join(labels.alias("l"), "node")
+            .where(F.col("u.component") != F.col("l.component"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
+
+
+def dedup_groups_transitive(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id1",
+    dst: str = "id2",
+) -> DataFrame:
+    """Attach ``group_id`` (component representative = min id in the group)
+    to every row of ``df``; singletons are their own group.  The transitive
+    upgrade of dedupe_corpus's direct-pair policy."""
+    comp = connected_components(pairs, src, dst)
+    return (
+        df.join(comp, df[id_col] == comp.node, "left")
+        .withColumn("group_id", F.coalesce("component", F.col(id_col)))
+        .drop("node", "component")
+    )
+
+
+def keep_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """One survivor (min id) per transitive duplicate group."""
+    grouped = dedup_groups_transitive(df, pairs, id_col)
+    return grouped.where(F.col(id_col) == F.col("group_id")).drop("group_id")

@@ -882,6 +882,73 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 """
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between nation pairs (two nation roles
+    via aliased broadcast joins)."""
+    t = load_tables(spark, sf_dir, ["supplier", "lineitem", "orders", "customer", "nation"])
+    n1 = t["nation"].select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    vol = F.sum(_dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount")))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_money(vol).alias("volume"), F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       EXTRACT(year FROM l_shipdate) AS l_year,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS volume,
+  COUNT(*) AS n_rows
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by nation and year through a part-name filter."""
+    t = load_tables(spark, sf_dir, ["part", "supplier", "lineitem", "orders", "nation"])
+    profit = F.sum(_dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount")))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].where(F.col("p_name").contains("widget"))),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(_money(profit).alias("profit"), F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS profit,
+  COUNT(*) AS n_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND contains(p_name, 'widget')
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS semi-join - orders with at least one late
     lineitem, counted per priority.  Spark plans a LeftSemi join."""
@@ -1103,6 +1170,8 @@ REGISTRY: dict[str, tuple] = {
     "semi_anti_join": (semi_anti_join, _SEMI_SQL),
     "q17_small_quantity": (q17_small_quantity, _Q17_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, _Q6_SQL),
+    "q7_nation_volume": (q7_nation_volume, _Q7_SQL),
+    "q9_product_profit": (q9_product_profit, _Q9_SQL),
     "q10_returned_items": (q10_returned_items, _Q10_SQL),
     "q13_customer_distribution": (q13_customer_distribution, _Q13_SQL),
     "q19_discounted_parts": (q19_discounted_parts, _Q19_SQL),

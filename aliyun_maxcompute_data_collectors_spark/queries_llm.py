@@ -225,6 +225,32 @@ def simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup groups: minhash pairs -> connected components ->
+    one representative per group.  Iterative (not SQL-expressible) ->
+    rows-only driver check; pytest covers the component semantics."""
+    from aliyun_maxcompute_data_collectors_spark.operators.graph import dedup_groups_transitive
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    grouped = dedup_groups_transitive(docs.select("doc_id"), pairs, "doc_id")
+    return (
+        grouped.groupBy("group_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("group_id")
+    )
+
+
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 (kmeans coarse quantizer; centroid-dependent ->
+    rows-only check, recall asserted in pytest)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import ivf_topk
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = t["embeddings"]
+    return ivf_topk(e.where(F.col("vec_id") < 8), e, k=5,
+                    n_clusters=8, n_probe=4).orderBy("query_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -454,6 +480,8 @@ REGISTRY: dict[str, tuple] = {
     "minhash_signature": (minhash_signature, _minhash_sql()),
     "minhash_lsh": (minhash_lsh, _minhash_lsh_sql()),
     "simhash_pairs": (simhash_sig, None),  # rows-only: bit-level, not SQL-expressible
+    "dedup_transitive": (dedup_transitive, None),  # rows-only: iterative CC
+    "ivf_topk": (ivf_topk_q, None),  # rows-only: kmeans-dependent
     "embedding_topk": (embedding_topk, _TOPK_EMB_SQL),
     "embedding_dups": (embedding_dups, _EMB_DUPS_SQL),
     "ann_lsh_topk": (ann_lsh, None),  # rows-only: approximate by construction

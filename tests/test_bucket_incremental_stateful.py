@@ -133,3 +133,28 @@ def test_cdc_before_image_validation(spark):
     ok, bad = validate_before_images(target, ops, ["k"])
     assert {r["k"] for r in ok.collect()} == {1, 3}
     assert [r["k"] for r in bad.collect()] == [2]
+
+
+def test_range_clustered_table(cat, spark):
+    from aliyun_maxcompute_data_collectors_spark.plans.checks import partition_filters
+    spec = BucketSpec("range", 4, ["k"])
+    cat.create_table("rt", [("k", "BIGINT"), ("v", "STRING")], bucket=spec)
+    df = spark.range(400).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    cat.insert("rt", df)
+
+    meta = cat.get_meta("rt")
+    stats = meta.properties["range_stats"]
+    assert len(stats) >= 2  # multiple ordered buckets with recorded ranges
+    # buckets are disjoint, ordered ranges
+    spans = sorted((int(lo), int(hi)) for lo, hi in stats.values())
+    for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+        assert h1 < l2
+
+    pruned = cat.read_range("rt", lo=10, hi=20)
+    got = sorted(r["k"] for r in pruned.collect())
+    assert got == list(range(10, 21))
+    # pruning proof: bucket-dir filter appears in the plan
+    assert any("__odps_bucket__" in f for f in partition_filters(
+        cat.read_buckets("rt", [0])))
+    # full table preserved
+    assert cat.read_table("rt").count() == 400

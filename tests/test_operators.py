@@ -204,3 +204,31 @@ def test_cached_dimension_retries_on_failure(spark):
     dim = CachedDimension(flaky, max_retries=3)
     assert dim.get().collect()[0]["v"] == "ok"
     assert attempts["n"] == 3
+
+
+def test_connected_components_transitive_groups(spark):
+    from aliyun_maxcompute_data_collectors_spark.operators.graph import (
+        connected_components, keep_representatives)
+    # chain 1-2-3, pair 5-6, isolated 9
+    edges = spark.createDataFrame([(2, 1), (2, 3), (5, 6)], "id1 long, id2 long")
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in [1, 2, 3, 5, 6, 9]],
+                                 "id long, text string")
+    kept = sorted(r["id"] for r in keep_representatives(docs, edges, "id").collect())
+    assert kept == [1, 5, 9]  # one per chain-group, singleton survives
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import (
+        cosine_topk, ivf_topk)
+    from aliyun_maxcompute_data_collectors_spark.session import load_tables
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(q, e, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in
+              ivf_topk(q, e, k=5, n_clusters=8, n_probe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
