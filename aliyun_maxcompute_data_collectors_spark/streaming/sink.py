@@ -119,6 +119,43 @@ def windowed_aggregate(
     )
 
 
+def session_windowed_aggregate(
+    stream_df: DataFrame,
+    time_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    group_cols: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    """Event-time session windows (dynamic gap-based windows closed by the
+    watermark) - the streaming twin of operators.relational.sessionize."""
+    gcols = [F.session_window(F.col(time_col), gap)] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    exprs = aggs or [F.count(F.lit(1)).alias("cnt")]
+    return (
+        stream_df.withWatermark(time_col, watermark)
+        .groupBy(*gcols)
+        .agg(*exprs)
+    )
+
+
+def dedup_within_watermark(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dedup with bounded state: duplicates arriving within the
+    watermark horizon are dropped, state older than the watermark is evicted
+    (dropDuplicatesWithinWatermark) - the scalable alternative to the
+    unbounded applyInPandasWithState dedup in streaming.stateful."""
+    return (
+        stream_df.withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
+    )
+
+
 def run_to_completion(writer: DataStreamWriter, timeout_sec: float = 120.0) -> None:
     """Start with availableNow (drain everything queued, then stop) - the
     batch-like test/backfill harness for any of the writers above."""

@@ -124,3 +124,40 @@ def test_windowed_aggregate_event_time(stream_env):
     q.awaitTermination(120)
     rows = spark.sql("SELECT window.start AS s, cnt FROM winagg ORDER BY s").collect()
     assert [r["cnt"] for r in rows] == [3, 2]
+
+
+def test_session_window_aggregate(stream_env):
+    spark, src, cat, tmp = stream_env
+    from aliyun_maxcompute_data_collectors_spark.streaming.sink import session_windowed_aggregate
+    with open(src / "s.json", "w") as f:
+        # user 1: two events 5m apart (one session), then one 2h later (new session)
+        for ts in ["2024-03-01 10:00:00", "2024-03-01 10:05:00", "2024-03-01 12:30:00"]:
+            f.write(json.dumps({"u": 1, "ts": ts}) + "\n")
+    stream = (spark.readStream.schema("u long, ts string").json(str(src))
+              .withColumn("ts", F.to_timestamp("ts")))
+    agg = session_windowed_aggregate(stream, "ts", gap="30 minutes",
+                                     watermark="5 minutes", group_cols=["u"])
+    q = (agg.writeStream.format("memory").queryName("sess")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT u, cnt FROM sess ORDER BY session_window.start").collect()
+    assert [(r["u"], r["cnt"]) for r in rows] == [(1, 2), (1, 1)]
+
+
+def test_dedup_within_watermark(stream_env):
+    spark, src, cat, tmp = stream_env
+    from aliyun_maxcompute_data_collectors_spark.streaming.sink import dedup_within_watermark
+    with open(src / "d.json", "w") as f:
+        for k, ts in [(1, "2024-03-01 10:00:00"), (1, "2024-03-01 10:01:00"),
+                      (2, "2024-03-01 10:02:00")]:
+            f.write(json.dumps({"k": k, "ts": ts}) + "\n")
+    stream = (spark.readStream.schema("k long, ts string").json(str(src))
+              .withColumn("ts", F.to_timestamp("ts")))
+    out = dedup_within_watermark(stream, ["k"], "ts", watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("wmdedup")
+         .option("checkpointLocation", str(tmp / "ckw"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    ks = sorted(r["k"] for r in spark.sql("SELECT k FROM wmdedup").collect())
+    assert ks == [1, 2]
