@@ -633,16 +633,30 @@ class OdpsCatalog:
 
     # -- stats ------------------------------------------------------------
     def table_stats(self, name: str) -> dict:
-        """sizeInBytes/numFiles for CBO-style decisions (OdpsScan.scala:267-279)."""
+        """sizeInBytes/numFiles/numRows for CBO-style decisions
+        (OdpsScan.scala:267-279).  Row counts come from parquet footers -
+        metadata only, no data IO (the reference's getTotalRowCount path)."""
+        import pyarrow.parquet as pq
+
         ddir = self.data_dir(name)
-        size = 0
-        files = 0
+        size = files = rows = 0
         for root, _, fnames in os.walk(ddir):
             for fn in fnames:
                 if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
                     files += 1
-                    size += os.path.getsize(os.path.join(root, fn))
-        return {"size_in_bytes": size, "num_files": files}
+                    size += os.path.getsize(p)
+                    rows += pq.ParquetFile(p).metadata.num_rows
+        return {"size_in_bytes": size, "num_files": files, "num_rows": rows}
+
+    def analyze_table(self, name: str) -> dict:
+        """ANALYZE TABLE: persist stats into table meta so planners (and
+        humans) can read them without touching storage."""
+        stats = self.table_stats(name)
+        meta = self.get_meta(name)
+        meta.properties["stats"] = stats
+        self._write_meta(name, meta)
+        return stats
 
 
 def _has_data(ddir: str) -> bool:

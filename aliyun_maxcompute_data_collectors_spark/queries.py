@@ -52,18 +52,31 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = ensure_parallelism(
         t["lineitem"].where(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02"))
     )
-    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
-    charge = disc_price * (F.lit(1).cast(_DEC) + _dec("l_tax"))
+    # pre-project the decimal casts/products ONCE: aggregate expressions are
+    # not common-subexpression-eliminated, so inlining _dec(...) would redo
+    # each BigDecimal cast in every aggregate referencing it
+    disc_price = F.col("price_d") * (F.lit(1).cast(_DEC) - F.col("disc_d"))
+    staged = li.select(
+        "l_returnflag", "l_linestatus",
+        _dec("l_quantity").alias("qty_d"),
+        _dec("l_extendedprice").alias("price_d"),
+        _dec("l_discount").alias("disc_d"),
+        _dec("l_tax").alias("tax_d"),
+    ).select(
+        "l_returnflag", "l_linestatus", "qty_d", "price_d", "disc_d",
+        disc_price.alias("disc_price_d"),
+        (disc_price * (F.lit(1).cast(_DEC) + F.col("tax_d"))).alias("charge_d"),
+    )
     return (
-        li.groupBy("l_returnflag", "l_linestatus")
+        staged.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _money(F.sum(_dec("l_quantity"))).alias("sum_qty"),
-            _money(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
-            _money(F.sum(disc_price)).alias("sum_disc_price"),
-            _money(F.sum(charge)).alias("sum_charge"),
-            _avg(F.sum(_dec("l_quantity")), F.count(F.lit(1))).alias("avg_qty"),
-            _avg(F.sum(_dec("l_extendedprice")), F.count(F.lit(1))).alias("avg_price"),
-            _avg(F.sum(_dec("l_discount")), F.count(F.lit(1))).alias("avg_disc"),
+            _money(F.sum("qty_d")).alias("sum_qty"),
+            _money(F.sum("price_d")).alias("sum_base_price"),
+            _money(F.sum("disc_price_d")).alias("sum_disc_price"),
+            _money(F.sum("charge_d")).alias("sum_charge"),
+            _avg(F.sum("qty_d"), F.count(F.lit(1))).alias("avg_qty"),
+            _avg(F.sum("price_d"), F.count(F.lit(1))).alias("avg_price"),
+            _avg(F.sum("disc_d"), F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -145,6 +145,9 @@ def test_ctas_and_stats(cat, spark):
     assert cat.read_table("derived").count() == 5
     st = cat.table_stats("derived")
     assert st["size_in_bytes"] > 0 and st["num_files"] >= 1
+    assert st["num_rows"] == 5  # parquet-footer row count, no data IO
+    persisted = cat.analyze_table("derived")
+    assert cat.get_meta("derived").properties["stats"] == persisted
 
 
 def test_schema_namespace_ops(cat):
