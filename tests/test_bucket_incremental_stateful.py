@@ -158,3 +158,48 @@ def test_range_clustered_table(cat, spark):
         cat.read_buckets("rt", [0])))
     # full table preserved
     assert cat.read_table("rt").count() == 400
+
+
+def test_colocated_join_has_no_shuffle(spark, tmp_path):
+    from aliyun_maxcompute_data_collectors_spark.operators.colocated import (
+        assert_no_shuffle_join, colocated_join, write_colocated)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(1000).selectExpr("id AS k", "id * 2 AS va")
+        b = spark.range(1000).selectExpr("id AS k", "id * 3 AS vb")
+        write_colocated(a, "coloc_a", 8, ["k"], sort_cols=["k"])
+        write_colocated(b, "coloc_b", 8, ["k"], sort_cols=["k"])
+        j = colocated_join(spark, "coloc_a", "coloc_b", ["k"])
+        assert_no_shuffle_join(j)  # bucket metadata removes both exchanges
+        assert j.count() == 1000
+        # contrast: the same join over unbucketed data shuffles both sides
+        from aliyun_maxcompute_data_collectors_spark.plans.checks import shuffle_count
+        plain = a.hint("shuffle_merge").join(b, ["k"])
+        assert shuffle_count(plain) >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS coloc_a")
+        spark.sql("DROP TABLE IF EXISTS coloc_b")
+
+
+def test_cdc_apply_is_idempotent_under_replay(spark):
+    """SURVEY 'hard parts': CDC ordered apply under retries - replaying the
+    same batch must converge to the same snapshot."""
+    from aliyun_maxcompute_data_collectors_spark.streaming.cdc import merge_cdc_into
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    ops = spark.createDataFrame(
+        [(1, "U", 1, "A2"), (2, "D", 2, None), (3, "I", 3, "c")],
+        "k int, op string, seq int, v string")
+    once = merge_cdc_into(target, ops, ["k"], ["seq"])
+    twice = merge_cdc_into(once, ops, ["k"], ["seq"])
+    assert {tuple(r) for r in once.collect()} == {tuple(r) for r in twice.collect()}
+    assert {(r["k"], r["v"]) for r in twice.collect()} == {(1, "A2"), (3, "c")}
+
+
+def test_datetime_millis_precision(spark):
+    """ODPS DATETIME = millisecond precision: sub-ms micros zeroed (SURVEY 1.2)."""
+    from aliyun_maxcompute_data_collectors_spark.types import datetime_millis
+    df = spark.createDataFrame([("2024-01-01 00:00:00.123456",)], "s string") \
+        .select(F.to_timestamp("s").alias("ts"))
+    out = df.select(F.date_format(datetime_millis("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("d"))
+    assert out.collect()[0]["d"] == "2024-01-01 00:00:00.123000"
