@@ -395,6 +395,29 @@ class OdpsCatalog:
         walk(base, 0, [])
         return out
 
+    def list_partitions_by_filter(self, name: str, predicate: str) -> list[dict[str, str]]:
+        """listPartitionsByFilter parity (OdpsTableSuite.scala:73-267): filter
+        partition specs with a SQL predicate evaluated over TYPED partition
+        values.
+
+        Partition values are stored as strings; they are cast to the declared
+        column types before comparison (OdpsTableCatalog.scala:703-711) -
+        avoiding the '\"10\" < \"9\"' string-compare trap SURVEY flags."""
+        meta = self.get_meta(name)
+        parts = self.list_partitions(name)
+        if not parts:
+            return []
+        pcols = meta.partition_columns
+        rows = [tuple(p[c] for c, _ in pcols) for p in parts]
+        schema = ", ".join(f"`{c}` string" for c, _ in pcols)
+        df = self.spark.createDataFrame(rows, schema)
+        typed = df.select([
+            F.col(c).cast(ot.parse_odps_type(t)).alias(c) for c, t in pcols
+        ])
+        kept = typed.where(predicate).collect()
+        keep_keys = {tuple(str(r[c]) for c, _ in pcols) for r in kept}
+        return [p for p in parts if tuple(p[c] for c, _ in pcols) in keep_keys]
+
     def partition_exists(self, name: str, spec: dict[str, str]) -> bool:
         return os.path.isdir(self._partition_dir(name, spec))
 

@@ -169,3 +169,29 @@ def test_max_records_per_file_property(cat, spark):
     files = [f for f in os.listdir(cat.data_dir("chunked")) if f.endswith(".parquet")]
     assert len(files) >= 4  # 100 rows / 25 per file
     assert cat.read_table("chunked").count() == 100
+
+
+def test_multilevel_partitions_and_typed_filter(cat, spark):
+    """FIXTURES section 8: multi-level partitions, typed partition-value
+    comparisons (the '10' < '9' string trap), listPartitionsByFilter."""
+    cat.create_table("ml", [("v", "BIGINT")],
+                     [("region", "STRING"), ("num", "INT")])
+    df = spark.createDataFrame(
+        [(1, "eu", 9), (2, "eu", 10), (3, "us", 9), (4, "us", 100)],
+        "v long, region string, num int")
+    cat.insert("ml", df)
+    parts = cat.list_partitions("ml")
+    assert {(p["region"], p["num"]) for p in parts} == {
+        ("eu", "9"), ("eu", "10"), ("us", "9"), ("us", "100")}
+
+    # typed compare: num > 9 matches 10 and 100 ('10' < '9' as strings!)
+    got = cat.list_partitions_by_filter("ml", "num > 9")
+    assert {(p["region"], p["num"]) for p in got} == {("eu", "10"), ("us", "100")}
+    got2 = cat.list_partitions_by_filter("ml", "region = 'eu' AND num >= 9")
+    assert {(p["region"], p["num"]) for p in got2} == {("eu", "9"), ("eu", "10")}
+
+    # pruned multi-level read + typed predicate on partition column
+    rows = cat.read_table("ml").where((F.col("num") > 9) & (F.col("region") == "us")).collect()
+    assert [r["v"] for r in rows] == [4]
+    # max_pt = first-level partition max (string compare, as the reference)
+    assert cat.max_pt("ml") == "us"

@@ -232,3 +232,26 @@ def test_ivf_topk_recall(spark, sf_dir):
               ivf_topk(q, e, k=5, n_clusters=8, n_probe=4).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_zorder_improves_two_dim_skipping(spark):
+    from aliyun_maxcompute_data_collectors_spark.operators.zorder import (
+        skipping_effectiveness, zorder_by)
+    import pyspark.sql.functions as SF
+    # 2-d grid: x and y independent; single-column sort can't skip on y
+    df = spark.range(10000).select(
+        (SF.col("id") % 100).alias("x"), (SF.col("id") / 100).cast("long").alias("y"))
+
+    z = zorder_by(df, ["x", "y"], n_files=16)
+    assert z.count() == 10000  # clustering preserves rows
+
+    eff_z = skipping_effectiveness(df, ["x", "y"], "y", 10, 20, n_files=16)
+    # baseline: cluster by x only -> y min/max spans everything in each file
+    base = (df.repartitionByRange(16, SF.col("x"))
+            .withColumn("__pid__", SF.spark_partition_id())
+            .groupBy("__pid__")
+            .agg(SF.min("y").alias("lo"), SF.max("y").alias("hi"))
+            .collect())
+    base_touched = sum(1 for r in base if not (r["hi"] < 10 or r["lo"] > 20))
+    assert eff_z["touched"] < base_touched, (eff_z, base_touched)
+    assert eff_z["fraction"] <= 0.5  # z-order skips at least half the files
