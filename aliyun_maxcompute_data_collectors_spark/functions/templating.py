@@ -55,3 +55,37 @@ def render_template(
     if not parts:
         return F.lit("")
     return F.concat(*parts)
+
+
+def route_to_tables(
+    catalog,
+    df,
+    table_template: str,
+    time_col: str | None = None,
+    static_partition: dict | None = None,
+    create_missing: bool = False,
+) -> dict[str, int]:
+    """Multi-table routing (the %{col} TABLE templating of
+    OdpsUploadProcessor.java:211-233): each row's target table name is the
+    rendered template; rows group by target and insert per table.
+
+    Target tables must exist (or ``create_missing`` derives their schema from
+    ``df`` minus the routing column).  Returns {table: rows_written}.
+    Distinct targets are enumerated driver-side - routing templates produce
+    a handful of tables, not millions; the per-table insert is a pruned
+    single-pass write."""
+    from aliyun_maxcompute_data_collectors_spark import types as ot
+
+    route = render_template(table_template, time_col=time_col)
+    routed = df.withColumn("__route__", route)
+    targets = [r["__route__"] for r in routed.select("__route__").distinct().collect()]
+    written: dict[str, int] = {}
+    for t in sorted(targets):
+        part = routed.where(F.col("__route__") == t).drop("__route__")
+        if create_missing:
+            cols = [(f.name, ot.to_odps_type(f.dataType)) for f in part.schema.fields]
+            catalog.create_table(t, cols, if_not_exists=True)
+        n = part.count()
+        catalog.insert(t, part, static_partition=static_partition)
+        written[t] = n
+    return written

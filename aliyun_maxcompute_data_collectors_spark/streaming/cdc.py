@@ -68,6 +68,24 @@ def merge_cdc_into(
     return untouched.unionByName(upserts)
 
 
+def stamp_cdc_metadata(
+    ops: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    time_col: str | None = None,
+) -> DataFrame:
+    """Stamp the GoldenGate audit columns onto an ops stream: ``ctype`` (the
+    I/U/D operation), ``ctime`` (operation time - given column or processing
+    time), ``cid`` (change sequence, monotonically increasing per ingest) -
+    RecordBuilder.java's ctype/ctime/cid convention."""
+    ctime = F.col(time_col) if time_col else F.current_timestamp()
+    return (
+        ops.withColumn("ctype", F.col(op_col))
+        .withColumn("ctime", ctime)
+        .withColumn("cid", F.monotonically_increasing_id())
+    )
+
+
 def validate_before_images(
     target: DataFrame,
     ops: DataFrame,

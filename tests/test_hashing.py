@@ -129,3 +129,25 @@ def test_bucket_id_range(spark):
     out = df.withColumn("b", H.odps_bucket_id(df, ["id", "s"], 16)).collect()
     assert all(0 <= r["b"] < 16 for r in out)
     assert len({r["b"] for r in out}) > 8  # spreads across buckets
+
+
+def test_column_udf_date_decimal_float(spark):
+    import datetime as dt
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 15), Decimal("123.45"), 1.5),
+         (None, None, None),
+         (dt.date(1969, 5, 1), Decimal("-7.25"), -0.0)],
+        "d date, m decimal(38,18), f float")
+    rows = df.withColumn("h", H.odps_hash(df, ["d", "m", "f"])).collect()
+    epoch = dt.date(1970, 1, 1)
+    for r in rows:
+        expect = H.combine_hashes([
+            H.hash_date((r["d"] - epoch).days if r["d"] else None),
+            H.hash_decimal(r["m"]),
+            H.hash_float(r["f"]),
+        ])
+        assert r["h"] == expect, (r, expect)

@@ -161,3 +161,26 @@ def test_dedup_within_watermark(stream_env):
     q.awaitTermination(120)
     ks = sorted(r["k"] for r in spark.sql("SELECT k FROM wmdedup").collect())
     assert ks == [1, 2]
+
+
+def test_route_to_tables_template(spark, tmp_path):
+    from aliyun_maxcompute_data_collectors_spark.functions.templating import route_to_tables
+    cat = OdpsCatalog(spark, str(tmp_path / "whr"))
+    df = spark.createDataFrame(
+        [(1, "click", 1.0), (2, "view", 2.0), (3, "click", 3.0)],
+        "id long, et string, v double")
+    written = route_to_tables(cat, df, "sink_%{et}", create_missing=True)
+    assert written == {"sink_click": 2, "sink_view": 1}
+    assert cat.read_table("sink_click").count() == 2
+    assert sorted(cat.read_table("sink_view").columns) == ["et", "id", "v"]
+
+
+def test_stamp_cdc_metadata(spark):
+    from aliyun_maxcompute_data_collectors_spark.streaming.cdc import stamp_cdc_metadata
+    ops = spark.createDataFrame(
+        [(1, "I", "2024-01-01 00:00:00"), (2, "D", "2024-01-02 00:00:00")],
+        "k int, op string, ts string").withColumn("ts", F.to_timestamp("ts"))
+    out = stamp_cdc_metadata(ops, ["k"], time_col="ts").collect()
+    assert {r["ctype"] for r in out} == {"I", "D"}
+    assert all(r["ctime"] is not None for r in out)
+    assert len({r["cid"] for r in out}) == 2  # unique change ids
