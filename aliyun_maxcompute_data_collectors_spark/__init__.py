@@ -24,4 +24,17 @@ Layout:
 
 __version__ = "0.1.0"
 
-from aliyun_maxcompute_data_collectors_spark.session import get_spark  # noqa: F401
+from aliyun_maxcompute_data_collectors_spark.catalog import BucketSpec, OdpsCatalog  # noqa: F401
+from aliyun_maxcompute_data_collectors_spark.session import (  # noqa: F401
+    ensure_parallelism,
+    get_spark,
+    load_tables,
+)
+
+
+def make_engine(warehouse: str, **kw):
+    """Shortcut: build the Engine facade.  (Named make_engine, not engine -
+    a function named like the submodule would be rebound to the module by
+    Python's import machinery on first use.)"""
+    from aliyun_maxcompute_data_collectors_spark.engine import Engine
+    return Engine(warehouse, **kw)
