@@ -123,6 +123,9 @@ class TableMeta:
 
 
 def _ident(name: str, default_project: str, default_schema: str) -> tuple[str, str, str]:
+    """Table identifier: 't' | 'project.t' | 'project.schema.t' (the
+    reference's convention - a 2-part name is PROJECT.table, not schema.table;
+    address a table in a named schema with the 3-part form)."""
     parts = name.split(".")
     if len(parts) == 1:
         return default_project, default_schema, parts[0]
@@ -169,15 +172,25 @@ class OdpsCatalog:
         return loc or os.path.join(self._table_dir(name), "data")
 
     # -- schemas (namespaces) --------------------------------------------
+    def _schema_ident(self, name: str) -> tuple[str, str]:
+        """'s' -> (default_project, s); 'p.s' -> (p, s).  A bare name is a
+        SCHEMA in the default project, not a project."""
+        parts = name.split(".")
+        if len(parts) == 1:
+            return self.default_project, parts[0]
+        if len(parts) == 2:
+            return parts[0], parts[1]
+        raise CatalogError(f"bad schema identifier {name!r} (want [project.]schema)")
+
     def create_schema(self, name: str, if_not_exists: bool = False) -> None:
-        p, s, _ = _ident(name + "._", self.default_project, self.default_schema)
+        p, s = self._schema_ident(name)
         d = os.path.join(self.warehouse, p, s)
         if os.path.exists(d) and not if_not_exists:
             raise CatalogError(f"schema {p}.{s} already exists")
         os.makedirs(d, exist_ok=True)
 
     def drop_schema(self, name: str, cascade: bool = False) -> None:
-        p, s, _ = _ident(name + "._", self.default_project, self.default_schema)
+        p, s = self._schema_ident(name)
         d = os.path.join(self.warehouse, p, s)
         if not os.path.isdir(d):
             raise CatalogError(f"no such schema {p}.{s}")
@@ -194,7 +207,7 @@ class OdpsCatalog:
 
     def list_tables(self, schema: str | None = None) -> list[str]:
         if schema:
-            p, s, _ = _ident(schema + "._", self.default_project, self.default_schema)
+            p, s = self._schema_ident(schema)
         else:
             p, s = self.default_project, self.default_schema
         d = os.path.join(self.warehouse, p, s)
@@ -409,13 +422,17 @@ class OdpsCatalog:
             return []
         pcols = meta.partition_columns
         rows = [tuple(p[c] for c, _ in pcols) for p in parts]
-        schema = ", ".join(f"`{c}` string" for c, _ in pcols)
+        schema = ", ".join(f"`__raw_{c}` string" for c, _ in pcols)
         df = self.spark.createDataFrame(rows, schema)
-        typed = df.select([
-            F.col(c).cast(ot.parse_odps_type(t)).alias(c) for c, t in pcols
-        ])
+        # typed columns drive the predicate; the RAW stored strings ride
+        # along and are what we match back on - str(typed) would drop specs
+        # whose string form is non-canonical (zero-padded ints etc.)
+        typed = df.select(
+            *[F.col(f"`__raw_{c}`") for c, _ in pcols],
+            *[F.col(f"`__raw_{c}`").cast(ot.parse_odps_type(t)).alias(c) for c, t in pcols],
+        )
         kept = typed.where(predicate).collect()
-        keep_keys = {tuple(str(r[c]) for c, _ in pcols) for r in kept}
+        keep_keys = {tuple(r[f"__raw_{c}"] for c, _ in pcols) for r in kept}
         return [p for p in parts if tuple(p[c] for c, _ in pcols) in keep_keys]
 
     def partition_exists(self, name: str, spec: dict[str, str]) -> bool:
@@ -552,9 +569,15 @@ class OdpsCatalog:
         out = df.select(dcols + pexprs)
 
         dynamic_cols = [c for c in pcols if c not in static_partition]
+        persisted = False
         if dynamic_cols:
+            # the guard's count and the write would otherwise recompute the
+            # full upstream pipeline twice
+            out = out.persist()
+            persisted = True
             n_parts = out.select(pcols).distinct().count()
             if n_parts > self.dynamic_partition_limit:
+                out.unpersist()
                 raise PartitionLimitExceeded(
                     f"dynamic partition count {n_parts} exceeds limit "
                     f"{self.dynamic_partition_limit}"
@@ -598,14 +621,19 @@ class OdpsCatalog:
             writer = writer.option("maxRecordsPerFile", int(max_rec))
         if part_by:
             writer = writer.partitionBy(*part_by)
-        writer.parquet(self.data_dir(name))
+        try:
+            writer.parquet(self.data_dir(name))
+        finally:
+            if persisted:
+                out.unpersist()
         self.refresh(name)
         if is_range:
             self._record_range_stats(name, meta)
 
     def _record_range_stats(self, name: str, meta: TableMeta) -> None:
         """Per-bucket min/max of the first range key -> meta (read_range prunes
-        buckets whose range cannot overlap a predicate)."""
+        buckets whose range cannot overlap a predicate).  All-NULL buckets
+        record null bounds and are never pruned (always scanned - safe)."""
         key = meta.bucket.bucket_columns[0]
         ddir = self.data_dir(name)
         df = self.spark.read.option("basePath", ddir).parquet(ddir)
@@ -615,7 +643,11 @@ class OdpsCatalog:
             .collect()
         )
         meta.properties["range_stats"] = {
-            str(r[BUCKET_COL]): [str(r["lo"]), str(r["hi"])] for r in stats
+            str(r[BUCKET_COL]): [
+                None if r["lo"] is None else str(r["lo"]),
+                None if r["hi"] is None else str(r["hi"]),
+            ]
+            for r in stats
         }
         self._write_meta(name, meta)
 
@@ -635,6 +667,9 @@ class OdpsCatalog:
 
         keep = []
         for bid, (blo, bhi) in stats.items():
+            if blo is None or bhi is None:
+                keep.append(int(bid))  # all-NULL bucket: bounds unknown, scan it
+                continue
             if lo is not None and cast(bhi) < lo:
                 continue
             if hi is not None and cast(blo) > hi:

@@ -76,7 +76,9 @@ def route_to_tables(
     single-pass write."""
     from aliyun_maxcompute_data_collectors_spark import types as ot
 
-    route = render_template(table_template, time_col=time_col)
+    # pass the frame's columns so a routing column whose name looks like a
+    # date pattern ('ds', 'dd', 'y') is still treated as a column reference
+    route = render_template(table_template, time_col=time_col, columns=set(df.columns))
     routed = df.withColumn("__route__", route)
     targets = [r["__route__"] for r in routed.select("__route__").distinct().collect()]
     written: dict[str, int] = {}

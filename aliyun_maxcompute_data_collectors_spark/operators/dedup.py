@@ -84,12 +84,22 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> Data
 # exact dedup
 # ---------------------------------------------------------------------------
 
+_NULL_FP = "__NULL_TEXT__"
+
+
+def _fp_or_sentinel(text_col: str) -> F.Column:
+    """Fingerprint with NULL text mapped to a sentinel group: NULL never
+    equals NULL in a join, which would silently drop every NULL-text row."""
+    from aliyun_maxcompute_data_collectors_spark.operators.text import fingerprint
+    return F.coalesce(fingerprint(text_col), F.lit(_NULL_FP))
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Fingerprint groups with >1 member: (fp, representative=min id, n_dups).
-    One hash-groupBy; the canonical first pass of any dedup pipeline."""
-    from aliyun_maxcompute_data_collectors_spark.operators.text import fingerprint
+    One hash-groupBy; the canonical first pass of any dedup pipeline.
+    NULL-text documents form one group (sentinel fingerprint)."""
     return (
-        df.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("fp"))
+        df.select(F.col(id_col).alias("id"), _fp_or_sentinel(text_col).alias("fp"))
         .groupBy("fp")
         .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_members"))
     )
@@ -97,10 +107,9 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep one representative (min id) per identical normalized text."""
-    from aliyun_maxcompute_data_collectors_spark.operators.text import fingerprint
     groups = exact_dedup_groups(df, id_col, text_col)
     return (
-        df.withColumn("__fp__", fingerprint(text_col))
+        df.withColumn("__fp__", _fp_or_sentinel(text_col))
         .join(groups.select("fp", "keep_id"), F.col("__fp__") == F.col("fp"))
         .where(F.col(id_col) == F.col("keep_id"))
         .drop("__fp__", "fp", "keep_id")
@@ -319,7 +328,11 @@ def simhash_dup_pairs(
     max_hamming) admit more candidates; the verify stage stays cheap
     (one XOR+popcount per candidate)."""
     from aliyun_maxcompute_data_collectors_spark.session import ensure_parallelism
-    n_chunks = min(max_hamming + 1, 16)
+    if max_hamming > 63:
+        raise ValueError("max_hamming must be <= 63 for a 64-bit signature")
+    # pigeonhole needs max_hamming+1 chunks; capping below that would
+    # silently break the exactness guarantee
+    n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
     mask = (1 << chunk_bits) - 1
     src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))

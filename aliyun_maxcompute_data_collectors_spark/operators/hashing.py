@@ -146,13 +146,23 @@ def combine_hashes(vals: list[int]) -> int:
 # vectorized column hashing
 # ---------------------------------------------------------------------------
 
-def _hash_series(s: pd.Series, dt: T.DataType) -> np.ndarray:
-    """Hash one pandas series under its Spark type; returns int32 array."""
+def _hash_series(s: pd.Series, dt: T.DataType, null_mask: np.ndarray | None = None) -> np.ndarray:
+    """Hash one pandas series under its Spark type; returns int32 array.
+
+    ``null_mask`` (from a JVM-side isnull flag) marks nulls when the value
+    series itself has been null-coalesced - integral columns MUST use this
+    path: an int64 Arrow array containing nulls arrives in pandas as
+    float64, silently rounding keys above 2^53 to the wrong bucket."""
     n = len(s)
     out = np.zeros(n, dtype=_I32)
-    null = s.isna().to_numpy()
+    null = null_mask if null_mask is not None else s.isna().to_numpy()
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-        vals = s.fillna(0).to_numpy().astype(_I64)
+        vals = s.fillna(0).to_numpy()
+        if vals.dtype.kind == "f":
+            raise TypeError(
+                "integral hash column arrived as float (nullable int without "
+                "a null flag); use odps_hash, which coalesces JVM-side")
+        vals = vals.astype(_I64)
         out = _basic_long_hasher(vals)
     elif isinstance(dt, T.DoubleType):
         vals = s.fillna(0.0).to_numpy().astype(np.float64).view(_I64)
@@ -197,18 +207,39 @@ def odps_hash(df: DataFrame, cols: list[str]) -> Column:
     """Column expression: ODPS row hash of ``cols`` (int32), Arrow-batched.
 
     Usage: ``df.withColumn("h", odps_hash(df, ["k1", "k2"]))``.
-    """
+
+    Integral columns are null-coalesced JVM-side and accompanied by an
+    isnull flag so the Arrow->pandas transfer keeps exact int64 (a nullable
+    int column otherwise becomes float64 and corrupts keys above 2^53)."""
     dtypes = [df.schema[c].dataType for c in cols]
+    flagged = [
+        isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+        for dt in dtypes
+    ]
 
     @pandas_udf(T.IntegerType())
     def _h(*series: pd.Series) -> pd.Series:
         with _ERR():
             acc = np.zeros(len(series[0]), dtype=_I32)
-            for s, dt in zip(series, dtypes):
-                acc += _hash_series(s, dt)
+            i = 0
+            for dt, has_flag in zip(dtypes, flagged):
+                if has_flag:
+                    vals, nulls = series[i], series[i + 1]
+                    i += 2
+                    acc += _hash_series(vals, dt, nulls.to_numpy().astype(bool))
+                else:
+                    acc += _hash_series(series[i], dt)
+                    i += 1
             return pd.Series(acc ^ (acc >> _I32(8)))
 
-    return _h(*[F.col(c) for c in cols])
+    args: list[Column] = []
+    for c, has_flag in zip(cols, flagged):
+        if has_flag:
+            args.append(F.coalesce(F.col(c), F.lit(0)).alias(f"__v_{c}"))
+            args.append(F.isnull(F.col(c)).alias(f"__n_{c}"))
+        else:
+            args.append(F.col(c))
+    return _h(*args)
 
 
 def odps_bucket_id(df: DataFrame, cols: list[str], num_buckets: int) -> Column:

@@ -80,7 +80,15 @@ def salted_join(
     (key, salt) - hot keys spread over n_salts tasks.
 
     Cost: small side shuffled n_salts times - use only when a handful of keys
-    dominate; otherwise rely on AQE skew-join."""
+    dominate; otherwise rely on AQE skew-join.
+
+    Only inner/left joins are salt-safe: an outer-preserved SMALL side emits
+    one row per unmatched replica (n_salts duplicates)."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only (got {how!r}): the "
+            "replicated small side would duplicate unmatched rows under "
+            "right/full outer semantics")
     salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias(SALT_COL)
     small_rep = small.select("*", salts)
     big_salted = with_salt(big, n_salts)

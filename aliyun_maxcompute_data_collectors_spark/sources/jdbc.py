@@ -110,7 +110,10 @@ def boolean_splits(col: str) -> list[str]:
     return [f"{col} = TRUE", f"{col} = FALSE OR {col} IS NULL"]
 
 
-_TEXT_ALPHABET = string.printable[:-6]  # stable ascii alphabet for interpolation
+# ASCII-ORDERED alphabet: interpolation must be monotonic under SQL/byte
+# collation or adjacent split ranges overlap (string.printable is NOT in
+# ascii order and produced duplicated rows)
+_TEXT_ALPHABET = "".join(chr(c) for c in range(32, 127))
 
 
 def text_splits(col: str, lo: str, hi: str, n: int, common_prefix: str = "") -> list[str]:

@@ -203,3 +203,56 @@ def test_packing_invariants(spark):
     assert exact.count() == 200
     row = exact.where(F.col("bin_offset") < 0).count()
     assert row == 0
+
+
+def test_review_fixes_regressions(cat, spark):
+    """Pin the code-review findings: schema ident, partition-filter raw
+    matching, NULL-text dedup, big-int hash keys, template column names,
+    salted outer-join rejection."""
+    import pytest as _pt
+
+    # schema: bare name = schema under default project
+    cat.create_schema("analytics")
+    assert "analytics" in cat.list_schemas()
+    # table idents follow the reference: 2 parts = project.table, so a table
+    # inside a named schema uses the full 3-part form
+    cat.create_table("default_project.analytics.t1", [("x", "BIGINT")])
+    assert cat.list_tables("analytics") == ["t1"]
+
+    # partition filter matches non-canonical stored strings (pt=01)
+    cat.create_table("padded", [("v", "BIGINT")], [("pt", "INT")])
+    cat.insert("padded", spark.createDataFrame([(1,)], "v long"),
+               static_partition={"pt": "01"})
+    got = cat.list_partitions_by_filter("padded", "pt = 1")
+    assert got == [{"pt": "01"}]
+
+    # NULL text survives exact dedup as its own group
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import exact_dedup
+    df = spark.createDataFrame([(1, "a"), (2, None), (3, None)], "id int, text string")
+    kept = sorted(r["id"] for r in exact_dedup(df, "id", "text").collect())
+    assert kept == [1, 2]
+
+    # >2^53 integer keys hash exactly despite a NULL in the column
+    from aliyun_maxcompute_data_collectors_spark.operators import hashing as H
+    big = 2**60 + 1
+    hdf = spark.createDataFrame([(big,), (None,)], "k long")
+    rows = {r["k"]: r["h"] for r in
+            hdf.withColumn("h", H.odps_hash(hdf, ["k"])).collect()}
+    assert rows[big] == H.combine_hashes([H.hash_long(big)])
+    assert rows[None] == H.combine_hashes([H.hash_long(None)])
+
+    # template: column named like a date pattern routes by VALUE
+    from aliyun_maxcompute_data_collectors_spark.functions.templating import route_to_tables
+    rdf = spark.createDataFrame([(1, "x"), (2, "y")], "id long, ds string")
+    written = route_to_tables(cat, rdf, "r_%{ds}", create_missing=True)
+    assert set(written) == {"r_x", "r_y"}
+
+    # salted outer join refused
+    from aliyun_maxcompute_data_collectors_spark.operators.skew import salted_join
+    with _pt.raises(ValueError):
+        salted_join(rdf, rdf, ["id"], how="full")
+
+    # simhash guarantee: large max_hamming uses enough chunks
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import simhash_dup_pairs
+    with _pt.raises(ValueError):
+        simhash_dup_pairs(df, "id", "text", max_hamming=64)
