@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import datetime as dt
 import math
-import string
 from dataclasses import dataclass
 from decimal import Decimal
 
