@@ -932,6 +932,58 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional revenue per year -
+    conditional aggregation over a join chain."""
+    t = load_tables(spark, sf_dir, ["part", "supplier", "lineitem", "orders",
+                                    "customer", "nation", "region"])
+    vol = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    n_s = t["nation"].select(F.col("n_nationkey").alias("s_nk"),
+                             F.col("n_name").alias("supp_nation"))
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].where(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _money(F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                         .otherwise(F.lit(0).cast(_DEC)))).alias("nation_volume"),
+            _money(F.sum(vol)).alias("total_volume"),
+        )
+        .withColumn("mkt_share",
+                    F.round(F.col("nation_volume") / F.col("total_volume"), 6))
+        .orderBy("o_year")
+    )
+
+
+_Q8_SQL = """
+SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+  CAST(ROUND(SUM(CASE WHEN n2.n_name = 'NATION_3'
+      THEN CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))
+      ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS nation_volume,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS total_volume,
+  ROUND(CAST(ROUND(SUM(CASE WHEN n2.n_name = 'NATION_3'
+      THEN CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))
+      ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE)
+    / CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE), 6) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+GROUP BY 1 ORDER BY o_year
+"""
+
+
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit by nation and year through a part-name filter."""
     t = load_tables(spark, sf_dir, ["part", "supplier", "lineitem", "orders", "nation"])
@@ -1184,6 +1236,7 @@ REGISTRY: dict[str, tuple] = {
     "q17_small_quantity": (q17_small_quantity, _Q17_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, _Q6_SQL),
     "q7_nation_volume": (q7_nation_volume, _Q7_SQL),
+    "q8_market_share": (q8_market_share, _Q8_SQL),
     "q9_product_profit": (q9_product_profit, _Q9_SQL),
     "q10_returned_items": (q10_returned_items, _Q10_SQL),
     "q13_customer_distribution": (q13_customer_distribution, _Q13_SQL),

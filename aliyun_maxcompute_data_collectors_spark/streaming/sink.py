@@ -119,6 +119,33 @@ def windowed_aggregate(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    watermark: str = "10 minutes",
+    max_lag: str = "15 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with bounded state: each side
+    buffers only rows within its watermark, and the time-range condition
+    (|left.t - right.t| <= max_lag) lets Spark evict matched state - the
+    pattern for joining two live streams (e.g. clicks x impressions) without
+    unbounded memory.  The reference has no stream-stream join at all."""
+    l = left.withWatermark(left_time, watermark).alias("l")
+    r = right.withWatermark(right_time, watermark).alias("r")
+    cond = None
+    for k in on:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else (cond & c)
+    lag = F.expr(f"INTERVAL {max_lag}")
+    cond = cond & (F.col(f"r.{right_time}") >= F.col(f"l.{left_time}") - lag) \
+                & (F.col(f"r.{right_time}") <= F.col(f"l.{left_time}") + lag)
+    return l.join(r, cond, how)
+
+
 def session_windowed_aggregate(
     stream_df: DataFrame,
     time_col: str,

@@ -184,3 +184,29 @@ def test_stamp_cdc_metadata(spark):
     assert {r["ctype"] for r in out} == {"I", "D"}
     assert all(r["ctime"] is not None for r in out)
     assert len({r["cid"] for r in out}) == 2  # unique change ids
+
+
+def test_stream_stream_join(stream_env):
+    spark, src, cat, tmp = stream_env
+    from aliyun_maxcompute_data_collectors_spark.streaming.sink import stream_stream_join
+    imp = tmp / "imp"; clk = tmp / "clk"
+    imp.mkdir(); clk.mkdir()
+    with open(imp / "i.json", "w") as f:
+        for i, ts in [(1, "10:00:00"), (2, "10:01:00"), (3, "10:02:00")]:
+            f.write(json.dumps({"ad": i, "its": f"2024-03-01 {ts}"}) + "\n")
+    with open(clk / "c.json", "w") as f:
+        # ad 1 clicked 5m later (within lag), ad 2 clicked 30m later (outside)
+        for i, ts in [(1, "10:05:00"), (2, "10:31:00")]:
+            f.write(json.dumps({"ad": i, "cts": f"2024-03-01 {ts}"}) + "\n")
+    impressions = (spark.readStream.schema("ad long, its string").json(str(imp))
+                   .withColumn("its", F.to_timestamp("its")))
+    clicks = (spark.readStream.schema("ad long, cts string").json(str(clk))
+              .withColumn("cts", F.to_timestamp("cts")))
+    joined = stream_stream_join(impressions, clicks, ["ad"], "its", "cts",
+                                watermark="10 minutes", max_lag="15 minutes")
+    joined = joined.select(F.col("l.ad").alias("ad"), "its", "cts")
+    q = (joined.writeStream.format("memory").queryName("ssj")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = [r["ad"] for r in spark.sql("SELECT ad FROM ssj").collect()]
+    assert got == [1], f"only the within-lag click should join, got {got}"
