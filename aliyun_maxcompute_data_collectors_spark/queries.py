@@ -984,6 +984,163 @@ GROUP BY 1 ORDER BY o_year
 """
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share per month — conditional
+    aggregation over a broadcast dimension join (part is tiny vs lineitem)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    staged = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month"),
+            "p_type",
+            _dec("l_extendedprice").alias("price_d"),
+            _dec("l_discount").alias("disc_d"),
+        )
+        .select("month", "p_type",
+                (F.col("price_d") * (F.lit(1).cast(_DEC) - F.col("disc_d"))).alias("vol_d"))
+    )
+    return (
+        staged.groupBy("month")
+        .agg(
+            _money(F.sum(F.when(F.col("p_type") == "PROMO", F.col("vol_d"))
+                         .otherwise(F.lit(0).cast(_DEC)))).alias("promo_revenue"),
+            _money(F.sum("vol_d")).alias("total_revenue"),
+        )
+        .withColumn("promo_share",
+                    F.round(F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6))
+        .withColumn("month", F.col("month").cast("string"))
+        .orderBy("month")
+    )
+
+
+_Q14_SQL = """
+SELECT CAST(CAST(date_trunc('month', l_shipdate) AS DATE) AS VARCHAR) AS month,
+  CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+      THEN CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))
+      ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS promo_revenue,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS total_revenue,
+  ROUND(100.0 * CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+      THEN CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))
+      ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE)
+    / CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE), 6) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY month
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the max quarterly revenue.  The
+    global max is a 1-row aggregate broadcast back onto the per-supplier
+    revenues — no single-partition global window at scale."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
+    rev = (
+        t["lineitem"]
+        .where((F.col("l_shipdate").cast("date") >= F.lit("1996-01-01"))
+               & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01")))
+        .select("l_suppkey",
+                (_dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))).alias("vol_d"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("vol_d").alias("total_rev_d"))
+    )
+    mx = rev.agg(F.max("total_rev_d").alias("mx_d"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev_d") == F.col("mx_d"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", _money(F.col("total_rev_d")).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS total_rev
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(ROUND(total_rev, 2) AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — having-filtered aggregate on
+    lineitem joined back to orders (both shuffle on the order key, so the
+    aggregation's partitioning is reused by the join) + broadcast customer."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer"])
+    big = (
+        t["lineitem"].select("l_orderkey", _dec("l_quantity").alias("qty_d"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("qty_d").alias("sum_qty_d"))
+        .where(F.col("sum_qty_d") > F.lit(200).cast(_DEC))
+    )
+    return (
+        t["orders"].join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey",
+                F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+                "o_totalprice",
+                _money(F.col("sum_qty_d"), 0).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+  o_totalprice,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 0) AS DOUBLE) AS sum_qty
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2, 3, 4, 5
+HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 200
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: no phone column): above-average-balance
+    customers with no recent orders, per nation.  Scalar-subquery threshold
+    = broadcast 1-row aggregate; NOT EXISTS = left anti join."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    cust = t["customer"]
+    thr = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg((F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    recent = (t["orders"]
+              .where(F.col("o_orderdate").cast("date") >= F.lit("2001-06-01"))
+              .select("o_custkey"))
+    return (
+        cust.join(F.broadcast(thr), F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             _money(F.sum(_dec("c_acctbal"))).alias("totacctbal"))
+        .orderBy("c_nationkey")
+    )
+
+
+_Q22_SQL = """
+SELECT c_nationkey, COUNT(*) AS numcust,
+  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND CAST(o_orderdate AS DATE) >= DATE '2001-06-01')
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit by nation and year through a part-name filter."""
     t = load_tables(spark, sf_dir, ["part", "supplier", "lineitem", "orders", "nation"])
@@ -1238,6 +1395,10 @@ REGISTRY: dict[str, tuple] = {
     "q7_nation_volume": (q7_nation_volume, _Q7_SQL),
     "q8_market_share": (q8_market_share, _Q8_SQL),
     "q9_product_profit": (q9_product_profit, _Q9_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, _Q14_SQL),
+    "q15_top_supplier": (q15_top_supplier, _Q15_SQL),
+    "q18_large_orders": (q18_large_orders, _Q18_SQL),
+    "q22_dormant_customers": (q22_dormant_customers, _Q22_SQL),
     "q10_returned_items": (q10_returned_items, _Q10_SQL),
     "q13_customer_distribution": (q13_customer_distribution, _Q13_SQL),
     "q19_discounted_parts": (q19_discounted_parts, _Q19_SQL),
