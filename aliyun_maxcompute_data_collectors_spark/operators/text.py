@@ -180,6 +180,77 @@ def fingerprint_fast(col: Column | str) -> Column:
     return F.xxhash64(normalized(col))
 
 
+# ---------------------------------------------------------------------------
+# per-language quality calibration
+# ---------------------------------------------------------------------------
+
+# quality signals used for calibration; rounded then cast to decimal so the
+# per-language moments are EXACT sums (shuffle-order-independent, and an SQL
+# oracle reproduces them bit-for-bit)
+CAL_SIGNALS = ("sw", "mwl", "ntok")
+_SIG_DEC = "decimal(14,4)"
+
+
+def _calibration_signals(col: Column | str) -> dict[str, Column]:
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "sw": F.round(stopword_ratio(c), 4).cast(_SIG_DEC),
+        "mwl": F.round(mean_word_length(c), 4).cast(_SIG_DEC),
+        "ntok": token_count(c).cast(_SIG_DEC),
+    }
+
+
+def language_quality_stats(staged: DataFrame) -> DataFrame:
+    """Per-language moments of the calibration signals over a frame already
+    carrying ``cal_lang`` + ``sig_*`` columns (see ``calibrated_quality``).
+    One row per language: count, exact decimal sum and sum-of-squares per
+    signal — a tiny aggregate that is broadcast back onto the corpus."""
+    aggs = [F.count(F.lit(1)).alias("n_lang")]
+    for k in CAL_SIGNALS:
+        aggs.append(F.sum(F.col(f"sig_{k}")).alias(f"sum_{k}"))
+        aggs.append(F.sum(F.col(f"sig_{k}") * F.col(f"sig_{k}")).alias(f"ssq_{k}"))
+    return staged.groupBy("cal_lang").agg(*aggs)
+
+
+def calibrated_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = None,
+    z_cut: float = 2.0,
+) -> DataFrame:
+    """Per-language quality calibration: a fixed global threshold penalizes
+    languages with naturally different stopword density / word length, so
+    instead each signal is judged against ITS OWN language's distribution —
+    typical = within ``z_cut`` standard deviations of the language mean.
+
+    Adds ``cal_lang`` (predicted language unless ``lang_col`` given) and
+    ``n_ok`` (0-3: how many signals are language-typical).  Mean/variance are
+    derived from exact decimal sums in pure double IEEE arithmetic, so a
+    DuckDB oracle writing the same formulas matches exactly.  Two passes over
+    the text regexes (moments + probe); at scale persist/localCheckpoint the
+    staged projection if the text column is large.
+    """
+    sig = _calibration_signals(text_col)
+    lang = (F.col(lang_col) if lang_col else lang_id(text_col)).alias("cal_lang")
+    staged = df.select("*", lang, *[v.alias(f"sig_{k}") for k, v in sig.items()])
+    stats = language_quality_stats(staged)
+    out = staged.join(F.broadcast(stats), "cal_lang")
+    n = F.col("n_lang")
+    oks = []
+    for k in CAL_SIGNALS:
+        x = F.col(f"sig_{k}").cast("double")
+        s = F.col(f"sum_{k}").cast("double")
+        q = F.col(f"ssq_{k}").cast("double")
+        mean = s / n
+        var = F.when(n > 1,
+                     F.greatest((q - s * s / n) / (n - 1), F.lit(0.0))).otherwise(F.lit(0.0))
+        sd = F.sqrt(var)
+        oks.append(
+            F.when((sd == F.lit(0.0)) | (F.abs(x - mean) <= F.lit(z_cut) * sd), 1).otherwise(0)
+        )
+    return out.withColumn("n_ok", (oks[0] + oks[1] + oks[2]).cast("int"))
+
+
 def document_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full per-document analysis column set."""
     c = F.col(text_col)

@@ -80,6 +80,66 @@ def _lang_id_sql() -> str:
     return f"SELECT doc_id, lang, {X.lang_id_sql('text')} AS pred_lang FROM documents ORDER BY doc_id"
 
 
+def lang_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality calibration summary: each signal judged against
+    its own language's distribution (z-band), not a global threshold."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    cal = X.calibrated_quality(ensure_parallelism(t["documents"]), "text")
+    return (
+        cal.groupBy(F.col("cal_lang").alias("pred_lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_ok") == 3, 1).otherwise(0)).alias("n_typical"),
+            F.sum(F.when(F.col("n_ok") == 2, 1).otherwise(0)).alias("n_marginal"),
+            F.sum(F.when(F.col("n_ok") <= 1, 1).otherwise(0)).alias("n_outlier"),
+            F.round(F.sum("n_ok") / (F.lit(3.0) * F.count(F.lit(1))), 4).alias("cal_mean"),
+        )
+        .orderBy("pred_lang")
+    )
+
+
+def _lang_cal_sql(z_cut: float = 2.0) -> str:
+    """Oracle for ``lang_quality_calibrated`` — same signals, same exact
+    decimal moments, same double formulas as operators/text.calibrated_quality."""
+    ntok = "len(string_split_regex(trim(text), '\\s+'))"
+    sw_hits = f"len(regexp_extract_all(lower(text), '{_sw_pattern()}'))"
+    nonspace = "length(regexp_replace(text, '\\s+', '', 'g'))"
+    sw_ratio = f"(CASE WHEN {ntok} > 0 THEN CAST({sw_hits} AS DOUBLE) / {ntok} ELSE 0.0 END)"
+    mwl = f"(CASE WHEN {ntok} > 0 THEN CAST({nonspace} AS DOUBLE) / {ntok} ELSE 0.0 END)"
+    oks = []
+    for k in X.CAL_SIGNALS:
+        mean = f"(CAST(sum_{k} AS DOUBLE) / n_lang)"
+        var = (f"(CASE WHEN n_lang > 1 THEN GREATEST((CAST(ssq_{k} AS DOUBLE)"
+               f" - CAST(sum_{k} AS DOUBLE) * CAST(sum_{k} AS DOUBLE) / n_lang)"
+               f" / (n_lang - 1), 0.0) ELSE 0.0 END)")
+        sd = f"sqrt({var})"
+        oks.append(f"(CASE WHEN {sd} = 0.0 OR ABS(CAST(sig_{k} AS DOUBLE) - {mean})"
+                   f" <= {z_cut} * {sd} THEN 1 ELSE 0 END)")
+    return f"""
+WITH sig AS (
+  SELECT {X.lang_id_sql('text')} AS cal_lang,
+         CAST(ROUND({sw_ratio}, 4) AS DECIMAL(14,4)) AS sig_sw,
+         CAST(ROUND({mwl}, 4) AS DECIMAL(14,4)) AS sig_mwl,
+         CAST({ntok} AS DECIMAL(14,4)) AS sig_ntok
+  FROM documents),
+stats AS (
+  SELECT cal_lang, COUNT(*) AS n_lang,
+         SUM(sig_sw) AS sum_sw, SUM(sig_sw * sig_sw) AS ssq_sw,
+         SUM(sig_mwl) AS sum_mwl, SUM(sig_mwl * sig_mwl) AS ssq_mwl,
+         SUM(sig_ntok) AS sum_ntok, SUM(sig_ntok * sig_ntok) AS ssq_ntok
+  FROM sig GROUP BY cal_lang),
+scored AS (
+  SELECT sig.cal_lang, {oks[0]} + {oks[1]} + {oks[2]} AS n_ok
+  FROM sig JOIN stats USING (cal_lang))
+SELECT cal_lang AS pred_lang, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN n_ok = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_typical,
+  CAST(SUM(CASE WHEN n_ok = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_marginal,
+  CAST(SUM(CASE WHEN n_ok <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier,
+  ROUND(CAST(SUM(n_ok) AS BIGINT) / (3.0 * COUNT(*)), 4) AS cal_mean
+FROM scored GROUP BY cal_lang ORDER BY pred_lang
+"""
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     return (
@@ -474,6 +534,7 @@ REGISTRY: dict[str, tuple] = {
     "corpus_stats": (corpus_stats_q, _CORPUS_STATS_SQL),
     "text_profile": (text_profile, _text_profile_sql()),
     "lang_id": (lang_id_q, _lang_id_sql()),
+    "lang_quality_calibrated": (lang_quality_calibrated, _lang_cal_sql()),
     "doc_fingerprint": (doc_fingerprint, _FP_SQL),
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "ngram_jaccard": (ngram_jaccard, _JACCARD_SQL),

@@ -255,3 +255,25 @@ def test_zorder_improves_two_dim_skipping(spark):
     base_touched = sum(1 for r in base if not (r["hi"] < 10 or r["lo"] > 20))
     assert eff_z["touched"] < base_touched, (eff_z, base_touched)
     assert eff_z["fraction"] <= 0.5  # z-order skips at least half the files
+
+
+def test_calibrated_quality_flags_language_outlier(spark):
+    from aliyun_maxcompute_data_collectors_spark.operators import text as X
+    typical = "the cat and the dog sat in the house with the mouse and it is warm"
+    docs = [(i, typical + f" extra{i}") for i in range(10)]
+    # same language, wildly different word length + stopword density
+    docs.append((99, "supercalifragilistic expialidocious the " * 8))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r["n_ok"] for r in
+           X.calibrated_quality(df, "text").collect()}
+    assert all(out[i] == 3 for i in range(10)), out
+    assert out[99] < 3, f"outlier not flagged: {out[99]}"
+
+
+def test_calibrated_quality_degenerate_single_doc_language(spark):
+    from aliyun_maxcompute_data_collectors_spark.operators import text as X
+    # one doc in its language -> sd == 0 -> everything counts as typical
+    df = spark.createDataFrame(
+        [(1, "der hund und die katze ist nicht da")], "doc_id long, text string")
+    rows = X.calibrated_quality(df, "text").collect()
+    assert rows[0]["cal_lang"] == "de" and rows[0]["n_ok"] == 3
