@@ -1043,6 +1043,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (_dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))).alias("vol_d"))
         .groupBy("l_suppkey")
         .agg(F.sum("vol_d").alias("total_rev_d"))
+        # tiny (one row per supplier) but referenced twice (probe + max);
+        # without materialization both sides re-scan and re-agg lineitem
+        .localCheckpoint(eager=True)
     )
     mx = rev.agg(F.max("total_rev_d").alias("mx_d"))
     return (

@@ -29,9 +29,12 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
+    "q8_market_share",
     "q10_returned_items",
     "q13_customer_distribution",
+    "q14_promo_revenue",
     "q17_small_quantity",
+    "q18_large_orders",
     "q19_discounted_parts",
     "count_star",
     "scan_filter_project",
