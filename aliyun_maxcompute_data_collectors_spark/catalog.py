@@ -614,9 +614,16 @@ class OdpsCatalog:
         is_range = bool(meta.bucket and meta.bucket.cluster_type == "range")
         writer = out.write.mode("overwrite" if overwrite else "append")
         # W5 writer chunking parity: the reference bounds writer chunks/blocks
-        # (4MB chunks, 20k blocks); here the knob is rows-per-file via the
-        # table property 'write.max-records-per-file'
+        # (4MB chunks, 20k blocks).  Two knobs: rows-per-file directly
+        # ('write.max-records-per-file'), or a byte target
+        # ('write.target-file-bytes') translated to rows via the estimated
+        # row width of the data schema - the same width model the reference
+        # uses for its size stats (OdpsScan.scala:267-279).
         max_rec = meta.properties.get("write.max-records-per-file")
+        if not max_rec:
+            target_bytes = meta.properties.get("write.target-file-bytes")
+            if target_bytes:
+                max_rec = max(1, int(target_bytes) // ot.estimated_row_bytes(meta.data_schema))
         if max_rec:
             writer = writer.option("maxRecordsPerFile", int(max_rec))
         if part_by:

@@ -147,6 +147,37 @@ def schema_from_odps(cols: list[tuple[str, str]]) -> T.StructType:
     return T.StructType([T.StructField(n, parse_odps_type(t)) for n, t in cols])
 
 
+# fixed per-type width estimates (bytes), mirroring the reference's
+# column-width-scaled size stats (OdpsScan.scala:267-279: sizeInBytes =
+# rawSize * projectedWidths/totalWidths * compression factor)
+_WIDTHS = {
+    T.BooleanType(): 1, T.ByteType(): 1, T.ShortType(): 2,
+    T.IntegerType(): 4, T.LongType(): 8, T.FloatType(): 4,
+    T.DoubleType(): 8, T.DateType(): 4, T.TimestampType(): 8,
+    T.TimestampNTZType(): 8, T.StringType(): 20, T.BinaryType(): 40,
+}
+
+
+def estimated_width(dt: T.DataType) -> int:
+    """Estimated in-memory bytes of one value of ``dt``."""
+    if dt in _WIDTHS:
+        return _WIDTHS[dt]
+    if isinstance(dt, T.DecimalType):
+        return 16
+    if isinstance(dt, T.ArrayType):
+        return 4 * estimated_width(dt.elementType)  # assume short arrays
+    if isinstance(dt, T.MapType):
+        return 4 * (estimated_width(dt.keyType) + estimated_width(dt.valueType))
+    if isinstance(dt, T.StructType):
+        return sum(estimated_width(f.dataType) for f in dt.fields) or 8
+    return 8
+
+
+def estimated_row_bytes(schema: T.StructType) -> int:
+    """Estimated bytes per row for a schema (minimum 1)."""
+    return max(1, sum(estimated_width(f.dataType) for f in schema.fields))
+
+
 # ---------------------------------------------------------------------------
 # precision surfaces
 # ---------------------------------------------------------------------------

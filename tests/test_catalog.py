@@ -171,6 +171,27 @@ def test_max_records_per_file_property(cat, spark):
     assert cat.read_table("chunked").count() == 100
 
 
+def test_target_file_bytes_property(cat, spark):
+    """Byte-target chunking (reference 4MB writer chunks, W5): the byte
+    target divides by the estimated row width (BIGINT=8) into rows/file."""
+    import os
+    cat.create_table("bytechunked", [("x", "BIGINT")],
+                     properties={"write.target-file-bytes": "200"})  # 200//8 = 25 rows
+    cat.insert("bytechunked", spark.range(100).select(F.col("id").alias("x")).coalesce(1))
+    files = [f for f in os.listdir(cat.data_dir("bytechunked")) if f.endswith(".parquet")]
+    assert len(files) >= 4
+    assert cat.read_table("bytechunked").count() == 100
+
+
+def test_estimated_row_bytes():
+    from aliyun_maxcompute_data_collectors_spark import types as ot
+    schema = ot.schema_from_odps(
+        [("a", "BIGINT"), ("b", "STRING"), ("c", "DECIMAL(18,6)"),
+         ("d", "ARRAY<DOUBLE>"), ("e", "STRUCT<x:INT,y:DOUBLE>")])
+    # 8 + 20 + 16 + 32 + 12
+    assert ot.estimated_row_bytes(schema) == 88
+
+
 def test_multilevel_partitions_and_typed_filter(cat, spark):
     """FIXTURES section 8: multi-level partitions, typed partition-value
     comparisons (the '10' < '9' string trap), listPartitionsByFilter."""
