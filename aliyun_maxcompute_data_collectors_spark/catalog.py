@@ -380,6 +380,14 @@ class OdpsCatalog:
             cols.append(F.col(p_name).cast(ot.parse_odps_type(p_type)).alias(p_name))
         return df.select(cols)
 
+    def table_exists(self, name: str) -> bool:
+        return os.path.exists(self._meta_path(name))
+
+    def canonical_name(self, name: str) -> str:
+        """Fully-qualified project.schema.table form of any 1/2/3-part name."""
+        p, s, t = _ident(name, self.default_project, self.default_schema)
+        return f"{p}.{s}.{t}"
+
     def register_temp_view(self, name: str, view_name: str | None = None) -> None:
         self.read_table(name).createOrReplaceTempView(view_name or name.split(".")[-1])
 

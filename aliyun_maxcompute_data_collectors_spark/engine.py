@@ -26,6 +26,11 @@ from aliyun_maxcompute_data_collectors_spark.plans import checks as _checks
 from aliyun_maxcompute_data_collectors_spark.session import ensure_runtime_confs, get_spark
 
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+# dotted 2- or 3-part names (schema.table / project.schema.table); longest
+# match first so the 3-part form is not half-consumed as a 2-part one
+_QUALIFIED = re.compile(
+    r"\b([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\b"
+)
 
 
 class Engine:
@@ -56,10 +61,12 @@ class Engine:
         (VIRTUAL_VIEW) expand through their stored text.  Partitioned tables
         are checked by the full-scan guard unless allow_full_scan.
         """
+        query, qualified = self._resolve_qualified(query)
         known = set(self.catalog.list_tables())
         referenced = [t for t in set(_IDENT.findall(query)) if t in known]
         for t in referenced:
             self.catalog.register_temp_view(t)
+        referenced += qualified
         df = self.spark.sql(query)
         if not self.allow_full_scan:
             for t in referenced:
@@ -67,6 +74,36 @@ class Engine:
                 if pcols:
                     _checks.check_full_scan(df, pcols, allow_full_scan=False)
         return df
+
+    def _resolve_qualified(self, query: str) -> tuple[str, list[str]]:
+        """Rewrite ``project.schema.table`` / ``schema.table`` references to
+        mangled temp views (pure PySpark cannot plug a JVM TableCatalog, so
+        multi-part names are resolved by catalog-checked rewriting).  A
+        dotted name is rewritten only when it resolves to an existing catalog
+        table — ``alias.column`` references pass through untouched; a 3-part
+        ``schema.table.column`` whose prefix is a table becomes
+        ``<view>.column``."""
+        resolved: list[str] = []
+
+        def view_for(full: str) -> str:
+            # canonicalize so mart.t and proj.mart.t land on the SAME view —
+            # otherwise mixed qualification styles in one query break scope
+            canon = self.catalog.canonical_name(full)
+            mangled = "__q_" + canon.replace(".", "__")
+            self.catalog.register_temp_view(canon, mangled)
+            resolved.append(canon)
+            return mangled
+
+        def repl(m: re.Match) -> str:
+            p1, p2, p3 = m.group(1), m.group(2), m.group(3)
+            full = ".".join(x for x in (p1, p2, p3) if x)
+            if self.catalog.table_exists(full):
+                return view_for(full)
+            if p3 and self.catalog.table_exists(f"{p1}.{p2}"):
+                return f"{view_for(f'{p1}.{p2}')}.{p3}"
+            return m.group(0)
+
+        return _QUALIFIED.sub(repl, query), resolved
 
     def table(self, name: str) -> DataFrame:
         return self.catalog.read_table(name)

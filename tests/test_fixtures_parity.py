@@ -164,6 +164,38 @@ def test_engine_sql_facade(spark, tmp_path):
     eng.sql("SELECT * FROM sales WHERE ds = 'a'")  # guarded but fine
 
 
+def test_engine_sql_qualified_names(spark, tmp_path):
+    """project.schema.table and schema.table resolution in Engine.sql;
+    alias.column references must pass through unrewritten."""
+    from aliyun_maxcompute_data_collectors_spark.engine import Engine
+    eng = Engine(str(tmp_path / "wh"), spark=spark)
+    eng.catalog.create_schema("mart")
+    # 3-part = project.schema.table; 2-part = PROJECT.table (reference's
+    # convention, catalog._ident)
+    eng.catalog.create_table("default_project.mart.facts",
+                             [("k", "BIGINT"), ("v", "DOUBLE")])
+    eng.catalog.create_table("dims", [("k", "BIGINT"), ("name", "STRING")])
+    eng.catalog.insert("default_project.mart.facts", spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (1, 5.0)], "k long, v double"))
+    eng.catalog.insert("dims", spark.createDataFrame(
+        [(1, "one"), (2, "two")], "k long, name string"))
+
+    # 3-part + 2-part project.table + table aliases with alias.column refs
+    rows = eng.sql("""
+        SELECT d.name, SUM(f.v) AS total
+        FROM default_project.mart.facts f JOIN default_project.dims d ON f.k = d.k
+        GROUP BY d.name ORDER BY d.name
+    """).collect()
+    assert [(r["name"], r["total"]) for r in rows] == [("one", 15.0), ("two", 20.0)]
+
+    # fully-qualified column reference off a 3-part table name
+    rows = eng.sql(
+        "SELECT default_project.mart.facts.k FROM default_project.mart.facts "
+        "ORDER BY default_project.mart.facts.k"
+    ).collect()
+    assert [r["k"] for r in rows] == [1, 1, 2]
+
+
 def test_dedupe_corpus_methods(spark):
     from aliyun_maxcompute_data_collectors_spark.operators.dedup import dedupe_corpus
     base = "one two three four five six seven eight nine ten " * 3
