@@ -318,6 +318,50 @@ def simhash(col: Column | str) -> Column:
     return _simhash_udf(c)
 
 
+SIMHASH32_BITS = 32
+
+
+def simhash32(col: Column | str) -> Column:
+    """32-bit SimHash as pure built-in expressions — no Python in the loop,
+    and (unlike the 64-bit variant, whose unsigned bit-twiddling neither
+    engine's SQL can express) oracle-checkable: token hash = first-8-hex-of-
+    md5 as long, per-bit sign votes accumulated with higher-order functions,
+    bit b read arithmetically as floor(h / 2^b) % 2 (== (h >> b) & 1 for the
+    non-negative 32-bit hashes).  NULL text -> NULL signature."""
+    raw = F.col(col) if isinstance(col, str) else col
+    toks = F.split(normalized(raw), " ")
+    hs = F.transform(
+        toks, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    )
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH32_BITS)])
+    zero = F.array_repeat(F.lit(0).cast("long"), SIMHASH32_BITS)
+    votes = F.aggregate(
+        hs, zero,
+        lambda acc, h: F.zip_with(
+            acc, powers, lambda a, p: a + (F.floor(h / p) % 2) * 2 - 1
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(votes, powers,
+                   lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    return F.when(raw.isNull(), F.lit(None).cast("long")).otherwise(sig)
+
+
+def simhash32_py(text: str) -> int:
+    """Pure-python reference for simhash32 (tests)."""
+    import hashlib
+    toks = " ".join(text.lower().split()).split(" ")
+    acc = [0] * SIMHASH32_BITS
+    for w in toks:
+        h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+        for b in range(SIMHASH32_BITS):
+            acc[b] += 1 if (h >> b) & 1 else -1
+    return sum(1 << b for b in range(SIMHASH32_BITS) if acc[b] > 0)
+
+
 def simhash_dup_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:

@@ -285,6 +285,33 @@ def simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash32_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures — the oracle-checkable SimHash: pure
+    built-in expressions on both sides (operators/dedup.simhash32)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        ensure_parallelism(t["documents"])
+        .select("doc_id", D.simhash32("text").alias("sh32"))
+        .orderBy("doc_id")
+    )
+
+
+_SIMHASH32_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+  FROM documents),
+th AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS h FROM tok),
+votes AS (
+  SELECT doc_id, bb.b AS b, SUM(2 * ((h >> bb.b) & 1) - 1) AS v
+  FROM th CROSS JOIN (SELECT unnest(range({D.SIMHASH32_BITS})) AS b) bb
+  GROUP BY doc_id, bb.b)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh32
+FROM votes GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup groups: minhash pairs -> connected components ->
     one representative per group.  Iterative (not SQL-expressible) ->
@@ -540,7 +567,8 @@ REGISTRY: dict[str, tuple] = {
     "ngram_jaccard": (ngram_jaccard, _JACCARD_SQL),
     "minhash_signature": (minhash_signature, _minhash_sql()),
     "minhash_lsh": (minhash_lsh, _minhash_lsh_sql()),
-    "simhash_pairs": (simhash_sig, None),  # rows-only: bit-level, not SQL-expressible
+    "simhash_pairs": (simhash_sig, None),  # rows-only: 64-bit, not SQL-expressible
+    "simhash32_sig": (simhash32_sig, _SIMHASH32_SQL),
     "dedup_transitive": (dedup_transitive, None),  # rows-only: iterative CC
     "ivf_topk": (ivf_topk_q, None),  # rows-only: kmeans-dependent
     "embedding_topk": (embedding_topk, _TOPK_EMB_SQL),

@@ -277,3 +277,17 @@ def test_calibrated_quality_degenerate_single_doc_language(spark):
         [(1, "der hund und die katze ist nicht da")], "doc_id long, text string")
     rows = X.calibrated_quality(df, "text").collect()
     assert rows[0]["cal_lang"] == "de" and rows[0]["n_ok"] == 3
+
+
+def test_simhash32_matches_pure_python(spark):
+    from aliyun_maxcompute_data_collectors_spark.operators import dedup as D
+    texts = ["The quick brown fox", "the  QUICK brown fox", "entirely different words here",
+             "a", ""]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id int, text string")
+    got = {r["id"]: r["sh"] for r in
+           df.select("id", D.simhash32("text").alias("sh")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == D.simhash32_py(t), f"mismatch for {t!r}"
+    assert got[0] == got[1]  # case/whitespace-insensitive
+    assert got[0] != got[2]
