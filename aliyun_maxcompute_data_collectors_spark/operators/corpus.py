@@ -64,23 +64,50 @@ def pack_sequences(
     its end falls in, so a bin may exceed the budget by up to one document
     (bounded: bin total < 2 x budget; lengths are capped at budget first).
 
-    One window (single shuffle), fully deterministic, SQL-expressible - the
-    cheap path when downstream tolerates slack.  For the strict invariant
-    (no bin over budget) use :func:`greedy_pack`.
+    Fully deterministic and SQL-expressible - the cheap path when downstream
+    tolerates slack.  For the strict invariant (no bin over budget) use
+    :func:`greedy_pack`.
+
+    The global cumsum is computed DISTRIBUTED (a naive
+    ``Window.orderBy(order)`` funnels the whole corpus through one
+    partition): range-partition on the order key, cumsum within each
+    partition, then add per-partition prefix offsets - the offsets are
+    `numPartitions` rows of metadata computed on the driver (the same scale
+    of driver work Spark's own range partitioner does when sampling
+    boundaries).  The result is boundary-placement-independent, so the
+    sampled range partitioning does not affect values.
 
     Output adds ``bin_id`` and ``bin_offset`` (running tokens before the doc
     within its bin)."""
     order = order_col or id_col
     capped = F.least(F.col(len_col), F.lit(budget))
-    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = F.sum(capped).over(w)
-    out = df.withColumn("__cum__", cum)
+    part = (
+        df.repartitionByRange(F.col(order))
+        .withColumn("__pid__", F.spark_partition_id())
+    )
+    wp = (Window.partitionBy("__pid__").orderBy(order)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = part.withColumn("__lcum__", F.sum(capped).over(wp))
+    totals = sorted(
+        (r["__pid__"], r["t"]) for r in
+        local.groupBy("__pid__").agg(F.max("__lcum__").alias("t")).collect()
+    )
+    offsets, running = [], 0
+    for pid, tot in totals:
+        offsets.append((pid, running))
+        running += tot
+    off_col = F.lit(0).cast("long")
+    if offsets:
+        pairs = [x for pid, off in offsets for x in (F.lit(pid), F.lit(off))]
+        off_col = F.coalesce(
+            F.create_map(*pairs)[F.col("__pid__")].cast("long"), F.lit(0).cast("long"))
+    out = local.withColumn("__cum__", (off_col + F.col("__lcum__")).cast("long"))
     bin_id = F.ceil(F.col("__cum__") / budget) - 1
     return (
         out.withColumn("bin_id", bin_id.cast("long"))
         .withColumn("bin_offset", (F.col("__cum__") - capped - F.col("bin_id") * budget)
                     .cast("long"))
-        .drop("__cum__")
+        .drop("__cum__", "__lcum__", "__pid__")
     )
 
 

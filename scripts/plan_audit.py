@@ -1,0 +1,92 @@
+"""Plan audit: sweep every registry query and report its physical-plan
+shape — shuffles, broadcast joins, whole-stage-codegen spans, scan columns —
+plus scale flags (cartesian products, single-partition exchanges outside a
+final ORDER BY, Python row-at-a-time UDFs).
+
+The point: at 100 TB the plan IS the performance.  Run after adding or
+changing operators:
+
+    python scripts/plan_audit.py            # prints a markdown table
+    python scripts/plan_audit.py --write    # also rewrites PLAN_AUDIT.md
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from aliyun_maxcompute_data_collectors_spark.plans import checks as C
+from aliyun_maxcompute_data_collectors_spark.queries import REGISTRY
+from aliyun_maxcompute_data_collectors_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def flags(plan: str) -> list[str]:
+    out = []
+    if "CartesianProduct" in plan:
+        out.append("CARTESIAN")
+    if "BroadcastNestedLoopJoin" in plan and "IdentityBroadcastMode" not in plan:
+        out.append("BNLJ")
+    if re.search(r"BatchEvalPython|PythonUDF(?!.*ArrowEval)", plan) and "ArrowEval" not in plan:
+        out.append("ROW_PYTHON_UDF")
+    # SinglePartition exchanges are fine for scalar (keyless) aggregates —
+    # they move ONE row per task; flag only the non-scalar funnels (global
+    # windows/sorts mid-plan), where a single partition swallows the data
+    total = plan.count("Exchange SinglePartition")
+    scalar = len(re.findall(
+        r"Exchange SinglePartition[^\n]*\n[^\n]*HashAggregate\(keys=\[\]", plan))
+    if total - scalar > 0:
+        out.append("NONSCALAR_SINGLE_PARTITION")
+    return out
+
+
+def main() -> None:
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    for name, (fn, _sql) in sorted(REGISTRY.items()):
+        try:
+            df = fn(spark, SF_DIR)
+            plan = C.executed_plan(df)
+            rows.append({
+                "query": name,
+                "shuffles": C.shuffle_count(df),
+                "bcast": C.broadcast_join_count(df),
+                "codegen": C.wholestage_codegen_spans(df),
+                "flags": ",".join(flags(plan)) or "-",
+            })
+        except Exception as e:  # noqa: BLE001 - audit must cover all queries
+            rows.append({"query": name, "shuffles": "?", "bcast": "?",
+                         "codegen": "?", "flags": f"ERROR:{type(e).__name__}"})
+    lines = [
+        "# PLAN AUDIT — physical-plan shape per registry query",
+        "",
+        f"sf_dir: `{SF_DIR}` (plan SHAPE is sf-independent except AQE join picks)",
+        "",
+        "Flags: CARTESIAN = unbounded pair blowup; BNLJ = broadcast nested-loop",
+        "join with a non-trivial build side; ROW_PYTHON_UDF = row-at-a-time",
+        "Python in the hot path (Arrow-batched pandas UDFs are NOT flagged);",
+        "NONSCALAR_SINGLE_PARTITION = a single-partition exchange that is NOT",
+        "a 1-row scalar aggregate (a global funnel swallowing real data).",
+        "",
+        "| query | shuffles | broadcast joins | codegen spans | flags |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(f"| {r['query']} | {r['shuffles']} | {r['bcast']} "
+                     f"| {r['codegen']} | {r['flags']} |")
+    text = "\n".join(lines) + "\n"
+    print(text)
+    if "--write" in sys.argv:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "PLAN_AUDIT.md"), "w") as f:
+            f.write(text)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
