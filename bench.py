@@ -61,6 +61,39 @@ def _evaluate(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _bench_writes(spark, sf_dir: str, cold: bool) -> dict[str, float]:
+    """Write-path benchmarks - the operator family the reference actually is
+    (W1/W5 plain append, O1-O5 hash-bucketed clustered write)."""
+    import shutil
+    import tempfile
+
+    from aliyun_maxcompute_data_collectors_spark.catalog import BucketSpec, OdpsCatalog
+    from aliyun_maxcompute_data_collectors_spark.session import load_tables
+    from aliyun_maxcompute_data_collectors_spark.types import to_odps_type
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    cols = [(f.name, to_odps_type(f.dataType)) for f in li.schema.fields]
+    wh = tempfile.mkdtemp(prefix="benchwh_")
+    out: dict[str, float] = {}
+    try:
+        cat = OdpsCatalog(spark, wh)
+        cat.create_table("w_plain", cols)
+        cat.create_table("w_bucketed", cols,
+                         bucket=BucketSpec("hash", 16, ["l_orderkey"],
+                                           [("l_orderkey", "ASC")]))
+        for name, table in [("write_append", "w_plain"),
+                            ("write_bucketed", "w_bucketed")]:
+            runs = []
+            for _ in range(1 if cold else 2):
+                t0 = time.perf_counter()
+                cat.insert(table, li, overwrite=True)
+                runs.append(time.perf_counter() - t0)
+            out[name] = round(runs[-1], 3)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -78,6 +111,7 @@ def main() -> None:
             _evaluate(fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
         times[name] = round(runs[-1], 3)
+    times.update(_bench_writes(spark, sf_dir, cold))
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
