@@ -780,6 +780,39 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
 
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube) with
+    GROUPING() markers distinguishing NULL-as-subtotal from NULL data."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    t["orders"].createOrReplaceTempView("__gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority), ())
+        ORDER BY g_status, g_prio,
+                 o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """)
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority), ())
+ORDER BY g_status, g_prio,
+         o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: tight range filters + single aggregate; everything
     pushes to the scan."""
@@ -1388,6 +1421,7 @@ REGISTRY: dict[str, tuple] = {
     "sessionize_events": (sessionize_events, _SESSION_SQL),
     "topk_per_group": (topk_per_group, _TOPK_GRP_SQL),
     "cube_agg": (cube_agg, _CUBE_SQL),
+    "grouping_sets": (grouping_sets_agg, _GROUPING_SETS_SQL),
     "salted_agg": (salted_agg_q, _SALTED_SQL),
     "cast_matrix": (cast_matrix, _CAST_SQL),
     "string_functions": (string_functions, _STRFN_SQL),
