@@ -542,6 +542,7 @@ class OdpsCatalog:
         df: DataFrame,
         overwrite: bool = False,
         static_partition: dict[str, str] | None = None,
+        max_records_per_file: int | None = None,
     ) -> None:
         """INSERT [OVERWRITE] ... [PARTITION (k=v, ...)].
 
@@ -627,7 +628,7 @@ class OdpsCatalog:
         # ('write.target-file-bytes') translated to rows via the estimated
         # row width of the data schema - the same width model the reference
         # uses for its size stats (OdpsScan.scala:267-279).
-        max_rec = meta.properties.get("write.max-records-per-file")
+        max_rec = max_records_per_file or meta.properties.get("write.max-records-per-file")
         if not max_rec:
             target_bytes = meta.properties.get("write.target-file-bytes")
             if target_bytes:
@@ -705,6 +706,50 @@ class OdpsCatalog:
         self.insert(name, df, overwrite=True)
 
     # -- stats ------------------------------------------------------------
+    def compact(
+        self,
+        name: str,
+        target_file_bytes: int = 256 << 20,
+        where: str | None = None,
+    ) -> dict:
+        """Small-file compaction: rewrite the table (or, with ``where``, the
+        matching partitions — dynamic overwrite touches only partitions
+        present in the rewritten frame) so files approach
+        ``target_file_bytes``.  Rows of one partition value are co-located
+        into one task (repartition on the partition columns) and split into
+        target-size files via maxRecordsPerFile; bucketed tables re-cluster
+        through the normal bucket-write path.
+
+        At 100 TB, compact partition-by-partition (``where``) rather than
+        whole-table: the rewrite materializes the frame (localCheckpoint) to
+        decouple it from the files being replaced.
+
+        Returns {files_before, files_after, rows}.
+        """
+        import math
+
+        meta = self.get_meta(name)
+        if meta.table_type == VIRTUAL_VIEW:
+            raise CatalogError(f"cannot compact view {name}")
+        before = self.table_stats(name)
+        df = self.read_table(name)
+        if where:
+            if not meta.partition_columns:
+                raise CatalogError("compact(where=...) requires a partitioned table")
+            df = df.where(where)
+        df = df.localCheckpoint(eager=True)
+        pcols = [c for c, _ in meta.partition_columns]
+        if meta.bucket is None:
+            n = max(1, math.ceil(before["size_in_bytes"] / target_file_bytes))
+            df = (df.repartition(n, *[F.col(c) for c in pcols]) if pcols
+                  else df.repartition(n))
+        max_rec = max(1, target_file_bytes // ot.estimated_row_bytes(meta.data_schema))
+        self.insert(name, df, overwrite=True, max_records_per_file=max_rec)
+        after = self.table_stats(name)
+        return {"files_before": before["num_files"],
+                "files_after": after["num_files"],
+                "rows": after["num_rows"]}
+
     def table_stats(self, name: str) -> dict:
         """sizeInBytes/numFiles/numRows for CBO-style decisions
         (OdpsScan.scala:267-279).  Row counts come from parquet footers -

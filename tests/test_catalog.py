@@ -192,6 +192,32 @@ def test_estimated_row_bytes():
     assert ot.estimated_row_bytes(schema) == 88
 
 
+def test_compact_merges_small_files(cat, spark):
+    import os
+    cat.create_table("frag", [("x", "BIGINT")],
+                     properties={"write.max-records-per-file": "5"})
+    cat.insert("frag", spark.range(100).select(F.col("id").alias("x")).coalesce(1))
+    assert cat.table_stats("frag")["num_files"] >= 20
+    res = cat.compact("frag")
+    assert res["files_after"] < res["files_before"]
+    assert res["files_after"] <= 2 and res["rows"] == 100
+    assert cat.read_table("frag").count() == 100
+
+
+def test_compact_partitioned_with_where(cat, spark):
+    cat.create_table("fragp", [("x", "BIGINT")], [("dt", "STRING")],
+                     properties={"write.max-records-per-file": "2"})
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(40)], "x long, dt string")
+    cat.insert("fragp", df.coalesce(1))
+    res = cat.compact("fragp", where="dt = 'a'")
+    assert res["files_after"] < res["files_before"]
+    # untouched partition intact, rows preserved overall
+    got = {r["dt"]: r["n"] for r in
+           cat.read_table("fragp").groupBy("dt").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"a": 20, "b": 20}
+
+
 def test_multilevel_partitions_and_typed_filter(cat, spark):
     """FIXTURES section 8: multi-level partitions, typed partition-value
     comparisons (the '10' < '9' string trap), listPartitionsByFilter."""
