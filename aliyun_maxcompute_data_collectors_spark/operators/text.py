@@ -180,6 +180,51 @@ def fingerprint_fast(col: Column | str) -> Column:
     return F.xxhash64(normalized(col))
 
 
+# polynomial rolling-hash constants: a*B+h stays under 2^63 because
+# a < M (2^31-1), B ~2^30, h < 2^32 — ANSI-overflow-safe in both engines
+ROLL_B = 1103515245
+ROLL_M = 2147483647
+
+
+def _token_hashes(col: Column | str) -> Column:
+    """array<long> of per-token md5 ints over normalized text."""
+    toks = F.split(normalized(col), " ")
+    return F.transform(
+        toks, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    )
+
+
+def rolling_fingerprint(col: Column | str) -> Column:
+    """ORDER-SENSITIVE document fingerprint: polynomial rolling hash
+    h = (h*B + md5int(token)) mod M over the token stream.  Set-based
+    fingerprints (md5-of-normalized, minhash) miss reorderings; this one
+    distinguishes them.  Pure built-in expressions; DuckDB mirrors it with
+    list_reduce, so it is oracle-checkable."""
+    return F.aggregate(
+        _token_hashes(col),
+        F.lit(0).cast("long"),
+        lambda a, h: (a * F.lit(ROLL_B) + h) % F.lit(ROLL_M),
+    )
+
+
+def rolling_window_fingerprints(col: Column | str, window: int = 8) -> Column:
+    """Hash of every ``window``-token span (array<long>, one per start
+    position) — the alignment/content-defined-chunking probe: two documents
+    sharing any span hash share a verbatim ``window``-token run.  O(n·w)
+    interpreted expression work per doc; for chunk-boundary detection at
+    scale prefer sampling positions (e.g. spans where hash % 64 == 0)."""
+    hs = _token_hashes(col)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(hs) - window + 1, F.lit(1)))
+    return F.transform(
+        starts,
+        lambda i: F.aggregate(
+            F.slice(hs, i, window),
+            F.lit(0).cast("long"),
+            lambda a, h: (a * F.lit(ROLL_B) + h) % F.lit(ROLL_M),
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # per-language quality calibration
 # ---------------------------------------------------------------------------

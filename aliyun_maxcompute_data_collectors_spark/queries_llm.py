@@ -155,6 +155,28 @@ FROM documents ORDER BY doc_id
 """
 
 
+def doc_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprints (text.rolling_fingerprint)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        ensure_parallelism(t["documents"])
+        .select("doc_id", X.rolling_fingerprint("text").alias("rfp"))
+        .orderBy("doc_id")
+    )
+
+
+_ROLLING_FP_SQL = f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(
+        string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+        w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT))),
+    (a, h) -> (a * {X.ROLL_B} + h) % {X.ROLL_M}) AS rfp
+FROM documents ORDER BY doc_id
+"""
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level exact-dedup summary (hash-groupBy, one shuffle)."""
     t = load_tables(spark, sf_dir, ["documents"])
@@ -563,6 +585,7 @@ REGISTRY: dict[str, tuple] = {
     "lang_id": (lang_id_q, _lang_id_sql()),
     "lang_quality_calibrated": (lang_quality_calibrated, _lang_cal_sql()),
     "doc_fingerprint": (doc_fingerprint, _FP_SQL),
+    "doc_rolling_fp": (doc_rolling_fp, _ROLLING_FP_SQL),
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "ngram_jaccard": (ngram_jaccard, _JACCARD_SQL),
     "minhash_signature": (minhash_signature, _minhash_sql()),

@@ -291,3 +291,36 @@ def test_simhash32_matches_pure_python(spark):
         assert got[i] == D.simhash32_py(t), f"mismatch for {t!r}"
     assert got[0] == got[1]  # case/whitespace-insensitive
     assert got[0] != got[2]
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from aliyun_maxcompute_data_collectors_spark.operators import text as X
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "Alpha  Beta gamma")],
+        "id int, text string")
+    got = {r["id"]: r["rfp"] for r in
+           df.select("id", X.rolling_fingerprint("text").alias("rfp")).collect()}
+    assert got[1] != got[2]  # reordering changes the fingerprint
+    assert got[1] == got[3]  # case/whitespace do not
+    # pure-python mirror
+    import hashlib
+    h = 0
+    for w in "alpha beta gamma".split():
+        hw = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+        h = (h * X.ROLL_B + hw) % X.ROLL_M
+    assert got[1] == h
+
+
+def test_rolling_window_fingerprints_shared_span(spark):
+    from aliyun_maxcompute_data_collectors_spark.operators import text as X
+    a = "one two three four five six seven eight nine ten"
+    b = "zzz two three four five six seven eight nine yyy"
+    df = spark.createDataFrame([(1, a), (2, b)], "id int, text string")
+    rows = {r["id"]: set(r["w"]) for r in
+            df.select("id", X.rolling_window_fingerprints("text", 8).alias("w")).collect()}
+    # the 8-token run "two ... nine" is verbatim-shared
+    assert rows[1] & rows[2]
+    # a short doc still yields one (whole-text) span hash
+    short = spark.createDataFrame([(9, "tiny doc")], "id int, text string")
+    assert len(short.select(X.rolling_window_fingerprints("text", 8).alias("w"))
+               .collect()[0]["w"]) == 1
