@@ -314,6 +314,43 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: trailing-7-day revenue over per-day aggregates,
+    partitioned by year (a global ordered window would funnel one partition;
+    per-year partitions bound frame state and parallelize)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    daily = (
+        t["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(_dec("o_totalprice")).alias("rev_d"))
+    )
+    day_no = F.datediff(F.col("d"), F.lit("1970-01-01"))
+    w = Window.partitionBy(F.year("d")).orderBy(day_no).rangeBetween(-6, 0)
+    return (
+        daily.select(
+            F.col("d").cast("string").alias("d"),
+            _money(F.col("rev_d")).alias("day_rev"),
+            _money(F.sum("rev_d").over(w)).alias("trailing_7d_rev"),
+        )
+        .orderBy("d")
+    )
+
+
+_RANGE_FRAME_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+  FROM orders GROUP BY 1)
+SELECT CAST(d AS VARCHAR) AS d,
+  CAST(ROUND(rev, 2) AS DOUBLE) AS day_rev,
+  CAST(ROUND(SUM(rev) OVER (
+      PARTITION BY EXTRACT(year FROM d)
+      ORDER BY date_diff('day', DATE '1970-01-01', d)
+      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS trailing_7d_rev
+FROM daily ORDER BY d
+"""
+
+
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WF1: lag/lead (Metabase :window-functions/offset). Raw doubles pass
     through untouched -> exact."""
@@ -1404,6 +1441,7 @@ REGISTRY: dict[str, tuple] = {
     "set_ops": (set_ops, _SETOPS_SQL),
     "window_cumulative": (window_cumulative, _CUM_SQL),
     "window_lag_lead": (window_lag_lead, _LAGLEAD_SQL),
+    "window_range_frame": (window_range_frame, _RANGE_FRAME_SQL),
     "merge_newest_wins": (merge_newest_wins, _MERGE_SQL),
     "lookup_join": (lookup_join, _LOOKUP_SQL),
     "cdc_apply": (cdc_apply, _CDC_SQL),
