@@ -31,7 +31,12 @@ assert not bad, f"vanilla-session failures: {bad}"
 print(f"vanilla session OK: entry + {len(mod.queries())} queries")
 EOF
 
-  echo "== 4/4 bench at sf0.1 =="
+  echo "== 4/5 bench at sf0.1 =="
   python bench.py 2>/dev/null
+
+  echo "== 5/5 plan audit (fails on scale flags) =="
+  python scripts/plan_audit.py --write 2>/dev/null | grep '^|' \
+    | grep -E "CARTESIAN|ROW_PYTHON_UDF|NONSCALAR|ERROR" \
+    && { echo "plan audit flagged queries above"; exit 1; } || true
 fi
 echo "GATE PASSED"
