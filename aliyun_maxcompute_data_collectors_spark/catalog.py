@@ -304,6 +304,41 @@ class OdpsCatalog:
         meta = self.get_meta(name)
         return [c for c, _ in meta.columns] + [c for c, _ in meta.partition_columns]
 
+    def show_create_table(self, name: str) -> str:
+        """Render the table's DDL string — the reference's DDL generator
+        surface (OdpsTableCatalog.scala:579-681: PARTITIONED BY, CLUSTERED BY
+        ... SORTED BY ... INTO n BUCKETS / RANGE CLUSTERED BY, COMMENT,
+        TBLPROPERTIES)."""
+        meta = self.get_meta(name)
+        canon = self.canonical_name(name)
+        if meta.table_type == VIRTUAL_VIEW:
+            return f"CREATE VIEW {canon} AS {meta.view_text}"
+        lines = [f"CREATE {'EXTERNAL ' if meta.table_type == EXTERNAL_TABLE else ''}TABLE {canon} ("]
+        lines.append(",\n".join(f"  {c} {t}" for c, t in meta.columns))
+        lines.append(")")
+        if meta.comment:
+            lines.append(f"COMMENT '{meta.comment}'")
+        if meta.partition_columns:
+            pcols = ", ".join(f"{c} {t}" for c, t in meta.partition_columns)
+            lines.append(f"PARTITIONED BY ({pcols})")
+        if meta.bucket:
+            b = meta.bucket
+            kw = "CLUSTERED BY" if b.cluster_type == "hash" else "RANGE CLUSTERED BY"
+            clause = f"{kw} ({', '.join(b.bucket_columns)})"
+            if b.sort_columns:
+                clause += (" SORTED BY ("
+                           + ", ".join(f"{c} {o}" for c, o in b.sort_columns) + ")")
+            clause += f" INTO {b.num_buckets} BUCKETS"
+            lines.append(clause)
+        props = {k: v for k, v in meta.properties.items()
+                 if k not in ("location", "range_stats")}
+        if props:
+            kv = ", ".join(f"'{k}'='{v}'" for k, v in sorted(props.items()))
+            lines.append(f"TBLPROPERTIES ({kv})")
+        if meta.table_type == EXTERNAL_TABLE:
+            lines.append(f"LOCATION '{meta.properties.get('location', '')}'")
+        return "\n".join(lines)
+
     # -- meta -------------------------------------------------------------
     def get_meta(self, name: str) -> TableMeta:
         path = self._meta_path(name)

@@ -192,6 +192,28 @@ def test_estimated_row_bytes():
     assert ot.estimated_row_bytes(schema) == 88
 
 
+def test_show_create_table_ddl(cat, spark):
+    from aliyun_maxcompute_data_collectors_spark.catalog import BucketSpec
+    cat.create_table(
+        "ddl_t", [("k", "BIGINT"), ("v", "DECIMAL(18,6)")],
+        partition_columns=[("dt", "STRING")],
+        bucket=BucketSpec("hash", 8, ["k"], [("k", "ASC")]),
+        properties={"write.target-file-bytes": "4194304"},
+        comment="demo",
+    )
+    ddl = cat.show_create_table("ddl_t")
+    assert "CREATE TABLE default_project.default.ddl_t (" in ddl
+    assert "k BIGINT" in ddl and "v DECIMAL(18,6)" in ddl
+    assert "PARTITIONED BY (dt STRING)" in ddl
+    assert "CLUSTERED BY (k) SORTED BY (k ASC) INTO 8 BUCKETS" in ddl
+    assert "COMMENT 'demo'" in ddl
+    assert "'write.target-file-bytes'='4194304'" in ddl
+
+    cat.create_view("ddl_v", "SELECT k FROM ddl_t")
+    assert cat.show_create_table("ddl_v") == \
+        "CREATE VIEW default_project.default.ddl_v AS SELECT k FROM ddl_t"
+
+
 def test_compact_merges_small_files(cat, spark):
     import os
     cat.create_table("frag", [("x", "BIGINT")],
