@@ -31,6 +31,12 @@ _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 _QUALIFIED = re.compile(
     r"\b([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\b"
 )
+# INSERT [OVERWRITE|INTO] [TABLE] name [PARTITION (spec)] select...
+_INSERT = re.compile(
+    r"^\s*INSERT\s+(OVERWRITE|INTO)\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s*"
+    r"(?:PARTITION\s*\(([^)]*)\)\s*)?(SELECT\b.*|VALUES\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 class Engine:
@@ -61,6 +67,9 @@ class Engine:
         (VIRTUAL_VIEW) expand through their stored text.  Partitioned tables
         are checked by the full-scan guard unless allow_full_scan.
         """
+        ins = _INSERT.match(query)
+        if ins:
+            return self._run_insert(*ins.groups())
         query, qualified = self._resolve_qualified(query)
         known = set(self.catalog.list_tables())
         referenced = [t for t in set(_IDENT.findall(query)) if t in known]
@@ -74,6 +83,38 @@ class Engine:
                 if pcols:
                     _checks.check_full_scan(df, pcols, allow_full_scan=False)
         return df
+
+    def _run_insert(self, mode: str, name: str, part: str | None, select: str):
+        """``INSERT [OVERWRITE|INTO] t [PARTITION (k=v, dyncol)] SELECT ...``
+        — the reference's static-partition insert rewrite (W3,
+        OdpsExtensions.scala:63-81): constant partition values become write
+        options; bare PARTITION columns stay dynamic.  VALUES (...) bodies
+        run through Spark SQL directly."""
+        static: dict[str, str] = {}
+        if part:
+            for item in part.split(","):
+                item = item.strip()
+                if not item:
+                    continue
+                if "=" in item:
+                    k, v = item.split("=", 1)
+                    static[k.strip()] = v.strip().strip("'\"")
+                # a bare column name = dynamic partition: nothing to pin
+        if select.upper().startswith("VALUES"):
+            df = self.spark.sql(f"SELECT * FROM ({select})")
+        else:
+            df = self.sql(select)
+        # SQL INSERT is positional: align the select list to (data columns +
+        # dynamic partition columns) by position when the arity matches
+        meta = self.catalog.get_meta(name)
+        expected = [c for c, _ in meta.columns] + \
+                   [p for p, _ in meta.partition_columns if p not in static]
+        if len(df.columns) == len(expected) and df.columns != expected:
+            df = df.toDF(*expected)
+        self.catalog.insert(name, df, overwrite=mode.upper() == "OVERWRITE",
+                            static_partition=static or None)
+        from pyspark.sql import types as _T
+        return self.spark.createDataFrame([], _T.StructType([]))
 
     def _resolve_qualified(self, query: str) -> tuple[str, list[str]]:
         """Rewrite ``project.schema.table`` / ``schema.table`` references to

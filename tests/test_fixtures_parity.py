@@ -196,6 +196,25 @@ def test_engine_sql_qualified_names(spark, tmp_path):
     assert [r["k"] for r in rows] == [1, 1, 2]
 
 
+def test_engine_sql_insert_statements(spark, tmp_path):
+    """INSERT INTO/OVERWRITE ... [PARTITION(k=v)] through Engine.sql — the
+    reference's W3 static-partition rewrite surface."""
+    from aliyun_maxcompute_data_collectors_spark.engine import Engine
+    eng = Engine(str(tmp_path / "wh"), spark=spark)
+    eng.catalog.create_table("t", [("k", "BIGINT"), ("v", "DOUBLE")],
+                             partition_columns=[("ds", "STRING")])
+
+    eng.sql("INSERT INTO t PARTITION (ds='d1') VALUES (1, 1.5), (2, 2.5)")
+    eng.sql("INSERT INTO t PARTITION (ds) VALUES (3, 3.5, 'd2')")  # dynamic
+    got = {(r["k"], r["ds"]) for r in eng.sql("SELECT k, ds FROM t").collect()}
+    assert got == {(1, "d1"), (2, "d1"), (3, "d2")}
+
+    # overwrite replaces only the partitions present (dynamic overwrite)
+    eng.sql("INSERT OVERWRITE t PARTITION (ds='d1') SELECT 9 AS a, 9.5 AS b")
+    got = {(r["k"], r["ds"]) for r in eng.sql("SELECT k, ds FROM t").collect()}
+    assert got == {(9, "d1"), (3, "d2")}
+
+
 def test_dedupe_corpus_methods(spark):
     from aliyun_maxcompute_data_collectors_spark.operators.dedup import dedupe_corpus
     base = "one two three four five six seven eight nine ten " * 3
