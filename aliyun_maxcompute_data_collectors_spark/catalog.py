@@ -395,6 +395,12 @@ class OdpsCatalog:
         parquet scan, partition predicates prune directories (built-in)."""
         meta = self.get_meta(name)
         if meta.table_type == VIRTUAL_VIEW:
+            # expanding the stored text needs the referenced catalog tables
+            # visible as temp views (recursively for views-on-views)
+            import re as _re
+            for ident in set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", meta.view_text)):
+                if ident != name.split(".")[-1] and self.table_exists(ident):
+                    self.register_temp_view(ident)
             return self.spark.sql(meta.view_text)
         ddir = self.data_dir(name)
         if not _has_data(ddir):

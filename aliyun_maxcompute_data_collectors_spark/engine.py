@@ -67,6 +67,10 @@ class Engine:
         (VIRTUAL_VIEW) expand through their stored text.  Partitioned tables
         are checked by the full-scan guard unless allow_full_scan.
         """
+        from aliyun_maxcompute_data_collectors_spark.sqlddl import try_execute_ddl
+        ddl = try_execute_ddl(self, query)
+        if ddl is not None:
+            return ddl
         ins = _INSERT.match(query)
         if ins:
             return self._run_insert(*ins.groups())

@@ -307,3 +307,48 @@ def test_review_fixes_regressions(cat, spark):
     from aliyun_maxcompute_data_collectors_spark.operators.dedup import simhash_dup_pairs
     with _pt.raises(ValueError):
         simhash_dup_pairs(df, "id", "text", max_hamming=64)
+
+
+def test_engine_sql_ddl_statements(spark, tmp_path):
+    """Full DDL lifecycle through Engine.sql (SURVEY 2.13 D1-D8 as SQL)."""
+    from aliyun_maxcompute_data_collectors_spark.engine import Engine
+    eng = Engine(str(tmp_path / "wh"), spark=spark)
+
+    eng.sql("CREATE SCHEMA IF NOT EXISTS staging")
+    assert "staging" in [r["schema_name"] for r in eng.sql("SHOW SCHEMAS").collect()]
+
+    eng.sql("""
+        CREATE TABLE sales (
+            k BIGINT, amount DECIMAL(18,6), tags ARRAY<STRING>
+        ) COMMENT 'fact table'
+        PARTITIONED BY (ds STRING)
+        CLUSTERED BY (k) SORTED BY (k ASC) INTO 4 BUCKETS
+        TBLPROPERTIES ('write.max-records-per-file'='1000')
+    """)
+    meta = eng.catalog.get_meta("sales")
+    assert meta.bucket.num_buckets == 4 and meta.comment == "fact table"
+    assert meta.columns[2] == ("tags", "ARRAY<STRING>")
+    assert [r["table_name"] for r in eng.sql("SHOW TABLES").collect()] == ["sales"]
+
+    eng.sql("INSERT INTO sales PARTITION (ds='d1') "
+            "VALUES (1, 10.5, array('a')), (2, 20.5, array('b'))")
+    assert [r["partition"] for r in eng.sql("SHOW PARTITIONS sales").collect()] == ["ds=d1"]
+
+    desc = {r["col_name"]: r["comment"] for r in eng.sql("DESCRIBE sales").collect()}
+    assert desc["ds"] == "partition" and desc["k"] == ""
+
+    ddl = eng.sql("SHOW CREATE TABLE sales").collect()[0]["createtab_stmt"]
+    assert "CLUSTERED BY (k)" in ddl
+
+    eng.sql("ALTER TABLE sales ADD COLUMNS (note STRING)")
+    assert "note" in [r["col_name"] for r in eng.sql("SHOW COLUMNS IN sales").collect()]
+
+    eng.sql("CREATE VIEW v_sales AS SELECT k, amount FROM sales")
+    assert {r["k"] for r in eng.sql("SELECT k FROM v_sales").collect()} == {1, 2}
+
+    eng.sql("ALTER TABLE sales RENAME TO sales2")
+    eng.sql("TRUNCATE TABLE sales2")
+    assert eng.sql("SELECT * FROM sales2").count() == 0
+    eng.sql("DROP VIEW v_sales")
+    eng.sql("DROP TABLE IF EXISTS sales2")
+    assert eng.sql("SHOW TABLES").count() == 0
