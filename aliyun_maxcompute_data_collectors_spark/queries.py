@@ -1320,6 +1320,70 @@ WHERE l_quantity < avg_qty * 0.5
 """
 
 
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: "late" = shipped >60 days after order date,
+    since the test lineitem has no commit/receipt dates): suppliers who were
+    the ONLY late supplier in a multi-supplier finalized order.
+
+    The classic formulation is a double-correlated EXISTS / NOT EXISTS
+    self-join on lineitem (the oracle keeps that form).  At 100 TB two
+    correlated probes over lineitem are two extra shuffles of the fact table,
+    so the Spark plan rewrites them as ONE per-order aggregate - count of
+    distinct suppliers and distinct late suppliers per order - reused for
+    both the EXISTS (n_supp > 1) and the NOT EXISTS (n_late_supp = 1) tests.
+    """
+    t = load_tables(spark, sf_dir, ["supplier", "lineitem", "orders", "nation"])
+    late = F.col("l_shipdate").cast("date") > F.date_add(F.col("o_orderdate").cast("date"), 60)
+    li = (
+        t["lineitem"]
+        .join(t["orders"].where(F.col("o_orderstatus") == "F"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", late.alias("is_late"))
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    # one output row per late lineitem (matching the correlated-subquery
+    # formulation, which counts qualifying l1 rows, not distinct suppliers)
+    waiting = (
+        li.where("is_late")
+        .select("l_orderkey", "l_suppkey")
+        .join(per_order.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+              "l_orderkey")
+    )
+    nat = (t["supplier"]
+           .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+           .where(F.col("n_name").isin("NATION_3", "NATION_7")))
+    return (
+        waiting.join(F.broadcast(nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+_Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey AND n_name IN ('NATION_3', 'NATION_7')
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders o ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+WHERE CAST(l1.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND CAST(l3.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 def cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal/numeric coercion surface (maxcompute.clj :591-609 temporal
     matrix + :418-465 result parsing types): cast chains across
@@ -1473,6 +1537,7 @@ REGISTRY: dict[str, tuple] = {
     "q14_promo_revenue": (q14_promo_revenue, _Q14_SQL),
     "q15_top_supplier": (q15_top_supplier, _Q15_SQL),
     "q18_large_orders": (q18_large_orders, _Q18_SQL),
+    "q21_waiting_supplier": (q21_waiting_supplier, _Q21_SQL),
     "q22_dormant_customers": (q22_dormant_customers, _Q22_SQL),
     "q10_returned_items": (q10_returned_items, _Q10_SQL),
     "q13_customer_distribution": (q13_customer_distribution, _Q13_SQL),
