@@ -1320,6 +1320,46 @@ WHERE l_quantity < avg_qty * 0.5
 """
 
 
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator family - Spark has no built-in): each
+    purchase event picks up the user's most recent click at-or-before the
+    purchase time.  Single shuffle + window pass (operators/asof.py); the
+    oracle is DuckDB's native ASOF LEFT JOIN, so two independent
+    implementations must agree row-for-row."""
+    from aliyun_maxcompute_data_collectors_spark.operators.asof import asof_join
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"]
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts", "value"))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id")))
+    out = asof_join(purchases, clicks, on="user_id", left_time="ts",
+                    right_time="click_ts", right_prefix="")
+    return (
+        out.select(
+            "event_id", "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "value", "click_id",
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts_s"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_ASOF_SQL = """
+SELECT p.event_id, p.user_id,
+  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+  p.value,
+  c.event_id AS click_id,
+  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts_s
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (adapted: "late" = shipped >60 days after order date,
     since the test lineitem has no commit/receipt dates): suppliers who were
@@ -1538,6 +1578,7 @@ REGISTRY: dict[str, tuple] = {
     "q15_top_supplier": (q15_top_supplier, _Q15_SQL),
     "q18_large_orders": (q18_large_orders, _Q18_SQL),
     "q21_waiting_supplier": (q21_waiting_supplier, _Q21_SQL),
+    "asof_join_events": (asof_join_events, _ASOF_SQL),
     "q22_dormant_customers": (q22_dormant_customers, _Q22_SQL),
     "q10_returned_items": (q10_returned_items, _Q10_SQL),
     "q13_customer_distribution": (q13_customer_distribution, _Q13_SQL),
