@@ -1360,6 +1360,108 @@ ORDER BY p.event_id
 """
 
 
+def range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join - custom operator: map each purchase
+    event into the 30-min-gap session interval it falls in.  Implemented as a
+    bin-tagged equijoin (operators/rangejoin.py), NOT a nested-loop join; the
+    oracle expresses the same containment as a plain inequality join."""
+    from aliyun_maxcompute_data_collectors_spark.operators.rangejoin import range_join
+    from aliyun_maxcompute_data_collectors_spark.operators.relational import session_stats
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"]
+    sessions = (
+        session_stats(ev, "user_id", "ts", gap="30 minutes")
+        .select("user_id", "session_seq", "session_start", "session_end")
+    )
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    out = range_join(purchases, sessions, "ts", "session_start", "session_end",
+                     keys=["user_id"], bin_seconds=3600)
+    return (
+        out.select(
+            "event_id", "user_id", "session_seq",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("start_s"),
+        )
+        .orderBy("event_id", "session_seq")
+    )
+
+
+_RANGE_JOIN_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+intervals AS (
+  SELECT user_id, session_seq, MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM sess GROUP BY user_id, session_seq
+)
+SELECT p.event_id, p.user_id, i.session_seq,
+  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+  strftime(i.session_start, '%Y-%m-%d %H:%M:%S') AS start_s
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN intervals i
+  ON p.user_id = i.user_id AND p.ts BETWEEN i.session_start AND i.session_end
+ORDER BY p.event_id, i.session_seq
+"""
+
+
+def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: hourly buckets computed
+    from raw events, daily buckets RE-aggregated from the hourly level (the
+    raw table is scanned once; each coarser level reads the much smaller
+    previous one).  The oracle aggregates each level directly from raw -
+    proving the cascade is lossless."""
+    from aliyun_maxcompute_data_collectors_spark.operators.rangejoin import rollup_cascade
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].select("ts", "event_type", _dec("value").alias("v"))
+    out = rollup_cascade(ev, "ts", ["1 hour", "1 day"],
+                         group_cols=["event_type"], value_col="v")
+    return (
+        out.select(
+            "resolution",
+            F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_s"),
+            "event_type",
+            _money(F.col("sum_v")).alias("sum_value"),
+            "n",
+            _money(F.col("min_v"), 4).alias("min_value"),
+            _money(F.col("max_v"), 4).alias("max_value"),
+        )
+        .orderBy("resolution", "bucket_s", "event_type")
+    )
+
+
+_ROLLUP_HT_SQL = """
+WITH hourly AS (
+  SELECT '1 hour' AS resolution, date_trunc('hour', ts) AS b, event_type,
+    SUM(CAST(value AS DECIMAL(18,6))) AS sum_v, COUNT(*) AS n,
+    MIN(CAST(value AS DECIMAL(18,6))) AS min_v, MAX(CAST(value AS DECIMAL(18,6))) AS max_v
+  FROM events GROUP BY 2, 3
+),
+daily AS (
+  SELECT '1 day' AS resolution, date_trunc('day', ts) AS b, event_type,
+    SUM(CAST(value AS DECIMAL(18,6))) AS sum_v, COUNT(*) AS n,
+    MIN(CAST(value AS DECIMAL(18,6))) AS min_v, MAX(CAST(value AS DECIMAL(18,6))) AS max_v
+  FROM events GROUP BY 2, 3
+),
+unioned AS (SELECT * FROM hourly UNION ALL SELECT * FROM daily)
+SELECT resolution, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_s, event_type,
+  CAST(ROUND(sum_v, 2) AS DOUBLE) AS sum_value, n,
+  CAST(ROUND(min_v, 4) AS DOUBLE) AS min_value,
+  CAST(ROUND(max_v, 4) AS DOUBLE) AS max_value
+FROM unioned
+ORDER BY resolution, bucket_s, event_type
+"""
+
+
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (adapted: "late" = shipped >60 days after order date,
     since the test lineitem has no commit/receipt dates): suppliers who were
@@ -1579,6 +1681,8 @@ REGISTRY: dict[str, tuple] = {
     "q18_large_orders": (q18_large_orders, _Q18_SQL),
     "q21_waiting_supplier": (q21_waiting_supplier, _Q21_SQL),
     "asof_join_events": (asof_join_events, _ASOF_SQL),
+    "range_join_sessions": (range_join_sessions, _RANGE_JOIN_SQL),
+    "rollup_hypertable": (rollup_hypertable, _ROLLUP_HT_SQL),
     "q22_dormant_customers": (q22_dormant_customers, _Q22_SQL),
     "q10_returned_items": (q10_returned_items, _Q10_SQL),
     "q13_customer_distribution": (q13_customer_distribution, _Q13_SQL),
