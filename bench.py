@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "percentile_quantity",
     "date_trunc_extract",
     "sessionize_events",
+    "asof_join_events",
     "topk_per_group",
     "dedup_exact",
     "minhash_signature",
