@@ -56,6 +56,24 @@ def fake_decode_image(payload: bytes) -> dict:
     }
 
 
+def fake_decode_video(payload: bytes) -> dict:
+    """Deterministic stand-in for a video decoder.  The derived fields are
+    pure functions of the byte length, so pipelines built on this fake stay
+    SQL-expressible (the driver oracle recomputes them from octet_length)
+    while still exercising the real mapInPandas decode path."""
+    n = len(payload)
+    duration_ms = 1000 + (n % 10_000)
+    return {
+        "media_type": "video",
+        "format": "fake",
+        "width": 640,
+        "height": 360,
+        "n_frames": max(duration_ms // 40, 1),
+        "sample_rate": None,
+        "duration_ms": duration_ms,
+    }
+
+
 def real_decode_image(payload: bytes) -> dict:  # pragma: no cover - no PIL here
     raise NotImplementedError(
         "media decoding requires an image library (PIL/opencv) not present "

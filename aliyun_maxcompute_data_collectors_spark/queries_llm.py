@@ -455,6 +455,38 @@ FROM documents ORDER BY doc_id
 """
 
 
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing end-to-end: blob -> mapInPandas decode
+    (deterministic fake video decoder) -> per-frame task explode.  The fake
+    decoder derives duration from octet_length, so the oracle can recompute
+    the identical fan-out in SQL while Spark genuinely runs the Arrow-batched
+    decode path."""
+    from aliyun_maxcompute_data_collectors_spark.operators.multimodal import (
+        decode_media, fake_decode_video, frame_sample_plan)
+    t = load_tables(spark, sf_dir, ["documents"])
+    blobs = t["documents"].select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    decoded = decode_media(blobs, "blob", decode_fn=fake_decode_video)
+    return (
+        frame_sample_plan(decoded, every_ms=500)
+        .select("doc_id", F.col("meta.duration_ms").alias("duration_ms"),
+                "frame_idx", "frame_ts_ms")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+_FRAME_SAMPLE_SQL = """
+WITH vids AS (
+  SELECT doc_id, 1000 + (octet_length(encode(text)) % 10000) AS duration_ms
+  FROM documents
+)
+SELECT doc_id, duration_ms,
+  unnest(range(0, greatest(CAST(duration_ms // 500 AS BIGINT), 1))) AS frame_idx,
+  unnest(range(0, greatest(CAST(duration_ms // 500 AS BIGINT), 1))) * 500 AS frame_ts_ms
+FROM vids
+ORDER BY doc_id, frame_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # corpus preparation (chunking / packing / sampling / stats)
 # ---------------------------------------------------------------------------
@@ -598,4 +630,5 @@ REGISTRY: dict[str, tuple] = {
     "embedding_dups": (embedding_dups, _EMB_DUPS_SQL),
     "ann_lsh_topk": (ann_lsh, None),  # rows-only: approximate by construction
     "blob_meta": (blob_meta, _BLOB_SQL),
+    "frame_sample": (frame_sample, _FRAME_SAMPLE_SQL),
 }
