@@ -203,15 +203,102 @@ def _hash_series(s: pd.Series, dt: T.DataType, null_mask: np.ndarray | None = No
     return out
 
 
+# ---------------------------------------------------------------------------
+# pure-expression hash path (JVM codegen, no Python)
+#
+# Requires a session with spark.sql.ansi.enabled=false: Java's wraparound
+# + and * are then native long semantics and the whole hash runs inside
+# whole-stage codegen - measured ~0 cost on top of the scan vs ~0.4s/600k
+# rows for the Arrow-batched pandas UDF.  Under ANSI (which throws on long
+# overflow) odps_hash transparently falls back to the UDF.
+#
+# Two rejected ANSI-safe variants, for the record (both measured slower
+# than the UDF): (a) 32-bit-half overflow emulation inlined - Catalyst
+# expressions are trees, not DAGs, so 6 chained steps that reference their
+# operand 2-3x each copy subtrees exponentially (~9s planning+eval);
+# (b) the same emulation with transform(array(x), v -> ...)[0] lambda-LET
+# bindings - linear tree, but higher-order functions are interpreted and
+# the per-row array allocations cost ~3x the Arrow UDF.
+# ---------------------------------------------------------------------------
+
+
+def _sign_extend_32(l: Column) -> Column:
+    """Low 32 bits as a sign-extended long (== Java (int) cast)."""
+    return F.shiftright(F.shiftleft(l, 32), 32)
+
+
+def _mix64_expr(l: Column) -> Column:
+    """basicLongHasher as plain expressions (same steps as
+    _basic_long_hasher).  Only bit-exact under ANSI-off wraparound."""
+    l = F.bitwise_not(l) + F.shiftleft(l, 18)
+    l = l.bitwiseXOR(F.shiftright(l, 31))
+    l = l * 21
+    l = l.bitwiseXOR(F.shiftright(l, 11))
+    l = l + F.shiftleft(l, 6)
+    l = l.bitwiseXOR(F.shiftright(l, 22))
+    return _sign_extend_32(l)
+
+
+_EXPR_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+               T.BooleanType, T.DateType, T.TimestampType, T.TimestampNTZType)
+
+
+def _hash_col_expr(c: str, dt: T.DataType) -> Column:
+    """Per-column ODPS hash as a pure expression (32-bit-range long)."""
+    col = F.col(c)
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        h = _mix64_expr(col.cast("long"))
+    elif isinstance(dt, T.BooleanType):
+        h = F.when(col, F.lit(0x172BA9C7)).otherwise(F.lit(-0x3A59CB12)).cast("long")
+    elif isinstance(dt, T.DateType):
+        h = _mix64_expr(F.unix_date(col).cast("long"))
+    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        # floorDiv/floorMod with integer ops only (SQL `div` + pmod): double
+        # division would round near second boundaries for large epochs
+        name = c.replace("`", "``")
+        us = f"unix_micros(cast(`{name}` as timestamp))"
+        packed = F.expr(
+            f"shiftleft((({us}) - pmod({us}, 1000000)) div 1000000, 30)"
+            f" | (pmod({us}, 1000000) * 1000)"
+        )
+        h = _mix64_expr(packed)
+    else:  # pragma: no cover - guarded by caller
+        raise TypeError(f"odps_hash expression path: unsupported type {dt}")
+    return F.when(col.isNull(), F.lit(0).cast("long")).otherwise(h)
+
+
+def odps_hash_expr(cols: list[str], dtypes: list[T.DataType]) -> Column:
+    """Row hash of ``cols`` as a single JVM expression tree.  Only valid when
+    every dtype is in _EXPR_TYPES (odps_hash dispatches automatically)."""
+    s = _hash_col_expr(cols[0], dtypes[0])
+    for c, dt in zip(cols[1:], dtypes[1:]):
+        s = s + _hash_col_expr(c, dt)  # 32-bit-range values: sum fits long
+    s32 = _sign_extend_32(s)
+    return s32.bitwiseXOR(F.shiftright(s32, 8)).cast("int")
+
+
 def odps_hash(df: DataFrame, cols: list[str]) -> Column:
-    """Column expression: ODPS row hash of ``cols`` (int32), Arrow-batched.
+    """Column expression: ODPS row hash of ``cols`` (int32).
 
     Usage: ``df.withColumn("h", odps_hash(df, ["k1", "k2"]))``.
 
-    Integral columns are null-coalesced JVM-side and accompanied by an
-    isnull flag so the Arrow->pandas transfer keeps exact int64 (a nullable
-    int column otherwise becomes float64 and corrupts keys above 2^53)."""
+    Dispatch: when the session runs ANSI-off (our engine sessions do) and
+    every column type has an expression translation (integral/boolean/date/
+    timestamp - the overwhelmingly common bucket keys) the hash is a pure
+    JVM expression inside whole-stage codegen.  Otherwise (ANSI session,
+    or string/decimal/float/double keys) it falls back to the Arrow-batched
+    pandas UDF - same bits either way.
+
+    UDF path: integral columns are null-coalesced JVM-side and accompanied
+    by an isnull flag so the Arrow->pandas transfer keeps exact int64 (a
+    nullable int column otherwise becomes float64 and corrupts keys above
+    2^53)."""
     dtypes = [df.schema[c].dataType for c in cols]
+    ansi_off = (
+        df.sparkSession.conf.get("spark.sql.ansi.enabled", "true") == "false"
+    )
+    if ansi_off and all(isinstance(dt, _EXPR_TYPES) for dt in dtypes):
+        return odps_hash_expr(cols, dtypes)
     flagged = [
         isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
         for dt in dtypes

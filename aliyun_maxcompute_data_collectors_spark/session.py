@@ -54,6 +54,10 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # ODPS DATETIME is millis / TIMESTAMP is micros (SURVEY 1.2); Spark
         # micros covers both - see types.datetime_millis for the ms surface.
+        # Java-style wraparound arithmetic (Spark 3.x default): lets the
+        # ODPS bucket hash run as pure codegen expressions (operators/
+        # hashing.py); on an ANSI session odps_hash falls back to a UDF.
+        .config("spark.sql.ansi.enabled", "false")
         # --- adaptive execution ------------------------------------------
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -89,6 +93,10 @@ _REQUIRED_RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.adaptive.enabled": "true",
+    # Java-style wraparound arithmetic: keeps the ODPS bucket hash on the
+    # pure-codegen expression path (operators/hashing.py) and matches the
+    # semantics the engine's own sessions run with (get_spark above).
+    "spark.sql.ansi.enabled": "false",
 }
 
 

@@ -151,3 +151,62 @@ def test_column_udf_date_decimal_float(spark):
             H.hash_float(r["f"]),
         ])
         assert r["h"] == expect, (r, expect)
+
+
+def test_expr_path_matches_scalar_longs(spark):
+    """Pure-expression hash (ANSI-safe 32-bit-half emulation) must equal the
+    python reference on adversarial longs: extremes, sign flips, nulls."""
+    vals = [0, 1, -1, 21, -21, 2**31 - 1, -(2**31), 2**63 - 1, -(2**63),
+            0x123456789ABCDEF0 - 2**64 + 2**63, None]
+    vals += [random.Random(7).randrange(-2**63, 2**63) for _ in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    col = H.odps_hash(df, ["k"])
+    # the chosen plan must be expression-only (no Python eval node)
+    plan = df.withColumn("h", col)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    for r in df.withColumn("h", col).collect():
+        assert r["h"] == H.combine_hashes([H.hash_long(r["k"])]), r
+
+
+def test_expr_path_matches_scalar_mixed(spark):
+    """bool/date/timestamp/int multi-column expr combine == scalar combine."""
+    import datetime as dt
+
+    rows = [
+        (7, True, dt.date(2024, 1, 15), datetime(2024, 1, 1, 12, 0, 0, 123456)),
+        (-3, False, dt.date(1969, 5, 1), datetime(1969, 12, 31, 23, 59, 58, 500000)),
+        (None, None, None, None),
+        (2**62, True, dt.date(1, 1, 1), datetime(1, 1, 1, 0, 0, 0, 1)),
+    ]
+    df = spark.createDataFrame(rows, "k long, b boolean, d date, ts timestamp_ntz")
+    col = H.odps_hash(df, ["k", "b", "d", "ts"])
+    plan = df.withColumn("h", col)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    epoch = dt.date(1970, 1, 1)
+    for r in df.withColumn("h", col).collect():
+        expect = H.combine_hashes([
+            H.hash_long(r["k"]),
+            H.hash_boolean(r["b"]),
+            H.hash_date((r["d"] - epoch).days if r["d"] else None),
+            H.hash_timestamp(
+                None if r["ts"] is None
+                else (int(r["ts"].replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+                      if r["ts"].year > 1 else
+                      int((r["ts"].replace(tzinfo=timezone.utc)
+                           - datetime(1970, 1, 1, tzinfo=timezone.utc)).total_seconds()) * 1_000_000 + r["ts"].microsecond)
+            ),
+        ])
+        assert r["h"] == expect, (r, expect)
+
+
+def test_expr_and_udf_paths_agree(spark, monkeypatch):
+    """Same rows hashed through both dispatch paths must agree.  The UDF
+    path is forced by emptying the expr-eligible type set."""
+    df = spark.range(500).selectExpr(
+        "id", "CAST(id * 2654435761 % 1000000 AS LONG) AS k2")
+    expr_h = [r["h"] for r in
+              df.withColumn("h", H.odps_hash(df, ["id", "k2"])).orderBy("id").collect()]
+    monkeypatch.setattr(H, "_EXPR_TYPES", ())
+    udf_h = [r["h"] for r in
+             df.withColumn("h", H.odps_hash(df, ["id", "k2"])).orderBy("id").collect()]
+    assert expr_h == udf_h
