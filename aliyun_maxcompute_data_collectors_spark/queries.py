@@ -1635,7 +1635,222 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 # ---------------------------------------------------------------------------
 
 # name -> (callable, oracle_sql | None)
+def q2_min_cost_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated scalar-MIN subquery), re-expressed over
+    lineitem as the supply relation (the test schema has no partsupp):
+    cheapest supplier(s) for each selected part.
+
+    Spark-first rewrite: the correlated ``cost = (SELECT MIN(cost) ... WHERE
+    same part)`` probe becomes a per-part window MIN applied *after* the
+    selective part filter - valid because the subquery correlates on the same
+    key the filter prunes on, and scale-safe because the window partitions by
+    part key (never a global sort).  Host-engine join delegation: SURVEY 2.4
+    J3 (reference executes no joins itself)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier", "nation"])
+    part = t["part"].where(
+        F.col("p_size").between(10, 25) & (F.col("p_type") == "ECONOMY")
+    )
+    supply = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        supply.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("min_cost", F.min("cost").over(w))
+        .where(F.col("cost") == F.col("min_cost"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "s_suppkey", "s_name", "n_name", "s_acctbal", "cost")
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+_Q2_SQL = """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT p_partkey, s_suppkey, s_name, n_name, s_acctbal, cost
+FROM supply
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_size BETWEEN 10 AND 25 AND p_type = 'ECONOMY'
+  AND cost = (SELECT MIN(s2.cost) FROM supply s2 WHERE s2.l_partkey = supply.l_partkey)
+ORDER BY s_acctbal DESC, p_partkey, s_suppkey
+LIMIT 100
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value restricted to one supplier
+    region, keeping parts whose value exceeds a fraction of the global total.
+
+    Spark-first rewrite: the scalar ``(SELECT SUM(...) ...)`` threshold
+    subquery is a one-row aggregate broadcast back onto the per-part values
+    (same pattern as q15 - never a global window).  The per-part relation is
+    localCheckpointed because it feeds both the probe and the total.  The
+    threshold is scale-free (value > 1.5x the average part value, so the result
+    is non-empty at every SF) and exact: both sides stay DECIMAL and the
+    fraction is an integer cross-multiply (v*n_parts*2 > total*3), so no double
+    rounding can flip a boundary row in either engine."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_regionkey").isin(0, 1))
+        .select("s_suppkey")
+    )
+    val = (
+        t["lineitem"]
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_partkey",
+            F.round(_dec("l_extendedprice") * _dec("l_quantity"), 6)
+            .cast(_DEC).alias("v"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("v").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    total = val.agg(F.sum("v").alias("total_v"), F.count(F.lit(1)).alias("n_parts"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .where(F.col("v") * F.col("n_parts") * 2 > F.col("total_v") * 3)
+        .select("l_partkey", _money(F.col("v")).alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+_Q11_SQL = """
+WITH val AS (
+  SELECT l_partkey,
+         -- the wider cast forces DuckDB's multiply onto int128; at (18,6) x
+         -- (18,6) it stays in int64 and overflows on price*quantity
+         SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(24,6))
+                        * CAST(l_quantity AS DECIMAL(18,6)), 6)
+                  AS DECIMAL(18,6))) AS v
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_regionkey IN (0, 1)
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(ROUND(v, 2) AS DOUBLE) AS part_value
+FROM val
+WHERE CAST(v AS DECIMAL(30,6)) * (SELECT COUNT(*) FROM val) * 2
+      > (SELECT SUM(v) FROM val) * 3
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part attribute bucket,
+    excluding a supplier denylist.
+
+    Spark-first rewrite: ``NOT IN (subquery)`` becomes a broadcast left-anti
+    join (safe here: s_suppkey is never null, so NOT IN's three-valued-logic
+    trap cannot fire); the part-attribute filter side is broadcast.  The agg
+    is a COUNT(DISTINCT) - Spark plans it as a two-phase partial_count over
+    an expand, no driver involvement."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
+    part = t["part"].where(
+        (F.col("p_brand") != "Brand#13")
+        & ~F.col("p_type").startswith("PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    excluded = t["supplier"].where(F.col("s_acctbal") < 2000).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(excluded), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_excess_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than half of some widget
+    part's total 1996 volume (nested IN + correlated half-of-sum threshold).
+
+    Spark-first rewrite: the per-part total is a window SUM over the per-
+    (part,supplier) volumes (partitioned by part key - no correlated re-scan
+    of lineitem); the part filter is applied *before* the window, which
+    preserves per-part totals because the window partitions on the filtered
+    key.  The outer ``s_suppkey IN (...)`` is a broadcast left-semi join.
+    Quantity sums stay DECIMAL; the half threshold is the exact integer
+    compare sq*2 > tq in both engines."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier", "nation"])
+    widget = t["part"].where(F.col("p_name").like("%widget%")).select("p_partkey")
+    vol = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01"))
+        )
+        .join(F.broadcast(widget), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sq"))
+    )
+    dominant = (
+        vol.withColumn("tq", F.sum("sq").over(Window.partitionBy("l_partkey")))
+        .where(F.col("sq") * 2 > F.col("tq"))
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q20_SQL = """
+WITH vol AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sq
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+tot AS (SELECT l_partkey AS t_pk, SUM(sq) AS tq FROM vol GROUP BY l_partkey)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE s_suppkey IN (
+  SELECT v.l_suppkey
+  FROM vol v
+  JOIN tot ON v.l_partkey = tot.t_pk
+  JOIN part ON p_partkey = v.l_partkey
+  WHERE p_name LIKE '%widget%' AND v.sq * 2 > tot.tq
+)
+ORDER BY s_suppkey
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "q2_min_cost_supply": (q2_min_cost_supply, _Q2_SQL),
+    "q11_important_parts": (q11_important_parts, _Q11_SQL),
+    "q16_supplier_count": (q16_supplier_count, _Q16_SQL),
+    "q20_excess_volume": (q20_excess_volume, _Q20_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, _Q3_SQL),
     "q5_region_revenue": (q5_region_revenue, _Q5_SQL),

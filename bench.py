@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "q17_small_quantity",
     "q18_large_orders",
     "q19_discounted_parts",
+    "q2_min_cost_supply",
+    "q20_excess_volume",
     "count_star",
     "scan_filter_project",
     "topk_orders",
