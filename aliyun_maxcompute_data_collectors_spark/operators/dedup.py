@@ -152,6 +152,39 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """(id, n_contaminated_ngrams) for corpus docs sharing at least one word
+    n-gram with any benchmark document - the standard eval-set leakage check
+    run before training-data release.
+
+    Scale shape: the benchmark side (eval sets: 10^3-10^5 docs) collapses to
+    a DISTINCT n-gram set and is broadcast, so the corpus side - the 100 TB
+    side - streams through a map-side semi join with no shuffle of corpus
+    text.  The corpus's exploded shingles shuffle only for the final per-doc
+    count (narrow (id, shingle) rows).  Anti-join the result against the
+    corpus to drop flagged docs."""
+    bench_grams = (
+        benchmark.select(F.explode(word_shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+    return (
+        shingle_table(corpus, id_col, text_col, n)
+        .join(F.broadcast(bench_grams), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

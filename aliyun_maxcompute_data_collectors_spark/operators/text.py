@@ -93,6 +93,100 @@ def quality_score(col: Column | str) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# repetition metrics (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+def _norm_tokens(col: Column | str) -> Column:
+    return F.split(normalized(col), " ")
+
+
+def dup_token_ratio(col: Column | str) -> Column:
+    """Fraction of tokens that are repeats of an earlier token:
+    (n - n_distinct) / n.  High values mark degenerate, loop-generated, or
+    boilerplate text (the Gopher rules cut at ~0.3-0.6 depending on unit)."""
+    toks = _norm_tokens(col)
+    n = F.size(toks)
+    return F.when(
+        n > 0, F.round((n - F.size(F.array_distinct(toks))).cast("double") / n, 4)
+    ).otherwise(F.lit(0.0))
+
+
+def dup_bigram_ratio(col: Column | str) -> Column:
+    """Same ratio over adjacent-token bigrams - catches phrase-level loops
+    that unigram dedup misses."""
+    toks = _norm_tokens(col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    ng = F.size(grams)
+    return F.when(
+        n > 1, F.round((ng - F.size(F.array_distinct(grams))).cast("double") / ng, 4)
+    ).otherwise(F.lit(0.0))
+
+
+def top_token_ratio(col: Column | str) -> Column:
+    """Frequency share of the single most common token.  O(n x n_distinct)
+    interpreted array work per document - fine for documents (n ~ 10^2-10^4);
+    for book-length inputs chunk first (corpus.chunk_documents)."""
+    toks = _norm_tokens(col)
+    n = F.size(toks)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    return F.when(n > 0, F.round(top.cast("double") / n, 4)).otherwise(F.lit(0.0))
+
+
+def repetition_ok(
+    col: Column | str,
+    max_dup_token: float = 0.4,
+    max_dup_bigram: float = 0.2,
+    max_top_token: float = 0.2,
+) -> Column:
+    """1 when every repetition signal is under its cut (Gopher-style gate)."""
+    return (
+        F.when(
+            (dup_token_ratio(col) <= max_dup_token)
+            & (dup_bigram_ratio(col) <= max_dup_bigram)
+            & (top_token_ratio(col) <= max_top_token),
+            1,
+        ).otherwise(0)
+    ).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# (label, pattern) - RE2-safe (no lookaround) so DuckDB mirrors them exactly
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("EMAIL", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    ("PHONE", r"\+[0-9][0-9 \-]{7,}[0-9]"),
+    ("NUMID", r"[0-9]{9,}"),
+]
+
+
+def pii_count(col: Column | str, label: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    pattern = dict(PII_PATTERNS)[label]
+    return F.regexp_count(c, F.lit(pattern))
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with its [LABEL] marker.  Patterns apply in
+    list order (EMAIL before NUMID, so an email's digits never half-match);
+    pure regexp_replace - JVM codegen, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    for label, pattern in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, f"[{label}]")
+    return c
+
+
+# ---------------------------------------------------------------------------
 # language identification (n-gram / marker-word heuristic)
 # ---------------------------------------------------------------------------
 

@@ -607,7 +607,147 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# decontamination / repetition / PII
+# ---------------------------------------------------------------------------
+
+_DECONTAM_N = 4  # word n-gram width; real pipelines use 8-13, the synthetic
+                 # corpus's tiny vocabulary needs 4 for a non-trivial hit rate
+
+
+def decontam_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set leakage: docs sharing a word n-gram with the benchmark slice
+    (a deterministic doc_id % 53 == 7 subset standing in for an eval set)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    bench = docs.where(F.col("doc_id") % 53 == 7)
+    probe = docs.where(F.col("doc_id") % 53 != 7)
+    return (
+        D.decontaminate(probe, bench, "doc_id", "text", n=_DECONTAM_N)
+        .orderBy("doc_id")
+    )
+
+
+_DECONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= {_DECONTAM_N}
+    THEN list_distinct(list_transform(range(1, len(w)-{_DECONTAM_N}+2),
+                                      i -> array_to_string(w[i:i+{_DECONTAM_N - 1}], ' ')))
+    ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM toks),
+bench AS (SELECT DISTINCT shingle FROM grams WHERE doc_id % 53 = 7)
+SELECT g.doc_id, COUNT(*) AS n_contaminated_ngrams
+FROM grams g JOIN bench b ON g.shingle = b.shingle
+WHERE g.doc_id % 53 <> 7
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate per document."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    c = F.col("text")
+    return (
+        ensure_parallelism(t["documents"])  # O(n*distinct) array work per row
+        .select(
+            "doc_id",
+            X.dup_token_ratio(c).alias("dup_token_ratio"),
+            X.dup_bigram_ratio(c).alias("dup_bigram_ratio"),
+            X.top_token_ratio(c).alias("top_token_ratio"),
+            X.repetition_ok(c).alias("repetition_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_W = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+_DUP_TOK = (f"(CASE WHEN len({_W}) > 0 THEN ROUND(CAST(len({_W}) - "
+            f"len(list_distinct({_W})) AS DOUBLE) / len({_W}), 4) ELSE 0.0 END)")
+_BIGRAMS = f"list_transform(range(1, len({_W})), i -> {_W}[i] || ' ' || {_W}[i+1])"
+_DUP_BI = (f"(CASE WHEN len({_W}) > 1 THEN ROUND(CAST(len({_BIGRAMS}) - "
+           f"len(list_distinct({_BIGRAMS})) AS DOUBLE) / len({_BIGRAMS}), 4) ELSE 0.0 END)")
+_TOP_TOK = (f"(CASE WHEN len({_W}) > 0 THEN ROUND(CAST(list_max(list_transform("
+            f"list_distinct({_W}), t -> len(list_filter({_W}, x -> x = t)))) "
+            f"AS DOUBLE) / len({_W}), 4) ELSE 0.0 END)")
+_REPETITION_SQL = f"""
+SELECT doc_id,
+  {_DUP_TOK} AS dup_token_ratio,
+  {_DUP_BI} AS dup_bigram_ratio,
+  {_TOP_TOK} AS top_token_ratio,
+  (CASE WHEN {_DUP_TOK} <= 0.4 AND {_DUP_BI} <= 0.2 AND {_TOP_TOK} <= 0.2
+        THEN 1 ELSE 0 END) AS repetition_ok
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII counting + redaction.  The synthetic corpus carries no PII, so a
+    deterministic injector appends an email / phone / long-numeric-id to a
+    doc_id-keyed subset first; counts and the redacted text are then computed
+    by the real operator (pure regexp_replace, both engines)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    did = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" contact user"), did, F.lit("@example.com now")))
+        .when(F.col("doc_id") % 11 == 3, F.lit(" call +1 555 123 4567"))
+        .when(F.col("doc_id") % 13 == 5,
+              F.concat(F.lit(" id 99912"),
+                       F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(F.lit("")),
+    )
+    staged = ensure_parallelism(t["documents"]).select("doc_id", injected.alias("txt"))
+    return (
+        staged.select(
+            "doc_id",
+            X.pii_count(F.col("txt"), "EMAIL").alias("n_email"),
+            X.pii_count(F.col("txt"), "PHONE").alias("n_phone"),
+            X.pii_count(F.col("txt"), "NUMID").alias("n_numid"),
+            F.substring(X.redact_pii(F.col("txt")), 1, 120).alias("redacted_head"),
+        )
+        .where((F.col("n_email") + F.col("n_phone") + F.col("n_numid")) > 0)
+        .orderBy("doc_id")
+    )
+
+
+def _pii_sql() -> str:
+    pats = dict(X.PII_PATTERNS)
+    injected = ("text || CASE"
+                " WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'"
+                " WHEN doc_id % 11 = 3 THEN ' call +1 555 123 4567'"
+                " WHEN doc_id % 13 = 5 THEN ' id 99912' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+                " ELSE '' END")
+    email, phone, numid = pats["EMAIL"], pats["PHONE"], pats["NUMID"]
+    redacted = (f"regexp_replace(regexp_replace(regexp_replace(txt, "
+                f"'{email}', '[EMAIL]', 'g'), "
+                f"'{phone}', '[PHONE]', 'g'), "
+                f"'{numid}', '[NUMID]', 'g')")
+    return f"""
+WITH staged AS (SELECT doc_id, {injected} AS txt FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(txt, '{email}')) AS n_email,
+  len(regexp_extract_all(txt, '{phone}')) AS n_phone,
+  len(regexp_extract_all(txt, '{numid}')) AS n_numid,
+  substring({redacted}, 1, 120) AS redacted_head
+FROM staged
+WHERE len(regexp_extract_all(txt, '{email}'))
+    + len(regexp_extract_all(txt, '{phone}'))
+    + len(regexp_extract_all(txt, '{numid}')) > 0
+ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "decontaminate": (decontam_check, _DECONTAM_SQL),
+    "repetition_profile": (repetition_profile, _REPETITION_SQL),
+    "pii_redact": (pii_redact, _pii_sql()),
     "det_sample": (det_sample, _DET_SAMPLE_SQL),
     "stratified_sample": (strat_sample, _STRAT_SQL),
     "chunk_documents": (chunk_docs, _CHUNK_SQL),

@@ -324,3 +324,65 @@ def test_rolling_window_fingerprints_shared_span(spark):
     short = spark.createDataFrame([(9, "tiny doc")], "id int, text string")
     assert len(short.select(X.rolling_window_fingerprints("text", 8).alias("w"))
                .collect()[0]["w"]) == 1
+
+
+def test_repetition_metrics_crafted(spark):
+    from aliyun_maxcompute_data_collectors_spark.operators import text as X
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"),              # all unique
+         (2, "spam spam spam spam"),          # degenerate loop
+         (3, "go go go stop stop north"),     # partial repeats
+         (4, "x")],                           # single token
+        "id int, text string")
+    out = {r["id"]: r for r in df.select(
+        "id",
+        X.dup_token_ratio("text").alias("dt"),
+        X.dup_bigram_ratio("text").alias("db"),
+        X.top_token_ratio("text").alias("tt"),
+        X.repetition_ok("text").alias("ok"),
+    ).collect()}
+    assert out[1]["dt"] == 0.0 and out[1]["db"] == 0.0 and out[1]["tt"] == 0.125
+    assert out[1]["ok"] == 1
+    assert out[2]["dt"] == 0.75          # 4 tokens, 1 distinct
+    assert out[2]["db"] == round(2 / 3, 4)  # 3 bigrams, 1 distinct
+    assert out[2]["tt"] == 1.0 and out[2]["ok"] == 0
+    assert out[3]["dt"] == 0.5           # 6 tokens, 3 distinct
+    assert out[3]["tt"] == 0.5           # 'go' 3/6
+    assert out[4]["dt"] == 0.0 and out[4]["db"] == 0.0 and out[4]["tt"] == 1.0
+
+
+def test_redact_pii_and_counts(spark):
+    from aliyun_maxcompute_data_collectors_spark.operators import text as X
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org or call +44 20 7946 0958 ref 123456789012"),
+         (2, "clean text, no identifiers here")],
+        "id int, text string")
+    out = {r["id"]: r for r in df.select(
+        "id",
+        X.pii_count("text", "EMAIL").alias("ne"),
+        X.pii_count("text", "PHONE").alias("np"),
+        X.pii_count("text", "NUMID").alias("nn"),
+        X.redact_pii("text").alias("red"),
+    ).collect()}
+    assert (out[1]["ne"], out[1]["np"], out[1]["nn"]) == (1, 1, 1)
+    assert out[1]["red"] == "mail [EMAIL] or call [PHONE] ref [NUMID]"
+    assert (out[2]["ne"], out[2]["np"], out[2]["nn"]) == (0, 0, 0)
+    assert out[2]["red"] == "clean text, no identifiers here"
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    from aliyun_maxcompute_data_collectors_spark.operators import dedup as D
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "intro text then the quick brown fox jumps away"),   # shares 4-grams
+         (2, "completely different words with zero overlap at all"),
+         (3, "quick brown fox jumps over the lazy dog indeed")],  # shares many
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n_contaminated_ngrams"] for r in
+           D.decontaminate(corpus, bench, "doc_id", "text", n=4).collect()}
+    assert 2 not in got
+    # doc 1: spans 'the quick brown fox' + 'quick brown fox jumps' = 2
+    assert got[1] == 2
+    assert got[3] >= 5
