@@ -37,6 +37,46 @@ _INSERT = re.compile(
     r"(?:PARTITION\s*\(([^)]*)\)\s*)?(SELECT\b.*|VALUES\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+# MERGE INTO tgt [AS a] USING (subquery)|src [AS b] ON cond WHEN ...
+_MERGE = re.compile(
+    r"^\s*MERGE\s+INTO\s+([A-Za-z_][\w.]*)"
+    r"(?:\s+(?:AS\s+)?(?!USING\b)([A-Za-z_]\w*))?"
+    r"\s+USING\s+(\((?:[^()]|\([^()]*\))*\)|[A-Za-z_][\w.]*)"
+    r"(?:\s+(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*))?"
+    r"\s+ON\s+(.+?)\s*(WHEN\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN = re.compile(
+    r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
+    r"(UPDATE\s+SET\s+.+?|DELETE|INSERT\s+.+?)\s*(?=WHEN\s+(?:NOT\s+)?MATCHED|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_BODY = re.compile(
+    r"INSERT\s*(?:\*|\(([^)]*)\)\s*VALUES\s*\((.*)\))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on top-level commas (parens/quotes respected)."""
+    out, depth, start, quote = [], 0, 0, None
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i].strip())
+            start = i + 1
+    tail = s[start:].strip()
+    if tail:
+        out.append(tail)
+    return out
 
 
 class Engine:
@@ -74,6 +114,9 @@ class Engine:
         ins = _INSERT.match(query)
         if ins:
             return self._run_insert(*ins.groups())
+        mrg = _MERGE.match(query)
+        if mrg:
+            return self._run_merge(*mrg.groups())
         query, qualified = self._resolve_qualified(query)
         known = set(self.catalog.list_tables())
         referenced = [t for t in set(_IDENT.findall(query)) if t in known]
@@ -117,6 +160,61 @@ class Engine:
             df = df.toDF(*expected)
         self.catalog.insert(name, df, overwrite=mode.upper() == "OVERWRITE",
                             static_partition=static or None)
+        from pyspark.sql import types as _T
+        return self.spark.createDataFrame([], _T.StructType([]))
+
+    def _run_merge(self, name: str, talias: str | None, src: str,
+                   salias: str | None, on: str, whens: str):
+        """``MERGE INTO tgt USING src ON cond WHEN [NOT] MATCHED ...`` — the
+        statement the reference's Sqoop merge (J2) and OGG CDC apply (ST4)
+        both reduce to.  Executes operators.merge.merge_into, then persists
+        read-merge-overwrite: the merged snapshot is localCheckpointed (so
+        the write never re-reads the files it replaces), the target truncated
+        and rewritten.  Non-transactional on plain parquet - a lakehouse
+        format would commit atomically (ROADMAP)."""
+        from aliyun_maxcompute_data_collectors_spark.operators.merge import merge_into
+        talias, salias = talias or "t", salias or "s"
+        src = src.strip()
+        source = self.sql(src[1:-1] if src.startswith("(") else f"SELECT * FROM {src}")
+        matched: list[tuple[str | None, str | dict]] = []
+        not_matched: tuple[str | None, str | dict] | None = None
+        for is_not, cond, action in _WHEN.findall(whens):
+            cond = cond.strip() or None
+            a = action.strip()
+            up = a.upper()
+            if is_not:
+                if not_matched is not None:
+                    raise ValueError("MERGE: multiple WHEN NOT MATCHED clauses")
+                body = _INSERT_BODY.match(a)
+                if not body:
+                    raise ValueError(f"MERGE: unsupported NOT MATCHED action {a!r}")
+                if body.group(1) is None:
+                    not_matched = (cond, "*")
+                else:
+                    cols = [c.strip().strip("`") for c in body.group(1).split(",")]
+                    vals = _split_top(body.group(2))
+                    if len(cols) != len(vals):
+                        raise ValueError("MERGE INSERT: column/value arity mismatch")
+                    not_matched = (cond, dict(zip(cols, vals)))
+            elif up == "DELETE":
+                matched.append((cond, "delete"))
+            elif up.startswith("UPDATE"):
+                sets = {}
+                for item in _split_top(re.sub(r"^UPDATE\s+SET\s+", "", a,
+                                              flags=re.IGNORECASE)):
+                    k, v = item.split("=", 1)
+                    k = k.strip().strip("`")
+                    k = k.split(".", 1)[1].strip("`") if "." in k else k
+                    sets[k] = v.strip()
+                matched.append((cond, sets))
+            else:
+                raise ValueError(f"MERGE: unsupported MATCHED action {a!r}")
+        target = self.catalog.read_table(name)
+        merged = merge_into(target, source, on, matched, not_matched,
+                            target_alias=talias, source_alias=salias)
+        merged = merged.localCheckpoint(eager=True)
+        self.catalog.truncate_table(name)
+        self.catalog.insert(name, merged)
         from pyspark.sql import types as _T
         return self.spark.createDataFrame([], _T.StructType([]))
 

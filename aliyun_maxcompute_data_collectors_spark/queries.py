@@ -1846,7 +1846,69 @@ ORDER BY s_suppkey
 """
 
 
+def merge_into_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI MERGE INTO (operators/merge.merge_into): per-customer order
+    totals merged onto the customer snapshot - conditional DELETE, UPDATE,
+    and INSERT branches in one statement.  A doc_id-shifted slice of the
+    source creates unmatched keys so the INSERT branch is exercised.  The
+    oracle writes the equivalent FULL OUTER JOIN + CASE form (DuckDB has no
+    MERGE).  Balance update is a bare double addition (amt is already the
+    rounded-decimal double) - no re-rounding, so both engines add the same
+    IEEE doubles."""
+    from aliyun_maxcompute_data_collectors_spark.operators.merge import merge_into
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    delta = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(_money(F.sum(_dec("o_totalprice"))).alias("amt"),
+             F.count(F.lit(1)).alias("n"))
+    )
+    src = delta.withColumn(
+        "k", F.when(F.col("k") % 97 == 0, F.col("k") + 9000000).otherwise(F.col("k"))
+    )
+    merged = merge_into(
+        t["customer"].select("c_custkey", "c_name", "c_acctbal"),
+        src,
+        "t.c_custkey = s.k",
+        matched=[("s.n % 5 = 0", "delete"),
+                 (None, {"c_acctbal": "t.c_acctbal + s.amt"})],
+        not_matched=(None, {"c_custkey": "s.k",
+                            "c_name": "concat('new_', cast(s.k as string))",
+                            "c_acctbal": "s.amt"}),
+        # keys are unique by construction (groupBy output); skip the check's
+        # extra aggregation in the benched path
+        validate_cardinality=False,
+    )
+    return merged.orderBy("c_custkey")
+
+
+_MERGE_INTO_SQL = """
+WITH delta0 AS (
+  SELECT o_custkey AS k,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS amt,
+         COUNT(*) AS n
+  FROM orders GROUP BY o_custkey),
+src AS (SELECT CASE WHEN k % 97 = 0 THEN k + 9000000 ELSE k END AS k, amt, n
+        FROM delta0),
+m AS (
+  SELECT c.c_custkey AS ck, c.c_name, c.c_acctbal, s.k AS sk, s.amt, s.n
+  FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.k)
+SELECT
+  CASE WHEN ck IS NOT NULL THEN ck ELSE sk END AS c_custkey,
+  CASE WHEN ck IS NOT NULL AND sk IS NOT NULL AND n % 5 <> 0 THEN c_name
+       WHEN ck IS NOT NULL AND sk IS NULL THEN c_name
+       ELSE 'new_' || CAST(sk AS VARCHAR) END AS c_name,
+  CASE WHEN ck IS NOT NULL AND sk IS NOT NULL AND n % 5 <> 0 THEN c_acctbal + amt
+       WHEN ck IS NOT NULL AND sk IS NULL THEN c_acctbal
+       ELSE amt END AS c_acctbal
+FROM m
+WHERE NOT (ck IS NOT NULL AND sk IS NOT NULL AND n % 5 = 0)
+ORDER BY c_custkey
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "merge_into_apply": (merge_into_apply, _MERGE_INTO_SQL),
     "q2_min_cost_supply": (q2_min_cost_supply, _Q2_SQL),
     "q11_important_parts": (q11_important_parts, _Q11_SQL),
     "q16_supplier_count": (q16_supplier_count, _Q16_SQL),

@@ -352,3 +352,76 @@ def test_engine_sql_ddl_statements(spark, tmp_path):
     eng.sql("DROP VIEW v_sales")
     eng.sql("DROP TABLE IF EXISTS sales2")
     assert eng.sql("SHOW TABLES").count() == 0
+
+
+def test_merge_into_operator_semantics(spark):
+    """ANSI MERGE semantics: clause order, conditions, delete, insert,
+    cardinality validation."""
+    import pytest
+    from aliyun_maxcompute_data_collectors_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, name string, v double")
+    source = spark.createDataFrame(
+        [(1, 11.0, "upd"), (2, -1.0, "del"), (5, 55.0, "new"), (6, -6.0, "neg")],
+        "k long, nv double, tag string")
+
+    out = merge_into(
+        target, source, "t.k = s.k",
+        matched=[("s.tag = 'del'", "delete"),
+                 (None, {"v": "s.nv", "name": "concat(t.name, '!')"})],
+        not_matched=("s.nv > 0", {"k": "s.k", "name": "s.tag", "v": "s.nv"}),
+    )
+    got = {r["k"]: (r["name"], r["v"]) for r in out.collect()}
+    assert got == {1: ("a!", 11.0),      # second clause updated
+                   3: ("c", 30.0), 4: ("d", 40.0),   # untouched kept
+                   5: ("new", 55.0)}     # conditional insert; k=2 deleted, k=6 filtered
+
+    # clause ORDER matters: unconditional update first shadows the delete
+    out2 = merge_into(
+        target, source, "t.k = s.k",
+        matched=[(None, {"v": "s.nv"}), ("s.tag = 'del'", "delete")],
+    )
+    assert {r["k"] for r in out2.collect()} == {1, 2, 3, 4}
+
+    # INSERT * requires name-compatible source
+    src_star = spark.createDataFrame([(7, "g", 70.0)], "k long, name string, v double")
+    out3 = merge_into(target, src_star, "t.k = s.k", not_matched=(None, "*"))
+    assert (7, "g", 70.0) in [(r["k"], r["name"], r["v"]) for r in out3.collect()]
+
+    # cardinality violation raises
+    dup_src = spark.createDataFrame([(1, 1.0, "x"), (1, 2.0, "y")],
+                                    "k long, nv double, tag string")
+    with pytest.raises(ValueError, match="cardinality"):
+        merge_into(target, dup_src, "t.k = s.k",
+                   matched=[(None, {"v": "s.nv"})]).collect()
+
+
+def test_engine_sql_merge_statement(spark, tmp_path):
+    """MERGE INTO through Engine.sql — J2/ST4's one-statement form."""
+    from aliyun_maxcompute_data_collectors_spark.engine import Engine
+    eng = Engine(str(tmp_path / "wh"), spark=spark)
+    eng.catalog.create_table("acct", [("k", "BIGINT"), ("bal", "DOUBLE")])
+    eng.sql("INSERT INTO acct VALUES (1, 100.0), (2, 200.0), (3, 300.0)")
+    eng.catalog.create_table("delta", [("k", "BIGINT"), ("amt", "DOUBLE"),
+                                       ("op", "STRING")])
+    eng.sql("INSERT INTO delta VALUES (1, 5.0, 'U'), (3, 0.0, 'D'), (9, 9.0, 'I')")
+
+    eng.sql("""
+        MERGE INTO acct t USING delta s ON t.k = s.k
+        WHEN MATCHED AND s.op = 'D' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET bal = t.bal + s.amt
+        WHEN NOT MATCHED THEN INSERT (k, bal) VALUES (s.k, s.amt)
+    """)
+    got = {r["k"]: r["bal"] for r in eng.sql("SELECT * FROM acct").collect()}
+    assert got == {1: 105.0, 2: 200.0, 9: 9.0}
+
+    # subquery source + INSERT *
+    eng.sql("""
+        MERGE INTO acct USING (SELECT 2 AS k, 999.0 AS bal) s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET bal = s.bal
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = {r["k"]: r["bal"] for r in eng.sql("SELECT * FROM acct").collect()}
+    assert got[2] == 999.0 and len(got) == 3
