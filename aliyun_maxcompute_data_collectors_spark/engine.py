@@ -55,6 +55,16 @@ _INSERT_BODY = re.compile(
     r"INSERT\s*(?:\*|\(([^)]*)\)\s*VALUES\s*\((.*)\))\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# UPDATE name SET a = expr, ... [WHERE cond]
+_UPDATE = re.compile(
+    r"^\s*UPDATE\s+([A-Za-z_][\w.]*)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# DELETE FROM name [WHERE cond]
+_DELETE = re.compile(
+    r"^\s*DELETE\s+FROM\s+([A-Za-z_][\w.]*)(?:\s+WHERE\s+(.+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _split_top(s: str) -> list[str]:
@@ -117,6 +127,12 @@ class Engine:
         mrg = _MERGE.match(query)
         if mrg:
             return self._run_merge(*mrg.groups())
+        upd = _UPDATE.match(query)
+        if upd:
+            return self._run_update(*upd.groups())
+        dele = _DELETE.match(query)
+        if dele:
+            return self._run_delete(*dele.groups())
         query, qualified = self._resolve_qualified(query)
         known = set(self.catalog.list_tables())
         referenced = [t for t in set(_IDENT.findall(query)) if t in known]
@@ -212,11 +228,51 @@ class Engine:
         target = self.catalog.read_table(name)
         merged = merge_into(target, source, on, matched, not_matched,
                             target_alias=talias, source_alias=salias)
-        merged = merged.localCheckpoint(eager=True)
+        return self._overwrite_snapshot(name, merged)
+
+    def _overwrite_snapshot(self, name: str, df):
+        """Persist a new full-table snapshot (read-modify-overwrite): the
+        frame is localCheckpointed so the write never re-reads the files it
+        replaces, then the table is truncated and rewritten.  Used by
+        UPDATE/DELETE/MERGE; non-transactional on plain parquet."""
+        df = df.localCheckpoint(eager=True)
         self.catalog.truncate_table(name)
-        self.catalog.insert(name, merged)
+        self.catalog.insert(name, df)
         from pyspark.sql import types as _T
         return self.spark.createDataFrame([], _T.StructType([]))
+
+    def _run_update(self, name: str, sets: str, where: str | None):
+        """``UPDATE t SET col = expr, ... [WHERE cond]`` — DML the reference
+        explicitly lacks (ALTER-family restrictions,
+        OdpsTableCatalog.scala:164-166); expressible natively here."""
+        from pyspark.sql import functions as F
+        target = self.catalog.read_table(name)
+        cond = F.expr(where) if where else F.lit(True)
+        assigns: dict[str, str] = {}
+        for item in _split_top(sets):
+            k, v = item.split("=", 1)
+            assigns[k.strip().strip("`")] = v.strip()
+        unknown = [k for k in assigns if k not in target.columns]
+        if unknown:
+            raise ValueError(f"UPDATE {name}: unknown columns {unknown}")
+        out = target.select(*[
+            (F.when(cond, F.expr(assigns[c])).otherwise(F.col(c)).alias(c)
+             if c in assigns else F.col(c))
+            for c in target.columns
+        ])
+        return self._overwrite_snapshot(name, out)
+
+    def _run_delete(self, name: str, where: str | None):
+        """``DELETE FROM t [WHERE cond]`` — rows where cond is TRUE are
+        removed; NULL-cond rows stay (ANSI three-valued logic)."""
+        from pyspark.sql import functions as F
+        target = self.catalog.read_table(name)
+        if where is None:
+            self.catalog.truncate_table(name)
+            from pyspark.sql import types as _T
+            return self.spark.createDataFrame([], _T.StructType([]))
+        keep = target.where(~F.coalesce(F.expr(where), F.lit(False)))
+        return self._overwrite_snapshot(name, keep)
 
     def _resolve_qualified(self, query: str) -> tuple[str, list[str]]:
         """Rewrite ``project.schema.table`` / ``schema.table`` references to

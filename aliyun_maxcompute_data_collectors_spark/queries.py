@@ -1907,8 +1907,102 @@ ORDER BY c_custkey
 """
 
 
+def complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODPS complex types (SURVEY 1.2: ARRAY/MAP/STRUCT): per-order arrays,
+    maps, and structs built and consumed with built-in collection functions
+    (array_max/distinct/slice/aggregate-fold, element_at on a map, struct
+    field access).  Outputs only scalars and arrays - engine-portable; the
+    double-sum fold runs over the SORTED array so both engines add in the
+    same IEEE order.  Map/struct construction has no DuckDB value-level
+    mirror, so the oracle derives the same scalars arithmetically."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = t["lineitem"].where(F.col("l_orderkey") % 100 == 1)
+    per = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.col("l_quantity"))).alias("qtys"),
+        F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+    )
+    m = F.create_map(F.lit("n"), F.size("qtys").cast("long"),
+                     F.lit("o"), F.col("l_orderkey"))
+    st = F.struct(F.col("l_orderkey").alias("o"), F.size("qtys").alias("n"))
+    return (
+        per.select(
+            "l_orderkey",
+            F.size("qtys").alias("n_items"),
+            F.array_max("qtys").alias("max_qty"),
+            F.round(F.aggregate("qtys", F.lit(0.0), lambda a, x: a + x), 4)
+            .alias("sum_qty"),
+            F.size(F.array_distinct("qtys")).alias("n_uniq_qty"),
+            F.slice(F.reverse(F.sort_array("qtys")), 1, 3).alias("top3_qty"),
+            F.array_join("flags", ",").alias("flag_set"),
+            F.element_at(m, F.lit("n")).alias("map_n"),
+            st.getField("n").alias("struct_n"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+_COMPLEX_SQL = """
+WITH per AS (
+  SELECT l_orderkey,
+         list_sort(list(l_quantity)) AS qtys,
+         list_sort(list_distinct(list(l_returnflag))) AS flags
+  FROM lineitem WHERE l_orderkey % 100 = 1 GROUP BY l_orderkey)
+SELECT l_orderkey,
+  len(qtys) AS n_items,
+  list_max(qtys) AS max_qty,
+  ROUND(list_reduce(list_prepend(0.0, qtys), (a, x) -> a + x), 4) AS sum_qty,
+  len(list_distinct(qtys)) AS n_uniq_qty,
+  list_reverse_sort(qtys)[1:3] AS top3_qty,
+  array_to_string(flags, ',') AS flag_set,
+  len(qtys) AS map_n,
+  len(qtys) AS struct_n
+FROM per ORDER BY l_orderkey
+"""
+
+
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window completeness (dialect WF surface beyond lag/lead/
+    cumulative): row_number / rank / dense_rank / ntile / percent_rank /
+    cume_dist over one partitioned, uniquely-ordered window.  The unique
+    (price desc, orderkey) ordering makes every function deterministic."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+    ranked = t["orders"].select(
+        "o_orderpriority", "o_orderkey", "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+    return ranked.where(F.col("rn") <= 10).orderBy("o_orderpriority", "rn")
+
+
+_RANK_SQL = """
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER w AS rn,
+    RANK() OVER w AS rnk,
+    DENSE_RANK() OVER w AS drnk,
+    NTILE(4) OVER w AS quartile,
+    ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+    ROUND(CUME_DIST() OVER w, 6) AS cum_dist
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC))
+WHERE rn <= 10
+ORDER BY o_orderpriority, rn
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "merge_into_apply": (merge_into_apply, _MERGE_INTO_SQL),
+    "complex_types": (complex_types, _COMPLEX_SQL),
+    "window_rank_suite": (window_rank_suite, _RANK_SQL),
     "q2_min_cost_supply": (q2_min_cost_supply, _Q2_SQL),
     "q11_important_parts": (q11_important_parts, _Q11_SQL),
     "q16_supplier_count": (q16_supplier_count, _Q16_SQL),

@@ -425,3 +425,24 @@ def test_engine_sql_merge_statement(spark, tmp_path):
     """)
     got = {r["k"]: r["bal"] for r in eng.sql("SELECT * FROM acct").collect()}
     assert got[2] == 999.0 and len(got) == 3
+
+
+def test_engine_sql_update_delete_statements(spark, tmp_path):
+    """UPDATE / DELETE DML through Engine.sql (beyond the reference, which
+    cannot mutate rows at all - OdpsTableCatalog.scala:164-166)."""
+    from aliyun_maxcompute_data_collectors_spark.engine import Engine
+    eng = Engine(str(tmp_path / "wh"), spark=spark)
+    eng.catalog.create_table("inv", [("k", "BIGINT"), ("qty", "BIGINT"),
+                                     ("note", "STRING")])
+    eng.sql("INSERT INTO inv VALUES (1, 10, 'a'), (2, 20, 'b'), (3, 30, NULL)")
+
+    eng.sql("UPDATE inv SET qty = qty * 2, note = upper(note) WHERE k <= 2")
+    got = {r["k"]: (r["qty"], r["note"]) for r in eng.sql("SELECT * FROM inv").collect()}
+    assert got == {1: (20, "A"), 2: (40, "B"), 3: (30, None)}
+
+    # NULL-valued WHERE leaves the row in place (three-valued logic)
+    eng.sql("DELETE FROM inv WHERE note = 'A'")
+    assert {r["k"] for r in eng.sql("SELECT k FROM inv").collect()} == {2, 3}
+
+    eng.sql("DELETE FROM inv")
+    assert eng.sql("SELECT * FROM inv").count() == 0
