@@ -2069,7 +2069,19 @@ def register_llm_ops():
     REGISTRY.update(queries_llm.REGISTRY)
 
 
+def register_ext_ops():
+    """Extend REGISTRY with the reshaping / extended-aggregate / profiling
+    surface (queries_ext.py), same lazy-import convention as the LLM ops."""
+    from aliyun_maxcompute_data_collectors_spark import queries_ext
+    REGISTRY.update(queries_ext.REGISTRY)
+
+
 try:
     register_llm_ops()
+except ImportError:
+    pass
+
+try:
+    register_ext_ops()
 except ImportError:
     pass

@@ -1,0 +1,345 @@
+"""Extended query-surface registry: reshaping (PIVOT/UNPIVOT), extended
+aggregates (max_by/count_if/bool/bitwise), interval arithmetic, histogram
+bucketing, table profiling, and declarative constraint checks.
+
+Same determinism conventions as :mod:`queries` (decimal-exact sums rounded to
+double, dates not double-formatted strings, unique ORDER BY tiebreaks).
+Registered into the driver registry by ``queries.register_ext_ops``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aliyun_maxcompute_data_collectors_spark.session import load_tables
+from aliyun_maxcompute_data_collectors_spark.operators.profile import check_constraints, profile
+
+_DEC = "decimal(18,6)"
+
+
+def _dec(c) -> F.Column:
+    return (F.col(c) if isinstance(c, str) else c).cast(_DEC)
+
+
+def _money(col, scale: int = 2) -> F.Column:
+    return F.round(col, scale).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# PIVOT / UNPIVOT (reshaping surface; Metabase-style cross-tab SQL gen)
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PIVOT_ALIASES = ["urgent", "high", "medium", "notspec", "low"]
+
+
+def pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab: revenue by order-year x priority via ``groupBy().pivot()``
+    with an explicit value list (no extra distinct-values job — at 100 TB an
+    implicit pivot would scan the table once just to discover the columns)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    piv = (
+        t["orders"]
+        .select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            "o_orderpriority",
+            _dec("o_totalprice").alias("price_d"),
+        )
+        .groupBy("order_year")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(_money(F.sum("price_d")))
+    )
+    for raw, alias in zip(_PRIORITIES, _PIVOT_ALIASES):
+        piv = piv.withColumnRenamed(raw, alias)
+    return piv.orderBy("order_year")
+
+
+def _pivot_cell(pri: str, alias: str) -> str:
+    return (
+        "CAST(ROUND(SUM(CASE WHEN o_orderpriority = '" + pri + "' THEN "
+        "CAST(o_totalprice AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS " + alias
+    )
+
+
+_PIVOT_SQL = (
+    "SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,\n  "
+    + ",\n  ".join(_pivot_cell(p, a) for p, a in zip(_PRIORITIES, _PIVOT_ALIASES))
+    + "\nFROM orders GROUP BY 1 ORDER BY 1"
+)
+
+
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long melt of the four lineitem measures via ``DataFrame.unpivot``
+    (values pass through unchanged - bit-identical doubles)."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = t["lineitem"].where(F.col("l_orderkey") % 200 == 7).select(
+        "l_orderkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    )
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "measure", "value",
+        )
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
+
+
+_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, measure, value FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+    FROM lineitem WHERE l_orderkey % 200 = 7
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey % 200 = 7
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey % 200 = 7
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_orderkey % 200 = 7)
+ORDER BY l_orderkey, l_linenumber, measure
+"""
+
+
+# ---------------------------------------------------------------------------
+# Extended aggregates (dialect surface beyond SURVEY 2.5)
+# ---------------------------------------------------------------------------
+
+def agg_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by / count_if / bool_and / bool_or in one grouped pass.
+    The argmax ordering key is made unique (price + key/1e10, identical IEEE
+    double arithmetic in both engines) so arg extremes are deterministic."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    tiebreak = F.col("o_totalprice") + F.col("o_orderkey") / F.lit(1e10)
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_if(F.col("o_totalprice") > 300000).alias("n_big"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_orderstatus") == "O").alias("any_open"),
+            F.max_by("o_orderkey", tiebreak).alias("best_key"),
+            F.min_by("o_orderkey", tiebreak).alias("worst_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_AGG_EXTRAS_SQL = """
+SELECT o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(COUNT(*) FILTER (WHERE o_totalprice > 300000) AS BIGINT) AS n_big,
+  BOOL_AND(o_totalprice > 0) AS all_positive,
+  BOOL_OR(o_orderstatus = 'O') AS any_open,
+  MAX_BY(o_orderkey, o_totalprice + o_orderkey / 1e10) AS best_key,
+  MIN_BY(o_orderkey, o_totalprice + o_orderkey / 1e10) AS worst_key
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and/bit_or/bit_xor) plus a popcount sum
+    - integer-exact, shuffle-order-independent by construction."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.bit_and("l_orderkey").alias("key_and"),
+            F.bit_or("l_orderkey").alias("key_or"),
+            F.bit_xor("l_orderkey").alias("key_xor"),
+            F.sum(F.bit_count("l_orderkey").cast("long")).alias("popcount_sum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_BITWISE_SQL = """
+SELECT l_returnflag,
+  BIT_AND(l_orderkey) AS key_and,
+  BIT_OR(l_orderkey) AS key_or,
+  BIT_XOR(l_orderkey) AS key_xor,
+  CAST(SUM(CAST(BIT_COUNT(l_orderkey) AS BIGINT)) AS BIGINT) AS popcount_sum
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interval arithmetic (dialect date-math surface, SURVEY 2.10)
+# ---------------------------------------------------------------------------
+
+def interval_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_months (month-end clamped in both engines), last_day, day offset,
+    datediff-to-anchor, and next_day (oracle mirrors it with ISODOW
+    arithmetic: strictly-after next Monday)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    d = F.col("o_orderdate").cast("date")
+    return (
+        t["orders"]
+        .where(F.col("o_orderkey") % 10 == 1)
+        .select(
+            "o_orderkey",
+            d.alias("d0"),
+            F.add_months(d, 3).alias("plus3m"),
+            F.last_day(d).alias("month_end"),
+            F.date_add(d, 30).alias("plus30d"),
+            F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_anchor"),
+            F.next_day(d, "Mon").alias("next_mon"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_INTERVAL_SQL = """
+SELECT o_orderkey,
+  CAST(o_orderdate AS DATE) AS d0,
+  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+  LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+  CAST(o_orderdate AS DATE) + 30 AS plus30d,
+  CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT) AS days_to_anchor,
+  CAST(o_orderdate AS DATE)
+    + CAST(CASE WHEN (8 - ISODOW(CAST(o_orderdate AS DATE))) % 7 = 0 THEN 7
+                ELSE (8 - ISODOW(CAST(o_orderdate AS DATE))) % 7 END AS INTEGER) AS next_mon
+FROM orders
+WHERE o_orderkey % 10 = 1
+ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Histogram bucketing
+# ---------------------------------------------------------------------------
+
+def width_bucket_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via ``width_bucket`` (map-side bucket id + one
+    shuffle on ~7 groups).  The oracle mirrors Spark's exact formula
+    ``floor(n*(v-lo)/(hi-lo)) + 1`` with FLOOR-before-cast (DuckDB rounds on
+    double->int casts; Spark truncates)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    bucket = F.width_bucket(
+        F.col("o_totalprice"), F.lit(0.0), F.lit(500000.0), F.lit(5)
+    )
+    return (
+        t["orders"]
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money(F.sum(_dec("o_totalprice"))).alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_WIDTH_BUCKET_SQL = """
+SELECT CASE WHEN o_totalprice < 0 THEN 0
+            WHEN o_totalprice >= 500000 THEN 6
+            ELSE CAST(FLOOR(5.0 * (o_totalprice - 0.0) / 500000.0) AS BIGINT) + 1
+       END AS bucket,
+  COUNT(*) AS n_orders,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Profiling + constraint checks (operators/profile.py)
+# ---------------------------------------------------------------------------
+
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile of the documents table (long format)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return profile(t["documents"], ["doc_id", "n_chars", "lang", "source"]) \
+        .orderBy("col_name")
+
+
+def _profile_num(col: str) -> str:
+    return f"""
+SELECT '{col}' AS col_name, COUNT(*) AS n_rows,
+  COUNT(*) - COUNT({col}) AS n_null,
+  CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+  CAST(MIN({col}) AS DOUBLE) AS min_num, CAST(MAX({col}) AS DOUBLE) AS max_num,
+  CAST(NULL AS VARCHAR) AS min_text, CAST(NULL AS VARCHAR) AS max_text
+FROM documents"""
+
+
+def _profile_text(col: str) -> str:
+    return f"""
+SELECT '{col}' AS col_name, COUNT(*) AS n_rows,
+  COUNT(*) - COUNT({col}) AS n_null,
+  CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+  MIN({col}) AS min_text, MAX({col}) AS max_text
+FROM documents"""
+
+
+_PROFILE_SQL = (
+    "SELECT * FROM ("
+    + " UNION ALL ".join([
+        _profile_num("doc_id"), _profile_num("n_chars"),
+        _profile_text("lang"), _profile_text("source"),
+    ])
+    + ") ORDER BY col_name"
+)
+
+
+def constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rules over orders: one aggregate scan for the
+    row-local rules, one key aggregate for uniqueness, one broadcast
+    anti-join for the FK (customer is dimension-sized)."""
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    rules = [
+        ("fk_custkey", "foreign_key", ["o_custkey"], "customer", ["c_custkey"]),
+        ("nn_custkey", "not_null", "o_custkey"),
+        ("range_price", "range", "o_totalprice", 0.0, 200000.0),
+        ("regex_priority", "regex", "o_orderpriority", r"^[1-5]-[A-Z ]+$"),
+        ("uniq_orderkey", "unique", ["o_orderkey"]),
+    ]
+    return check_constraints(t["orders"], rules, {"customer": t["customer"]})
+
+
+_CONSTRAINT_SQL = """
+SELECT * FROM (
+  SELECT 'fk_custkey' AS rule, CAST(COUNT(*) AS BIGINT) AS violations
+    FROM orders o WHERE o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+  UNION ALL
+  SELECT 'nn_custkey', CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+    FROM orders
+  UNION ALL
+  SELECT 'range_price', CAST(COUNT(*) FILTER (
+      WHERE o_totalprice IS NOT NULL
+        AND (o_totalprice < 0 OR o_totalprice > 200000)) AS BIGINT)
+    FROM orders
+  UNION ALL
+  SELECT 'regex_priority', CAST(COUNT(*) FILTER (
+      WHERE o_orderpriority IS NOT NULL
+        AND NOT REGEXP_MATCHES(o_orderpriority, '^[1-5]-[A-Z ]+$')) AS BIGINT)
+    FROM orders
+  UNION ALL
+  SELECT 'uniq_orderkey',
+         CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey IS NOT NULL)
+ORDER BY rule
+"""
+
+
+REGISTRY: dict[str, tuple] = {
+    "pivot_priority": (pivot_priority, _PIVOT_SQL),
+    "unpivot_measures": (unpivot_measures, _UNPIVOT_SQL),
+    "agg_extras": (agg_extras, _AGG_EXTRAS_SQL),
+    "bitwise_agg": (bitwise_agg, _BITWISE_SQL),
+    "interval_math": (interval_math, _INTERVAL_SQL),
+    "width_bucket_hist": (width_bucket_hist, _WIDTH_BUCKET_SQL),
+    "profile_documents": (profile_documents, _PROFILE_SQL),
+    "constraint_check": (constraint_check, _CONSTRAINT_SQL),
+}

@@ -38,7 +38,8 @@ def flags(plan: str) -> list[str]:
     # windows/sorts mid-plan), where a single partition swallows the data
     total = plan.count("Exchange SinglePartition")
     scalar = len(re.findall(
-        r"Exchange SinglePartition[^\n]*\n[^\n]*HashAggregate\(keys=\[\]", plan))
+        r"Exchange SinglePartition[^\n]*\n[^\n]*"
+        r"(?:HashAggregate|SortAggregate|ObjectHashAggregate)\(keys?=\[\]", plan))
     if total - scalar > 0:
         out.append("NONSCALAR_SINGLE_PARTITION")
     return out
