@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # ---------------------------------------------------------------------------
 # tokenization / counting
@@ -403,4 +404,44 @@ def document_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(c).alias("quality"),
         lang_id(c).alias("pred_lang"),
         fingerprint(c).alias("fp"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_len: int = 2,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — keyword extraction for corpus
+    curation, pure built-in expressions (no UDFs).
+
+    Plan at scale: explode -> (doc,term) count (one shuffle), term doc-freq
+    re-aggregated from the tf frame (second shuffle, one row per distinct
+    term), doc count as a broadcast 1-row join, then a per-doc window for
+    the top-k.  Ranking orders by (tf DESC, term ASC) - integer-exact, so
+    ranking never depends on float log round-off; the reported score is
+    ``round(tf * ln(n_docs/df), 4)`` (display-rounded, engine-portable).
+
+    Output: ``(id_col, term, tf long, df long, score double, rk int)``.
+    """
+    did = F.col(id_col)
+    tok = (
+        docs.select(did, F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term"))
+        .where((F.col("term") != "") & (F.length("term") >= min_len))
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            did, "term", "tf", "df",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias("score"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
     )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from aliyun_maxcompute_data_collectors_spark.session import load_tables
 from aliyun_maxcompute_data_collectors_spark.operators.profile import check_constraints, profile
@@ -333,6 +334,123 @@ ORDER BY rule
 """
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (training-data curation surface)
+# ---------------------------------------------------------------------------
+
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (corpus-wide doc frequencies; output
+    restricted to a deterministic doc subset to bound the result)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.text import tfidf_top_terms
+    t = load_tables(spark, sf_dir, ["documents"])
+    top = tfidf_top_terms(t["documents"], "doc_id", "text", k=3, min_len=2)
+    return top.where(F.col("doc_id") % 20 == 3) \
+              .orderBy("doc_id", "rk")
+
+
+_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(LOWER(text), '[^a-z]+')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term <> '' AND LENGTH(term) >= 2
+  GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / dfreq.df), 4) AS score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                 ORDER BY tf.tf DESC, tf.term ASC) AS INT) AS rk
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, df, score, rk
+FROM scored WHERE rk <= 3 AND doc_id % 20 = 3
+ORDER BY doc_id, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window value functions / conditional expressions (dialect completeness)
+# ---------------------------------------------------------------------------
+
+def window_value_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit full-partition
+    ROWS frame (the default RANGE..CURRENT ROW frame would make last_value
+    degenerate) with a unique ordering."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_rn = Window.partitionBy("o_orderpriority") \
+                 .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    out = t["orders"].select(
+        "o_orderpriority", "o_orderkey",
+        F.row_number().over(w_rn).alias("rn"),
+        F.first("o_orderkey").over(w).alias("top_key"),
+        F.last("o_orderkey").over(w).alias("bottom_key"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
+    )
+    return out.where(F.col("rn") <= 5).orderBy("o_orderpriority", "rn")
+
+
+_WINDOW_VALUE_SQL = """
+SELECT o_orderpriority, o_orderkey, rn, top_key, bottom_key, third_key FROM (
+  SELECT o_orderpriority, o_orderkey,
+    CAST(ROW_NUMBER() OVER w0 AS INT) AS rn,
+    FIRST_VALUE(o_orderkey) OVER w AS top_key,
+    LAST_VALUE(o_orderkey) OVER w AS bottom_key,
+    NTH_VALUE(o_orderkey, 3) OVER w AS third_key
+  FROM orders
+  WINDOW
+    w0 AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC),
+    w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+WHERE rn <= 5
+ORDER BY o_orderpriority, rn
+"""
+
+
+def conditional_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE banding, NULLIF/COALESCE, GREATEST/LEAST - per-row conditional
+    scalar surface; all passthrough arithmetic (bit-identical doubles)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    price = F.col("o_totalprice")
+    return (
+        t["orders"]
+        .where(F.col("o_orderkey") % 20 == 11)
+        .select(
+            "o_orderkey",
+            F.when(price < 50000, "small")
+             .when(price < 200000, "medium")
+             .otherwise("large").alias("band"),
+            F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_np"),
+            F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("?")).alias("status_filled"),
+            F.greatest(price, F.lit(250000.0)).alias("floor_price"),
+            F.least(price, F.lit(250000.0)).alias("capped_price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_CONDITIONAL_SQL = """
+SELECT o_orderkey,
+  CASE WHEN o_totalprice < 50000 THEN 'small'
+       WHEN o_totalprice < 200000 THEN 'medium'
+       ELSE 'large' END AS band,
+  NULLIF(o_orderstatus, 'P') AS status_np,
+  COALESCE(NULLIF(o_orderstatus, 'P'), '?') AS status_filled,
+  GREATEST(o_totalprice, 250000.0) AS floor_price,
+  LEAST(o_totalprice, 250000.0) AS capped_price
+FROM orders
+WHERE o_orderkey % 20 = 11
+ORDER BY o_orderkey
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "pivot_priority": (pivot_priority, _PIVOT_SQL),
     "unpivot_measures": (unpivot_measures, _UNPIVOT_SQL),
@@ -342,4 +460,7 @@ REGISTRY: dict[str, tuple] = {
     "width_bucket_hist": (width_bucket_hist, _WIDTH_BUCKET_SQL),
     "profile_documents": (profile_documents, _PROFILE_SQL),
     "constraint_check": (constraint_check, _CONSTRAINT_SQL),
+    "tfidf_keywords": (tfidf_keywords, _TFIDF_SQL),
+    "window_value_suite": (window_value_suite, _WINDOW_VALUE_SQL),
+    "conditional_exprs": (conditional_exprs, _CONDITIONAL_SQL),
 }
