@@ -49,6 +49,11 @@ VIRTUAL_VIEW = "VIRTUAL_VIEW"
 
 BUCKET_COL = "__odps_bucket__"
 
+# storage formats for STORED AS (D1 'stored-as' parity,
+# OdpsTableCatalog.scala:634-644 DDL surface); both are Spark built-ins with
+# full pushdown/columnar support, so every scan/write path is format-generic
+STORAGE_FORMATS = {"parquet", "orc"}
+
 DEFAULT_DYNAMIC_PARTITION_LIMIT = 1000
 META_CACHE_SIZE = 100
 META_CACHE_TTL_SEC = 30.0
@@ -235,6 +240,10 @@ class OdpsCatalog:
                 return
             raise TableAlreadyExistsError(name)
         props = dict(properties or {})
+        fmt = str(props.get("stored_as", "parquet")).lower()
+        if fmt not in STORAGE_FORMATS:
+            raise CatalogError(
+                f"unsupported storage format {fmt!r}; one of {sorted(STORAGE_FORMATS)}")
         table_type = MANAGED_TABLE
         if external_location:
             table_type = EXTERNAL_TABLE
@@ -330,8 +339,11 @@ class OdpsCatalog:
                            + ", ".join(f"{c} {o}" for c, o in b.sort_columns) + ")")
             clause += f" INTO {b.num_buckets} BUCKETS"
             lines.append(clause)
+        fmt = self.storage_format(meta)
+        if fmt != "parquet":
+            lines.append(f"STORED AS {fmt.upper()}")
         props = {k: v for k, v in meta.properties.items()
-                 if k not in ("location", "range_stats")}
+                 if k not in ("location", "range_stats", "stored_as")}
         if props:
             kv = ", ".join(f"'{k}'='{v}'" for k, v in sorted(props.items()))
             lines.append(f"TBLPROPERTIES ({kv})")
@@ -390,6 +402,18 @@ class OdpsCatalog:
             pass
 
     # -- read path --------------------------------------------------------
+    def storage_format(self, meta: "TableMeta") -> str:
+        """Table file format ('parquet' default, or 'orc' via STORED AS)."""
+        return str((meta.properties or {}).get("stored_as", "parquet")).lower()
+
+    def _scan(self, meta: "TableMeta", ddir: str, base_path: bool = False) -> DataFrame:
+        """Format-generic scan of a table data dir (pushdown/pruning are
+        built-in for both parquet and orc)."""
+        reader = self.spark.read
+        if base_path:
+            reader = reader.option("basePath", ddir)
+        return reader.format(self.storage_format(meta)).load(ddir)
+
     def read_table(self, name: str) -> DataFrame:
         """DataFrame over the table; filters/projections push down to the
         parquet scan, partition predicates prune directories (built-in)."""
@@ -405,10 +429,7 @@ class OdpsCatalog:
         ddir = self.data_dir(name)
         if not _has_data(ddir):
             return self.spark.createDataFrame([], meta.full_schema)
-        reader = self.spark.read
-        if meta.partition_columns:
-            reader = reader.option("basePath", ddir)
-        df = reader.parquet(ddir)
+        df = self._scan(meta, ddir, base_path=bool(meta.partition_columns))
         # partition values live in dir names as strings; cast to declared
         # types (OdpsTableCatalog.scala:703-711) and order columns per schema
         cols = []
@@ -517,7 +538,7 @@ class OdpsCatalog:
         if not meta.bucket:
             raise CatalogError(f"{name} is not bucketed")
         ddir = self.data_dir(name)
-        df = self.spark.read.option("basePath", ddir).parquet(ddir)
+        df = self._scan(meta, ddir, base_path=True)
         out = df.where(F.col(BUCKET_COL).isin([int(b) for b in bucket_ids]))
         cols = [c for c, _ in meta.columns] + [c for c, _ in meta.partition_columns]
         return out.select(*cols)
@@ -572,7 +593,7 @@ class OdpsCatalog:
         non_empty = []
         for p in parts:
             d = self._partition_dir(name, p)
-            if any(f.endswith(".parquet") for f in os.listdir(d)):
+            if any(f.endswith(_DATA_SUFFIXES) for f in os.listdir(d)):
                 non_empty.append(p[first])
         return max(non_empty) if non_empty else None
 
@@ -679,7 +700,7 @@ class OdpsCatalog:
         if part_by:
             writer = writer.partitionBy(*part_by)
         try:
-            writer.parquet(self.data_dir(name))
+            writer.format(self.storage_format(meta)).save(self.data_dir(name))
         finally:
             if persisted:
                 out.unpersist()
@@ -693,7 +714,7 @@ class OdpsCatalog:
         record null bounds and are never pruned (always scanned - safe)."""
         key = meta.bucket.bucket_columns[0]
         ddir = self.data_dir(name)
-        df = self.spark.read.option("basePath", ddir).parquet(ddir)
+        df = self._scan(meta, ddir, base_path=True)
         stats = (
             df.groupBy(BUCKET_COL)
             .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
@@ -793,19 +814,25 @@ class OdpsCatalog:
 
     def table_stats(self, name: str) -> dict:
         """sizeInBytes/numFiles/numRows for CBO-style decisions
-        (OdpsScan.scala:267-279).  Row counts come from parquet footers -
-        metadata only, no data IO (the reference's getTotalRowCount path)."""
+        (OdpsScan.scala:267-279).  Row counts come from file footers (parquet
+        metadata / ORC stripe stats) - metadata only, no data IO (the
+        reference's getTotalRowCount path)."""
         import pyarrow.parquet as pq
 
         ddir = self.data_dir(name)
         size = files = rows = 0
         for root, _, fnames in os.walk(ddir):
             for fn in fnames:
+                p = os.path.join(root, fn)
                 if fn.endswith(".parquet"):
-                    p = os.path.join(root, fn)
                     files += 1
                     size += os.path.getsize(p)
                     rows += pq.ParquetFile(p).metadata.num_rows
+                elif fn.endswith(".orc"):
+                    from pyarrow import orc as _orc
+                    files += 1
+                    size += os.path.getsize(p)
+                    rows += _orc.ORCFile(p).nrows
         return {"size_in_bytes": size, "num_files": files, "num_rows": rows}
 
     def analyze_table(self, name: str) -> dict:
@@ -818,8 +845,11 @@ class OdpsCatalog:
         return stats
 
 
+_DATA_SUFFIXES = (".parquet", ".orc")
+
+
 def _has_data(ddir: str) -> bool:
     for _root, _dirs, files in os.walk(ddir):
-        if any(f.endswith(".parquet") for f in files):
+        if any(f.endswith(_DATA_SUFFIXES) for f in files):
             return True
     return False

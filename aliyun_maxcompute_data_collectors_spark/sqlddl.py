@@ -7,7 +7,7 @@ Supported statements (case-insensitive, optional trailing ';'):
     CREATE [EXTERNAL] TABLE [IF NOT EXISTS] t (col TYPE, ...)
         [COMMENT '...'] [PARTITIONED BY (col TYPE, ...)]
         [[RANGE] CLUSTERED BY (c, ...) [SORTED BY (c [ASC|DESC], ...)] INTO n BUCKETS]
-        [TBLPROPERTIES ('k'='v', ...)] [LOCATION '...']
+        [STORED AS PARQUET|ORC] [TBLPROPERTIES ('k'='v', ...)] [LOCATION '...']
     CREATE VIEW [IF NOT EXISTS] v AS SELECT ...
     DROP TABLE|VIEW [IF EXISTS] t              TRUNCATE TABLE t
     ALTER TABLE t RENAME TO t2                 ALTER TABLE t ADD COLUMNS (c TYPE, ...)
@@ -137,6 +137,9 @@ def _parse_create_table(cat, s: str) -> None:
                             int(nb.group(1)), bucket_cols, sort_cols)
 
     properties = {}
+    fm = re.search(r"STORED\s+AS\s+(\w+)", rest, re.IGNORECASE)
+    if fm:
+        properties["stored_as"] = fm.group(1).lower()
     tm = re.search(r"TBLPROPERTIES\s*\(", rest, re.IGNORECASE)
     if tm:
         inner, _ = _take_parens(rest, tm.end() - 1)

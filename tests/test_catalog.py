@@ -264,3 +264,54 @@ def test_multilevel_partitions_and_typed_filter(cat, spark):
     assert [r["v"] for r in rows] == [4]
     # max_pt = first-level partition max (string compare, as the reference)
     assert cat.max_pt("ml") == "us"
+
+
+def test_orc_storage_format(cat, spark):
+    # D1 'stored-as' parity: ORC tables flow through the same scan/write/
+    # stats/compact paths as parquet
+    import os
+    cat.create_table(
+        "to1", [("name", "STRING"), ("num", "BIGINT")],
+        partition_columns=[("ds", "STRING")],
+        properties={"stored_as": "orc"},
+    )
+    df = spark.createDataFrame(
+        [("a", 1, "d1"), ("b", 2, "d1"), ("c", 3, "d2")],
+        "name string, num long, ds string")
+    cat.insert("to1", df)
+    got = {(r["name"], r["num"], r["ds"]) for r in cat.read_table("to1").collect()}
+    assert got == {("a", 1, "d1"), ("b", 2, "d1"), ("c", 3, "d2")}
+    # files on disk are ORC, not parquet
+    exts = {os.path.splitext(f)[1]
+            for _r, _d, fs in os.walk(cat.data_dir("to1")) for f in fs
+            if not f.startswith(("_", "."))}
+    assert exts == {".orc"}
+    # footer-based stats and partition listing work
+    stats = cat.table_stats("to1")
+    assert stats["num_rows"] == 3 and stats["num_files"] >= 2
+    assert cat.list_partitions("to1") == [{"ds": "d1"}, {"ds": "d2"}]
+    # dynamic overwrite of one partition
+    cat.insert("to1", spark.createDataFrame([("z", 9, "d2")], df.schema), overwrite=True)
+    assert cat.read_table("to1").count() == 3
+    # DDL renders STORED AS ORC and round-trips through the SQL dispatcher
+    assert "STORED AS ORC" in cat.show_create_table("to1")
+    assert cat.compact("to1")["rows"] == 3
+
+
+def test_orc_bucketed_and_sql_ddl(cat, spark):
+    from aliyun_maxcompute_data_collectors_spark.engine import Engine
+    eng = Engine(cat.warehouse, spark)
+    eng.sql("CREATE TABLE tob (k BIGINT, v STRING) "
+            "CLUSTERED BY (k) SORTED BY (k ASC) INTO 4 BUCKETS STORED AS ORC")
+    meta = cat.get_meta("tob")
+    assert cat.storage_format(meta) == "orc"
+    cat.insert("tob", spark.createDataFrame([(i, f"v{i}") for i in range(20)], "k long, v string"))
+    assert cat.read_table("tob").count() == 20
+    # bucket-pruned point lookup still works on ORC files
+    row = cat.lookup_by_key("tob", {"k": 7}).collect()
+    assert [(r["k"], r["v"]) for r in row] == [(7, "v7")]
+
+
+def test_bad_storage_format_rejected(cat):
+    with pytest.raises(CatalogError, match="unsupported storage format"):
+        cat.create_table("tbad", [("a", "STRING")], properties={"stored_as": "avro"})
