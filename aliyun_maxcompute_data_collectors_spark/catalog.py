@@ -50,9 +50,13 @@ VIRTUAL_VIEW = "VIRTUAL_VIEW"
 BUCKET_COL = "__odps_bucket__"
 
 # storage formats for STORED AS (D1 'stored-as' parity,
-# OdpsTableCatalog.scala:634-644 DDL surface); both are Spark built-ins with
-# full pushdown/columnar support, so every scan/write path is format-generic
-STORAGE_FORMATS = {"parquet", "orc"}
+# OdpsTableCatalog.scala:634-644 DDL surface).  parquet/orc are the columnar
+# formats (footer stats, full pushdown); csv/json cover the reference's
+# text-serde ingest surface (Flume delimited/JSON serializers, P13) as
+# catalog tables with declared schemas - never inferred (SURVEY 1.2).
+STORAGE_FORMATS = {"parquet", "orc", "csv", "json"}
+# formats whose row counts come from file footers without data IO
+_FOOTER_FORMATS = {"parquet", "orc"}
 
 DEFAULT_DYNAMIC_PARTITION_LIMIT = 1000
 META_CACHE_SIZE = 100
@@ -407,12 +411,29 @@ class OdpsCatalog:
         return str((meta.properties or {}).get("stored_as", "parquet")).lower()
 
     def _scan(self, meta: "TableMeta", ddir: str, base_path: bool = False) -> DataFrame:
-        """Format-generic scan of a table data dir (pushdown/pruning are
-        built-in for both parquet and orc)."""
+        """Format-generic scan of a table data dir.  parquet/orc scans carry
+        their own schema; csv/json scans get the CATALOG-declared schema
+        (types are never inferred - SURVEY 1.2) with partition/bucket columns
+        filled from directory names by Spark's partition discovery."""
+        from pyspark.sql import types as T
+
+        fmt = self.storage_format(meta)
         reader = self.spark.read
         if base_path:
             reader = reader.option("basePath", ddir)
-        return reader.format(self.storage_format(meta)).load(ddir)
+        if fmt in _FOOTER_FORMATS:
+            return reader.format(fmt).load(ddir)
+        fields = [T.StructField(c, ot.parse_odps_type(t), True) for c, t in meta.columns]
+        fields += [T.StructField(c, T.StringType(), True) for c, _ in meta.partition_columns]
+        if meta.bucket:
+            fields.append(T.StructField(BUCKET_COL, T.IntegerType(), True))
+        if fmt == "csv":
+            # text-serde surface (Flume DelimitedTextSerializer.java:41-108):
+            # delimiter/header from table properties
+            reader = (reader
+                      .option("delimiter", meta.properties.get("serde.delimiter", ","))
+                      .option("header", meta.properties.get("serde.header", "false")))
+        return reader.format(fmt).schema(T.StructType(fields)).load(ddir)
 
     def read_table(self, name: str) -> DataFrame:
         """DataFrame over the table; filters/projections push down to the
@@ -699,8 +720,14 @@ class OdpsCatalog:
             writer = writer.option("maxRecordsPerFile", int(max_rec))
         if part_by:
             writer = writer.partitionBy(*part_by)
+        fmt = self.storage_format(meta)
+        writer = writer.format(fmt)
+        if fmt == "csv":
+            writer = (writer
+                      .option("delimiter", meta.properties.get("serde.delimiter", ","))
+                      .option("header", meta.properties.get("serde.header", "false")))
         try:
-            writer.format(self.storage_format(meta)).save(self.data_dir(name))
+            writer.save(self.data_dir(name))
         finally:
             if persisted:
                 out.unpersist()
@@ -819,20 +846,25 @@ class OdpsCatalog:
         reference's getTotalRowCount path)."""
         import pyarrow.parquet as pq
 
+        fmt = self.storage_format(self.get_meta(name))
         ddir = self.data_dir(name)
         size = files = rows = 0
         for root, _, fnames in os.walk(ddir):
             for fn in fnames:
+                if not fn.endswith(_DATA_SUFFIXES):
+                    continue
                 p = os.path.join(root, fn)
+                files += 1
+                size += os.path.getsize(p)
                 if fn.endswith(".parquet"):
-                    files += 1
-                    size += os.path.getsize(p)
                     rows += pq.ParquetFile(p).metadata.num_rows
                 elif fn.endswith(".orc"):
                     from pyarrow import orc as _orc
-                    files += 1
-                    size += os.path.getsize(p)
                     rows += _orc.ORCFile(p).nrows
+        if files and fmt not in _FOOTER_FORMATS:
+            # text formats have no footers; row count is one (distributed)
+            # scan - the only stats path that touches data
+            rows = self.read_table(name).count()
         return {"size_in_bytes": size, "num_files": files, "num_rows": rows}
 
     def analyze_table(self, name: str) -> dict:
@@ -845,7 +877,7 @@ class OdpsCatalog:
         return stats
 
 
-_DATA_SUFFIXES = (".parquet", ".orc")
+_DATA_SUFFIXES = (".parquet", ".orc", ".csv", ".json")
 
 
 def _has_data(ddir: str) -> bool:

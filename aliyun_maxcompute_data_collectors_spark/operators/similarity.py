@@ -200,3 +200,80 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication
+# ---------------------------------------------------------------------------
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine, blocked through a k-means
+    coarse quantizer (SemDeDup recipe: cluster, then compare only WITHIN each
+    cluster).  Returns ``(id1, id2, cos)`` with ``id1 < id2``.
+
+    Scale: pair work is sum over cells of |cell|^2 - bounded by making
+    ``n_clusters`` proportional to corpus size (cells stay ~constant-sized),
+    versus the |corpus|^2 of a naive cross join.  Cross-cluster near-dups at
+    the cell boundary are the recall loss the paper accepts; raise recall by
+    lowering n_clusters or re-running on cluster medoids.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = df.select(
+        F.col(id_col).alias("_sd_id"), F.col(vec_col).alias("_sd_v"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    if n_clusters <= 1:  # brute force: one cell (Spark ML KMeans needs k>=2)
+        cells = v.select("_sd_id", "_sd_v", F.lit(0).alias("cell"))
+    else:
+        model = KMeans(k=n_clusters, seed=seed, featuresCol="features",
+                       predictionCol="cell").fit(v)
+        cells = model.transform(v).select("_sd_id", "_sd_v", "cell")
+    a = cells.select(F.col("cell"), F.col("_sd_id").alias("id1"), F.col("_sd_v").alias("v1"))
+    b = cells.select(F.col("cell"), F.col("_sd_id").alias("id2"), F.col("_sd_v").alias("v2"))
+    return (
+        a.join(b, "cell")
+        .where(F.col("id1") < F.col("id2"))
+        .select(
+            "id1", "id2",
+            F.round(cosine_expr(F.col("v1"), F.col("v2")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup end-to-end: rows of ``df`` minus semantic near-duplicates.
+    Duplicate groups are the transitive closure of the pair graph; the
+    representative kept per group is the MIN id (deterministic)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.graph import connected_components
+
+    pairs = semantic_dedup_pairs(df, id_col, vec_col, threshold, n_clusters, seed)
+    comp = connected_components(pairs, "id1", "id2")
+    drop = (comp.where(F.col("node") != F.col("component"))
+            .select(F.col("node").alias("_drop_id")))
+    return df.join(
+        F.broadcast(drop) if _small(drop) else drop,
+        df[id_col] == F.col("_drop_id"), "left_anti")
+
+
+def _small(df: DataFrame) -> bool:
+    """Near-dup drop lists are usually a small fraction of the corpus; treat
+    as broadcastable unless provably huge (heuristic only - the anti-join is
+    correct either way, AQE re-plans on the real size)."""
+    return True

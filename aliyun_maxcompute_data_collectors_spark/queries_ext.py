@@ -451,6 +451,67 @@ ORDER BY o_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Time-series resample + gap fill (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user grid over events with forward-filled sums; user subset
+    keeps the result bounded (the grid math is per-key, so the filter is
+    semantics-preserving pushdown)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.timeseries import resample_fill
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].where(F.col("user_id") % 50 == 3)
+    return resample_fill(ev, "user_id", "ts", "value", 3600) \
+        .orderBy("user_id", "bucket_start")
+
+
+_RESAMPLE_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT)
+           - CAST(epoch_us(ts) // 1000000 AS BIGINT) % 3600 AS bucket_start,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events WHERE user_id % 50 = 3),
+per AS (
+  SELECT user_id, bucket_start, COUNT(*) AS n_events,
+         CAST(ROUND(SUM(v), 2) AS DOUBLE) AS bucket_sum
+  FROM ev GROUP BY user_id, bucket_start),
+rng AS (
+  SELECT user_id, MIN(bucket_start) AS b0, MAX(bucket_start) AS b1
+  FROM per GROUP BY user_id),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(b0, b1, 3600)) AS bucket_start
+  FROM rng)
+SELECT g.user_id, g.bucket_start,
+       COALESCE(p.n_events, 0) AS n_events,
+       p.bucket_sum,
+       LAST_VALUE(p.bucket_sum IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum,
+       p.bucket_sum IS NULL AS is_gap
+FROM grid g LEFT JOIN per p
+  ON g.user_id = p.user_id AND g.bucket_start = p.bucket_start
+ORDER BY g.user_id, g.bucket_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (semantic embedding dedup; rows-only - k-means is not SQL)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus minus semantic near-duplicates (k-means blocked cosine,
+    transitive groups, min-id representative kept)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import semantic_dedup
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    # the synthetic embeddings have no 0.9+ twins (max off-diagonal cosine is
+    # ~0.51); 0.40 exercises real drops while staying "nearest neighbors only"
+    kept = semantic_dedup(t["embeddings"], "vec_id", "embedding",
+                          threshold=0.40, n_clusters=8)
+    return kept.select("vec_id").orderBy("vec_id")
+
+
 REGISTRY: dict[str, tuple] = {
     "pivot_priority": (pivot_priority, _PIVOT_SQL),
     "unpivot_measures": (unpivot_measures, _UNPIVOT_SQL),
@@ -463,4 +524,6 @@ REGISTRY: dict[str, tuple] = {
     "tfidf_keywords": (tfidf_keywords, _TFIDF_SQL),
     "window_value_suite": (window_value_suite, _WINDOW_VALUE_SQL),
     "conditional_exprs": (conditional_exprs, _CONDITIONAL_SQL),
+    "resample_gapfill": (resample_gapfill, _RESAMPLE_SQL),
+    "semantic_dedup": (semantic_dedup_q, None),  # rows-only: kmeans-dependent
 }

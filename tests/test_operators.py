@@ -386,3 +386,37 @@ def test_decontaminate_flags_overlapping_docs(spark):
     # doc 1: spans 'the quick brown fox' + 'quick brown fox jumps' = 2
     assert got[1] == 2
     assert got[3] >= 5
+
+
+def test_semantic_dedup_matches_bruteforce(spark):
+    # blocked (k-means) pair recall vs brute force on a corpus with planted
+    # duplicate pairs; end-to-end keeps min-id representative per group
+    import numpy as np
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import (
+        semantic_dedup, semantic_dedup_pairs)
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16)).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # plant near-dups: 100..109 are tiny perturbations of 0..9
+    for i in range(10):
+        v = base[i] + rng.normal(scale=1e-3, size=16).astype("float32")
+        rows.append((100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # single cluster == exact brute force: all planted pairs found
+    exact = semantic_dedup_pairs(df, threshold=0.99, n_clusters=1).collect()
+    exact_pairs = {(r["id1"], r["id2"]) for r in exact}
+    assert {(i, 100 + i) for i in range(10)} <= exact_pairs
+
+    # blocked variant keeps high recall on the planted pairs
+    blocked = semantic_dedup_pairs(df, threshold=0.99, n_clusters=4).collect()
+    got = {(r["id1"], r["id2"]) for r in blocked}
+    planted = {(i, 100 + i) for i in range(10)}
+    assert len(got & planted) >= 8  # perturbed twins land in the same cell
+
+    kept = semantic_dedup(df, threshold=0.99, n_clusters=1)
+    ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert all(100 + i not in ids for i in range(10))  # dup drops keep min id
+    assert all(i in ids for i in range(10))
