@@ -231,3 +231,31 @@ def corpus_stats(
             F.round(F.percentile(F.col("__nt__").cast("double"), F.lit(0.95)), 4).alias("p95_tokens"),
         )
     )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float],
+    salt: str = "s42",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash: adds a ``split``
+    column.  ``splits`` maps name -> fraction (must sum to ~1); boundaries
+    are cumulative over the dict's insertion order, so the same id lands in
+    the same split across runs, engines, cluster sizes, and growing corpora
+    (a new row never moves an old row's split - the property rand() splits
+    lack).  Map-side only: no shuffle, no state."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions sum to {total}, expected 1.0")
+    frac = _hash_frac(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = frac < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (F.lit(names[-1]) if expr is None
+            else expr.otherwise(names[-1]))  # remainder absorbs float edge
+    return df.withColumn("split", expr)

@@ -512,6 +512,99 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("vec_id").orderBy("vec_id")
 
 
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split assignment
+# ---------------------------------------------------------------------------
+
+def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 hash-based split; per (split, lang) counts + id extremes.
+    The same id maps to the same split on any engine/cluster/corpus size."""
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import split_assign
+    t = load_tables(spark, sf_dir, ["documents"])
+    assigned = split_assign(t["documents"], "doc_id",
+                            {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        assigned.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+_HFRAC_EXT = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's42'), 1, 8)) AS BIGINT)"
+              " / 4294967296.0")
+
+_SPLIT_SQL = f"""
+WITH assigned AS (
+  SELECT doc_id, lang,
+         CASE WHEN {_HFRAC_EXT} < 0.8 THEN 'train'
+              WHEN {_HFRAC_EXT} < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT split, lang, COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM assigned
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling (trailing) window statistics over the hourly grid
+# ---------------------------------------------------------------------------
+
+def rolling_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-bucket trailing window per user over hourly sums: rolling decimal
+    sum (exact under any frame evaluation order), min/max, and an average
+    derived from the exact sum - the moving-feature shape of a time-series
+    pipeline."""
+    from aliyun_maxcompute_data_collectors_spark.operators.timeseries import bucket_start
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].where(F.col("user_id") % 100 == 7)
+    hourly = (
+        ev.select("user_id", bucket_start(F.col("ts"), 3600).alias("bucket_start"),
+                  _dec("value").alias("v"))
+        .groupBy("user_id", "bucket_start")
+        .agg(F.sum("v").alias("sum_d"), F.count(F.lit(1)).alias("n"))
+    )
+    w = (Window.partitionBy("user_id").orderBy("bucket_start")
+         .rowsBetween(-3, Window.currentRow))
+    return hourly.select(
+        "user_id", "bucket_start",
+        _money(F.col("sum_d")).alias("hour_sum"),
+        _money(F.sum("sum_d").over(w)).alias("roll_sum"),
+        _money(F.min("sum_d").over(w)).alias("roll_min"),
+        _money(F.max("sum_d").over(w)).alias("roll_max"),
+        F.round(F.sum("sum_d").over(w).cast("double") / F.sum("n").over(w), 4)
+        .alias("roll_avg_per_event"),
+    ).orderBy("user_id", "bucket_start")
+
+
+_ROLLING_SQL = """
+WITH hourly AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT)
+           - CAST(epoch_us(ts) // 1000000 AS BIGINT) % 3600 AS bucket_start,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sum_d,
+         COUNT(*) AS n
+  FROM events WHERE user_id % 100 = 7
+  GROUP BY 1, 2)
+SELECT user_id, bucket_start,
+  CAST(ROUND(sum_d, 2) AS DOUBLE) AS hour_sum,
+  CAST(ROUND(SUM(sum_d) OVER w, 2) AS DOUBLE) AS roll_sum,
+  CAST(ROUND(MIN(sum_d) OVER w, 2) AS DOUBLE) AS roll_min,
+  CAST(ROUND(MAX(sum_d) OVER w, 2) AS DOUBLE) AS roll_max,
+  ROUND(CAST(SUM(sum_d) OVER w AS DOUBLE) / SUM(n) OVER w, 4) AS roll_avg_per_event
+FROM hourly
+WINDOW w AS (PARTITION BY user_id ORDER BY bucket_start
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, bucket_start
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "pivot_priority": (pivot_priority, _PIVOT_SQL),
     "unpivot_measures": (unpivot_measures, _UNPIVOT_SQL),
@@ -526,4 +619,6 @@ REGISTRY: dict[str, tuple] = {
     "conditional_exprs": (conditional_exprs, _CONDITIONAL_SQL),
     "resample_gapfill": (resample_gapfill, _RESAMPLE_SQL),
     "semantic_dedup": (semantic_dedup_q, None),  # rows-only: kmeans-dependent
+    "split_assignment": (split_assignment, _SPLIT_SQL),
+    "rolling_hourly_stats": (rolling_hourly_stats, _ROLLING_SQL),
 }
