@@ -300,6 +300,7 @@ class OdpsCatalog:
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
         self.refresh(name)
+        self._invalidate_zonemap(name)
 
     def alter_table_add_columns(self, name: str, columns: list[tuple[str, str]]) -> None:
         """Supported natively (the reference throws, OdpsTableCatalog.scala:164-166).
@@ -540,6 +541,7 @@ class OdpsCatalog:
             raise CatalogError(f"no such partition {spec} in {name}")
         shutil.rmtree(d)
         self.refresh(name)
+        self._invalidate_zonemap(name)
 
     def _partition_dir(self, name: str, spec: dict[str, str]) -> str:
         meta = self.get_meta(name)
@@ -732,8 +734,17 @@ class OdpsCatalog:
             if persisted:
                 out.unpersist()
         self.refresh(name)
+        self._invalidate_zonemap(name)
         if is_range:
             self._record_range_stats(name, meta)
+
+    def _invalidate_zonemap(self, name: str) -> None:
+        """Data changed -> the file-level index is stale; drop it (rebuild is
+        an explicit, metadata-only ``build_zonemap`` call)."""
+        meta = self.get_meta(name)
+        if "zonemap" in (meta.properties or {}):
+            meta.properties.pop("zonemap", None)
+            self._write_meta(name, meta)
 
     def _record_range_stats(self, name: str, meta: TableMeta) -> None:
         """Per-bucket min/max of the first range key -> meta (read_range prunes
@@ -875,6 +886,119 @@ class OdpsCatalog:
         meta.properties["stats"] = stats
         self._write_meta(name, meta)
         return stats
+
+    # -- zonemap file skipping -------------------------------------------
+    def build_zonemap(self, name: str, columns: list[str]) -> dict:
+        """Per-FILE min/max index for data columns, harvested from parquet
+        footers (metadata-only IO) and persisted in table meta.
+
+        This generalizes partition pruning the way the reference's range
+        stats generalize bucket pruning: a predicate on a NON-partition
+        column can skip whole files whose [min,max] cannot match — the same
+        data-skipping idea lakehouse formats keep in their manifests.  At
+        100 TB the zonemap is O(files x cols) driver metadata; harvesting is
+        one footer read per file (no row IO).  Parquet-format tables only
+        (ORC stripe stats are not exposed per-file by pyarrow).
+        """
+        import pyarrow.parquet as pq
+
+        meta = self.get_meta(name)
+        if self.storage_format(meta) != "parquet":
+            raise CatalogError("zonemap requires a parquet-format table")
+        data_cols = {c for c, _ in meta.columns}
+        for c in columns:
+            if c not in data_cols:
+                raise CatalogError(f"zonemap column {c!r} is not a data column")
+        ddir = self.data_dir(name)
+        zmap: dict[str, dict[str, list]] = {}
+        for root, _, fnames in os.walk(ddir):
+            for fn in fnames:
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, fn)
+                md = pq.ParquetFile(p).metadata
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                per: dict[str, list] = {}
+                for c in columns:
+                    if c not in idx:
+                        per[c] = [None, None]  # file predates ALTER ADD COLUMNS
+                        continue
+                    lo = hi = None
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx[c]).statistics
+                        if st is None or not st.has_min_max:
+                            lo = hi = None
+                            break  # no stats for some row group: never skip
+                        lo = st.min if lo is None or st.min < lo else lo
+                        hi = st.max if hi is None or st.max > hi else hi
+                    per[c] = [None if lo is None else str(lo),
+                              None if hi is None else str(hi)]
+                zmap[os.path.relpath(p, ddir)] = per
+        meta.properties["zonemap"] = {"columns": list(columns), "files": zmap}
+        self._write_meta(name, meta)
+        return meta.properties["zonemap"]
+
+    def read_skipping(self, name: str, column: str, lo=None, hi=None) -> DataFrame:
+        """Scan with zonemap file pruning: only files whose recorded
+        [min,max] for ``column`` can overlap [lo,hi] are listed; the exact
+        predicate still applies on top (the zonemap is a pruning hint, never
+        a correctness dependency).  Files without recorded bounds are always
+        scanned — safe."""
+        meta = self.get_meta(name)
+        zm = meta.properties.get("zonemap")
+        if not zm or column not in zm.get("columns", []):
+            raise CatalogError(f"no zonemap on {name} for column {column!r}")
+        key_type = ot.parse_odps_type(dict(meta.columns)[column])
+
+        def cast(v):
+            return ot.coerce_string(v, key_type)
+
+        ddir = self.data_dir(name)
+        keep = []
+        for rel, per in zm["files"].items():
+            blo, bhi = per.get(column, [None, None])
+            if blo is not None and hi is not None and cast(blo) > hi:
+                continue
+            if bhi is not None and lo is not None and cast(bhi) < lo:
+                continue
+            keep.append(os.path.join(ddir, rel))
+        if not keep:
+            out = self.read_table(name).limit(0)
+        else:
+            reader = self.spark.read.option("basePath", ddir)
+            df = reader.parquet(*keep)
+            cols = []
+            for f_name, f_type in meta.columns:
+                if f_name in df.columns:
+                    cols.append(F.col(f_name).cast(ot.parse_odps_type(f_type)).alias(f_name))
+                else:
+                    cols.append(F.lit(None).cast(ot.parse_odps_type(f_type)).alias(f_name))
+            for p_name, p_type in meta.partition_columns:
+                cols.append(F.col(p_name).cast(ot.parse_odps_type(p_type)).alias(p_name))
+            out = df.select(cols)
+        col = F.col(column)
+        if lo is not None:
+            out = out.where(col >= F.lit(lo))
+        if hi is not None:
+            out = out.where(col <= F.lit(hi))
+        return out
+
+    def zonemap_pruned_files(self, name: str, column: str, lo=None, hi=None) -> tuple[int, int]:
+        """(files_kept, files_total) for a bound — skipping-effectiveness
+        probe used by tests and capacity planning."""
+        meta = self.get_meta(name)
+        zm = meta.properties.get("zonemap") or {"files": {}}
+        total = len(zm["files"])
+        key_type = ot.parse_odps_type(dict(meta.columns)[column])
+        kept = 0
+        for per in zm["files"].values():
+            blo, bhi = per.get(column, [None, None])
+            if blo is not None and hi is not None and ot.coerce_string(blo, key_type) > hi:
+                continue
+            if bhi is not None and lo is not None and ot.coerce_string(bhi, key_type) < lo:
+                continue
+            kept += 1
+        return kept, total
 
 
 _DATA_SUFFIXES = (".parquet", ".orc", ".csv", ".json")

@@ -345,3 +345,37 @@ def test_csv_json_storage_formats(cat, spark):
     cat.insert("tjson", spark.createDataFrame([(1, "x"), (2, None)], "k long, v string"))
     got = {(r["k"], r["v"]) for r in cat.read_table("tjson").collect()}
     assert got == {(1, "x"), (2, None)}
+
+
+def test_zonemap_file_skipping(cat, spark):
+    import pyspark.sql.functions as F
+    cat.create_table("tz", [("k", "BIGINT"), ("v", "STRING")])
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(1000)], "k long, v string")
+    # range-partitioned write -> files with disjoint k ranges
+    cat.insert("tz", df.repartitionByRange(5, F.col("k")))
+    zm = cat.build_zonemap("tz", ["k"])
+    assert len(zm["files"]) >= 5
+    # a narrow band overlaps few files
+    kept, total = cat.zonemap_pruned_files("tz", "k", lo=100, hi=150)
+    assert kept < total
+    got = sorted(r["k"] for r in cat.read_skipping("tz", "k", 100, 150).collect())
+    assert got == list(range(100, 151))
+    # unbounded side works; no-overlap band returns empty
+    assert cat.read_skipping("tz", "k", lo=990).count() == 10
+    assert cat.read_skipping("tz", "k", lo=5000).count() == 0
+    # writes invalidate the index
+    cat.insert("tz", spark.createDataFrame([(2000, "x")], "k long, v string"))
+    with pytest.raises(CatalogError, match="no zonemap"):
+        cat.read_skipping("tz", "k", 0, 10)
+    # metadata-only rebuild picks up the new file
+    cat.build_zonemap("tz", ["k"])
+    assert cat.read_skipping("tz", "k", lo=1500).count() == 1
+
+
+def test_zonemap_validation(cat, spark):
+    cat.create_table("tz2", [("k", "BIGINT")], properties={"stored_as": "orc"})
+    with pytest.raises(CatalogError, match="parquet-format"):
+        cat.build_zonemap("tz2", ["k"])
+    cat.create_table("tz3", [("k", "BIGINT")], partition_columns=[("ds", "STRING")])
+    with pytest.raises(CatalogError, match="not a data column"):
+        cat.build_zonemap("tz3", ["ds"])
