@@ -9,6 +9,8 @@ Supported statements (case-insensitive, optional trailing ';'):
         [[RANGE] CLUSTERED BY (c, ...) [SORTED BY (c [ASC|DESC], ...)] INTO n BUCKETS]
         [STORED AS PARQUET|ORC] [TBLPROPERTIES ('k'='v', ...)] [LOCATION '...']
     CREATE VIEW [IF NOT EXISTS] v AS SELECT ...
+    CREATE MATERIALIZED VIEW [IF NOT EXISTS] mv AS SELECT ...
+    REFRESH MATERIALIZED VIEW mv               DROP MATERIALIZED VIEW [IF EXISTS] mv
     DROP TABLE|VIEW [IF EXISTS] t              TRUNCATE TABLE t
     ALTER TABLE t RENAME TO t2                 ALTER TABLE t ADD COLUMNS (c TYPE, ...)
     SHOW TABLES | SHOW SCHEMAS | SHOW PARTITIONS t | SHOW COLUMNS IN t
@@ -186,6 +188,40 @@ def try_execute_ddl(eng, query: str):
 
     if _CREATE_TABLE.match(s):
         _parse_create_table(cat, s)
+        return _one_row_per(spark, [], "result")
+
+    m = re.match(r"^CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)"
+                 r"\s+AS\s+(.+)$", s, re.IGNORECASE | re.DOTALL)
+    if m:
+        if_not_exists, name, text = bool(m.group(1)), m.group(2), m.group(3).strip()
+        if cat.table_exists(name):
+            if if_not_exists:
+                return _one_row_per(spark, [], "result")
+            from aliyun_maxcompute_data_collectors_spark.catalog import TableAlreadyExistsError
+            raise TableAlreadyExistsError(name)
+        # materialize = CTAS keeping the defining text for REFRESH; reads hit
+        # the stored table (no re-execution), unlike a VIRTUAL_VIEW
+        df = eng.sql(text)
+        from aliyun_maxcompute_data_collectors_spark import types as _ot
+        cols = [(f.name, _ot.to_odps_type(f.dataType)) for f in df.schema.fields]
+        cat.create_table(name, cols, properties={"mv_text": text})
+        cat.insert(name, df, overwrite=True)
+        return _one_row_per(spark, [], "result")
+
+    m = re.match(r"^REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)$", s, re.IGNORECASE)
+    if m:
+        name = m.group(1)
+        meta = cat.get_meta(name)
+        text = (meta.properties or {}).get("mv_text")
+        if not text:
+            raise ValueError(f"{name} is not a materialized view")
+        cat.insert(name, eng.sql(text), overwrite=True)
+        return _one_row_per(spark, [], "result")
+
+    m = re.match(r"^DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)$",
+                 s, re.IGNORECASE)
+    if m:
+        cat.drop_table(m.group(2), if_exists=bool(m.group(1)))
         return _one_row_per(spark, [], "result")
 
     m = re.match(r"^CREATE\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.+)$",

@@ -446,3 +446,30 @@ def test_engine_sql_update_delete_statements(spark, tmp_path):
 
     eng.sql("DELETE FROM inv")
     assert eng.sql("SELECT * FROM inv").count() == 0
+
+
+def test_materialized_view_lifecycle(spark, tmp_path):
+    from aliyun_maxcompute_data_collectors_spark.engine import Engine
+    eng = Engine(str(tmp_path / "wh_mv"), spark)
+    eng.sql("CREATE TABLE base (k BIGINT, v BIGINT)")
+    eng.sql("INSERT INTO base VALUES (1, 10), (1, 20), (2, 5)")
+    eng.sql("CREATE MATERIALIZED VIEW mv AS "
+            "SELECT k, SUM(v) AS total FROM base GROUP BY k")
+    got = {(r["k"], r["total"]) for r in eng.sql("SELECT * FROM mv").collect()}
+    assert got == {(1, 30), (2, 5)}
+    # MV reads the stored table: base changes do NOT show until refresh
+    eng.sql("INSERT INTO base VALUES (2, 95)")
+    got = {(r["k"], r["total"]) for r in eng.sql("SELECT * FROM mv").collect()}
+    assert got == {(1, 30), (2, 5)}
+    eng.sql("REFRESH MATERIALIZED VIEW mv")
+    got = {(r["k"], r["total"]) for r in eng.sql("SELECT * FROM mv").collect()}
+    assert got == {(1, 30), (2, 100)}
+    # defining text is visible in DDL; IF NOT EXISTS is a no-op; drop works
+    assert "mv_text" in eng.catalog.show_create_table("mv")
+    eng.sql("CREATE MATERIALIZED VIEW IF NOT EXISTS mv AS SELECT k FROM base")
+    assert {r["k"] for r in eng.sql("SELECT k FROM mv").collect()} == {1, 2}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not a materialized view"):
+        eng.sql("REFRESH MATERIALIZED VIEW base")
+    eng.sql("DROP MATERIALIZED VIEW mv")
+    assert not eng.catalog.table_exists("mv")
