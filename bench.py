@@ -56,6 +56,11 @@ BENCH_QUERIES = [
     "minhash_lsh",
     "text_profile",
     "embedding_topk",
+    "pivot_priority",
+    "tfidf_keywords",
+    "resample_gapfill",
+    "profile_documents",
+    "constraint_check",
 ]
 
 
