@@ -47,7 +47,7 @@ _MERGE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _WHEN = re.compile(
-    r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
+    r"WHEN\s+(NOT\s+)?MATCHED(\s+BY\s+SOURCE)?(?:\s+AND\s+(.+?))?\s+THEN\s+"
     r"(UPDATE\s+SET\s+.+?|DELETE|INSERT\s+.+?)\s*(?=WHEN\s+(?:NOT\s+)?MATCHED|$)",
     re.IGNORECASE | re.DOTALL,
 )
@@ -194,11 +194,32 @@ class Engine:
         source = self.sql(src[1:-1] if src.startswith("(") else f"SELECT * FROM {src}")
         matched: list[tuple[str | None, str | dict]] = []
         not_matched: tuple[str | None, str | dict] | None = None
-        for is_not, cond, action in _WHEN.findall(whens):
+        by_source: list[tuple[str | None, str | dict]] = []
+
+        def parse_sets(a: str) -> dict:
+            sets = {}
+            for item in _split_top(re.sub(r"^UPDATE\s+SET\s+", "", a,
+                                          flags=re.IGNORECASE)):
+                k, v = item.split("=", 1)
+                k = k.strip().strip("`")
+                k = k.split(".", 1)[1].strip("`") if "." in k else k
+                sets[k] = v.strip()
+            return sets
+
+        for is_not, is_by_source, cond, action in _WHEN.findall(whens):
             cond = cond.strip() or None
             a = action.strip()
             up = a.upper()
-            if is_not:
+            if is_not and is_by_source:
+                # ANSI 2023 / Spark 3.4+: target rows with no source match
+                if up == "DELETE":
+                    by_source.append((cond, "delete"))
+                elif up.startswith("UPDATE"):
+                    by_source.append((cond, parse_sets(a)))
+                else:
+                    raise ValueError(
+                        f"MERGE: unsupported NOT MATCHED BY SOURCE action {a!r}")
+            elif is_not:
                 if not_matched is not None:
                     raise ValueError("MERGE: multiple WHEN NOT MATCHED clauses")
                 body = _INSERT_BODY.match(a)
@@ -215,18 +236,12 @@ class Engine:
             elif up == "DELETE":
                 matched.append((cond, "delete"))
             elif up.startswith("UPDATE"):
-                sets = {}
-                for item in _split_top(re.sub(r"^UPDATE\s+SET\s+", "", a,
-                                              flags=re.IGNORECASE)):
-                    k, v = item.split("=", 1)
-                    k = k.strip().strip("`")
-                    k = k.split(".", 1)[1].strip("`") if "." in k else k
-                    sets[k] = v.strip()
-                matched.append((cond, sets))
+                matched.append((cond, parse_sets(a)))
             else:
                 raise ValueError(f"MERGE: unsupported MATCHED action {a!r}")
         target = self.catalog.read_table(name)
         merged = merge_into(target, source, on, matched, not_matched,
+                            not_matched_by_source=by_source or None,
                             target_alias=talias, source_alias=salias)
         return self._overwrite_snapshot(name, merged)
 

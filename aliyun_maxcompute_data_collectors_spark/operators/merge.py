@@ -36,6 +36,7 @@ def merge_into(
     on: str,
     matched: list[tuple[str | None, str | dict[str, str]]] | None = None,
     not_matched: tuple[str | None, str | dict[str, str]] | None = None,
+    not_matched_by_source: list[tuple[str | None, str | dict[str, str]]] | None = None,
     target_alias: str = "t",
     source_alias: str = "s",
     validate_cardinality: bool = True,
@@ -52,6 +53,9 @@ def merge_into(
     - ``not_matched``: WHEN NOT MATCHED ``(condition | None, inserts)`` where
       inserts is ``{col: sql_expr}`` or ``"*"`` (insert source columns by
       name).  Unlisted target columns become NULL.
+    - ``not_matched_by_source``: ordered WHEN NOT MATCHED BY SOURCE clauses
+      (target rows with no source match): ``"delete"`` or a SET map over
+      TARGET columns only (no source columns exist for these rows).
     - ``validate_cardinality``: raise if one target row matches >1 source row
       (ANSI requires this; silently applying an arbitrary match corrupts
       data).  Costs one narrow aggregation over the join's matched rows.
@@ -103,6 +107,11 @@ def merge_into(
         act = act.when(branch, code) if act is not None else F.when(branch, F.lit(code))
     keep_m = F.when(is_m, "K")
     act = act.when(is_m, "K") if act is not None else keep_m
+    for i, (cond, action) in enumerate(not_matched_by_source or []):
+        branch = t_only if cond is None else t_only & F.expr(cond)
+        code = ("D" if (isinstance(action, str) and action.lower() == "delete")
+                else f"S{i}")
+        act = act.when(branch, code)
     act = act.when(t_only, "K")
     if not_matched is not None:
         icond, _ = not_matched
@@ -132,6 +141,9 @@ def merge_into(
         for i, (_, action) in enumerate(matched):
             if isinstance(action, dict) and f.name in action:
                 c = F.when(F.col("__act__") == f"U{i}", F.expr(action[f.name])).otherwise(c)
+        for i, (_, action) in enumerate(not_matched_by_source or []):
+            if isinstance(action, dict) and f.name in action:
+                c = F.when(F.col("__act__") == f"S{i}", F.expr(action[f.name])).otherwise(c)
         if not_matched is not None:
             ins = F.expr(insert_map[f.name]) if f.name in insert_map else F.lit(None)
             c = F.when(F.col("__act__") == "I", ins).otherwise(c)

@@ -473,3 +473,25 @@ def test_materialized_view_lifecycle(spark, tmp_path):
         eng.sql("REFRESH MATERIALIZED VIEW base")
     eng.sql("DROP MATERIALIZED VIEW mv")
     assert not eng.catalog.table_exists("mv")
+
+
+def test_merge_not_matched_by_source(spark, tmp_path):
+    # full sync: upsert from source AND delete/flag target rows the source
+    # no longer contains (ANSI 2023 WHEN NOT MATCHED BY SOURCE)
+    from aliyun_maxcompute_data_collectors_spark.engine import Engine
+    eng = Engine(str(tmp_path / "wh_mbs"), spark)
+    eng.sql("CREATE TABLE tgt (k BIGINT, v STRING, stale BOOLEAN)")
+    eng.sql("INSERT INTO tgt VALUES (1, 'a', false), (2, 'b', false), (3, 'c', false)")
+    eng.sql("CREATE TABLE src (k BIGINT, v STRING)")
+    eng.sql("INSERT INTO src VALUES (2, 'B'), (4, 'd')")
+
+    eng.sql("""
+      MERGE INTO tgt t USING src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v, stale) VALUES (s.k, s.v, false)
+      WHEN NOT MATCHED BY SOURCE AND t.k = 1 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET stale = true
+    """)
+    got = {(r["k"], r["v"], r["stale"])
+           for r in eng.sql("SELECT * FROM tgt").collect()}
+    assert got == {(2, "B", False), (4, "d", False), (3, "c", True)}

@@ -420,3 +420,30 @@ def test_semantic_dedup_matches_bruteforce(spark):
     ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
     assert all(100 + i not in ids for i in range(10))  # dup drops keep min id
     assert all(i in ids for i in range(10))
+
+
+def test_timeseries_and_split_edge_cases(spark):
+    import pytest as _pytest
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import split_assign
+    from aliyun_maxcompute_data_collectors_spark.operators.timeseries import resample_fill
+
+    empty = spark.createDataFrame([], "user_id long, ts timestamp, value double")
+    assert resample_fill(empty, "user_id", "ts", "value").count() == 0
+
+    one = spark.createDataFrame([(1, "2024-01-01 10:30:00", 5.0)],
+                                "user_id long, ts string, value double") \
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    rows = resample_fill(one, "user_id", "ts", "value").collect()
+    assert len(rows) == 1 and rows[0]["n_events"] == 1 and not rows[0]["is_gap"]
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    with _pytest.raises(ValueError, match="sum to"):
+        split_assign(df, "id", {"a": 0.5, "b": 0.4})
+    # single split takes everything; assignment is stable under corpus growth
+    assert split_assign(df, "id", {"all": 1.0}).where("split='all'").count() == 100
+    small = {r["id"]: r["split"] for r in
+             split_assign(df.where("id < 50"), "id",
+                          {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    full = {r["id"]: r["split"] for r in
+            split_assign(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert all(full[i] == small[i] for i in small)

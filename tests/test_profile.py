@@ -88,3 +88,15 @@ def test_constraints_validation_errors(people):
         check_constraints(people, [("r", "foreign_key", ["id"], "missing", ["x"])])
     with pytest.raises(ValueError, match="unknown rule kind"):
         check_constraints(people, [("r", "frobnicate", "id")])
+
+
+def test_profile_and_constraints_empty_input(spark):
+    empty = spark.createDataFrame([], "id long, name string")
+    rows = {r["col_name"]: r for r in profile(empty).collect()}
+    assert rows["id"]["n_rows"] == 0 and rows["id"]["n_null"] == 0
+    assert rows["id"]["n_distinct"] == 0 and rows["id"]["min_num"] is None
+    out = check_constraints(empty, [
+        ("nn", "not_null", "id"),
+        ("uq", "unique", ["id"]),
+    ])
+    assert {r["rule"]: r["violations"] for r in out.collect()} == {"nn": 0, "uq": 0}
