@@ -9,8 +9,8 @@ Supported statements (case-insensitive, optional trailing ';'):
         [[RANGE] CLUSTERED BY (c, ...) [SORTED BY (c [ASC|DESC], ...)] INTO n BUCKETS]
         [STORED AS PARQUET|ORC] [TBLPROPERTIES ('k'='v', ...)] [LOCATION '...']
     CREATE VIEW [IF NOT EXISTS] v AS SELECT ...
-    CREATE MATERIALIZED VIEW [IF NOT EXISTS] mv AS SELECT ...
-    REFRESH MATERIALIZED VIEW mv               DROP MATERIALIZED VIEW [IF EXISTS] mv
+    CREATE MATERIALIZED VIEW [IF NOT EXISTS] mv [PARTITIONED BY (col, ...)] AS SELECT ...
+    REFRESH MATERIALIZED VIEW mv [WHERE pred]  DROP MATERIALIZED VIEW [IF EXISTS] mv
     DROP TABLE|VIEW [IF EXISTS] t              TRUNCATE TABLE t
     ALTER TABLE t RENAME TO t2                 ALTER TABLE t ADD COLUMNS (c TYPE, ...)
     SHOW TABLES | SHOW SCHEMAS | SHOW PARTITIONS t | SHOW COLUMNS IN t
@@ -191,31 +191,52 @@ def try_execute_ddl(eng, query: str):
         return _one_row_per(spark, [], "result")
 
     m = re.match(r"^CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)"
+                 r"(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?"
                  r"\s+AS\s+(.+)$", s, re.IGNORECASE | re.DOTALL)
     if m:
-        if_not_exists, name, text = bool(m.group(1)), m.group(2), m.group(3).strip()
+        if_not_exists, name = bool(m.group(1)), m.group(2)
+        part_cols = [c.strip().strip("`") for c in (m.group(3) or "").split(",") if c.strip()]
+        text = m.group(4).strip()
         if cat.table_exists(name):
             if if_not_exists:
                 return _one_row_per(spark, [], "result")
             from aliyun_maxcompute_data_collectors_spark.catalog import TableAlreadyExistsError
             raise TableAlreadyExistsError(name)
         # materialize = CTAS keeping the defining text for REFRESH; reads hit
-        # the stored table (no re-execution), unlike a VIRTUAL_VIEW
+        # the stored table (no re-execution), unlike a VIRTUAL_VIEW.  With
+        # PARTITIONED BY, the MV stores partitions so REFRESH ... WHERE can
+        # rebuild only the affected partitions (dynamic overwrite).
         df = eng.sql(text)
         from aliyun_maxcompute_data_collectors_spark import types as _ot
-        cols = [(f.name, _ot.to_odps_type(f.dataType)) for f in df.schema.fields]
-        cat.create_table(name, cols, properties={"mv_text": text})
+        all_cols = [(f.name, _ot.to_odps_type(f.dataType)) for f in df.schema.fields]
+        for pc in part_cols:
+            if pc not in {c for c, _ in all_cols}:
+                raise ValueError(f"MV partition column {pc!r} not in query output")
+        data_cols = [(c, t) for c, t in all_cols if c not in part_cols]
+        pcols = [(c, t) for c, t in all_cols if c in part_cols]
+        cat.create_table(name, data_cols, partition_columns=pcols,
+                         properties={"mv_text": text})
         cat.insert(name, df, overwrite=True)
         return _one_row_per(spark, [], "result")
 
-    m = re.match(r"^REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)$", s, re.IGNORECASE)
+    m = re.match(r"^REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)(?:\s+WHERE\s+(.+))?$",
+                 s, re.IGNORECASE | re.DOTALL)
     if m:
-        name = m.group(1)
+        name, pred = m.group(1), (m.group(2) or "").strip()
         meta = cat.get_meta(name)
         text = (meta.properties or {}).get("mv_text")
         if not text:
             raise ValueError(f"{name} is not a materialized view")
-        cat.insert(name, eng.sql(text), overwrite=True)
+        df = eng.sql(text)
+        if pred:
+            # partition-scoped incremental refresh: recompute only rows
+            # matching the predicate; dynamic partitionOverwriteMode replaces
+            # just the partitions present in the refreshed frame
+            if not meta.partition_columns:
+                raise ValueError("REFRESH ... WHERE requires a partitioned "
+                                 "materialized view")
+            df = df.where(pred)
+        cat.insert(name, df, overwrite=True)
         return _one_row_per(spark, [], "result")
 
     m = re.match(r"^DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)$",

@@ -495,3 +495,35 @@ def test_merge_not_matched_by_source(spark, tmp_path):
     got = {(r["k"], r["v"], r["stale"])
            for r in eng.sql("SELECT * FROM tgt").collect()}
     assert got == {(2, "B", False), (4, "d", False), (3, "c", True)}
+
+
+def test_partitioned_mv_incremental_refresh(spark, tmp_path):
+    # partition-scoped refresh recomputes ONLY the predicate's partitions;
+    # Catalyst pushes the predicate through the MV's aggregate to the scan
+    from aliyun_maxcompute_data_collectors_spark.engine import Engine
+    eng = Engine(str(tmp_path / "wh_pmv"), spark)
+    eng.sql("CREATE TABLE sales (day STRING, amt BIGINT)")
+    eng.sql("INSERT INTO sales VALUES ('d1', 1), ('d1', 2), ('d2', 10)")
+    eng.sql("CREATE MATERIALIZED VIEW daily PARTITIONED BY (day) AS "
+            "SELECT day, SUM(amt) AS total FROM sales GROUP BY day")
+    assert eng.catalog.list_partitions("daily") == [{"day": "d1"}, {"day": "d2"}]
+    got = {(r["day"], r["total"]) for r in eng.sql("SELECT * FROM daily").collect()}
+    assert got == {("d1", 3), ("d2", 10)}
+
+    # base changes in BOTH partitions; refresh only d2 -> d1 stays stale
+    eng.sql("INSERT INTO sales VALUES ('d1', 100), ('d2', 100)")
+    eng.sql("REFRESH MATERIALIZED VIEW daily WHERE day = 'd2'")
+    got = {(r["day"], r["total"]) for r in eng.sql("SELECT * FROM daily").collect()}
+    assert got == {("d1", 3), ("d2", 110)}
+    # full refresh catches d1 up
+    eng.sql("REFRESH MATERIALIZED VIEW daily")
+    got = {(r["day"], r["total"]) for r in eng.sql("SELECT * FROM daily").collect()}
+    assert got == {("d1", 103), ("d2", 110)}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not in query output"):
+        eng.sql("CREATE MATERIALIZED VIEW bad PARTITIONED BY (nope) AS "
+                "SELECT day FROM sales")
+    with _pytest.raises(ValueError, match="requires a partitioned"):
+        eng.sql("CREATE MATERIALIZED VIEW flat AS SELECT COUNT(*) AS n FROM sales")
+        eng.sql("REFRESH MATERIALIZED VIEW flat WHERE n > 0")
