@@ -133,6 +133,7 @@ class Engine:
         dele = _DELETE.match(query)
         if dele:
             return self._run_delete(*dele.groups())
+        query = self._resolve_max_pt(query)
         query, qualified = self._resolve_qualified(query)
         known = set(self.catalog.list_tables())
         referenced = [t for t in set(_IDENT.findall(query)) if t in known]
@@ -146,6 +147,20 @@ class Engine:
                 if pcols:
                     _checks.check_full_scan(df, pcols, allow_full_scan=False)
         return df
+
+    def _resolve_max_pt(self, query: str) -> str:
+        """Rewrite ``max_pt('table')`` calls to the literal newest partition
+        value — exactly how the reference resolves MaxPtUDF driver-side
+        before execution (MaxPtUDF.java:31-41 runs ``select max_pt("t")``
+        against the service).  Resolution happens at plan time, so
+        ``WHERE pt = max_pt('t')`` partition-prunes like any constant."""
+        def repl(m: re.Match) -> str:
+            val = self.catalog.max_pt(m.group(1))
+            if val is None:
+                raise ValueError(f"max_pt: table {m.group(1)!r} has no "
+                                 "non-empty partitions")
+            return "'" + val.replace("'", "''") + "'"
+        return re.sub(r"(?i)\bmax_pt\s*\(\s*'([\w.]+)'\s*\)", repl, query)
 
     def _run_insert(self, mode: str, name: str, part: str | None, select: str):
         """``INSERT [OVERWRITE|INTO] t [PARTITION (k=v, dyncol)] SELECT ...``

@@ -527,3 +527,24 @@ def test_partitioned_mv_incremental_refresh(spark, tmp_path):
     with _pytest.raises(ValueError, match="requires a partitioned"):
         eng.sql("CREATE MATERIALIZED VIEW flat AS SELECT COUNT(*) AS n FROM sales")
         eng.sql("REFRESH MATERIALIZED VIEW flat WHERE n > 0")
+
+
+def test_max_pt_sql_rewrite(spark, tmp_path):
+    from aliyun_maxcompute_data_collectors_spark.engine import Engine
+    eng = Engine(str(tmp_path / "wh_mpt"), spark)
+    eng.sql("CREATE TABLE logs (msg STRING) PARTITIONED BY (ds STRING)")
+    eng.sql("INSERT INTO logs PARTITION (ds='20240101') VALUES ('old')")
+    eng.sql("INSERT INTO logs PARTITION (ds='20240102') VALUES ('new')")
+    rows = eng.sql("SELECT msg FROM logs WHERE ds = max_pt('logs')").collect()
+    assert [r["msg"] for r in rows] == ["new"]
+    # constant resolution -> partition pruning: only one partition scanned
+    from aliyun_maxcompute_data_collectors_spark.plans import checks as C
+    plan = C.formatted_plan(eng.sql("SELECT msg FROM logs WHERE ds = max_pt('logs')"))
+    import re as _re
+    m = _re.search(r"partitions read[:=]?\s*(\d+)", plan, _re.IGNORECASE)
+    if m:
+        assert m.group(1) == "1"
+    import pytest as _pytest
+    eng.sql("CREATE TABLE emptyp (x STRING) PARTITIONED BY (ds STRING)")
+    with _pytest.raises(ValueError, match="no\\s+non-empty partitions"):
+        eng.sql("SELECT * FROM emptyp WHERE ds = max_pt('emptyp')")
