@@ -14,7 +14,8 @@ Supported statements (case-insensitive, optional trailing ';'):
     DROP TABLE|VIEW [IF EXISTS] t              TRUNCATE TABLE t
     ALTER TABLE t RENAME TO t2                 ALTER TABLE t ADD COLUMNS (c TYPE, ...)
     SHOW TABLES | SHOW SCHEMAS | SHOW PARTITIONS t | SHOW COLUMNS IN t
-    SHOW CREATE TABLE t | DESCRIBE t
+    SHOW CREATE TABLE t | SHOW TBLPROPERTIES t | SHOW [MATERIALIZED] VIEWS
+    DESCRIBE [EXTENDED] t
 
 ``try_execute_ddl(engine, sql)`` returns a result DataFrame, or None when the
 statement is not DDL (the caller then treats it as INSERT/SELECT).
@@ -288,11 +289,40 @@ def try_execute_ddl(eng, query: str):
     m = re.match(r"^SHOW\s+CREATE\s+TABLE\s+([\w.]+)$", s, re.IGNORECASE)
     if m:
         return _one_row_per(spark, [cat.show_create_table(m.group(1))], "createtab_stmt")
-    m = re.match(r"^(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.]+)$", s, re.IGNORECASE)
+    m = re.match(r"^SHOW\s+TBLPROPERTIES\s+([\w.]+)$", s, re.IGNORECASE)
     if m:
         meta = cat.get_meta(m.group(1))
+        rows = [(k, str(v)) for k, v in sorted((meta.properties or {}).items())]
+        return spark.createDataFrame(rows or [("", "")],
+                                     "key string, value string").where("key <> ''")
+    m = re.match(r"^SHOW\s+(?:MATERIALIZED\s+)?VIEWS$", s, re.IGNORECASE)
+    if m:
+        want_mv = "MATERIALIZED" in s.upper()
+        names = []
+        for t in cat.list_tables():
+            meta = cat.get_meta(t)
+            is_mv = bool((meta.properties or {}).get("mv_text"))
+            is_view = meta.table_type == "VIRTUAL_VIEW"
+            if (want_mv and is_mv) or (not want_mv and is_view):
+                names.append(t)
+        return _one_row_per(spark, sorted(names), "view_name")
+    m = re.match(r"^(?:DESCRIBE|DESC)\s+(EXTENDED\s+)?(?:TABLE\s+)?([\w.]+)$",
+                 s, re.IGNORECASE)
+    if m:
+        extended, name = bool(m.group(1)), m.group(2)
+        meta = cat.get_meta(name)
         rows = [(c, t, "") for c, t in meta.columns] + \
                [(c, t, "partition") for c, t in meta.partition_columns]
+        if extended:
+            rows += [("", "", ""),
+                     ("# type", meta.table_type, ""),
+                     ("# format", cat.storage_format(meta), ""),
+                     ("# location", cat.data_dir(name), "")]
+            if meta.bucket:
+                b = meta.bucket
+                rows.append(("# bucket",
+                             f"{b.cluster_type} x{b.num_buckets} on "
+                             + ",".join(b.bucket_columns), ""))
         return spark.createDataFrame(
             rows, "col_name string, data_type string, comment string")
 

@@ -548,3 +548,22 @@ def test_max_pt_sql_rewrite(spark, tmp_path):
     eng.sql("CREATE TABLE emptyp (x STRING) PARTITIONED BY (ds STRING)")
     with _pytest.raises(ValueError, match="no\\s+non-empty partitions"):
         eng.sql("SELECT * FROM emptyp WHERE ds = max_pt('emptyp')")
+
+
+def test_show_tblproperties_views_describe_extended(spark, tmp_path):
+    from aliyun_maxcompute_data_collectors_spark.engine import Engine
+    eng = Engine(str(tmp_path / "wh_show"), spark)
+    eng.sql("CREATE TABLE t1 (k BIGINT) STORED AS ORC "
+            "TBLPROPERTIES ('owner'='me')")
+    props = {r["key"]: r["value"] for r in eng.sql("SHOW TBLPROPERTIES t1").collect()}
+    assert props["owner"] == "me" and props["stored_as"] == "orc"
+    eng.sql("CREATE VIEW v1 AS SELECT k FROM t1")
+    eng.sql("CREATE MATERIALIZED VIEW mv1 AS SELECT COUNT(*) AS n FROM t1")
+    assert [r["view_name"] for r in eng.sql("SHOW VIEWS").collect()] == ["v1"]
+    assert [r["view_name"] for r in eng.sql("SHOW MATERIALIZED VIEWS").collect()] == ["mv1"]
+    ext = {r["col_name"]: r["data_type"]
+           for r in eng.sql("DESCRIBE EXTENDED t1").collect()}
+    assert ext["# format"] == "orc" and ext["# type"] == "MANAGED_TABLE"
+    # plain DESCRIBE unchanged
+    cols = [r["col_name"] for r in eng.sql("DESCRIBE t1").collect()]
+    assert cols == ["k"]
