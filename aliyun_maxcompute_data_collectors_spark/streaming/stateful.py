@@ -88,3 +88,69 @@ def running_counter(
 
 def _spark_type_name(df: DataFrame, col: str) -> str:
     return df.schema[col].dataType.simpleString()
+
+
+def running_counter_tws(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """``running_counter`` on Spark 4's transformWithStateInPandas API
+    (StatefulProcessor + typed ValueState) — the successor to
+    applyInPandasWithState with composable state variables and timers.
+    Emits one updated (keys..., n_events, total) row per key per batch.
+
+    Kept alongside the applyInPandasWithState variant: same semantics, so
+    pipelines can migrate APIs without output changes.
+
+    Runtime requirements (Spark 4): the RocksDB state store provider and the
+    ``protobuf`` python package (the state-server wire format).  This
+    container lacks protobuf, so the pytest self-skips here; on a real
+    cluster set ``spark.sql.streaming.stateStore.providerClass`` to
+    RocksDBStateStoreProvider."""
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+    from pyspark.sql import types as T
+
+    key_fields = [stream_df.schema[k] for k in key_cols]
+    out_schema = T.StructType(
+        list(key_fields)
+        + [T.StructField("n_events", T.LongType()),
+           T.StructField("total", T.DoubleType())]
+    )
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()), T.StructField("tot", T.DoubleType()),
+    ])
+
+    class Counter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues: TimerValues):
+            n, tot = 0, 0.0
+            if self._state.exists():
+                n, tot = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                tot += float(pdf[value_col].sum())
+            self._state.update((n, tot))
+            yield pd.DataFrame([{**{k: v for k, v in zip([f.name for f in key_fields], key)},
+                                 "n_events": n, "total": tot}])
+
+        def handleExpiredTimer(self, key, timerValues: TimerValues,
+                               expiredTimerInfo: ExpiredTimerInfo):
+            return iter(())
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy(*key_cols).transformWithStateInPandas(
+        statefulProcessor=Counter(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

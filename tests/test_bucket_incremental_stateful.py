@@ -203,3 +203,39 @@ def test_datetime_millis_precision(spark):
         .select(F.to_timestamp("s").alias("ts"))
     out = df.select(F.date_format(datetime_millis("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("d"))
     assert out.collect()[0]["d"] == "2024-01-01 00:00:00.123000"
+
+
+def test_running_counter_transform_with_state(spark, tmp_path):
+    # Spark 4 transformWithStateInPandas variant: same semantics as
+    # running_counter across two micro-batches.  The API needs the protobuf
+    # python package (state-server wire format); absent in this container,
+    # so the test self-skips here and runs on real clusters.
+    pytest.importorskip("google.protobuf.descriptor")
+    from aliyun_maxcompute_data_collectors_spark.streaming.stateful import running_counter_tws
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    src = tmp_path / "in_tws"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for k, v in [(1, 2.0), (1, 3.0), (2, 5.0)]:
+            f.write(json.dumps({"k": k, "v": v}) + "\n")
+    stream = spark.readStream.schema("k long, v double").json(str(src))
+    out = running_counter_tws(stream, ["k"], "v")
+    ck = str(tmp_path / "ck_tws")
+    q = (out.writeStream.format("memory").queryName("rc_tws")
+         .option("checkpointLocation", ck)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["k"]: (r["n_events"], r["total"])
+           for r in spark.sql("SELECT * FROM rc_tws").collect()}
+    assert got == {1: (2, 5.0), 2: (1, 5.0)}
+    # second batch: state survives the restart via the checkpoint
+    with open(src / "b2.json", "w") as f:
+        f.write(json.dumps({"k": 1, "v": 10.0}) + "\n")
+    q = (out.writeStream.format("memory").queryName("rc_tws2")
+         .option("checkpointLocation", ck)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["k"]: (r["n_events"], r["total"])
+           for r in spark.sql("SELECT * FROM rc_tws2").collect()}
+    assert got.get(1) == (3, 15.0)
