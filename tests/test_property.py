@@ -98,3 +98,87 @@ def test_type_parse_roundtrip(tname):
     dt = ot.parse_odps_type(tname)
     back = ot.to_odps_type(dt)
     assert ot.parse_odps_type(back) == dt
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO vs a pure-python reference implementation
+# ---------------------------------------------------------------------------
+
+def _merge_ref(target, source, matched, not_matched, by_source):
+    """Reference ANSI MERGE on python lists of (k, v) pairs; target keys
+    unique.  Clause structures mirror merge_into's."""
+    src_by_k = {}
+    for k, v in source:
+        src_by_k.setdefault(k, []).append(v)
+    out = []
+    for k, v in target:
+        if k in src_by_k:
+            sv = src_by_k[k][0]
+            applied = False
+            for cond, action in matched:
+                if cond is None or cond(v, sv):
+                    if action == "delete":
+                        applied = True
+                    else:
+                        out.append((k, action(v, sv)))
+                        applied = True
+                    break
+            if not applied:
+                out.append((k, v))
+        else:
+            applied = False
+            for cond, action in by_source:
+                if cond is None or cond(v):
+                    if action == "delete":
+                        applied = True
+                    else:
+                        out.append((k, action(v)))
+                        applied = True
+                    break
+            if not applied:
+                out.append((k, v))
+    tgt_keys = {k for k, _ in target}
+    if not_matched:
+        for k, vs in src_by_k.items():
+            if k not in tgt_keys:
+                for sv in vs:
+                    out.append((k, sv))
+    return sorted(out)
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 9), st.integers(-50, 50)),
+             max_size=8, unique_by=lambda t: t[0]),
+    st.lists(st.tuples(st.integers(0, 9), st.integers(-50, 50)),
+             max_size=8, unique_by=lambda t: t[0]),
+)
+@settings(max_examples=12, deadline=None)
+def test_merge_into_matches_reference(spark, tgt_rows, src_rows):
+    # fixed clause set over random tables: conditional update, delete the
+    # negatives, insert unmatched, flag-not-in-source via update
+    # (spark is a session-scoped fixture - allowed inside @given)
+    from aliyun_maxcompute_data_collectors_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(tgt_rows or [(99999, 0)], "k long, v long")
+    source = spark.createDataFrame(src_rows or [(99998, 0)], "k long, v long")
+    tgt_list = tgt_rows or [(99999, 0)]
+    src_list = src_rows or [(99998, 0)]
+
+    got = merge_into(
+        target, source, "t.k = s.k",
+        matched=[("s.v < 0", "delete"), (None, {"v": "s.v + 1"})],
+        not_matched=(None, "*"),
+        not_matched_by_source=[("t.v < -25", "delete"),
+                               (None, {"v": "t.v * 2"})],
+    )
+    got_list = sorted((r["k"], r["v"]) for r in got.collect())
+
+    want = _merge_ref(
+        tgt_list, src_list,
+        matched=[(lambda tv, sv: sv < 0, "delete"),
+                 (None, lambda tv, sv: sv + 1)],
+        not_matched=True,
+        by_source=[(lambda tv: tv < -25, "delete"),
+                   (None, lambda tv: tv * 2)],
+    )
+    assert got_list == want
