@@ -163,3 +163,55 @@ def extract_features(
             yield pdf[cols + ["features"]]
 
     return df.mapInPandas(gen, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    blob_col: str = "blob",
+    meta_col: str = "meta",
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize image blobs to (target_w, target_h) via mapInPandas.
+
+    The Spark-side contract is real - Arrow-batched binary in/out, meta
+    struct updated to the new dimensions, non-images passed through
+    untouched; the pixel transform itself is pluggable.  The default
+    ``resize_fn`` is a deterministic fake (no imaging libs in this
+    container: it stamps the new size into the payload header) clearly
+    marked for replacement with PIL/opencv on a real deployment.
+    """
+    if resize_fn is None:
+        def resize_fn(payload: bytes, w: int, h: int) -> bytes:  # noqa: F811
+            # FAKE RESIZE - deterministic stand-in, replace with
+            # PIL.Image.resize in production.  Keeps the original bytes
+            # with a stamped header so tests can assert the contract.
+            return b"RESIZED:%dx%d:" % (w, h) + payload
+
+    out_schema = df.schema
+    cols = [f.name for f in df.schema.fields]
+    is_meta = meta_col in cols
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            def one(row):
+                payload, meta = row
+                if payload is None:
+                    return payload, meta
+                if is_meta and meta is not None and meta.get("media_type") != "image":
+                    return payload, meta
+                new_payload = resize_fn(bytes(payload), target_w, target_h)
+                if meta is not None:
+                    meta = dict(meta)
+                    meta["width"], meta["height"] = target_w, target_h
+                return new_payload, meta
+            pairs = [one((p, m)) for p, m in
+                     zip(pdf[blob_col], pdf[meta_col] if is_meta else [None] * len(pdf))]
+            pdf[blob_col] = [p for p, _ in pairs]
+            if is_meta:
+                pdf[meta_col] = [m for _, m in pairs]
+            yield pdf[cols]
+
+    return df.mapInPandas(gen, schema=out_schema)

@@ -15,7 +15,7 @@ Supported statements (case-insensitive, optional trailing ';'):
     ALTER TABLE t RENAME TO t2                 ALTER TABLE t ADD COLUMNS (c TYPE, ...)
     SHOW TABLES | SHOW SCHEMAS | SHOW PARTITIONS t | SHOW COLUMNS IN t
     SHOW CREATE TABLE t | SHOW TBLPROPERTIES t | SHOW [MATERIALIZED] VIEWS
-    DESCRIBE [EXTENDED] t
+    DESCRIBE [EXTENDED] t | ANALYZE TABLE t [COMPUTE STATISTICS]
 
 ``try_execute_ddl(engine, sql)`` returns a result DataFrame, or None when the
 statement is not DDL (the caller then treats it as INSERT/SELECT).
@@ -289,6 +289,14 @@ def try_execute_ddl(eng, query: str):
     m = re.match(r"^SHOW\s+CREATE\s+TABLE\s+([\w.]+)$", s, re.IGNORECASE)
     if m:
         return _one_row_per(spark, [cat.show_create_table(m.group(1))], "createtab_stmt")
+    m = re.match(r"^ANALYZE\s+TABLE\s+([\w.]+)(?:\s+COMPUTE\s+STATISTICS)?$",
+                 s, re.IGNORECASE)
+    if m:
+        stats = cat.analyze_table(m.group(1))
+        return spark.createDataFrame(
+            [(int(stats["size_in_bytes"]), int(stats["num_files"]),
+              int(stats["num_rows"]))],
+            "size_in_bytes long, num_files long, num_rows long")
     m = re.match(r"^SHOW\s+TBLPROPERTIES\s+([\w.]+)$", s, re.IGNORECASE)
     if m:
         meta = cat.get_meta(m.group(1))

@@ -567,3 +567,14 @@ def test_show_tblproperties_views_describe_extended(spark, tmp_path):
     # plain DESCRIBE unchanged
     cols = [r["col_name"] for r in eng.sql("DESCRIBE t1").collect()]
     assert cols == ["k"]
+
+
+def test_analyze_table_sql(spark, tmp_path):
+    from aliyun_maxcompute_data_collectors_spark.engine import Engine
+    eng = Engine(str(tmp_path / "wh_an"), spark)
+    eng.sql("CREATE TABLE ta (k BIGINT)")
+    eng.sql("INSERT INTO ta VALUES (1), (2), (3)")
+    row = eng.sql("ANALYZE TABLE ta COMPUTE STATISTICS").collect()[0]
+    assert row["num_rows"] == 3 and row["num_files"] >= 1
+    props = {r["key"] for r in eng.sql("SHOW TBLPROPERTIES ta").collect()}
+    assert "stats" in props  # persisted into meta

@@ -447,3 +447,22 @@ def test_timeseries_and_split_edge_cases(spark):
     full = {r["id"]: r["split"] for r in
             split_assign(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
     assert all(full[i] == small[i] for i in small)
+
+
+def test_resize_images_contract(spark):
+    from aliyun_maxcompute_data_collectors_spark.operators.multimodal import (
+        decode_media, fake_decode_image, fake_decode_video, resize_images)
+    rows = [(1, b"\x89PNGxxxx"), (2, b"\x00\x00\x01\xbavideo"), (3, None)]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    def route(payload):
+        return fake_decode_video(payload) if payload.startswith(b"\x00\x00\x01\xba") \
+            else fake_decode_image(payload)
+    decoded = decode_media(df, decode_fn=route)
+    out = {r["id"]: r for r in resize_images(decoded, 64, 32).collect()}
+    # image: payload transformed, meta dims updated
+    assert bytes(out[1]["blob"]).startswith(b"RESIZED:64x32:")
+    assert out[1]["meta"]["width"] == 64 and out[1]["meta"]["height"] == 32
+    # video: untouched
+    assert bytes(out[2]["blob"]) == b"\x00\x00\x01\xbavideo"
+    # null blob: passes through
+    assert out[3]["blob"] is None
