@@ -605,6 +605,36 @@ ORDER BY user_id, bucket_start
 """
 
 
+# ---------------------------------------------------------------------------
+# String aggregation (LISTAGG/STRING_AGG dialect surface)
+# ---------------------------------------------------------------------------
+
+def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region ordered string aggregation of nation names (deterministic:
+    the list is sorted before joining) plus member count."""
+    t = load_tables(spark, sf_dir, ["region", "nation"])
+    return (
+        t["nation"].join(F.broadcast(t["region"]),
+                         t["nation"].n_regionkey == t["region"].r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("members"),
+        )
+        .orderBy("r_name")
+    )
+
+
+_STRING_AGG_SQL = """
+SELECT r_name,
+       COUNT(*) AS n_nations,
+       STRING_AGG(n_name, ',' ORDER BY n_name) AS members
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "pivot_priority": (pivot_priority, _PIVOT_SQL),
     "unpivot_measures": (unpivot_measures, _UNPIVOT_SQL),
@@ -621,4 +651,5 @@ REGISTRY: dict[str, tuple] = {
     "semantic_dedup": (semantic_dedup_q, None),  # rows-only: kmeans-dependent
     "split_assignment": (split_assignment, _SPLIT_SQL),
     "rolling_hourly_stats": (rolling_hourly_stats, _ROLLING_SQL),
+    "string_agg_nations": (string_agg_nations, _STRING_AGG_SQL),
 }
