@@ -635,6 +635,47 @@ ORDER BY r_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Higher-order array functions (lambda surface)
+# ---------------------------------------------------------------------------
+
+def higher_order_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform / filter / exists / forall over per-order quantity arrays -
+    the lambda-expression surface, zero shuffles beyond the collect."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    per = (
+        t["lineitem"].where(F.col("l_orderkey") % 100 == 42)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list(F.col("l_quantity"))).alias("qtys"))
+    )
+    return (
+        per.select(
+            "l_orderkey",
+            F.transform("qtys", lambda x: F.round(x * 2, 2)).alias("doubled"),
+            F.filter("qtys", lambda x: x > 25).alias("big"),
+            F.exists("qtys", lambda x: x > 45).alias("any_huge"),
+            F.forall("qtys", lambda x: x > 1).alias("all_nontrivial"),
+            F.size(F.filter("qtys", lambda x: x > 25)).alias("n_big"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+_HOF_SQL = """
+WITH per AS (
+  SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys
+  FROM lineitem WHERE l_orderkey % 100 = 42 GROUP BY l_orderkey)
+SELECT l_orderkey,
+  list_transform(qtys, x -> ROUND(x * 2, 2)) AS doubled,
+  list_filter(qtys, x -> x > 25) AS big,
+  length(list_filter(qtys, x -> x > 45)) > 0 AS any_huge,
+  length(list_filter(qtys, x -> NOT (x > 1))) = 0 AS all_nontrivial,
+  CAST(length(list_filter(qtys, x -> x > 25)) AS INT) AS n_big
+FROM per
+ORDER BY l_orderkey
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "pivot_priority": (pivot_priority, _PIVOT_SQL),
     "unpivot_measures": (unpivot_measures, _UNPIVOT_SQL),
@@ -652,4 +693,5 @@ REGISTRY: dict[str, tuple] = {
     "split_assignment": (split_assignment, _SPLIT_SQL),
     "rolling_hourly_stats": (rolling_hourly_stats, _ROLLING_SQL),
     "string_agg_nations": (string_agg_nations, _STRING_AGG_SQL),
+    "higher_order_fns": (higher_order_fns, _HOF_SQL),
 }
