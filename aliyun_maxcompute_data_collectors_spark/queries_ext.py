@@ -676,6 +676,83 @@ ORDER BY l_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# from_json with a DECLARED schema + Python UDTF (table function surface)
+# ---------------------------------------------------------------------------
+
+def from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-declared JSON parse (catalog types, never inferred - SURVEY
+    1.2): ``from_json`` to a struct, field access, and a per-bucket
+    aggregate over the extracted value."""
+    t = load_tables(spark, sf_dir, ["events"])
+    parsed = t["events"].select(
+        "event_id",
+        F.from_json(F.col("props"), "k BIGINT").alias("p"),
+    )
+    return (
+        parsed.select("event_id", F.col("p.k").alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+_FROM_JSON_SQL = """
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       COUNT(*) AS n_events,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY 1
+ORDER BY k_mod
+"""
+
+
+def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+/4 table function - the U2/U3 UDTF surface
+    Spark-natively): one document row -> one row per whitespace token with
+    its position, consumed through a LATERAL join.  Plain-string split
+    keeps both engines byte-identical (no regex dialect drift).  UDTFs are
+    the slow (row-Python) path - surface parity, not the bench path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok_idx int, token string")
+    class SplitTokens:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001
+            if text is None:
+                return
+            for i, s in enumerate(text.split(" ")):
+                if s:
+                    yield i, s
+
+    spark.udtf.register("split_tokens", SplitTokens)
+    t = load_tables(spark, sf_dir, ["documents"])
+    t["documents"].where(F.col("doc_id") % 100 == 5) \
+        .createOrReplaceTempView("_udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, s.tok_idx, s.token
+        FROM _udtf_docs d,
+             LATERAL split_tokens(d.doc_id, d.text) s
+        ORDER BY d.doc_id, s.tok_idx
+    """)
+
+
+_UDTF_SQL = """
+WITH split AS (
+  SELECT doc_id,
+         UNNEST(string_split(text, ' ')) AS token,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS tok_idx
+  FROM documents WHERE doc_id % 100 = 5)
+SELECT doc_id, CAST(tok_idx AS INT) AS tok_idx, token
+FROM split WHERE token <> ''
+ORDER BY doc_id, tok_idx
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "pivot_priority": (pivot_priority, _PIVOT_SQL),
     "unpivot_measures": (unpivot_measures, _UNPIVOT_SQL),
@@ -694,4 +771,6 @@ REGISTRY: dict[str, tuple] = {
     "rolling_hourly_stats": (rolling_hourly_stats, _ROLLING_SQL),
     "string_agg_nations": (string_agg_nations, _STRING_AGG_SQL),
     "higher_order_fns": (higher_order_fns, _HOF_SQL),
+    "from_json_typed": (from_json_typed, _FROM_JSON_SQL),
+    "udtf_tokens": (udtf_tokens, _UDTF_SQL),
 }
