@@ -445,3 +445,47 @@ def tfidf_top_terms(
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
     )
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+    oov_logprob: float = -12.0,
+) -> DataFrame:
+    """CCNet-style language-model quality proxy without an external LM:
+    train a unigram model on the corpus ITSELF (top-``vocab_size`` tokens by
+    frequency, probabilities from corpus counts), then score each document
+    by its mean token log-probability.  Low scores = unusual/garbled token
+    distributions - the cheap first-pass quality filter.
+
+    Two corpus passes, both shuffle-bounded: (1) token counts -> top-k vocab
+    (k rows, broadcast back), (2) per-doc mean logprob via a map-side join
+    on the broadcast vocab.  OOV tokens get a fixed penalty logprob.
+
+    Output: ``(id_col, n_tokens long, mean_logprob double)`` rounded to 4
+    decimals (ln ulp differences between engines vanish at that scale).
+    """
+    did = F.col(id_col)
+    tok = docs.select(
+        did, F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term")
+    ).where(F.col("term") != "")
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+    vocab = (
+        counts.crossJoin(F.broadcast(total))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(vocab_size)
+        .select("term", (F.log(F.col("cnt") / F.col("n_total"))).alias("lp"))
+    )
+    scored = (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .select(did, F.coalesce("lp", F.lit(float(oov_logprob))).alias("lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lp") / F.count(F.lit(1)), 4).alias("mean_logprob"),
+        )
+    )
+    return scored

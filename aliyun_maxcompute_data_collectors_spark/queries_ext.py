@@ -753,6 +753,42 @@ ORDER BY doc_id, tok_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM quality scores (CCNet-style self-trained filter)
+# ---------------------------------------------------------------------------
+
+def doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document, vocabulary trained on the
+    full corpus; output restricted to a deterministic doc subset."""
+    from aliyun_maxcompute_data_collectors_spark.operators.text import unigram_logprob_scores
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        unigram_logprob_scores(t["documents"], "doc_id", "text", vocab_size=500)
+        .where(F.col("doc_id") % 10 == 2)
+        .orderBy("doc_id")
+    )
+
+
+_LOGPROB_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(LOWER(text), '[^a-z]+')) AS term
+  FROM documents),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+counts AS (SELECT term, COUNT(*) AS cnt FROM tok2 GROUP BY term),
+total AS (SELECT SUM(cnt) AS n_total FROM counts),
+vocab AS (
+  SELECT term, LN(CAST(cnt AS DOUBLE) / n_total) AS lp
+  FROM counts, total ORDER BY cnt DESC, term ASC LIMIT 500)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       ROUND(SUM(COALESCE(v.lp, -12.0)) / COUNT(*), 4) AS mean_logprob
+FROM tok2 t LEFT JOIN vocab v USING (term)
+GROUP BY t.doc_id
+HAVING t.doc_id % 10 = 2
+ORDER BY t.doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "pivot_priority": (pivot_priority, _PIVOT_SQL),
     "unpivot_measures": (unpivot_measures, _UNPIVOT_SQL),
@@ -773,4 +809,5 @@ REGISTRY: dict[str, tuple] = {
     "higher_order_fns": (higher_order_fns, _HOF_SQL),
     "from_json_typed": (from_json_typed, _FROM_JSON_SQL),
     "udtf_tokens": (udtf_tokens, _UDTF_SQL),
+    "doc_logprob": (doc_logprob, _LOGPROB_SQL),
 }

@@ -13,6 +13,7 @@ Supported statements (case-insensitive, optional trailing ';'):
     REFRESH MATERIALIZED VIEW mv [WHERE pred]  DROP MATERIALIZED VIEW [IF EXISTS] mv
     DROP TABLE|VIEW [IF EXISTS] t              TRUNCATE TABLE t
     ALTER TABLE t RENAME TO t2                 ALTER TABLE t ADD COLUMNS (c TYPE, ...)
+    ALTER TABLE t SET|UNSET TBLPROPERTIES ('k'='v', ...)
     SHOW TABLES | SHOW SCHEMAS | SHOW PARTITIONS t | SHOW COLUMNS IN t
     SHOW CREATE TABLE t | SHOW TBLPROPERTIES t | SHOW [MATERIALIZED] VIEWS
     DESCRIBE [EXTENDED] t | ANALYZE TABLE t [COMPUTE STATISTICS]
@@ -271,6 +272,24 @@ def try_execute_ddl(eng, query: str):
     if m:
         inner, _ = _take_parens(s, m.end() - 1)
         cat.alter_table_add_columns(m.group(1), _cols(inner))
+        return _one_row_per(spark, [], "result")
+
+    m = re.match(r"^ALTER\s+TABLE\s+([\w.]+)\s+(UNSET|SET)\s+TBLPROPERTIES\s*\(",
+                 s, re.IGNORECASE)
+    if m:
+        inner, _ = _take_parens(s, m.end() - 1)
+        meta = cat.get_meta(m.group(1))
+        if m.group(2).upper() == "SET":
+            for item in _split_top_commas(inner):
+                kv = re.match(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*$", item)
+                if not kv:
+                    raise ValueError(f"bad TBLPROPERTIES item: {item!r}")
+                meta.properties[kv.group(1)] = kv.group(2)
+        else:
+            for item in _split_top_commas(inner):
+                key = item.strip().strip("'")
+                meta.properties.pop(key, None)
+        cat._write_meta(m.group(1), meta)
         return _one_row_per(spark, [], "result")
 
     m = re.match(r"^SHOW\s+TABLES(?:\s+(?:IN|FROM)\s+([\w.]+))?$", s, re.IGNORECASE)

@@ -578,3 +578,18 @@ def test_analyze_table_sql(spark, tmp_path):
     assert row["num_rows"] == 3 and row["num_files"] >= 1
     props = {r["key"] for r in eng.sql("SHOW TBLPROPERTIES ta").collect()}
     assert "stats" in props  # persisted into meta
+
+
+def test_alter_set_unset_tblproperties(spark, tmp_path):
+    from aliyun_maxcompute_data_collectors_spark.engine import Engine
+    eng = Engine(str(tmp_path / "wh_props"), spark)
+    eng.sql("CREATE TABLE tp (k BIGINT)")
+    eng.sql("ALTER TABLE tp SET TBLPROPERTIES ('owner'='me', 'write.max-records-per-file'='100')")
+    props = {r["key"]: r["value"] for r in eng.sql("SHOW TBLPROPERTIES tp").collect()}
+    assert props["owner"] == "me"
+    # property takes effect on the write path
+    eng.sql("INSERT INTO tp SELECT CAST(id AS BIGINT) FROM range(250)")
+    assert eng.catalog.table_stats("tp")["num_files"] >= 3
+    eng.sql("ALTER TABLE tp UNSET TBLPROPERTIES ('owner')")
+    props = {r["key"] for r in eng.sql("SHOW TBLPROPERTIES tp").collect()}
+    assert "owner" not in props
