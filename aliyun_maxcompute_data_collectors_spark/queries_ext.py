@@ -789,6 +789,41 @@ ORDER BY t.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Correlation / covariance aggregates (statistical surface beyond A2)
+# ---------------------------------------------------------------------------
+
+def corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr / covar_pop / covar_samp per group, rounded to 6 decimals
+    (formula-order float drift across engines is ~1e-15, far below the
+    rounding grain)."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+            F.round(F.covar_pop(q, p), 4).alias("covar_pop_qp"),
+            F.round(F.covar_samp(q, p), 4).alias("covar_samp_qp"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_CORR_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(COVAR_POP(l_quantity, l_extendedprice), 4) AS covar_pop_qp,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_samp_qp
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "pivot_priority": (pivot_priority, _PIVOT_SQL),
     "unpivot_measures": (unpivot_measures, _UNPIVOT_SQL),
@@ -810,4 +845,5 @@ REGISTRY: dict[str, tuple] = {
     "from_json_typed": (from_json_typed, _FROM_JSON_SQL),
     "udtf_tokens": (udtf_tokens, _UDTF_SQL),
     "doc_logprob": (doc_logprob, _LOGPROB_SQL),
+    "corr_stats": (corr_stats, _CORR_SQL),
 }
