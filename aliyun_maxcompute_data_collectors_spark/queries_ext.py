@@ -824,6 +824,61 @@ ORDER BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# UNION BY NAME (schema-evolution union) + explicit median
+# ---------------------------------------------------------------------------
+
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with allowMissingColumns: two projections with different
+    column sets merge by NAME (position-independent), absent columns fill
+    with NULL - the schema-evolution union shape ALTER'd tables need."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    a = t["orders"].where(F.col("o_orderkey") % 40 == 1).select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").alias("price"))
+    b = t["orders"].where(F.col("o_orderkey") % 40 == 2).select(
+        "o_orderkey", F.col("o_orderstatus").alias("status"), "o_orderpriority")
+    return (
+        a.unionByName(b, allowMissingColumns=True)
+        .orderBy("o_orderkey")
+    )
+
+
+_UNION_BY_NAME_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice AS price,
+       CAST(NULL AS VARCHAR) AS status
+FROM orders WHERE o_orderkey % 40 = 1
+UNION ALL BY NAME
+SELECT o_orderkey, o_orderstatus AS status, o_orderpriority,
+       CAST(NULL AS DOUBLE) AS price
+FROM orders WHERE o_orderkey % 40 = 2
+ORDER BY o_orderkey
+"""
+
+
+def median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per group (both engines average the middle
+    pair on even counts)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.median("o_totalprice"), 4).alias("median_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_MEDIAN_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       ROUND(MEDIAN(o_totalprice), 4) AS median_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "pivot_priority": (pivot_priority, _PIVOT_SQL),
     "unpivot_measures": (unpivot_measures, _UNPIVOT_SQL),
@@ -846,4 +901,6 @@ REGISTRY: dict[str, tuple] = {
     "udtf_tokens": (udtf_tokens, _UDTF_SQL),
     "doc_logprob": (doc_logprob, _LOGPROB_SQL),
     "corr_stats": (corr_stats, _CORR_SQL),
+    "union_by_name": (union_by_name, _UNION_BY_NAME_SQL),
+    "median_stats": (median_stats, _MEDIAN_SQL),
 }
