@@ -74,6 +74,41 @@ def fake_decode_video(payload: bytes) -> dict:
     }
 
 
+def fake_decode_audio(payload: bytes) -> dict:
+    """Deterministic stand-in for an audio decoder (sample_rate/duration
+    derived from byte length - same fake convention as image/video, so
+    oracles recompute them from octet_length)."""
+    n = len(payload)
+    return {
+        "media_type": "audio",
+        "format": "fake",
+        "width": None,
+        "height": None,
+        "n_frames": None,
+        "sample_rate": 16000 if n % 2 == 0 else 44100,
+        "duration_ms": 500 + (n % 60_000),
+    }
+
+
+def audio_resample_plan(
+    df: DataFrame,
+    target_rate: int,
+    meta_col: str = "meta",
+) -> DataFrame:
+    """Plan-side audio resample: marks rows whose sample_rate differs from
+    ``target_rate`` and computes the resampled frame count - the cheap
+    arithmetic stays JVM-side; the actual DSP (librosa/torchaudio) plugs
+    into a mapInPandas stage exactly like :func:`resize_images`."""
+    sr = F.col(f"{meta_col}.sample_rate")
+    dur = F.col(f"{meta_col}.duration_ms")
+    return df.where(F.col(f"{meta_col}.media_type") == "audio").select(
+        "*",
+        (sr != target_rate).alias("needs_resample"),
+        F.lit(target_rate).alias("target_rate"),
+        (dur * target_rate / 1000).cast("long").alias("target_n_samples"),
+    )
+
+
 def real_decode_image(payload: bytes) -> dict:  # pragma: no cover - no PIL here
     raise NotImplementedError(
         "media decoding requires an image library (PIL/opencv) not present "

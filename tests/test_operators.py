@@ -466,3 +466,19 @@ def test_resize_images_contract(spark):
     assert bytes(out[2]["blob"]) == b"\x00\x00\x01\xbavideo"
     # null blob: passes through
     assert out[3]["blob"] is None
+
+
+def test_audio_decode_and_resample_plan(spark):
+    from aliyun_maxcompute_data_collectors_spark.operators.multimodal import (
+        audio_resample_plan, decode_media, fake_decode_audio)
+    df = spark.createDataFrame(
+        [(1, b"\x00" * 10), (2, b"\x00" * 11), (3, None)], "id long, blob binary")
+    decoded = decode_media(df, decode_fn=fake_decode_audio)
+    metas = {r["id"]: r["meta"] for r in decoded.collect() if r["meta"]}
+    assert metas[1]["media_type"] == "audio" and metas[1]["sample_rate"] == 16000
+    assert metas[2]["sample_rate"] == 44100
+    plan = audio_resample_plan(decoded, 16000).collect()
+    got = {r["id"]: (r["needs_resample"], r["target_n_samples"]) for r in plan}
+    # 10-byte payload: 500+10=510ms at 16k -> already at target
+    assert got[1] == (False, 510 * 16)
+    assert got[2][0] is True
