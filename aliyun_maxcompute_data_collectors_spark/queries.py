@@ -762,7 +762,7 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, ts,
-    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+    CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq,
@@ -1397,7 +1397,7 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, ts,
-    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+    CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM flagged
 ),
 intervals AS (
@@ -1911,10 +1911,13 @@ def complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ODPS complex types (SURVEY 1.2: ARRAY/MAP/STRUCT): per-order arrays,
     maps, and structs built and consumed with built-in collection functions
     (array_max/distinct/slice/aggregate-fold, element_at on a map, struct
-    field access).  Outputs only scalars and arrays - engine-portable; the
-    double-sum fold runs over the SORTED array so both engines add in the
-    same IEEE order.  Map/struct construction has no DuckDB value-level
-    mirror, so the oracle derives the same scalars arithmetically."""
+    field access).  Outputs only SCALARS - the driver's pandas canonicalizer
+    cannot sort/hash list-valued cells, so the top-3 slice is flattened to
+    three nullable columns (try_element_at mirrors DuckDB's out-of-range
+    list index -> NULL).  The double-sum fold runs over the SORTED array so
+    both engines add in the same IEEE order.  Map/struct construction has no
+    DuckDB value-level mirror, so the oracle derives the same scalars
+    arithmetically."""
     t = load_tables(spark, sf_dir, ["lineitem"])
     li = t["lineitem"].where(F.col("l_orderkey") % 100 == 1)
     per = li.groupBy("l_orderkey").agg(
@@ -1932,7 +1935,9 @@ def complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.aggregate("qtys", F.lit(0.0), lambda a, x: a + x), 4)
             .alias("sum_qty"),
             F.size(F.array_distinct("qtys")).alias("n_uniq_qty"),
-            F.slice(F.reverse(F.sort_array("qtys")), 1, 3).alias("top3_qty"),
+            F.try_element_at(F.reverse(F.sort_array("qtys")), F.lit(1)).alias("top1_qty"),
+            F.try_element_at(F.reverse(F.sort_array("qtys")), F.lit(2)).alias("top2_qty"),
+            F.try_element_at(F.reverse(F.sort_array("qtys")), F.lit(3)).alias("top3_qty"),
             F.array_join("flags", ",").alias("flag_set"),
             F.element_at(m, F.lit("n")).alias("map_n"),
             st.getField("n").alias("struct_n"),
@@ -1952,7 +1957,9 @@ SELECT l_orderkey,
   list_max(qtys) AS max_qty,
   ROUND(list_reduce(list_prepend(0.0, qtys), (a, x) -> a + x), 4) AS sum_qty,
   len(list_distinct(qtys)) AS n_uniq_qty,
-  list_reverse_sort(qtys)[1:3] AS top3_qty,
+  list_reverse_sort(qtys)[1] AS top1_qty,
+  list_reverse_sort(qtys)[2] AS top2_qty,
+  list_reverse_sort(qtys)[3] AS top3_qty,
   array_to_string(flags, ',') AS flag_set,
   len(qtys) AS map_n,
   len(qtys) AS struct_n
