@@ -296,6 +296,32 @@ ORDER BY id1, id2
 """
 
 
+def _dedup_transitive_sql() -> str:
+    """Oracle for transitive dedup groups: the minhash-LSH pair query (same
+    SQL the `minhash_lsh` oracle uses) feeds a recursive transitive closure;
+    each doc's group is MIN(reachable doc_id), singletons reach only
+    themselves.  UNION (not UNION ALL) in the recursive step is the fixpoint
+    terminator."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id1, id2 FROM ({_minhash_lsh_sql()}) t
+),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  UNION
+  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS group_id FROM reach GROUP BY src)
+SELECT group_id, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM comp GROUP BY group_id ORDER BY group_id
+"""
+
+
 def simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures + chunk-blocked near-dup pairs.  Non-SQL-expressible
     (64-bit bit-twiddling) -> rows-only driver check; pytest covers parity
@@ -336,8 +362,11 @@ FROM votes GROUP BY doc_id ORDER BY doc_id
 
 def dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup groups: minhash pairs -> connected components ->
-    one representative per group.  Iterative (not SQL-expressible) ->
-    rows-only driver check; pytest covers the component semantics."""
+    one representative per group.  Spark side is iterative min-label
+    propagation (operators/graph.py); the oracle expresses the SAME
+    fixpoint as a DuckDB recursive CTE (transitive closure, then
+    MIN(reachable) per node) - tractable at oracle scale because dedup
+    clusters are tiny."""
     from aliyun_maxcompute_data_collectors_spark.operators.graph import dedup_groups_transitive
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"]
@@ -414,6 +443,41 @@ SELECT a.vec_id AS id1, b.vec_id AS id2, ROUND({_COS}, 6) AS cos
 FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE ROUND({_COS}, 6) >= 0.35
 ORDER BY id1, id2
+"""
+
+
+def semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantics, exact: brute-force cosine pairs (n_clusters=1 =
+    one cell, no quantizer) -> transitive closure -> keep MIN-id
+    representative per group.  This is the oracle-checkable twin of
+    `semantic_dedup` (whose k-means blocking is centroid-dependent and
+    rows-only); the DuckDB oracle mirrors the full pipeline with a
+    recursive CTE."""
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import semantic_dedup
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    kept = semantic_dedup(t["embeddings"], "vec_id", "embedding",
+                          threshold=0.40, n_clusters=1)
+    return kept.select("vec_id").orderBy("vec_id")
+
+
+_SEMDEDUP_EXACT_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE ROUND({_COS}, 6) >= 0.40
+),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+reach AS (
+  SELECT vec_id AS src, vec_id AS dst FROM embeddings
+  UNION
+  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS vec_id, MIN(dst) AS rep FROM reach GROUP BY src)
+SELECT vec_id FROM comp WHERE vec_id = rep ORDER BY vec_id
 """
 
 
@@ -764,10 +828,11 @@ REGISTRY: dict[str, tuple] = {
     "minhash_lsh": (minhash_lsh, _minhash_lsh_sql()),
     "simhash_pairs": (simhash_sig, None),  # rows-only: 64-bit, not SQL-expressible
     "simhash32_sig": (simhash32_sig, _SIMHASH32_SQL),
-    "dedup_transitive": (dedup_transitive, None),  # rows-only: iterative CC
+    "dedup_transitive": (dedup_transitive, _dedup_transitive_sql()),
     "ivf_topk": (ivf_topk_q, None),  # rows-only: kmeans-dependent
     "embedding_topk": (embedding_topk, _TOPK_EMB_SQL),
     "embedding_dups": (embedding_dups, _EMB_DUPS_SQL),
+    "semantic_dedup_exact": (semantic_dedup_exact, _SEMDEDUP_EXACT_SQL),
     "ann_lsh_topk": (ann_lsh, None),  # rows-only: approximate by construction
     "blob_meta": (blob_meta, _BLOB_SQL),
     "frame_sample": (frame_sample, _FRAME_SAMPLE_SQL),
