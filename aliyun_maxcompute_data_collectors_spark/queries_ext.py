@@ -879,7 +879,107 @@ ORDER BY o_orderpriority
 """
 
 
+def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering diagnostics: rank-normalize two order
+    columns to 8 bits each, bit-interleave into a 16-bit z-value
+    (operators/zorder.py - the OPTIMIZE ZORDER BY layout trick), then
+    summarize the 64 coarse z-buckets.  Each bucket is a compact
+    hyper-rectangle in (price, custkey) space - the min/max spreads per
+    bucket are what parquet zonemaps prune on.  Oracle mirrors the exact
+    bit arithmetic (floor == long-cast truncation for non-negative ranks)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.zorder import zorder_value
+    t = load_tables(spark, sf_dir, ["orders"])
+    o = t["orders"]
+    z = zorder_value(o, ["o_totalprice", "o_custkey"], bits=8)
+    return (
+        o.withColumn("__z__", z)
+        .groupBy(F.shiftrightunsigned(F.col("__z__"), 10).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+def _zorder_sql(bits: int = 8) -> str:
+    cap = (1 << bits) - 1
+    terms = " | ".join(
+        f"((((ra >> {i}) & 1) << {2 * i}) | (((rb >> {i}) & 1) << {2 * i + 1}))"
+        for i in range(bits)
+    )
+    return f"""
+WITH r AS (
+  SELECT o_totalprice, o_custkey,
+    LEAST(CAST(floor(percent_rank() OVER (ORDER BY o_totalprice) * {cap}) AS BIGINT), {cap}) AS ra,
+    LEAST(CAST(floor(percent_rank() OVER (ORDER BY o_custkey) * {cap}) AS BIGINT), {cap}) AS rb
+  FROM orders),
+z AS (SELECT o_totalprice, o_custkey, {terms} AS zv FROM r)
+SELECT zv >> 10 AS z_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  ROUND(MIN(o_totalprice), 2) AS min_price,
+  ROUND(MAX(o_totalprice), 2) AS max_price,
+  MIN(o_custkey) AS min_cust,
+  MAX(o_custkey) AS max_cust
+FROM z GROUP BY 1 ORDER BY z_bucket
+"""
+
+
+def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-sketch family over lineitem (the 100TB cardinality /
+    quantile path: sketches are one-pass, mergeable, constant memory - the
+    scale substitute for exact COUNT(DISTINCT) and sorted percentiles):
+
+    - Apache DataSketches HLL (`hll_sketch_agg` -> `hll_sketch_estimate`)
+    - Spark's HyperLogLog++ (`approx_count_distinct`)
+    - KLL-style `percentile_approx`
+
+    Sketch estimates are engine-specific, so they can't hash-match a DuckDB
+    value; instead the query emits the EXACT values (computed in the same
+    pass) plus in-plan tolerance booleans (estimate within 5% / 1.0 qty).
+    The oracle pins the exact columns and asserts the booleans are TRUE -
+    the driver gate thus verifies both the exact aggregates AND that every
+    sketch met its accuracy contract."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    agg = (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("nd_exact"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey", F.lit(14)))
+            .alias("_hll"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("_apx"),
+            F.percentile_approx("l_quantity", 0.5, 10000).alias("_p50a"),
+            F.expr("percentile(l_quantity, 0.5)").alias("_p50e"),
+        )
+    )
+    tol = lambda est, ex: (F.abs(F.col(est) - F.col(ex)) / F.col(ex)) <= 0.05
+    return (
+        agg.select(
+            "l_returnflag",
+            "nd_exact",
+            tol("_hll", "nd_exact").alias("hll_ok"),
+            tol("_apx", "nd_exact").alias("apx_ok"),
+            (F.abs(F.col("_p50a") - F.col("_p50e")) <= 1.0).alias("p50_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_SKETCH_SQL = """
+SELECT l_returnflag,
+  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_exact,
+  TRUE AS hll_ok, TRUE AS apx_ok, TRUE AS p50_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "zorder_cluster": (zorder_cluster, _zorder_sql()),
+    "sketch_suite": (sketch_suite, _SKETCH_SQL),
     "pivot_priority": (pivot_priority, _PIVOT_SQL),
     "unpivot_measures": (unpivot_measures, _UNPIVOT_SQL),
     "agg_extras": (agg_extras, _AGG_EXTRAS_SQL),
