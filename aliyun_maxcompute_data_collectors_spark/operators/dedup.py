@@ -151,6 +151,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def fuzzy_pairs_levenshtein(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 1,
+    block_tail: int = 2,
+) -> DataFrame:
+    """(id1, id2, edit_dist) for near-identical short strings: blocked
+    Levenshtein, the entity-resolution primitive (record linkage on names /
+    SKUs / URLs).
+
+    An all-pairs edit-distance scan is O(n^2) and unshardable; standard
+    practice is BLOCKING: only compare candidates agreeing on a cheap key.
+    Block key here = (length, prefix up to ``len - block_tail``), i.e. a
+    pair is considered only if the strings share everything but the last
+    ``block_tail`` characters and have equal length — which bounds recall
+    (edits inside the prefix or length-changing edits are missed; widen
+    with additional passes on other keys, e.g. suffix or sorted-odd/even
+    chars, exactly like multi-probe LSH) but makes the join a plain
+    equijoin: one shuffle on the block key, pair work bounded by the
+    largest block, never n^2.
+    """
+    blk = F.struct(
+        F.length(F.col(text_col)).alias("len"),
+        F.substring(
+            F.col(text_col), 1,
+            F.greatest(F.length(F.col(text_col)) - block_tail, F.lit(0)),
+        ).alias("pfx"),
+    )
+    side = df.select(F.col(id_col), F.col(text_col), blk.alias("__blk"))
+    a = side.select(
+        F.col("__blk"), F.col(id_col).alias("id1"), F.col(text_col).alias("t1"))
+    b = side.select(
+        F.col("__blk"), F.col(id_col).alias("id2"), F.col(text_col).alias("t2"))
+    return (
+        a.join(b, ["__blk"])
+        .where(F.col("id1") < F.col("id2"))
+        .withColumn("edit_dist", F.levenshtein("t1", "t2"))
+        .where(F.col("edit_dist") <= max_dist)
+        .select("id1", "id2", "edit_dist")
+    )
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination
 # ---------------------------------------------------------------------------

@@ -76,6 +76,83 @@ def session_stats(
     )
 
 
+def pareto_frontier_2d(
+    df: DataFrame,
+    minimize_col: str,
+    maximize_col: str,
+    num_bins: int = 256,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): rows not dominated by any other row,
+    where q dominates p iff q is <= on ``minimize_col`` and >= on
+    ``maximize_col`` with at least one strict.
+
+    The textbook formulation is a NOT EXISTS self-join — quadratic pair
+    work, a broadcast-nested-loop at scale.  For two dimensions the frontier
+    is instead a running-max scan over ascending cost: a row survives iff no
+    strictly-cheaper value reached its score (>=) and no cheaper-or-equal
+    value beat it (>).  A single global window would funnel every distinct
+    cost through one partition, so the scan is two-level (the classic
+    distributed prefix-scan):
+
+    1. aggregate best ``maximize_col`` per distinct cost (one shuffle);
+    2. bin costs into ``num_bins`` value ranges; per-bin maxima — a
+       bounded, metadata-scale table — come to the driver, where the
+       cross-bin prefix max is computed and broadcast back (same pattern
+       as AQE statistics / the catalog's zonemap: O(bins) rows, never data);
+    3. the within-bin running max is a window PARTITIONED by bin —
+       parallel, no global exchange;
+    4. join the per-cost bounds back (shuffle on cost) and filter.
+
+    Rows equal on both dimensions do not dominate each other (dominance
+    needs one strict inequality), so exact duplicates of a frontier point
+    all survive — same convention as DuckDB's NOT EXISTS form.
+    """
+    from aliyun_maxcompute_data_collectors_spark.operators.prefixscan import running_agg
+
+    mx = F.col(maximize_col)
+    per_cost = df.groupBy(minimize_col).agg(F.max(mx).alias("__best"))
+    bounds = running_agg(
+        per_cost, minimize_col, "__best", agg="max", num_bins=num_bins
+    ).select(
+        minimize_col,
+        F.col("__upto").alias("__best_upto"),
+        F.col("__below").alias("__best_below"),
+    )
+    joined = df.join(bounds, minimize_col)
+    dominated = (
+        (F.col("__best_below").isNotNull() & (F.col("__best_below") >= mx))
+        | (F.col("__best_upto") > mx)
+    )
+    return joined.where(~dominated).drop("__best_upto", "__best_below")
+
+
+def zscore_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outlier flagging: rows where
+    ``|x - mean| > threshold * stddev_pop`` of their group.
+
+    Aggregate-then-broadcast-join (two-pass) rather than a whole-partition
+    window: the group stats table is tiny (one row per group) so the join
+    broadcasts, and the big side is never sorted — at 100 TB that saves the
+    per-partition sort a window formulation would force."""
+    stats = df.groupBy(*group_cols).agg(
+        F.avg(F.col(value_col)).alias("__mu"),
+        F.stddev_pop(F.col(value_col)).alias("__sigma"),
+    )
+    out = df.join(F.broadcast(stats), group_cols)
+    z = (F.col(value_col) - F.col("__mu")) / F.col("__sigma")
+    return (
+        out.withColumn("zscore", z.cast("double"))
+        .where(F.col("__sigma") > 0)
+        .where(F.abs(F.col("zscore")) > threshold)
+        .drop("__mu", "__sigma")
+    )
+
+
 def unique_map_keys(entries: Column, last_wins: bool = True) -> Column:
     """Build a map from an array<struct<key,value>> with duplicate keys
     deduplicated - enableUniqueMapKey semantics (OdpsScan.scala:138,

@@ -1,0 +1,131 @@
+"""Slowly-changing-dimension (SCD2) builders and temporal (point-in-time)
+lookups over a changelog.
+
+The reference's CDC ingestion (ogg-plugin ``OperaSqlHandler`` /
+``odps-ogg-handler`` op streams, and Sqoop's incremental ``--merge-key``
+import, odps-sqoop/src/java/org/apache/sqoop/tool/ImportTool.java lastmodified
+mode) lands a changelog: one row per (business key, change time, new
+attribute values).  Downstream warehouses consume that changelog in three
+canonical shapes, implemented here Spark-first:
+
+* :func:`scd2_build` - versioned dimension (effective_from / effective_to
+  intervals, type-2 history) via ONE window pass: ``lead(ts)`` closes each
+  version.  No self-join, no per-key collect; cost = one shuffle on the
+  business key + one sort, so it scales like any ordered-window operator.
+* :func:`snapshot_at` - the dimension as of an arbitrary time T (time
+  travel): filter ``ts <= T`` then newest-per-key, a filter + one
+  window/max pass.  Equivalent to replaying the changelog up to T.
+* :func:`temporal_join` - point-in-time enrichment: each probe row joined
+  to the dimension version valid at its own event time.  Because SCD2
+  version intervals partition the timeline per key, "interval containment"
+  degenerates to an as-of match on ``effective_from`` - so this reuses the
+  single-window-pass :func:`~.asof.asof_join` instead of an exploding
+  inequality join (the naive BETWEEN join pairs every probe row with every
+  version of its key before filtering; at 100 TB that is the difference
+  between one shuffle and a blowup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from aliyun_maxcompute_data_collectors_spark.operators.asof import asof_join
+
+
+def scd2_build(
+    changelog: DataFrame,
+    keys: list[str] | str,
+    time_col: str,
+    attr_cols: list[str] | None = None,
+    tie_breakers: list[str] | None = None,
+    collapse_unchanged: bool = False,
+) -> DataFrame:
+    """Turn a changelog (one row per key per change) into SCD2 history.
+
+    Output columns: ``keys + attr_cols + version (1-based per key) +
+    effective_from + effective_to (NULL while current) + is_current``.
+
+    ``tie_breakers`` must make (keys, time_col, tie_breakers) unique - same
+    requirement every engine imposes for a deterministic history.
+    ``collapse_unchanged`` drops consecutive rows whose attributes did not
+    change (lag-compare pass) before versioning, so back-to-back identical
+    CDC images do not open spurious versions.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    ties = list(tie_breakers or [])
+    if attr_cols is None:
+        attr_cols = [c for c in changelog.columns if c not in keys + [time_col] + ties]
+
+    order = [F.col(time_col).asc()] + [F.col(c).asc() for c in ties]
+    w = Window.partitionBy(*keys).orderBy(*order)
+
+    df = changelog
+    if collapse_unchanged:
+        prev = F.lag(F.struct(*[F.col(c) for c in attr_cols])).over(w)
+        cur = F.struct(*[F.col(c) for c in attr_cols])
+        df = (
+            df.withColumn("__chg", prev.isNull() | (prev != cur))
+            .where(F.col("__chg"))
+            .drop("__chg")
+        )
+        w = Window.partitionBy(*keys).orderBy(*order)
+
+    nxt = F.lead(F.col(time_col)).over(w)
+    return df.select(
+        *keys,
+        *attr_cols,
+        F.row_number().over(w).alias("version"),
+        F.col(time_col).alias("effective_from"),
+        nxt.alias("effective_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def snapshot_at(
+    changelog: DataFrame,
+    keys: list[str] | str,
+    time_col: str,
+    at,
+    tie_breakers: list[str] | None = None,
+) -> DataFrame:
+    """Replay the changelog to time ``at`` (inclusive): newest row per key
+    with ``time_col <= at``.  One filter (pushed to the scan when the
+    changelog is time-partitioned) + one newest-per-key window."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    ties = list(tie_breakers or [])
+    order = [F.col(time_col).desc()] + [F.col(c).desc() for c in ties]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        changelog.where(F.col(time_col) <= F.lit(at))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def temporal_join(
+    probe: DataFrame,
+    dim_versions: DataFrame,
+    on: list[str] | str,
+    probe_time: str,
+    right_prefix: str = "dim_",
+) -> DataFrame:
+    """Point-in-time join: each probe row gets the ``dim_versions`` row
+    (an SCD2 output of :func:`scd2_build`) whose
+    ``[effective_from, effective_to)`` interval contains its event time.
+    Probe rows earlier than the first version keep NULLs (left-outer).
+
+    Intervals per key are disjoint and abutting, so the containing version
+    is exactly the as-of (greatest ``effective_from`` <= probe time) match;
+    delegates to :func:`~.asof.asof_join` - one union + one window pass.
+    """
+    return asof_join(
+        probe,
+        dim_versions,
+        on=on,
+        left_time=probe_time,
+        right_time="effective_from",
+        right_prefix=right_prefix,
+    )

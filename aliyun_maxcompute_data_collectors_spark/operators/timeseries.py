@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -83,3 +84,92 @@ def resample_fill(
         F.last("bucket_sum", ignorenulls=True).over(w).alias("filled_sum"),
         F.col("bucket_sum").isNull().alias("is_gap"),
     )
+
+
+def interpolate_linear(
+    grid: DataFrame,
+    key_col: str,
+    x_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Linear interpolation of NULL values along a per-key numeric axis.
+
+    For each NULL row, draws the line between the previous and next non-NULL
+    observation: ``prev + (next - prev) * (x - x_prev) / (x_next - x_prev)``.
+    Leading/trailing NULLs (no bracketing pair) stay NULL.  Pure window
+    composition — two ordered passes (forward carry, backward carry) over the
+    same per-key sort, which Catalyst executes on a single exchange+sort; no
+    UDF, no self-join, state per key is O(1).
+    """
+    fwd = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(x_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(x_col).asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    obs = F.when(v.isNotNull(), F.struct(F.col(x_col).alias("x"), v.alias("v")))
+    prev = F.last(obs, ignorenulls=True).over(fwd)
+    nxt = F.first(obs, ignorenulls=True).over(bwd)
+    interp = F.when(v.isNotNull(), v.cast("double")).otherwise(
+        F.when(
+            prev.isNotNull() & nxt.isNotNull(),
+            prev["v"]
+            + (nxt["v"] - prev["v"])
+            * (F.col(x_col) - prev["x"])
+            / (nxt["x"] - prev["x"]),
+        )
+    )
+    return grid.withColumn(f"{value_col}_interp", interp.cast("double"))
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    tie_breakers: list[str] | None = None,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average (recursive form,
+    ``e_t = alpha*x_t + (1-alpha)*e_{t-1}``, ``e_1 = x_1``).
+
+    The recursion is inherently sequential per key, so this is one of the
+    few operators where ``applyInPandas`` is the RIGHT tool (SURVEY's custom
+    operator rule (b)): Arrow-batched, one group per key, O(n) per key.  A
+    pure-window formulation exists only via ``(1-alpha)**(-i)`` rescaling,
+    which overflows float64 after ~7000 rows per key, so it does not
+    survive 100 TB keys.  The recurrence is written out literally (``a*x +
+    (1-a)*prev``) instead of ``pandas.ewm(adjust=False)`` so the float ops
+    and their association match a recursive-CTE oracle bit-for-bit;
+    ``pandas.ewm`` is the faster production spelling of the same math.
+    Cost: one shuffle on the key (same as any per-key window), Arrow both
+    ways.  Hot keys land in one group each — same caveat as every ordered
+    operator; salt upstream if one key dominates.  ``value_col`` must be
+    non-NULL (filter or fill first).
+    """
+    ties = list(tie_breakers or [])
+    sort_cols = [ts_col] + ties
+    a = float(alpha)
+
+    def _one(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        x = pdf[value_col].to_numpy(dtype="float64")
+        e = np.empty_like(x)
+        prev = 0.0
+        for i in range(len(x)):
+            prev = x[i] if i == 0 else a * x[i] + (1.0 - a) * prev
+            e[i] = prev
+        pdf["ewma_value"] = e
+        return pdf
+
+    # fresh StructType: .add() on df.schema would mutate the cached schema
+    out_schema = T.StructType(list(df.schema.fields) + [
+        T.StructField("ewma_value", T.DoubleType())])
+    return df.groupBy(key_col).applyInPandas(_one, schema=out_schema)

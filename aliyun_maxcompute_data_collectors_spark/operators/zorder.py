@@ -6,9 +6,14 @@ EVERY interleaved dimension - parquet min/max stats then skip data for
 filters on any of them.  The standard lakehouse layout trick (OPTIMIZE
 ZORDER BY), absent in the reference, implemented with pure built-ins.
 
-Columns are first rank-normalized to [0, 2^bits) via ntile-like percent_rank
-(robust to skew/outliers, type-agnostic for orderable types), then bit-
-interleaved into a single long z-value.
+Columns are rank-normalized to [0, 2^bits) (robust to skew/outliers,
+type-agnostic for orderable types), then bit-interleaved into a single long
+z-value.  The rank is EXACT percent_rank semantics ((rank-1)/(n-1), ties
+share the min rank) but computed WITHOUT a global-order window: distinct
+value counts + a distributed prefix scan (operators/prefixscan.py) give each
+distinct value its count of strictly-smaller rows, which joins back onto the
+data — three ordinary shuffles, no single-partition exchange, so the layout
+job scales to the table sizes z-ordering exists for.
 """
 
 from __future__ import annotations
@@ -17,17 +22,31 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
+from aliyun_maxcompute_data_collectors_spark.operators.prefixscan import running_agg
 
 DEFAULT_BITS = 16  # per-column resolution; 2 cols x 16 bits -> 32-bit z-value
 
 
-def _normalized_rank(col: str, bits: int) -> Column:
-    """Rank-normalize a column into [0, 2^bits)."""
-    pr = F.percent_rank().over(Window.orderBy(F.col(col)))
-    return F.least(
-        (pr * ((1 << bits) - 1)).cast("long"), F.lit((1 << bits) - 1)
-    )
+def _rank_codes(df: DataFrame, col: str, bits: int, n_rows: int) -> DataFrame:
+    """(col, __code): each distinct value's percent_rank scaled to
+    [0, 2^bits).  Formula matches percent_rank()*cap exactly: below/(n-1)
+    in double, then *cap, then floor - so engines agree bit-for-bit."""
+    cap = (1 << bits) - 1
+    counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
+    scanned = running_agg(counts, col, "__cnt", agg="sum")
+    if n_rows <= 1:
+        code = F.lit(0).cast("long")
+    else:
+        code = F.least(
+            F.floor(
+                F.col("__below").cast("double")
+                / F.lit(float(n_rows - 1))
+                * F.lit(float(cap))
+            ),
+            F.lit(cap).cast("long"),
+        )
+    return scanned.select(col, code.alias("__code"))
 
 
 def _interleave2(a: Column, b: Column, bits: int) -> Column:
@@ -39,14 +58,27 @@ def _interleave2(a: Column, b: Column, bits: int) -> Column:
     return reduce(lambda x, y: x.bitwiseOR(y), parts)
 
 
-def zorder_value(df: DataFrame, cols: list[str], bits: int = DEFAULT_BITS) -> Column:
-    """Z-value column over exactly two columns (the common case; more columns
-    chain pairwise at reduced per-column resolution)."""
+def with_zorder(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = DEFAULT_BITS,
+    out_col: str = "__z__",
+) -> DataFrame:
+    """``df`` plus a z-value column over exactly two non-NULL orderable
+    columns (the common case; more columns chain pairwise at reduced
+    per-column resolution).
+
+    Cost: per column one distinct-count aggregate + prefix scan over the
+    DISTINCT values, then one shuffle join back on the value.  All exchanges
+    are keyed — nothing global."""
     if len(cols) != 2:
-        raise ValueError("zorder_value currently supports exactly 2 columns")
-    a = _normalized_rank(cols[0], bits)
-    b = _normalized_rank(cols[1], bits)
-    return _interleave2(a, b, bits)
+        raise ValueError("with_zorder currently supports exactly 2 columns")
+    n = df.count()
+    ra = _rank_codes(df, cols[0], bits, n).withColumnRenamed("__code", "__ra")
+    rb = _rank_codes(df, cols[1], bits, n).withColumnRenamed("__code", "__rb")
+    out = df.join(ra, cols[0]).join(rb, cols[1])
+    z = _interleave2(F.col("__ra"), F.col("__rb"), bits)
+    return out.withColumn(out_col, z).drop("__ra", "__rb")
 
 
 def zorder_by(
@@ -58,14 +90,10 @@ def zorder_by(
     """Cluster rows by z-value: range-partition on the z-value into
     ``n_files`` partitions and sort within - each output file covers a
     compact hyper-rectangle of the column space, so min/max stats prune on
-    either column.
-
-    Note: _normalized_rank uses a global window (single-pass rank); at
-    extreme scale substitute approx quantile boundaries per column."""
-    z = zorder_value(df, cols, bits)
+    either column."""
+    z = with_zorder(df, cols, bits)
     return (
-        df.withColumn("__z__", z)
-        .repartitionByRange(n_files, F.col("__z__"))
+        z.repartitionByRange(n_files, F.col("__z__"))
         .sortWithinPartitions("__z__")
         .drop("__z__")
     )

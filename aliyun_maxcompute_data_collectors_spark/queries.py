@@ -2083,6 +2083,14 @@ def register_ext_ops():
     REGISTRY.update(queries_ext.REGISTRY)
 
 
+def register_analytics_ops():
+    """Extend REGISTRY with the advanced-analytics surface (SCD2 temporal
+    history, smoothing/interpolation, skyline, fuzzy matching, regression,
+    outliers), same lazy-import convention."""
+    from aliyun_maxcompute_data_collectors_spark import queries_analytics
+    REGISTRY.update(queries_analytics.REGISTRY)
+
+
 try:
     register_llm_ops()
 except ImportError:
@@ -2090,5 +2098,10 @@ except ImportError:
 
 try:
     register_ext_ops()
+except ImportError:
+    pass
+
+try:
+    register_analytics_ops()
 except ImportError:
     pass

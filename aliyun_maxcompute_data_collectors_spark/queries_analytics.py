@@ -1,0 +1,439 @@
+"""Advanced-analytics query surface: SCD2 temporal history over a CDC
+changelog (build / point-in-time join / snapshot-at-T), EWMA smoothing,
+linear-interpolation gap fill, 2-D Pareto frontier, blocked fuzzy matching,
+regression aggregates, and exact-stats z-score outliers.
+
+These extend the CDC story the reference lands via its OGG handler /
+Sqoop lastmodified-merge ingestion (`ogg-plugin`, `odps-sqoop` — see
+operators/scd.py docstring for file cites): once a changelog is ingested,
+the warehouse consumes it in exactly these shapes.
+
+Same determinism conventions as :mod:`queries`: decimal-exact sums where
+accumulation order could drift, ROUND(...,6) where the math is float,
+unique ORDER BY tiebreaks, aliases identical on both engines.
+Registered into the driver registry by ``queries.register_analytics_ops``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from aliyun_maxcompute_data_collectors_spark.session import load_tables
+from aliyun_maxcompute_data_collectors_spark.operators.scd import (
+    scd2_build,
+    snapshot_at,
+    temporal_join,
+)
+
+
+def _signup_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The demo changelog: signup events = per-user attribute updates."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return t["events"].where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 build (changelog -> versioned dimension)
+# ---------------------------------------------------------------------------
+
+def scd2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history of the per-user attribute: one window pass
+    (lead closes each version) - see operators/scd.scd2_build."""
+    dim = scd2_build(
+        _signup_changelog(spark, sf_dir),
+        keys="user_id", time_col="ts",
+        attr_cols=["value"], tie_breakers=["event_id"],
+    )
+    return dim.select(
+        "user_id", "version",
+        F.col("effective_from").cast("timestamp").alias("effective_from"),
+        F.col("effective_to").cast("timestamp").alias("effective_to"),
+        "is_current",
+        F.col("value").alias("attr_value"),
+    ).orderBy("user_id", "version")
+
+
+_SCD2_SQL = """
+SELECT user_id,
+       ROW_NUMBER() OVER w AS version,
+       ts AS effective_from,
+       LEAD(ts) OVER w AS effective_to,
+       LEAD(ts) OVER w IS NULL AS is_current,
+       value AS attr_value
+FROM events
+WHERE event_type = 'signup'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+"""
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (temporal) join: purchases enriched with the version valid
+# at purchase time
+# ---------------------------------------------------------------------------
+
+def temporal_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase joined to the SCD2 version whose interval contains its
+    timestamp.  Executed as an as-of join (union + ONE window pass) - never
+    the exploding BETWEEN join the oracle spells (operators/scd.temporal_join)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    probe = t["events"].where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp").alias("ts"), "value",
+    )
+    dim = scd2_build(
+        _signup_changelog(spark, sf_dir),
+        keys="user_id", time_col="ts",
+        attr_cols=["value"], tie_breakers=["event_id"],
+    ).select("user_id", "version", "effective_from", "value")
+    out = temporal_join(probe, dim, on="user_id", probe_time="ts")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("value").alias("purchase_value"),
+        F.col("dim_version").alias("attr_version"),
+        F.col("dim_value").alias("attr_value"),
+    ).orderBy("event_id")
+
+
+_TEMPORAL_JOIN_SQL = """
+WITH dim AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER w AS version,
+         ts AS effective_from,
+         LEAD(ts) OVER w AS effective_to,
+         value
+  FROM events
+  WHERE event_type = 'signup'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT p.event_id, p.user_id, p.ts,
+       p.value AS purchase_value,
+       d.version AS attr_version,
+       d.value AS attr_value
+FROM events p
+LEFT JOIN dim d
+  ON p.user_id = d.user_id
+ AND d.effective_from <= p.ts
+ AND (d.effective_to IS NULL OR p.ts < d.effective_to)
+WHERE p.event_type = 'purchase'
+ORDER BY p.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Snapshot at time T (time travel over the changelog)
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_T = "2024-01-15 00:00:00"
+
+
+def cdc_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dimension as of mid-month: filter + newest-per-key
+    (operators/scd.snapshot_at)."""
+    snap = snapshot_at(
+        _signup_changelog(spark, sf_dir),
+        keys="user_id", time_col="ts", at=_SNAPSHOT_T,
+        tie_breakers=["event_id"],
+    )
+    return snap.select(
+        "user_id",
+        F.col("ts").alias("last_change"),
+        F.col("value").alias("attr_value"),
+    ).orderBy("user_id")
+
+
+_SNAPSHOT_SQL = f"""
+SELECT user_id, ts AS last_change, value AS attr_value
+FROM events
+WHERE event_type = 'signup' AND ts <= TIMESTAMP '{_SNAPSHOT_T}'
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (recursive; pandas-UDF operator vs recursive-CTE oracle)
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+
+
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA over the event stream (user subset bounds the oracle's
+    recursion); the operator writes the recurrence literally so both engines
+    produce bit-identical doubles before the final ROUND (timeseries.ewma)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.timeseries import ewma
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].where(F.col("user_id") % 50 == 0).select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = ewma(ev, "user_id", "ts", "value",
+               alpha=_EWMA_ALPHA, tie_breakers=["event_id"])
+    return out.select(
+        "user_id", "event_id",
+        F.round("ewma_value", 6).alias("ewma_value"),
+    ).orderBy("user_id", "event_id")
+
+
+_EWMA_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id % 50 = 0),
+r AS (
+  SELECT user_id, event_id, rn, value AS e FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.rn,
+         {_EWMA_ALPHA} * b.value + (1 - {_EWMA_ALPHA}) * r.e
+  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+SELECT user_id, event_id, ROUND(e, 6) AS ewma_value
+FROM r
+ORDER BY user_id, event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation gap fill (resample grid + bracketing windows)
+# ---------------------------------------------------------------------------
+
+def interp_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour per-user grid over 'view' events; NULL buckets linearly
+    interpolated between bracketing observations (timeseries.interpolate_linear;
+    decimal-exact bucket sums make the interpolation inputs deterministic)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.timeseries import (
+        interpolate_linear,
+        resample_fill,
+    )
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].where(F.col("event_type") == "view")
+    grid = resample_fill(ev, "user_id", "ts", "value", 21600)
+    out = interpolate_linear(grid, "user_id", "bucket_start", "bucket_sum")
+    return out.select(
+        "user_id", "bucket_start", "n_events", "bucket_sum",
+        F.round("bucket_sum_interp", 6).alias("interp_sum"),
+    ).orderBy("user_id", "bucket_start")
+
+
+_INTERP_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT)
+           - CAST(epoch_us(ts) // 1000000 AS BIGINT) % 21600 AS bucket_start,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events WHERE event_type = 'view'),
+per AS (
+  SELECT user_id, bucket_start, COUNT(*) AS n_events,
+         CAST(ROUND(SUM(v), 2) AS DOUBLE) AS bucket_sum
+  FROM ev GROUP BY user_id, bucket_start),
+rng AS (
+  SELECT user_id, MIN(bucket_start) AS b0, MAX(bucket_start) AS b1
+  FROM per GROUP BY user_id),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(b0, b1, 21600)) AS bucket_start
+  FROM rng),
+joined AS (
+  SELECT g.user_id, g.bucket_start,
+         COALESCE(p.n_events, 0) AS n_events,
+         p.bucket_sum
+  FROM grid g LEFT JOIN per p
+    ON g.user_id = p.user_id AND g.bucket_start = p.bucket_start),
+brack AS (
+  SELECT *,
+         LAST_VALUE(CASE WHEN bucket_sum IS NOT NULL THEN bucket_start END
+                    IGNORE NULLS) OVER wf AS px,
+         LAST_VALUE(bucket_sum IGNORE NULLS) OVER wf AS pv,
+         FIRST_VALUE(CASE WHEN bucket_sum IS NOT NULL THEN bucket_start END
+                     IGNORE NULLS) OVER wb AS nx,
+         FIRST_VALUE(bucket_sum IGNORE NULLS) OVER wb AS nv
+  FROM joined
+  WINDOW wf AS (PARTITION BY user_id ORDER BY bucket_start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wb AS (PARTITION BY user_id ORDER BY bucket_start
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, bucket_start, n_events, bucket_sum,
+       ROUND(CASE
+         WHEN bucket_sum IS NOT NULL THEN bucket_sum
+         WHEN px IS NOT NULL AND nx IS NOT NULL
+           THEN pv + (nv - pv) * (bucket_start - px) / (nx - px)
+       END, 6) AS interp_sum
+FROM brack
+ORDER BY user_id, bucket_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2-D Pareto frontier (skyline) - distributed prefix scan vs NOT EXISTS
+# ---------------------------------------------------------------------------
+
+def pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts on the (min retail price, max size) frontier.  The operator is
+    the binned two-level running-max scan (relational.pareto_frontier_2d) -
+    linear work; the oracle keeps the quadratic NOT EXISTS spelling."""
+    from aliyun_maxcompute_data_collectors_spark.operators.relational import (
+        pareto_frontier_2d,
+    )
+    t = load_tables(spark, sf_dir, ["part"])
+    front = pareto_frontier_2d(
+        t["part"].select("p_partkey", "p_retailprice", "p_size"),
+        minimize_col="p_retailprice", maximize_col="p_size",
+    )
+    return front.select("p_partkey", "p_retailprice", "p_size") \
+        .orderBy("p_partkey")
+
+
+_PARETO_SQL = """
+SELECT p_partkey, p_retailprice, p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE (q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)
+     OR (q.p_retailprice <= p.p_retailprice AND q.p_size > p.p_size))
+ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy matching (Levenshtein entity resolution)
+# ---------------------------------------------------------------------------
+
+def fuzzy_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-name pairs within edit distance 1, blocked on
+    (length, all-but-last-2-chars) - equijoin shuffle, never n^2
+    (dedup.fuzzy_pairs_levenshtein)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import (
+        fuzzy_pairs_levenshtein,
+    )
+    t = load_tables(spark, sf_dir, ["customer"])
+    pairs = fuzzy_pairs_levenshtein(t["customer"], "c_custkey", "c_name",
+                                    max_dist=1, block_tail=2)
+    return pairs.orderBy("id1", "id2")
+
+
+_FUZZY_SQL = """
+SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+       levenshtein(a.c_name, b.c_name) AS edit_dist
+FROM customer a JOIN customer b
+  ON length(a.c_name) = length(b.c_name)
+ AND substr(a.c_name, 1, greatest(length(a.c_name) - 2, 0))
+     = substr(b.c_name, 1, greatest(length(b.c_name) - 2, 0))
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY id1, id2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Regression aggregates (trend per event type)
+# ---------------------------------------------------------------------------
+
+def regr_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend of value over time per event type via the
+    regr_* aggregate family (x in hours since 2024-01-01; 6-decimal rounding
+    absorbs formula-order float drift, same grain as corr_stats)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    x = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000.0)
+         - F.lit(1704067200.0)) / F.lit(3600.0)
+    ev = t["events"].select("event_type", x.alias("x"), F.col("value").alias("y"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+            F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+            F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+            F.regr_count("y", "x").cast("bigint").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_REGR_SQL = """
+WITH ev AS (
+  SELECT event_type,
+         (epoch_us(ts) / 1000000.0 - 1704067200.0) / 3600.0 AS x,
+         value AS y
+  FROM events)
+SELECT event_type,
+       ROUND(REGR_SLOPE(y, x), 6) AS slope,
+       ROUND(REGR_INTERCEPT(y, x), 6) AS intercept,
+       ROUND(REGR_R2(y, x), 6) AS r2,
+       CAST(REGR_COUNT(y, x) AS BIGINT) AS n
+FROM ev
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Z-score outliers with exact-decimal statistics
+# ---------------------------------------------------------------------------
+
+_Z_THRESH = 3.0
+
+
+def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events more than 3 sigma from their event-type mean.  The group
+    moments are DECIMAL-exact sums (order-independent), converted to double
+    once - so the boundary predicate |z| > 3 is deterministic across
+    engines, which a float-accumulated mean/stddev would not be."""
+    t = load_tables(spark, sf_dir, ["events"])
+    v6 = F.col("value").cast("decimal(18,6)")
+    ev = t["events"].select(
+        "event_id", "event_type", v6.alias("v"), (v6 * v6).alias("v2"))
+    stats = ev.groupBy("event_type").agg(
+        F.sum("v").cast("double").alias("s"),
+        F.sum("v2").cast("double").alias("q"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    mu = F.col("s") / F.col("n")
+    var = F.col("q") / F.col("n") - mu * mu
+    z = (F.col("v").cast("double") - mu) / F.sqrt(var)
+    return (
+        joined.select(
+            "event_id", "event_type",
+            F.col("v").cast("double").alias("value6"),
+            F.round(z, 6).alias("zscore"),
+        )
+        .where(F.abs(F.col("zscore")) > _Z_THRESH)
+        .orderBy("event_id")
+    )
+
+
+_ZSCORE_SQL = f"""
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(value AS DECIMAL(18,6)) AS v,
+         CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS v2
+  FROM events),
+stats AS (
+  SELECT event_type,
+         CAST(SUM(v) AS DOUBLE) AS s,
+         CAST(SUM(v2) AS DOUBLE) AS q,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM ev GROUP BY event_type)
+SELECT event_id, ev.event_type,
+       CAST(v AS DOUBLE) AS value6,
+       ROUND((CAST(v AS DOUBLE) - s / n)
+             / sqrt(q / n - (s / n) * (s / n)), 6) AS zscore
+FROM ev JOIN stats USING (event_type)
+WHERE abs(ROUND((CAST(v AS DOUBLE) - s / n)
+                / sqrt(q / n - (s / n) * (s / n)), 6)) > {_Z_THRESH}
+ORDER BY event_id
+"""
+
+
+REGISTRY: dict[str, tuple] = {
+    "scd2_users": (scd2_users, _SCD2_SQL),
+    "temporal_join_pit": (temporal_join_pit, _TEMPORAL_JOIN_SQL),
+    "cdc_snapshot_at": (cdc_snapshot_at, _SNAPSHOT_SQL),
+    "ewma_user_value": (ewma_user_value, _EWMA_SQL),
+    "interp_gapfill": (interp_gapfill, _INTERP_SQL),
+    "pareto_parts": (pareto_parts, _PARETO_SQL),
+    "fuzzy_customer_names": (fuzzy_customer_names, _FUZZY_SQL),
+    "regr_value_trend": (regr_value_trend, _REGR_SQL),
+    "zscore_anomalies": (zscore_anomalies, _ZSCORE_SQL),
+}

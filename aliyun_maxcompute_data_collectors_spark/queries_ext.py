@@ -887,12 +887,11 @@ def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyper-rectangle in (price, custkey) space - the min/max spreads per
     bucket are what parquet zonemaps prune on.  Oracle mirrors the exact
     bit arithmetic (floor == long-cast truncation for non-negative ranks)."""
-    from aliyun_maxcompute_data_collectors_spark.operators.zorder import zorder_value
+    from aliyun_maxcompute_data_collectors_spark.operators.zorder import with_zorder
     t = load_tables(spark, sf_dir, ["orders"])
     o = t["orders"]
-    z = zorder_value(o, ["o_totalprice", "o_custkey"], bits=8)
     return (
-        o.withColumn("__z__", z)
+        with_zorder(o, ["o_totalprice", "o_custkey"], bits=8)
         .groupBy(F.shiftrightunsigned(F.col("__z__"), 10).alias("z_bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
