@@ -153,6 +153,70 @@ def zscore_outliers(
     )
 
 
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    steps: list[Column],
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the earliest time each step was
+    reached STRICTLY AFTER the previous step (product-analytics "signup →
+    view → purchase" conversion).  Output: one row per user who completed
+    step 1, with ``step_1..step_N`` timestamps (NULL once the funnel breaks).
+
+    Each stage is a filtered aggregate on the SAME key (min ts per user
+    with ``ts > previous step``), so the plan is a cascade of groupBy +
+    join all hash-partitioned on the user key — AQE reuses the
+    partitioning; per-stage state is one timestamp per user.  No window
+    over whole user histories, no collect_list of events.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step predicate")
+    ts = F.col(ts_col)
+    cur = (
+        df.where(steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts).alias("step_1"))
+    )
+    out = cur
+    for i, pred in enumerate(steps[1:], start=2):
+        nxt = (
+            df.where(pred)
+            .join(out.select(user_col, F.col(f"step_{i-1}").alias("__prev")), user_col)
+            .where(ts > F.col("__prev"))
+            .groupBy(user_col)
+            .agg(F.min(ts).alias(f"step_{i}"))
+        )
+        out = out.join(nxt, user_col, "left")
+    return out
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity day, counted
+    distinct on each later activity day as an offset from the cohort day —
+    the (cohort_day, day_offset) -> active_users triangle.
+
+    Two aggregates + one join, all shuffled on the user key, then one
+    count-distinct agg on (cohort, offset) — no window, no per-user arrays;
+    at 100 TB the cohort table is one narrow row per user.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    cohorts = df.groupBy(user_col).agg(F.min(day).alias("cohort_day"))
+    return (
+        df.select(user_col, day.alias("activity_day"))
+        .join(cohorts, user_col)
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("activity_day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count_distinct(F.col(user_col)).alias("active_users"))
+    )
+
+
 def unique_map_keys(entries: Column, last_wins: bool = True) -> Column:
     """Build a map from an array<struct<key,value>> with duplicate keys
     deduplicated - enableUniqueMapKey semantics (OdpsScan.scala:138,

@@ -105,6 +105,52 @@ def snapshot_at(
     )
 
 
+def scd2_apply_batch(
+    dim: DataFrame,
+    batch: DataFrame,
+    keys: list[str] | str,
+    time_col: str,
+    attr_cols: list[str] | None = None,
+    collapse_unchanged: bool = False,
+) -> DataFrame:
+    """Incremental SCD2 maintenance: merge a changelog batch into an
+    existing SCD2 dimension (an output of :func:`scd2_build`) and return
+    the new dimension.
+
+    Only the keys present in the batch are touched: their existing
+    versions are re-expanded to changelog form (one row per
+    ``effective_from``) and rebuilt together with the batch rows through
+    :func:`scd2_build`; untouched keys pass through with an anti-join.
+    Shuffle cost is proportional to ``batch + history of touched keys``,
+    never the whole dimension — and because a key's full history is
+    rebuilt, LATE (out-of-order) changes are handled correctly: an
+    earlier-timestamped row splices into the interval chain instead of
+    corrupting the tail, which a naive "close the current version" merge
+    cannot do.
+
+    (keys, time_col) must be unique across old history + batch — the same
+    determinism requirement as :func:`scd2_build`; newest duplicate-ts
+    handling belongs upstream (``cdc.latest_ops``).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if attr_cols is None:
+        attr_cols = [c for c in batch.columns if c not in keys + [time_col]]
+
+    batch_log = batch.select(*keys, time_col, *attr_cols)
+    touched_keys = batch_log.select(*keys).distinct()
+    untouched = dim.join(touched_keys, keys, "left_anti")
+    old_log = (
+        dim.join(touched_keys, keys, "left_semi")
+        .select(*keys, F.col("effective_from").alias(time_col), *attr_cols)
+    )
+    rebuilt = scd2_build(
+        old_log.unionByName(batch_log),
+        keys=keys, time_col=time_col, attr_cols=attr_cols,
+        collapse_unchanged=collapse_unchanged,
+    )
+    return untouched.unionByName(rebuilt.select(*untouched.columns))
+
+
 def temporal_join(
     probe: DataFrame,
     dim_versions: DataFrame,

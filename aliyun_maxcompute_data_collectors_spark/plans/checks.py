@@ -89,6 +89,14 @@ def broadcast_join_count(df: DataFrame) -> int:
     return executed_plan(df).count("BroadcastHashJoin")
 
 
+def runtime_bloom_filter_count(df: DataFrame) -> int:
+    """Runtime-injected bloom filters (`might_contain` probes) in the plan:
+    Spark's InjectRuntimeFilter builds a bloom filter from the selective
+    (creation) side of a shuffle join and pushes it into the other side's
+    scan - row-group-level semi-join pruning before the shuffle."""
+    return executed_plan(df).count("might_contain")
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Exchanges in the final plan - the number to minimize at 100 TB."""
     return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|RoundRobin)",

@@ -426,7 +426,82 @@ ORDER BY event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Ordered funnel + cohort retention (product analytics over the event stream)
+# ---------------------------------------------------------------------------
+
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup -> view -> purchase conversion funnel, strictly ordered per
+    user (relational.funnel: cascaded keyed aggregates, no windows)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.relational import funnel
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    out = funnel(
+        ev, "user_id", "ts",
+        steps=[F.col("event_type") == "signup",
+               F.col("event_type") == "view",
+               F.col("event_type") == "purchase"],
+    )
+    return out.select("user_id", "step_1", "step_2", "step_3") \
+        .orderBy("user_id")
+
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS step_1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS step_2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.step_1
+  WHERE e.event_type = 'view' GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS step_3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.step_2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT s1.user_id, s1.step_1, s2.step_2, s3.step_3
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+ORDER BY s1.user_id
+"""
+
+
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cohort retention triangle: first purchase day x day offset
+    -> distinct active purchasers (relational.cohort_retention)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.relational import (
+        cohort_retention,
+    )
+    t = load_tables(spark, sf_dir, ["events"])
+    purchases = t["events"].where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    out = cohort_retention(purchases, "user_id", "ts")
+    return out.select(
+        "cohort_day",
+        F.col("day_offset").cast("int").alias("day_offset"),
+        "active_users",
+    ).orderBy("cohort_day", "day_offset")
+
+
+_COHORT_SQL = """
+WITH p AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS activity_day
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, MIN(activity_day) AS cohort_day FROM p GROUP BY user_id)
+SELECT c.cohort_day,
+       CAST(p.activity_day - c.cohort_day AS INT) AS day_offset,
+       COUNT(DISTINCT p.user_id) AS active_users
+FROM p JOIN c ON p.user_id = c.user_id
+GROUP BY c.cohort_day, day_offset
+ORDER BY c.cohort_day, day_offset
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "funnel_steps": (funnel_steps, _FUNNEL_SQL),
+    "cohort_retention": (cohort_retention_q, _COHORT_SQL),
     "scd2_users": (scd2_users, _SCD2_SQL),
     "temporal_join_pit": (temporal_join_pit, _TEMPORAL_JOIN_SQL),
     "cdc_snapshot_at": (cdc_snapshot_at, _SNAPSHOT_SQL),

@@ -138,3 +138,24 @@ def cdc_foreach_batch_writer(catalog, table: str, key_cols: list[str],
         catalog.insert(table, merged, overwrite=True)
 
     return _apply
+
+
+def scd2_foreach_batch_writer(catalog, table: str, keys: list[str],
+                              time_col: str, attr_cols: list[str] | None = None):
+    """foreachBatch hook: streaming SCD2 maintenance.  Each micro-batch of
+    changelog rows merges into the SCD2 dimension table via
+    ``operators.scd.scd2_apply_batch`` (touched keys rebuilt, untouched
+    anti-joined through) under the stream checkpoint's exactly-once batch
+    coordination — the streaming twin of the batch SCD2 build, replacing
+    the nightly full-rebuild with per-batch incremental history."""
+    from aliyun_maxcompute_data_collectors_spark.operators.scd import scd2_apply_batch
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dim = catalog.read_table(table)
+        merged = scd2_apply_batch(dim, batch_df, keys, time_col, attr_cols)
+        merged = merged.localCheckpoint(eager=True)
+        catalog.insert(table, merged, overwrite=True)
+
+    return _apply

@@ -96,6 +96,28 @@ def cdc_stream_writer(
     )
 
 
+def scd2_stream_writer(
+    changelog_stream: DataFrame,
+    catalog,
+    table: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    time_col: str,
+    attr_cols: list[str] | None = None,
+) -> DataStreamWriter:
+    """Streaming SCD2 maintenance: each micro-batch of changelog rows is
+    merged into the versioned dimension ``table`` (touched keys rebuilt —
+    late rows splice correctly; see operators/scd.scd2_apply_batch).  The
+    stream checkpoint gives per-batch exactly-once coordination."""
+    from aliyun_maxcompute_data_collectors_spark.streaming.cdc import scd2_foreach_batch_writer
+    return (
+        changelog_stream.writeStream
+        .foreachBatch(scd2_foreach_batch_writer(catalog, table, keys, time_col, attr_cols))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+
+
 def windowed_aggregate(
     stream_df: DataFrame,
     time_col: str,

@@ -61,6 +61,15 @@ BENCH_QUERIES = [
     "resample_gapfill",
     "profile_documents",
     "constraint_check",
+    "scd2_users",
+    "temporal_join_pit",
+    "ewma_user_value",
+    "interp_gapfill",
+    "pareto_parts",
+    "fuzzy_customer_names",
+    "zscore_anomalies",
+    "funnel_steps",
+    "cohort_retention",
 ]
 
 

@@ -92,6 +92,80 @@ class TestSCD2:
         assert out == {10: None, 11: "b", 12: "c", 13: None}
 
 
+class TestSCD2Incremental:
+    def test_batch_apply_equals_full_rebuild(self, spark, changelog):
+        from aliyun_maxcompute_data_collectors_spark.operators.scd import (
+            scd2_apply_batch,
+        )
+        rows = changelog.orderBy("ts").collect()
+        first = spark.createDataFrame(rows[:3], changelog.schema)
+        rest = spark.createDataFrame(rows[3:], changelog.schema)
+        dim = scd2_build(first, "k", "ts")
+        incr = scd2_apply_batch(dim, rest, "k", "ts")
+        full = scd2_build(changelog, "k", "ts")
+        key = lambda r: (r.k, r.version, r.attr, r.effective_from,
+                         r.effective_to, r.is_current)
+        assert sorted(map(key, incr.collect())) == sorted(map(key, full.collect()))
+
+    def test_late_row_splices_history(self, spark, changelog):
+        from aliyun_maxcompute_data_collectors_spark.operators.scd import (
+            scd2_apply_batch,
+        )
+        dim = scd2_build(changelog, "k", "ts")
+        late = spark.createDataFrame(
+            [(1, _ts("2024-01-02T00:00:00"), "z"),   # lands between v1 and v2
+             (9, _ts("2024-01-01T00:00:00"), "new")],  # brand-new key
+            changelog.schema,
+        )
+        out = scd2_apply_batch(dim, late, "k", "ts")
+        k1 = sorted([r for r in out.collect() if r.k == 1],
+                    key=lambda r: r.version)
+        assert [r.attr for r in k1] == ["a", "z", "b", "b", "c"]
+        assert k1[0].effective_to == _ts("2024-01-02T00:00:00")  # v1 re-closed
+        assert k1[1].effective_to == _ts("2024-01-03T00:00:00")
+        assert {r.k for r in out.collect()} == {1, 2, 9}
+
+    def test_streaming_scd2_maintenance(self, spark, tmp_path):
+        import json as _json
+
+        from aliyun_maxcompute_data_collectors_spark.catalog import OdpsCatalog
+        from aliyun_maxcompute_data_collectors_spark.streaming.sink import (
+            run_to_completion,
+            scd2_stream_writer,
+        )
+        src = tmp_path / "in"
+        src.mkdir()
+        # two files -> two micro-batches (maxFilesPerTrigger=1); the second
+        # carries a LATE row for k=1
+        with open(src / "b1.json", "w") as f:
+            f.write(_json.dumps({"k": 1, "ts": "2024-01-01 00:00:00", "attr": "a"}) + "\n")
+            f.write(_json.dumps({"k": 1, "ts": "2024-01-05 00:00:00", "attr": "c"}) + "\n")
+        with open(src / "b2.json", "w") as f:
+            f.write(_json.dumps({"k": 1, "ts": "2024-01-03 00:00:00", "attr": "b"}) + "\n")
+            f.write(_json.dumps({"k": 2, "ts": "2024-01-02 00:00:00", "attr": "x"}) + "\n")
+
+        cat = OdpsCatalog(spark, str(tmp_path / "wh"))
+        cat.create_table("dim", [
+            ("k", "BIGINT"), ("attr", "STRING"), ("version", "INT"),
+            ("effective_from", "TIMESTAMP"), ("effective_to", "TIMESTAMP"),
+            ("is_current", "BOOLEAN"),
+        ])
+        stream = (
+            spark.readStream.schema("k long, ts string, attr string")
+            .option("maxFilesPerTrigger", "1").json(str(src))
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+        writer = scd2_stream_writer(stream, cat, "dim", str(tmp_path / "ck"),
+                                    keys=["k"], time_col="ts")
+        run_to_completion(writer)
+        got = {(r.k, r.version): (r.attr, r.is_current)
+               for r in cat.read_table("dim").collect()}
+        assert got == {
+            (1, 1): ("a", False), (1, 2): ("b", False), (1, 3): ("c", True),
+            (2, 1): ("x", True),
+        }
+
+
 class TestParetoFrontier:
     def test_tiny_frontier(self, spark):
         # (cost, score): frontier = (1,5), (2,7); (3,7) dominated by (2,7);
@@ -183,6 +257,40 @@ class TestFuzzyPairs:
             [(1, "widget-01"), (3, "widget-99")], "id bigint, name string")
         got = fuzzy_pairs_levenshtein(df, "id", "name", max_dist=2).collect()
         assert [(r.id1, r.id2, r.edit_dist) for r in got] == [(1, 3, 2)]
+
+
+class TestIncrementalAgg:
+    def test_merged_partials_equal_direct_agg(self, spark, sf_dir):
+        from aliyun_maxcompute_data_collectors_spark.operators.incremental import (
+            merge_partials,
+            partial_agg,
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+            "one", F.lit(1))
+        specs = {
+            "sum_qty": ("sum", "l_quantity"),
+            "n_rows": ("count", "one"),
+            "min_price": ("min", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+        }
+        # three disjoint slices, as if arriving as daily batches
+        slices = [li.where(F.col("l_orderkey") % 3 == i) for i in range(3)]
+        merged = merge_partials(
+            [partial_agg(s, ["l_returnflag"], specs) for s in slices],
+            ["l_returnflag"], specs)
+        direct = partial_agg(li, ["l_returnflag"], specs)
+        key = lambda r: (r.l_returnflag, r.sum_qty, r.n_rows,
+                         r.min_price, r.max_price)
+        assert sorted(map(key, merged.collect())) == \
+            sorted(map(key, direct.collect()))
+
+    def test_rejects_non_mergeable(self, spark):
+        from aliyun_maxcompute_data_collectors_spark.operators.incremental import (
+            partial_agg,
+        )
+        df = spark.range(3)
+        with pytest.raises(ValueError, match="non-mergeable"):
+            partial_agg(df, [], {"d": ("count_distinct", "id")})
 
 
 class TestZscoreOutliers:

@@ -48,6 +48,39 @@ def test_broadcast_join_planned_for_dim(spark, sf_dir):
     PC.assert_no_cartesian(j)
 
 
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """With a selective filter on the small side of a shuffle join, Spark's
+    InjectRuntimeFilter should add a bloom-filter semi-join probe on the big
+    side (thresholds lowered for the local data scale; at 100 TB the 10 MB /
+    10 GB defaults trigger on real dimension filters)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        t = load_tables(spark, sf_dir, ["lineitem", "orders"])
+        sel = t["orders"].where(F.col("o_totalprice") > 400000.0)
+        j = t["lineitem"].join(sel, F.col("l_orderkey") == F.col("o_orderkey")) \
+            .select("l_orderkey", "l_quantity", "o_totalprice")
+        assert PC.runtime_bloom_filter_count(j) >= 1
+        # the filter is an optimization, not a semantics change
+        expected = t["lineitem"].join(
+            t["orders"].where(F.col("o_totalprice") > 400000.0),
+            F.col("l_orderkey") == F.col("o_orderkey")).count()
+        assert j.count() == expected
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_shuffle_count_and_codegen(spark, sf_dir):
     t = load_tables(spark, sf_dir, ["lineitem"])
     agg = t["lineitem"].groupBy("l_returnflag").count()
