@@ -233,6 +233,62 @@ def corpus_stats(
     )
 
 
+def heavy_hitters(
+    items: DataFrame,
+    item_col: str,
+    phi: float,
+    capacity: int | None = None,
+) -> DataFrame:
+    """EXACT items occurring in more than ``phi`` of all rows, computed with
+    the bounded-memory two-pass scheme (Misra-Gries candidates + exact
+    verification) instead of a full groupBy over every distinct item.
+
+    Pass 1 (`mapInPandas`, Arrow-batched): each partition keeps at most
+    ``capacity`` counters with the subtract-min Misra-Gries policy.  The MG
+    invariant - every counter is undercounted by at most N_p/(capacity+1) -
+    means any item with GLOBAL frequency > N/(capacity+1) survives in at
+    least one partition summary, so with ``capacity >= 1/phi`` (default
+    2/phi for slack) the candidate union is a guaranteed SUPERSET of the
+    true phi-heavy hitters.  Candidate count is bounded by
+    partitions x capacity - metadata-scale, broadcastable.
+
+    Pass 2: semi-join the (tiny, broadcast) candidate set onto the items -
+    the shuffle now carries ONLY candidate rows, not the full long tail -
+    and count exactly; filter ``count >= phi * N``.  Exact output, bounded
+    memory, tail-free shuffle: at 100 TB with a billion-term vocabulary the
+    naive groupBy shuffles every token, this shuffles only near-heavy ones.
+    """
+    if not (0 < phi < 1):
+        raise ValueError(f"phi must be in (0,1), got {phi}")
+    cap = capacity or int(2.0 / phi) + 1
+
+    def _mg(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for item, c in pdf[item_col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            while len(counters) > cap:
+                dec = min(counters.values())
+                counters = {k: v - dec for k, v in counters.items() if v > dec}
+        yield pd.DataFrame({item_col: list(counters.keys())})
+
+    item_type = items.schema[item_col].dataType.simpleString()
+    candidates = (
+        items.select(item_col)
+        .mapInPandas(_mg, schema=f"{item_col} {item_type}")
+        .distinct()
+    )
+    total = items.count()
+    return (
+        items.join(F.broadcast(candidates), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= F.lit(phi * total))
+    )
+
+
 def split_assign(
     df: DataFrame,
     id_col: str,

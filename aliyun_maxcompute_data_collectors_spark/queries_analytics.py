@@ -499,7 +499,41 @@ ORDER BY c.cohort_day, day_offset
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact heavy hitters (two-pass bounded-memory Misra-Gries + verify)
+# ---------------------------------------------------------------------------
+
+_HH_PHI = 0.0345
+
+
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens above the phi frequency threshold - exact counts, but the
+    shuffle carries only MG-candidate tokens (corpus.heavy_hitters); the
+    oracle pays the full groupBy."""
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import heavy_hitters
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = t["documents"].select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    return heavy_hitters(toks, "tok", phi=_HH_PHI) \
+        .select("tok", "cnt").orderBy("tok")
+
+
+_HH_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents),
+t AS (SELECT tok FROM toks WHERE tok <> '')
+SELECT tok, COUNT(*) AS cnt
+FROM t
+GROUP BY tok
+HAVING COUNT(*) >= {_HH_PHI} * (SELECT COUNT(*) FROM t)
+ORDER BY tok
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "heavy_hitter_tokens": (heavy_hitter_tokens, _HH_SQL),
     "funnel_steps": (funnel_steps, _FUNNEL_SQL),
     "cohort_retention": (cohort_retention_q, _COHORT_SQL),
     "scd2_users": (scd2_users, _SCD2_SQL),

@@ -101,6 +101,32 @@ def parse_json(
 
 
 # ---------------------------------------------------------------------------
+# XML
+# ---------------------------------------------------------------------------
+
+def parse_xml(
+    df: DataFrame,
+    line_col: str,
+    columns: list[tuple[str, str]],
+    field_map: dict[str, str] | None = None,  # column -> xml element (default: same name)
+) -> DataFrame:
+    """XML element extraction via Spark 4's built-in ``from_xml`` with a
+    declared schema — the same fixed-schema contract as parse_json (the
+    reference's Kettle/Flume row parsers are schema-declared too, S12/P13).
+    Malformed XML yields all-NULL columns and flows to the dirty channel."""
+    fmap = field_map or {}
+    xml_cols = [(fmap.get(name, name), name, typ) for name, typ in columns]
+    xs = T.StructType([
+        T.StructField(src, ot.parse_odps_type(typ)) for src, _name, typ in xml_cols
+    ])
+    parsed = F.from_xml(F.col(line_col), xs)
+    out = [parsed.getField(src).alias(name) for src, name, typ in xml_cols]
+    return df.select(*df.columns, F.struct(*out).alias("__parsed__")).select(
+        *df.columns, "__parsed__.*"
+    )
+
+
+# ---------------------------------------------------------------------------
 # dirty-record side channel (ST6)
 # ---------------------------------------------------------------------------
 

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "zscore_anomalies",
     "funnel_steps",
     "cohort_retention",
+    "heavy_hitter_tokens",
 ]
 
 

@@ -293,6 +293,31 @@ class TestIncrementalAgg:
             partial_agg(df, [], {"d": ("count_distinct", "id")})
 
 
+class TestHeavyHitters:
+    def test_exact_and_superset_guarantee(self, spark):
+        from aliyun_maxcompute_data_collectors_spark.operators.corpus import (
+            heavy_hitters,
+        )
+        # 10k rows: 'hot' 30%, 'warm' 12%, long tail of 5.8k distinct items
+        rows = (["hot"] * 3000 + ["warm"] * 1200
+                + [f"tail{i}" for i in range(5800)])
+        df = spark.createDataFrame([(x,) for x in rows], "item string") \
+            .repartition(8)
+        got = {r.item: r.cnt
+               for r in heavy_hitters(df, "item", phi=0.1, capacity=16).collect()}
+        assert got == {"hot": 3000, "warm": 1200}  # exact counts, no tail
+
+    def test_tiny_capacity_still_exact(self, spark):
+        from aliyun_maxcompute_data_collectors_spark.operators.corpus import (
+            heavy_hitters,
+        )
+        rows = ["a"] * 60 + ["b"] * 25 + [f"t{i}" for i in range(15)]
+        df = spark.createDataFrame([(x,) for x in rows], "item string") \
+            .repartition(4)
+        got = {r.item for r in heavy_hitters(df, "item", phi=0.2).collect()}
+        assert got == {"a", "b"}
+
+
 class TestZscoreOutliers:
     def test_flags_only_outliers(self, spark):
         vals = [("g", float(v)) for v in [10, 11, 9, 10, 10, 11, 9, 10, 100]]

@@ -44,6 +44,22 @@ def test_parse_regex_groups(spark):
     assert clean.count() == 1 and dirty.collect()[0]["line"] == "garbage"
 
 
+def test_parse_xml_declared_schema(spark):
+    from aliyun_maxcompute_data_collectors_spark.sources.ingest import parse_xml
+    df = spark.createDataFrame(
+        [("<rec><id>7</id><name>x</name><val>3.5</val></rec>",),
+         ("<rec><id>8</id></rec>",),
+         ("not xml at all",)],
+        "line string")
+    out = parse_xml(
+        df, "line",
+        [("id", "BIGINT"), ("name", "STRING"), ("val", "DOUBLE")],
+    ).collect()
+    assert (out[0]["id"], out[0]["name"], out[0]["val"]) == (7, "x", 3.5)
+    assert out[1]["id"] == 8 and out[1]["name"] is None
+    assert out[2]["id"] is None  # malformed -> NULLs -> dirty channel
+
+
 def test_parse_json_field_map(spark):
     df = spark.createDataFrame(
         [('{"k": 1, "txt": "a"}',), ('{"k": 2}',)], "line string")
