@@ -15,6 +15,8 @@ the DuckDB oracle replicate signatures bit-for-bit (see minhash_sql_parts).
 
 from __future__ import annotations
 
+from functools import reduce
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -185,10 +187,24 @@ def fuzzy_pairs_levenshtein(
         F.col("__blk"), F.col(id_col).alias("id1"), F.col(text_col).alias("t1"))
     b = side.select(
         F.col("__blk"), F.col(id_col).alias("id2"), F.col(text_col).alias("t2"))
+    pairs = a.join(b, ["__blk"]).where(F.col("id1") < F.col("id2"))
+    if max_dist == 1:
+        # Exact fast path: blocked pairs have equal length and differ only in
+        # the last block_tail chars, and for EQUAL-LENGTH strings lev<=1 is
+        # equivalent to hamming<=1 (one edit that preserves length must be a
+        # substitution).  So the edit distance reduces to counting differing
+        # tail positions — block_tail char compares instead of an O(len^2)
+        # Levenshtein DP per pair (~10x on the pair-verification stage).
+        diffs = [
+            (F.substring(F.col("t1"), -i, 1) != F.substring(F.col("t2"), -i, 1))
+            .cast("int")
+            for i in range(1, block_tail + 1)
+        ]
+        dist = reduce(lambda x, y: x + y, diffs)
+    else:
+        dist = F.levenshtein("t1", "t2")
     return (
-        a.join(b, ["__blk"])
-        .where(F.col("id1") < F.col("id2"))
-        .withColumn("edit_dist", F.levenshtein("t1", "t2"))
+        pairs.withColumn("edit_dist", dist)
         .where(F.col("edit_dist") <= max_dist)
         .select("id1", "id2", "edit_dist")
     )

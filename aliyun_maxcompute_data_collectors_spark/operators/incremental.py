@@ -27,6 +27,12 @@ _MERGE = {
     "count": F.sum,   # counts merge by summing
     "min": F.min,
     "max": F.max,
+    # approximate distinct: Apache-DataSketches HLL binary states union
+    # with accuracy preserved (union is not bit-identical to one-shot
+    # sketching, but stays inside the sketch's error bounds) - THE
+    # mergeable stand-in for the non-mergeable COUNT DISTINCT; finalize
+    # with hll_sketch_estimate (see finalize_sketches)
+    "approx_distinct": F.hll_union_agg,
 }
 
 
@@ -36,15 +42,32 @@ def partial_agg(
     specs: dict[str, tuple[str, str]],
 ) -> DataFrame:
     """Per-key partial state: ``specs`` maps output column -> (kind, input
-    column), kind in sum|count|min|max.  ``count`` counts non-NULL inputs
-    (use a literal column for COUNT(*))."""
+    column), kind in sum|count|min|max|approx_distinct.  ``count`` counts
+    non-NULL inputs (use a literal column for COUNT(*));
+    ``approx_distinct`` keeps an HLL sketch (binary) as the state."""
     aggs = []
     for out, (kind, col) in specs.items():
         if kind not in _MERGE:
             raise ValueError(f"non-mergeable aggregate kind {kind!r}")
-        fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[kind]
+        fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max,
+              "approx_distinct": F.hll_sketch_agg}[kind]
         aggs.append(fn(F.col(col)).alias(out))
     return df.groupBy(*keys).agg(*aggs)
+
+
+def finalize_sketches(
+    partials: DataFrame,
+    specs: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Resolve sketch-state columns to readable values: HLL states become
+    long estimates (other columns pass through unchanged)."""
+    cols = []
+    for c in partials.columns:
+        if c in specs and specs[c][0] == "approx_distinct":
+            cols.append(F.hll_sketch_estimate(F.col(c)).alias(c))
+        else:
+            cols.append(F.col(c))
+    return partials.select(*cols)
 
 
 def merge_partials(

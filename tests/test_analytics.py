@@ -284,6 +284,31 @@ class TestIncrementalAgg:
         assert sorted(map(key, merged.collect())) == \
             sorted(map(key, direct.collect()))
 
+    def test_hll_sketch_partials_merge_losslessly(self, spark):
+        from aliyun_maxcompute_data_collectors_spark.operators.incremental import (
+            finalize_sketches,
+            merge_partials,
+            partial_agg,
+        )
+        df = spark.range(20000).select(
+            (F.col("id") % 4).alias("g"), (F.col("id") % 3000).alias("u"))
+        specs = {"users": ("approx_distinct", "u")}
+        slices = [df.where(F.col("id") % 3 == i) for i in range(3)]
+        merged = finalize_sketches(
+            merge_partials([partial_agg(s, ["g"], specs) for s in slices],
+                           ["g"], specs), specs)
+        direct = finalize_sketches(partial_agg(df, ["g"], specs), specs)
+        m = {r.g: r.users for r in merged.collect()}
+        d = {r.g: r.users for r in direct.collect()}
+        exact = {r.g: r.x for r in
+                 df.groupBy("g").agg(F.count_distinct("u").alias("x")).collect()}
+        # merged partials and one-shot sketching both land inside the
+        # sketch's error envelope (union isn't bit-identical to one-shot -
+        # sparse/dense promotion differs - but accuracy is preserved)
+        for est in (m, d):
+            for g, v in est.items():
+                assert abs(v - exact[g]) / exact[g] < 0.05
+
     def test_rejects_non_mergeable(self, spark):
         from aliyun_maxcompute_data_collectors_spark.operators.incremental import (
             partial_agg,

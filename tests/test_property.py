@@ -182,3 +182,56 @@ def test_merge_into_matches_reference(spark, tgt_rows, src_rows):
                    (None, lambda tv: tv * 2)],
     )
     assert got_list == want
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 40), st.integers(0, 5)),
+             min_size=1, max_size=14, unique_by=lambda t: (t[0], t[1])),
+    st.integers(0, 13),
+)
+@settings(max_examples=12, deadline=None)
+def test_scd2_incremental_equals_full_rebuild(spark, changelog, cut):
+    """Any split of a changelog into (initial, later-batch) — including
+    batches that are entirely 'late' — must converge to the same SCD2
+    history as one full build."""
+    from aliyun_maxcompute_data_collectors_spark.operators.scd import (
+        scd2_apply_batch, scd2_build)
+
+    cut = min(cut, len(changelog) - 1)
+    first, rest = changelog[: cut + 1], changelog[cut + 1:]
+    schema = "k long, ts long, attr long"
+    full = scd2_build(spark.createDataFrame(changelog, schema), "k", "ts")
+    dim = scd2_build(spark.createDataFrame(first, schema), "k", "ts")
+    if rest:
+        dim = scd2_apply_batch(dim, spark.createDataFrame(rest, schema), "k", "ts")
+    key = lambda r: (r.k, r.version, r.ts if hasattr(r, "ts") else None,
+                     r.attr, r.effective_from, r.effective_to, r.is_current)
+    assert sorted(map(key, dim.collect())) == sorted(map(key, full.collect()))
+
+
+@given(
+    st.lists(st.tuples(st.integers(-100, 100), st.integers(-50, 50)),
+             min_size=1, max_size=20, unique_by=lambda t: t[0]),
+)
+@settings(max_examples=12, deadline=None)
+def test_prefixscan_matches_sequential_reference(spark, rows):
+    """running_agg's __below/__upto over random distinct-keyed rows equal
+    the sequential cumulative sum/max."""
+    from aliyun_maxcompute_data_collectors_spark.operators.prefixscan import running_agg
+
+    df = spark.createDataFrame(rows, "o long, v long").repartition(4)
+    for agg in ("sum", "max"):
+        got = {r["o"]: (r["__below"], r["__upto"])
+               for r in running_agg(df, "o", "v", agg=agg, num_bins=8).collect()}
+        acc = None
+        run = {}
+        for o, v in sorted(rows):
+            if agg == "sum":
+                below = acc if acc is not None else 0
+                acc = (acc or 0) + v
+                run[o] = (below if below is not None else 0, acc)
+            else:
+                below = acc
+                acc = v if acc is None else max(acc, v)
+                run[o] = (below, acc)
+        assert got == run
