@@ -49,12 +49,19 @@ def _rank_codes(df: DataFrame, col: str, bits: int, n_rows: int) -> DataFrame:
     return scanned.select(col, code.alias("__code"))
 
 
-def _interleave2(a: Column, b: Column, bits: int) -> Column:
-    """Interleave the low ``bits`` bits of two longs: a gets even positions."""
+def _interleave(ranks: list[Column], bits: int) -> Column:
+    """Round-robin bit interleave of n longs: bit j of column i lands at
+    position j*n + i (column 0 gets the least-significant slot of each
+    round, preserving the classic 2-column Morton layout)."""
+    n = len(ranks)
     parts = []
-    for i in range(bits):
-        parts.append(F.shiftleft(F.shiftrightunsigned(a, i).bitwiseAND(F.lit(1)), 2 * i))
-        parts.append(F.shiftleft(F.shiftrightunsigned(b, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    for i, col in enumerate(ranks):
+        for j in range(bits):
+            parts.append(
+                F.shiftleft(
+                    F.shiftrightunsigned(col, j).bitwiseAND(F.lit(1)), j * n + i
+                )
+            )
     return reduce(lambda x, y: x.bitwiseOR(y), parts)
 
 
@@ -64,21 +71,26 @@ def with_zorder(
     bits: int = DEFAULT_BITS,
     out_col: str = "__z__",
 ) -> DataFrame:
-    """``df`` plus a z-value column over exactly two non-NULL orderable
-    columns (the common case; more columns chain pairwise at reduced
-    per-column resolution).
+    """``df`` plus a z-value column over 2+ non-NULL orderable columns
+    (``n_cols * bits`` must fit in 63 bits — lower ``bits`` for wide sets).
 
     Cost: per column one distinct-count aggregate + prefix scan over the
     DISTINCT values, then one shuffle join back on the value.  All exchanges
     are keyed — nothing global."""
-    if len(cols) != 2:
-        raise ValueError("with_zorder currently supports exactly 2 columns")
+    if len(cols) < 2:
+        raise ValueError("with_zorder needs at least 2 columns")
+    if len(cols) * bits > 63:
+        raise ValueError(f"{len(cols)} cols x {bits} bits exceeds a long; "
+                         "reduce bits")
     n = df.count()
-    ra = _rank_codes(df, cols[0], bits, n).withColumnRenamed("__code", "__ra")
-    rb = _rank_codes(df, cols[1], bits, n).withColumnRenamed("__code", "__rb")
-    out = df.join(ra, cols[0]).join(rb, cols[1])
-    z = _interleave2(F.col("__ra"), F.col("__rb"), bits)
-    return out.withColumn(out_col, z).drop("__ra", "__rb")
+    out = df
+    rank_cols = []
+    for i, c in enumerate(cols):
+        rc = _rank_codes(df, c, bits, n).withColumnRenamed("__code", f"__r{i}")
+        out = out.join(rc, c)
+        rank_cols.append(f"__r{i}")
+    z = _interleave([F.col(c) for c in rank_cols], bits)
+    return out.withColumn(out_col, z).drop(*rank_cols)
 
 
 def zorder_by(

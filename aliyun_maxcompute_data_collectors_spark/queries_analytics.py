@@ -212,10 +212,13 @@ def interp_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t["events"].where(F.col("event_type") == "view")
     grid = resample_fill(ev, "user_id", "ts", "value", 21600)
     out = interpolate_linear(grid, "user_id", "bucket_start", "bucket_sum")
+    # no final orderBy: the driver compare is order-insensitive, and a
+    # global sort of a large result is pure cost at scale (the per-key
+    # window order already exists within partitions)
     return out.select(
         "user_id", "bucket_start", "n_events", "bucket_sum",
         F.round("bucket_sum_interp", 6).alias("interp_sum"),
-    ).orderBy("user_id", "bucket_start")
+    )
 
 
 _INTERP_SQL = """
@@ -532,7 +535,76 @@ ORDER BY tok
 """
 
 
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE — SQL-surface parity with DuckDB)
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE chain (root, node, depth) AS (
+  SELECT p_partkey AS root, p_partkey AS node, 0 AS depth
+  FROM part WHERE p_partkey % 2 = 1
+  UNION ALL
+  SELECT c.root, p.p_partkey AS node, c.depth + 1 AS depth
+  FROM chain c JOIN part p ON p.p_partkey = c.node * 2)
+SELECT root, node, depth
+FROM chain
+WHERE depth > 0
+ORDER BY root, depth
+"""
+
+
+def recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``WITH RECURSIVE`` run natively (same SQL as the oracle):
+    doubling-key chains over part — an acyclic traversal whose depth is
+    bounded by log2(max key), so UNION ALL recursion terminates.  Iterative
+    set computation stays inside the engine (each step is a distributed
+    join), the same execution shape as the hand-built label-propagation in
+    operators/graph.py but declared declaratively."""
+    t = load_tables(spark, sf_dir, ["part"])
+    t["part"].createOrReplaceTempView("part")
+    return spark.sql(_RECURSIVE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured type (Spark 4 parse_json / try_variant_get)
+# ---------------------------------------------------------------------------
+
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured pipeline on the VARIANT type: props JSON parsed once
+    into Spark 4's binary VARIANT encoding, typed paths extracted with
+    try_variant_get (malformed -> NULL, never a crash) and aggregated.
+    VARIANT keeps parsing out of the per-access path - at 100 TB, parsing
+    the JSON once beats get_json_object re-parsing per extraction."""
+    t = load_tables(spark, sf_dir, ["events"])
+    v = t["events"].select(
+        F.parse_json(F.col("props")).alias("v"),
+        F.col("value").cast("decimal(18,6)").alias("val"),
+    )
+    k = F.try_variant_get(F.col("v"), "$.k", "int")
+    return (
+        v.select(F.floor(k / 10).cast("int").alias("k_decile"), "val")
+        .groupBy("k_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("val"), 2).cast("double").alias("sum_value"),
+        )
+        .orderBy("k_decile")
+    )
+
+
+_VARIANT_SQL = """
+SELECT CAST(CAST(props ->> '$.k' AS INT) // 10 AS INT) AS k_decile,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY k_decile
+ORDER BY k_decile
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "variant_extract": (variant_extract, _VARIANT_SQL),
+    "recursive_chain": (recursive_chain, _RECURSIVE_SQL),
     "heavy_hitter_tokens": (heavy_hitter_tokens, _HH_SQL),
     "funnel_steps": (funnel_steps, _FUNNEL_SQL),
     "cohort_retention": (cohort_retention_q, _COHORT_SQL),

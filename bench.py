@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "funnel_steps",
     "cohort_retention",
     "heavy_hitter_tokens",
+    "recursive_chain",
+    "variant_extract",
 ]
 
 

@@ -257,6 +257,25 @@ def test_zorder_improves_two_dim_skipping(spark):
     assert eff_z["fraction"] <= 0.5  # z-order skips at least half the files
 
 
+def test_zorder_three_columns(spark):
+    from aliyun_maxcompute_data_collectors_spark.operators.zorder import (
+        skipping_effectiveness, with_zorder)
+    import pyspark.sql.functions as SF
+    df = spark.range(8000).select(
+        (SF.col("id") % 20).alias("x"),
+        ((SF.col("id") / 20) % 20).cast("long").alias("y"),
+        (SF.col("id") / 400).cast("long").alias("w"))
+    z = with_zorder(df, ["x", "y", "w"], bits=8)
+    assert z.count() == 8000 and "__z__" in z.columns
+    # every dimension still skips: each file covers a compact cube
+    for col, lo, hi in [("x", 0, 3), ("y", 0, 3), ("w", 0, 3)]:
+        eff = skipping_effectiveness(df, ["x", "y", "w"], col, lo, hi,
+                                     n_files=16)
+        assert eff["fraction"] < 1.0, (col, eff)
+    with pytest.raises(ValueError, match="exceeds a long"):
+        with_zorder(df, ["x", "y", "w"], bits=32)
+
+
 def test_calibrated_quality_flags_language_outlier(spark):
     from aliyun_maxcompute_data_collectors_spark.operators import text as X
     typical = "the cat and the dog sat in the house with the mouse and it is warm"
