@@ -183,28 +183,46 @@ def fuzzy_pairs_levenshtein(
         ).alias("pfx"),
     )
     side = df.select(F.col(id_col), F.col(text_col), blk.alias("__blk"))
+    if max_dist == 1:
+        # Exact OUTPUT-SENSITIVE path: blocked pairs have equal length, and
+        # for EQUAL-LENGTH strings lev<=1 is equivalent to hamming<=1 (a
+        # length-preserving single edit must be a substitution).  Instead of
+        # materializing every within-block pair and filtering, use
+        # wildcard-position keys (the deletion-neighborhood trick): pass i
+        # joins on (block, tail with char i masked out), so the ONLY pairs
+        # generated already agree everywhere except possibly position i —
+        # pair work is proportional to true near-matches, not block^2.
+        # Identical strings collide in every pass; the min-agg dedups them.
+        outs = []
+        for i in range(1, block_tail + 1):
+            key = F.struct(
+                F.col("__blk"),
+                *[F.substring(F.col(text_col), -j, 1).alias(f"c{j}")
+                  for j in range(1, block_tail + 1) if j != i],
+            )
+            ci = F.substring(F.col(text_col), -i, 1)
+            a = side.select(key.alias("__key"), F.col(id_col).alias("id1"),
+                            ci.alias("x1"))
+            b = side.select(key.alias("__key"), F.col(id_col).alias("id2"),
+                            ci.alias("x2"))
+            outs.append(
+                a.join(b, ["__key"])
+                .where(F.col("id1") < F.col("id2"))
+                .select("id1", "id2",
+                        (F.col("x1") != F.col("x2")).cast("int").alias("d"))
+            )
+        allp = reduce(lambda x, y: x.unionByName(y), outs)
+        return (
+            allp.groupBy("id1", "id2").agg(F.min("d").alias("edit_dist"))
+        )
     a = side.select(
         F.col("__blk"), F.col(id_col).alias("id1"), F.col(text_col).alias("t1"))
     b = side.select(
         F.col("__blk"), F.col(id_col).alias("id2"), F.col(text_col).alias("t2"))
-    pairs = a.join(b, ["__blk"]).where(F.col("id1") < F.col("id2"))
-    if max_dist == 1:
-        # Exact fast path: blocked pairs have equal length and differ only in
-        # the last block_tail chars, and for EQUAL-LENGTH strings lev<=1 is
-        # equivalent to hamming<=1 (one edit that preserves length must be a
-        # substitution).  So the edit distance reduces to counting differing
-        # tail positions — block_tail char compares instead of an O(len^2)
-        # Levenshtein DP per pair (~10x on the pair-verification stage).
-        diffs = [
-            (F.substring(F.col("t1"), -i, 1) != F.substring(F.col("t2"), -i, 1))
-            .cast("int")
-            for i in range(1, block_tail + 1)
-        ]
-        dist = reduce(lambda x, y: x + y, diffs)
-    else:
-        dist = F.levenshtein("t1", "t2")
     return (
-        pairs.withColumn("edit_dist", dist)
+        a.join(b, ["__blk"])
+        .where(F.col("id1") < F.col("id2"))
+        .withColumn("edit_dist", F.levenshtein("t1", "t2"))
         .where(F.col("edit_dist") <= max_dist)
         .select("id1", "id2", "edit_dist")
     )
