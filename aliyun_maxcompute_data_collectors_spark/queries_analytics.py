@@ -602,7 +602,61 @@ ORDER BY k_decile
 """
 
 
+# ---------------------------------------------------------------------------
+# MAD robust outliers (median absolute deviation - two exact-median passes)
+# ---------------------------------------------------------------------------
+
+_MAD_K = 1.4826  # normal-consistency constant
+_MAD_THRESH = 3.5
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers per event type: |x - median| > 3.5 * 1.4826 * MAD.
+    Unlike the z-score (zscore_anomalies), the median/MAD estimator doesn't
+    let the outliers inflate their own threshold.  Two grouped exact
+    percentiles + broadcast joins; inputs are decimal-exact before the one
+    double interpolation, so the boundary predicate is deterministic."""
+    t = load_tables(spark, sf_dir, ["events"])
+    v = F.col("value").cast("decimal(18,6)").cast("double")
+    ev = t["events"].select("event_id", "event_type", v.alias("v"))
+    med = ev.groupBy("event_type").agg(
+        F.percentile(F.col("v"), F.lit(0.5)).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type") \
+        .withColumn("adev", F.abs(F.col("v") - F.col("med")))
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad"))
+    z = F.col("adev") / (F.lit(_MAD_K) * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select("event_id", "event_type", F.col("v").alias("value6"),
+                F.round(z, 6).alias("robust_z"))
+        .where(F.col("robust_z") > _MAD_THRESH)
+        .orderBy("event_id")
+    )
+
+
+_MAD_SQL = f"""
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS v
+  FROM events),
+med AS (
+  SELECT event_type, MEDIAN(v) AS med FROM ev GROUP BY event_type),
+dev AS (
+  SELECT ev.event_id, ev.event_type, ev.v, ABS(ev.v - med.med) AS adev
+  FROM ev JOIN med USING (event_type)),
+mad AS (
+  SELECT event_type, MEDIAN(adev) AS mad FROM dev GROUP BY event_type)
+SELECT dev.event_id, dev.event_type, dev.v AS value6,
+       ROUND(dev.adev / ({_MAD_K} * mad.mad), 6) AS robust_z
+FROM dev JOIN mad USING (event_type)
+WHERE ROUND(dev.adev / ({_MAD_K} * mad.mad), 6) > {_MAD_THRESH}
+ORDER BY dev.event_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "mad_outliers": (mad_outliers, _MAD_SQL),
     "variant_extract": (variant_extract, _VARIANT_SQL),
     "recursive_chain": (recursive_chain, _RECURSIVE_SQL),
     "heavy_hitter_tokens": (heavy_hitter_tokens, _HH_SQL),

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "heavy_hitter_tokens",
     "recursive_chain",
     "variant_extract",
+    "mad_outliers",
 ]
 
 

@@ -74,6 +74,17 @@ class TestSCD2:
         got = {r.k: r.attr for r in snap.collect()}
         assert got == {1: "b", 2: "x"}  # ts == T included
 
+    def test_multi_column_key(self, spark):
+        log = spark.createDataFrame(
+            [("eu", 1, _ts("2024-01-01T00:00:00"), "a"),
+             ("eu", 1, _ts("2024-01-02T00:00:00"), "b"),
+             ("us", 1, _ts("2024-01-01T12:00:00"), "x")],
+            "region string, k bigint, ts timestamp, attr string",
+        )
+        rows = {(r.region, r.k, r.version): r.attr
+                for r in scd2_build(log, ["region", "k"], "ts").collect()}
+        assert rows == {("eu", 1, 1): "a", ("eu", 1, 2): "b", ("us", 1, 1): "x"}
+
     def test_temporal_join_before_first_version(self, spark, changelog):
         dim = scd2_build(changelog, "k", "ts")
         probe = spark.createDataFrame(
