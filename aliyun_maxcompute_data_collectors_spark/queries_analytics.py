@@ -212,12 +212,17 @@ def interp_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t["events"].where(F.col("event_type") == "view")
     grid = resample_fill(ev, "user_id", "ts", "value", 21600)
     out = interpolate_linear(grid, "user_id", "bucket_start", "bucket_sum")
-    # no final orderBy: the driver compare is order-insensitive, and a
-    # global sort of a large result is pure cost at scale (the per-key
-    # window order already exists within partitions)
+    # Rounding is spelled floor(x*1e6 + 0.5)/1e6 IDENTICALLY in both
+    # engines: interpolated values are dyadic rationals (cents * k/m) that
+    # land EXACTLY on 6-decimal ties, where Spark's BigDecimal HALF_UP and
+    # DuckDB's float-path ROUND disagree; with the same IEEE expression
+    # both sides take the same branch on every tie.
+    # No final orderBy: the driver compare is order-insensitive, and a
+    # global sort of a large result is pure cost at scale.
+    six = F.floor(F.col("bucket_sum_interp") * 1e6 + F.lit(0.5)) / F.lit(1e6)
     return out.select(
         "user_id", "bucket_start", "n_events", "bucket_sum",
-        F.round("bucket_sum_interp", 6).alias("interp_sum"),
+        six.alias("interp_sum"),
     )
 
 
@@ -258,11 +263,11 @@ brack AS (
          wb AS (PARTITION BY user_id ORDER BY bucket_start
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
 SELECT user_id, bucket_start, n_events, bucket_sum,
-       ROUND(CASE
+       FLOOR((CASE
          WHEN bucket_sum IS NOT NULL THEN bucket_sum
          WHEN px IS NOT NULL AND nx IS NOT NULL
            THEN pv + (nv - pv) * (bucket_start - px) / (nx - px)
-       END, 6) AS interp_sum
+       END) * 1000000.0 + 0.5) / 1000000.0 AS interp_sum
 FROM brack
 ORDER BY user_id, bucket_start
 """
