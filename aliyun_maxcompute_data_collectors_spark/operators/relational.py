@@ -158,11 +158,15 @@ def funnel(
     user_col: str,
     ts_col: str,
     steps: list[Column],
+    max_gap: str | None = None,
 ) -> DataFrame:
     """Ordered-funnel analysis: per user, the earliest time each step was
     reached STRICTLY AFTER the previous step (product-analytics "signup →
     view → purchase" conversion).  Output: one row per user who completed
     step 1, with ``step_1..step_N`` timestamps (NULL once the funnel breaks).
+    ``max_gap`` (e.g. ``"7 days"``) additionally requires each step to
+    happen within that interval of the previous one — the "converted within
+    a week" business question.
 
     Each stage is a filtered aggregate on the SAME key (min ts per user
     with ``ts > previous step``), so the plan is a cascade of groupBy +
@@ -173,6 +177,7 @@ def funnel(
     if not steps:
         raise ValueError("funnel needs at least one step predicate")
     ts = F.col(ts_col)
+    gap = F.expr(f"INTERVAL {max_gap}") if max_gap else None
     cur = (
         df.where(steps[0])
         .groupBy(user_col)
@@ -180,10 +185,13 @@ def funnel(
     )
     out = cur
     for i, pred in enumerate(steps[1:], start=2):
+        cond = ts > F.col("__prev")
+        if gap is not None:
+            cond = cond & (ts <= F.col("__prev") + gap)
         nxt = (
             df.where(pred)
             .join(out.select(user_col, F.col(f"step_{i-1}").alias("__prev")), user_col)
-            .where(ts > F.col("__prev"))
+            .where(cond)
             .groupBy(user_col)
             .agg(F.min(ts).alias(f"step_{i}"))
         )

@@ -86,6 +86,49 @@ def running_counter(
     )
 
 
+def running_ewma(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-key EWMA maintained across micro-batches — the streaming twin of
+    ``operators.timeseries.ewma``.  State is one (initialized, ewma) pair
+    per key; each batch folds its rows in event order through the same
+    ``a*x + (1-a)*prev`` recurrence as the batch operator, and one updated
+    row per key per batch is emitted.  Within-batch order is enforced by
+    sorting the (small) batch on ``ts_col``; CROSS-batch order is the
+    stream's delivery order, the usual applyInPandasWithState contract
+    (watermark + sorted sources where replay order matters)."""
+    key_fields = ", ".join(f"{c} {_spark_type_name(stream_df, c)}" for c in key_cols)
+    out_schema = f"{key_fields}, n_events long, ewma_value double"
+    state_schema = "n long, initialized boolean, e double"
+    a = float(alpha)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        n, init, e = state.get if state.exists else (0, False, 0.0)
+        seen = 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            for x in pdf[value_col].astype("float64"):
+                e = x if not init else a * x + (1.0 - a) * e
+                init = True
+            seen += len(pdf)
+        if seen:
+            n += seen
+            state.update((n, init, e))
+            yield pd.DataFrame(
+                [list(key) + [n, e]],
+                columns=key_cols + ["n_events", "ewma_value"],
+            )
+
+    return stream_df.groupBy(*key_cols).applyInPandasWithState(
+        fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def _spark_type_name(df: DataFrame, col: str) -> str:
     return df.schema[col].dataType.simpleString()
 

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -327,6 +329,63 @@ class TestIncrementalAgg:
         df = spark.range(3)
         with pytest.raises(ValueError, match="non-mergeable"):
             partial_agg(df, [], {"d": ("count_distinct", "id")})
+
+
+class TestFunnelMaxGap:
+    def test_gap_breaks_funnel(self, spark):
+        from aliyun_maxcompute_data_collectors_spark.operators.relational import funnel
+        ev = spark.createDataFrame(
+            [(1, _ts("2024-01-01T00:00:00"), "a"),
+             (1, _ts("2024-01-02T00:00:00"), "b"),     # within 2 days of a
+             (2, _ts("2024-01-01T00:00:00"), "a"),
+             (2, _ts("2024-01-09T00:00:00"), "b")],    # 8 days later -> breaks
+            "u bigint, ts timestamp, et string",
+        )
+        steps = [F.col("et") == "a", F.col("et") == "b"]
+        strict = {r.u: r.step_2
+                  for r in funnel(ev, "u", "ts", steps, max_gap="2 days").collect()}
+        assert strict[1] is not None and strict[2] is None
+        loose = {r.u: r.step_2 for r in funnel(ev, "u", "ts", steps).collect()}
+        assert loose[2] is not None
+
+
+class TestStreamingEwma:
+    def test_running_ewma_across_batches(self, spark, tmp_path):
+        import json as _json
+
+        from aliyun_maxcompute_data_collectors_spark.streaming.sink import (
+            run_to_completion,
+        )
+        from aliyun_maxcompute_data_collectors_spark.streaming.stateful import (
+            running_ewma,
+        )
+        src = tmp_path / "in"
+        src.mkdir()
+        vals = [10.0, 20.0, 30.0, 40.0]
+        # two files -> two micro-batches; state must carry across them.
+        # explicit mtimes: the file source takes oldest-first, and same-ms
+        # creation would make batch order (hence the recurrence) ambiguous
+        for fi, chunk in enumerate([vals[:2], vals[2:]]):
+            p = src / f"b{fi}.json"
+            with open(p, "w") as f:
+                for i, v in enumerate(chunk):
+                    f.write(_json.dumps(
+                        {"k": 1, "seq": fi * 2 + i, "v": v}) + "\n")
+            os.utime(p, (1700000000 + fi * 60, 1700000000 + fi * 60))
+        stream = spark.readStream.schema("k long, seq long, v double") \
+            .option("maxFilesPerTrigger", "1").json(str(src))
+        out_rows = []
+        q = (running_ewma(stream, ["k"], "seq", "v", alpha=0.5)
+             .writeStream.format("memory").queryName("ewma_out")
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM ewma_out ORDER BY n_events").collect()
+        # recurrence: 10 -> 15 -> 22.5 -> 31.25; batch emissions at n=2, n=4
+        got = {r.n_events: r.ewma_value for r in rows}
+        assert got[2] == pytest.approx(15.0)
+        assert got[4] == pytest.approx(31.25)
 
 
 class TestHeavyHitters:
