@@ -289,6 +289,60 @@ def heavy_hitters(
     )
 
 
+def heavy_hitters_per_group(
+    items: DataFrame,
+    group_col: str,
+    item_col: str,
+    phi: float,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Per-group exact heavy hitters: items above ``phi`` of THEIR GROUP's
+    rows.  Same two-pass scheme as :func:`heavy_hitters` with the composite
+    (group, item) as the sketched key — the MG superset guarantee holds a
+    fortiori (an item with group frequency > group_n/(cap+1) certainly has
+    total frequency > N/(cap+1) only when groups are comparable, so the
+    default capacity scales by a conservative group-count-free bound: an
+    item heavy in its group occupies > phi of that group's rows, and MG
+    over the concatenated stream keeps any key with > N_p/(cap+1) of a
+    PARTITION's rows — size capacity for the SMALLEST phi*group share of a
+    partition, i.e. capacity ~ groups/phi when groups are balanced; pass
+    ``capacity`` explicitly for skewed group sizes).  Group totals are one
+    extra narrow aggregate (one row per group, broadcast)."""
+    if not (0 < phi < 1):
+        raise ValueError(f"phi must be in (0,1), got {phi}")
+    n_groups = items.select(group_col).distinct().count()
+    cap = capacity or (int(2.0 / phi) + 1) * max(n_groups, 1)
+
+    pair = F.concat_ws("\x1f", F.col(group_col).cast("string"),
+                       F.col(item_col).cast("string"))
+    keyed = items.withColumn("__pair", pair)
+
+    def _mg(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for item, c in pdf["__pair"].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            while len(counters) > cap:
+                dec = min(counters.values())
+                counters = {k: v - dec for k, v in counters.items() if v > dec}
+        yield pd.DataFrame({"__pair": list(counters.keys())})
+
+    candidates = (
+        keyed.select("__pair").mapInPandas(_mg, schema="__pair string").distinct()
+    )
+    totals = items.groupBy(group_col).agg(F.count(F.lit(1)).alias("__gn"))
+    return (
+        keyed.join(F.broadcast(candidates), "__pair", "left_semi")
+        .groupBy(group_col, item_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(totals), group_col)
+        .where(F.col("cnt") >= F.lit(phi) * F.col("__gn"))
+        .select(group_col, item_col, "cnt")
+    )
+
+
 def split_assign(
     df: DataFrame,
     id_col: str,

@@ -660,7 +660,38 @@ ORDER BY dev.event_id
 """
 
 
+def heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language heavy tokens (above phi of THAT language's token mass) -
+    the grouped variant of the two-pass MG scheme
+    (corpus.heavy_hitters_per_group)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import (
+        heavy_hitters_per_group,
+    )
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = t["documents"].select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    return heavy_hitters_per_group(toks, "lang", "tok", phi=_HH_PHI) \
+        .orderBy("lang", "tok")
+
+
+_HH_LANG_SQL = f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents),
+t AS (SELECT lang, tok FROM toks WHERE tok <> ''),
+g AS (SELECT lang, COUNT(*) AS gn FROM t GROUP BY lang)
+SELECT t.lang, tok, COUNT(*) AS cnt
+FROM t JOIN g ON t.lang = g.lang
+GROUP BY t.lang, tok, g.gn
+HAVING COUNT(*) >= {_HH_PHI} * g.gn
+ORDER BY t.lang, tok
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "heavy_hitters_by_lang": (heavy_hitters_by_lang, _HH_LANG_SQL),
     "mad_outliers": (mad_outliers, _MAD_SQL),
     "variant_extract": (variant_extract, _VARIANT_SQL),
     "recursive_chain": (recursive_chain, _RECURSIVE_SQL),

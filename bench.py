@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "recursive_chain",
     "variant_extract",
     "mad_outliers",
+    "heavy_hitters_by_lang",
 ]
 
 

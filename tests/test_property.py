@@ -210,6 +210,28 @@ def test_scd2_incremental_equals_full_rebuild(spark, changelog, cut):
 
 
 @given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=200),
+    st.sampled_from([0.1, 0.2, 0.4]),
+    st.integers(1, 6),
+)
+@settings(max_examples=10, deadline=None)
+def test_heavy_hitters_exact_under_random_skew(spark, raw, phi, nparts):
+    """heavy_hitters returns EXACTLY the items with count >= phi*N for any
+    item distribution, capacity default, and partitioning - the Misra-Gries
+    candidate pass must never drop a true heavy hitter."""
+    from collections import Counter
+
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import heavy_hitters
+
+    df = spark.createDataFrame([(f"i{x}",) for x in raw], "item string") \
+        .repartition(nparts)
+    got = {r.item: r.cnt for r in heavy_hitters(df, "item", phi=phi).collect()}
+    counts = Counter(f"i{x}" for x in raw)
+    want = {k: c for k, c in counts.items() if c >= phi * len(raw)}
+    assert got == want
+
+
+@given(
     st.lists(st.tuples(st.integers(-100, 100), st.integers(-50, 50)),
              min_size=1, max_size=20, unique_by=lambda t: t[0]),
 )
