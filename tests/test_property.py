@@ -232,6 +232,45 @@ def test_heavy_hitters_exact_under_random_skew(spark, raw, phi, nparts):
 
 
 @given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50),
+                       st.integers(0, 2)),
+             min_size=1, max_size=25, unique_by=lambda t: (t[0], t[1])),
+)
+@settings(max_examples=12, deadline=None)
+def test_funnel_matches_sequential_reference(spark, events):
+    """funnel() equals a per-user sequential scan: step k's time is the
+    earliest event of type k strictly after step k-1, for random event
+    streams (types 0/1/2 as the three steps)."""
+    from pyspark.sql import functions as SF
+
+    from aliyun_maxcompute_data_collectors_spark.operators.relational import funnel
+
+    df = spark.createDataFrame(events, "u long, ts long, et int")
+    got = {
+        r.u: (r.step_1, r.step_2, r.step_3)
+        for r in funnel(df, "u", "ts",
+                        [SF.col("et") == i for i in range(3)]).collect()
+    }
+    want = {}
+    by_user: dict = {}
+    for u, ts, et in events:
+        by_user.setdefault(u, []).append((ts, et))
+    for u, evs in by_user.items():
+        evs.sort()
+        steps = [None, None, None]
+        for ts, et in evs:
+            if et == 0 and steps[0] is None:
+                steps[0] = ts
+            for k in (1, 2):
+                if (et == k and steps[k] is None and steps[k - 1] is not None
+                        and ts > steps[k - 1]):
+                    steps[k] = ts
+        if steps[0] is not None:
+            want[u] = tuple(steps)
+    assert got == want
+
+
+@given(
     st.lists(st.tuples(st.integers(-100, 100), st.integers(-50, 50)),
              min_size=1, max_size=20, unique_by=lambda t: t[0]),
 )
