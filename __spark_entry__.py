@@ -4,6 +4,16 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``queries()[name]`` at sf=0.01 and compares it against the matching
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash -> CORRECTNESS_r{N}.json).
+
+Rotation note (round 3): the driver verifies the first 50 entries of
+``queries()`` in iteration order (CORRECTNESS_r01/r02 both cover exactly
+``list(REGISTRY)[:50]``).  The registry holds 126 queries, so we rotate:
+queries WITHOUT a driver row in rounds 1-2 are emitted first (the
+LLM-pipeline operators, the analytics/SCD2 suite, and TPC-H
+q10/q13/q19/q21/q22 lead), followed by the remaining unchecked set, then
+the 50 queries already driver-verified in r1/r2.  Every query stays
+registered; only iteration order changes.  All 126 remain covered by the
+local DuckDB-oracle harness (tests/test_correctness.py) at sf0.001/0.01.
 """
 
 from __future__ import annotations
@@ -18,6 +28,47 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from aliyun_maxcompute_data_collectors_spark.queries import REGISTRY  # noqa: E402
 
+# Round-3 driver-verification priority: all names here come before the rest
+# of the registry in queries()/oracle_sql() iteration order.  Tier 1 (first
+# 50) = judge-named priorities + every LLM-pipeline operator + the
+# advanced-analytics suite; tier 2 = remaining round-1/2-unchecked queries;
+# everything else (already driver-green in CORRECTNESS_r01/r02) follows in
+# registry order.
+_PRIORITY = [
+    # tier 1a: judge-named (VERDICT.md "Next round" item 1)
+    "dedup_exact", "minhash_signature", "minhash_lsh", "semantic_dedup",
+    "decontaminate", "heavy_hitter_tokens", "scd2_users", "temporal_join_pit",
+    "q10_returned_items", "q13_customer_distribution", "q19_discounted_parts",
+    "q21_waiting_supplier", "q22_dormant_customers",
+    # tier 1b: remaining LLM-pipeline operators (dedup/similarity/text/corpus)
+    "ngram_jaccard", "simhash32_sig", "simhash_pairs", "dedup_transitive",
+    "semantic_dedup_exact", "embedding_topk", "embedding_dups", "ivf_topk",
+    "ann_lsh_topk", "text_profile", "lang_id", "lang_quality_calibrated",
+    "doc_fingerprint", "doc_rolling_fp", "repetition_profile", "pii_redact",
+    "det_sample", "stratified_sample", "chunk_documents", "pack_sequences",
+    "corpus_stats", "heavy_hitters_by_lang", "doc_logprob", "tfidf_keywords",
+    "profile_documents", "blob_meta", "frame_sample", "split_assignment",
+    # tier 1c: advanced analytics (SCD2 family, smoothing, skyline, fuzzy)
+    "cdc_snapshot_at", "ewma_user_value", "interp_gapfill", "pareto_parts",
+    "fuzzy_customer_names", "regr_value_trend", "zscore_anomalies",
+    "funnel_steps", "cohort_retention",
+    # tier 2: rest of the r1/r2-unchecked set (round-4 rotation candidates)
+    "asof_join_events", "range_join_sessions", "rollup_hypertable",
+    "zorder_cluster", "sketch_suite", "pivot_priority", "unpivot_measures",
+    "agg_extras", "bitwise_agg", "interval_math", "width_bucket_hist",
+    "constraint_check", "window_value_suite", "conditional_exprs",
+    "resample_gapfill", "rolling_hourly_stats", "string_agg_nations",
+    "higher_order_fns", "from_json_typed", "udtf_tokens", "corr_stats",
+    "union_by_name", "median_stats", "mad_outliers", "variant_extract",
+    "recursive_chain",
+]
+
+
+def _ordered_names() -> list[str]:
+    seen = [n for n in _PRIORITY if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in set(seen)]
+    return seen + rest
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -27,10 +78,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md section 2."""
-    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+    return {name: REGISTRY[name][0] for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted for non-SQL-expressible ops,
     which the driver records as rows-only checks)."""
-    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+    return {
+        name: REGISTRY[name][1]
+        for name in _ordered_names()
+        if REGISTRY[name][1] is not None
+    }
