@@ -257,6 +257,13 @@ def heavy_hitters(
     and count exactly; filter ``count >= phi * N``.  Exact output, bounded
     memory, tail-free shuffle: at 100 TB with a billion-term vocabulary the
     naive groupBy shuffles every token, this shuffles only near-heavy ones.
+
+    NULL items are EXCLUDED (value_counts drops NaN, so NULL can never be a
+    candidate; filtering keeps pass 1, the total, and pass 2 consistent).
+    The projected items are localCheckpoint-ed so the candidate pass, the
+    exact total, and the verification count read ONE materialization - the
+    lineage (e.g. a full tokenization explode) runs once, not three times,
+    and a non-deterministic upstream cannot diverge between the passes.
     """
     if not (0 < phi < 1):
         raise ValueError(f"phi must be in (0,1), got {phi}")
@@ -275,14 +282,19 @@ def heavy_hitters(
         yield pd.DataFrame({item_col: list(counters.keys())})
 
     item_type = items.schema[item_col].dataType.simpleString()
-    candidates = (
+    projected = (
         items.select(item_col)
+        .where(F.col(item_col).isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    candidates = (
+        projected
         .mapInPandas(_mg, schema=f"{item_col} {item_type}")
         .distinct()
     )
-    total = items.count()
+    total = projected.count()
     return (
-        items.join(F.broadcast(candidates), item_col, "left_semi")
+        projected.join(F.broadcast(candidates), item_col, "left_semi")
         .groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= F.lit(phi * total))
@@ -297,44 +309,60 @@ def heavy_hitters_per_group(
     capacity: int | None = None,
 ) -> DataFrame:
     """Per-group exact heavy hitters: items above ``phi`` of THEIR GROUP's
-    rows.  Same two-pass scheme as :func:`heavy_hitters` with the composite
-    (group, item) as the sketched key — the MG superset guarantee holds a
-    fortiori (an item with group frequency > group_n/(cap+1) certainly has
-    total frequency > N/(cap+1) only when groups are comparable, so the
-    default capacity scales by a conservative group-count-free bound: an
-    item heavy in its group occupies > phi of that group's rows, and MG
-    over the concatenated stream keeps any key with > N_p/(cap+1) of a
-    PARTITION's rows — size capacity for the SMALLEST phi*group share of a
-    partition, i.e. capacity ~ groups/phi when groups are balanced; pass
-    ``capacity`` explicitly for skewed group sizes).  Group totals are one
-    extra narrow aggregate (one row per group, broadcast)."""
+    rows.  Same two-pass scheme as :func:`heavy_hitters`, but the sketch
+    keeps ONE Misra-Gries counter dict PER GROUP (capacity ``2/phi`` each),
+    so the MG undercount bound applies to each group's own row stream: an
+    item with > phi of ITS group's rows in a partition survives that
+    partition's per-group sketch REGARDLESS of how skewed group sizes are.
+    (A single MG over concatenated (group,item) pairs only retains pairs
+    above a GLOBAL threshold, silently dropping hitters of small groups —
+    the skew bug this layout fixes.)  Candidate count is bounded by
+    partitions x groups_seen x (2/phi) — still metadata-scale for the
+    group cardinalities a per-group report is useful at.  Group totals are
+    one extra narrow aggregate (one row per group, broadcast).
+
+    NULL items and NULL groups are excluded, matching
+    :func:`heavy_hitters`; the projection is localCheckpoint-ed so both
+    passes and the group totals read one materialization."""
     if not (0 < phi < 1):
         raise ValueError(f"phi must be in (0,1), got {phi}")
-    n_groups = items.select(group_col).distinct().count()
-    cap = capacity or (int(2.0 / phi) + 1) * max(n_groups, 1)
+    cap = capacity or int(2.0 / phi) + 1
 
-    pair = F.concat_ws("\x1f", F.col(group_col).cast("string"),
-                       F.col(item_col).cast("string"))
-    keyed = items.withColumn("__pair", pair)
+    g_type = items.schema[group_col].dataType.simpleString()
+    item_type = items.schema[item_col].dataType.simpleString()
+    projected = (
+        items.select(group_col, item_col)
+        .where(F.col(group_col).isNotNull() & F.col(item_col).isNotNull())
+        .localCheckpoint(eager=False)
+    )
 
     def _mg(batches):
         import pandas as pd
 
-        counters: dict = {}
+        groups: dict = {}  # group value -> {item value: MG counter}
         for pdf in batches:
-            for item, c in pdf["__pair"].value_counts().items():
+            pair_counts = pdf.groupby([group_col, item_col]).size()
+            for (g, item), c in pair_counts.items():
+                counters = groups.setdefault(g, {})
                 counters[item] = counters.get(item, 0) + int(c)
-            while len(counters) > cap:
-                dec = min(counters.values())
-                counters = {k: v - dec for k, v in counters.items() if v > dec}
-        yield pd.DataFrame({"__pair": list(counters.keys())})
+                while len(counters) > cap:
+                    dec = min(counters.values())
+                    groups[g] = counters = {
+                        k: v - dec for k, v in counters.items() if v > dec
+                    }
+        yield pd.DataFrame(
+            [(g, item) for g, counters in groups.items() for item in counters],
+            columns=[group_col, item_col],
+        )
 
     candidates = (
-        keyed.select("__pair").mapInPandas(_mg, schema="__pair string").distinct()
+        projected
+        .mapInPandas(_mg, schema=f"{group_col} {g_type}, {item_col} {item_type}")
+        .distinct()
     )
-    totals = items.groupBy(group_col).agg(F.count(F.lit(1)).alias("__gn"))
+    totals = projected.groupBy(group_col).agg(F.count(F.lit(1)).alias("__gn"))
     return (
-        keyed.join(F.broadcast(candidates), "__pair", "left_semi")
+        projected.join(F.broadcast(candidates), [group_col, item_col], "left_semi")
         .groupBy(group_col, item_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .join(F.broadcast(totals), group_col)

@@ -43,7 +43,8 @@ def running_agg(
     all rows with strictly smaller / smaller-or-equal ``order_col``.
 
     ``per_value`` MUST be unique on ``order_col`` (pre-aggregate ties) and
-    ``order_col`` must be non-NULL numeric (orderable by value).  For
+    ``order_col`` must be non-NULL numeric/timestamp/date (orderable by
+    value; anything whose cast to double is NULL raises ValueError).  For
     ``sum``, ``__below``/``__upto`` are 0-based (empty prefix = 0); for
     ``max`` the empty prefix is NULL.
     """
@@ -52,13 +53,29 @@ def running_agg(
     fn = F.sum if agg == "sum" else F.max
     spark = per_value.sparkSession
 
-    oc = F.col(order_col).cast("double")
-    lo, hi = per_value.select(F.min(oc), F.max(oc)).first()
-    if lo is None:  # empty input
+    # Dates cast to double only via timestamp; everything else orderable-by-
+    # value (numeric / timestamp / bool) casts directly.  Strings do NOT -
+    # their cast is NULL and is rejected below rather than binned as garbage.
+    if per_value.schema[order_col].dataType.simpleString() == "date":
+        oc = F.col(order_col).cast("timestamp").cast("double")
+    else:
+        oc = F.col(order_col).cast("double")
+    lo, hi, n_null, n_rows = per_value.select(
+        F.min(oc), F.max(oc), F.count(F.when(oc.isNull(), 1)), F.count(F.lit(1)),
+    ).first()
+    if n_rows == 0:  # genuinely empty input: typed empty-prefix columns
+        val_t = per_value.schema[value_col].dataType.simpleString()
+        empty = F.lit(0).cast(val_t) if agg == "sum" else F.lit(None).cast(val_t)
+        below0 = empty
+        upto0 = F.col(value_col) if agg == "max" else empty + F.col(value_col)
         return (
-            per_value
-            .withColumn("__below", F.col(value_col))
-            .withColumn("__upto", F.col(value_col))
+            per_value.withColumn("__below", below0).withColumn("__upto", upto0)
+        )
+    if n_null:
+        raise ValueError(
+            f"running_agg: order column {order_col!r} must be numeric/"
+            f"timestamp/date-valued and non-NULL (cast to double produced "
+            f"{n_null} NULLs in {n_rows} rows)"
         )
     width = (float(hi) - float(lo)) / num_bins or 1.0
     bin_col = F.least(

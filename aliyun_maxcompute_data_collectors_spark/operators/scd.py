@@ -128,9 +128,14 @@ def scd2_apply_batch(
     corrupting the tail, which a naive "close the current version" merge
     cannot do.
 
-    (keys, time_col) must be unique across old history + batch — the same
-    determinism requirement as :func:`scd2_build`; newest duplicate-ts
-    handling belongs upstream (``cdc.latest_ops``).
+    REPLAY-IDEMPOTENT: a (keys, time_col) collision between the existing
+    history and the batch keeps the BATCH row (one keyed window pass).
+    foreachBatch delivery is at-least-once — a crash between the dimension
+    overwrite and the checkpoint commit re-delivers the batch, whose rows
+    then already exist in the expanded history; without the dedup the
+    rebuild would emit duplicate/zero-width versions.  Re-applying the same
+    batch is a no-op; within one batch, (keys, time_col) must still be
+    unique (newest-duplicate handling belongs upstream, ``cdc.latest_ops``).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     if attr_cols is None:
@@ -143,8 +148,18 @@ def scd2_apply_batch(
         dim.join(touched_keys, keys, "left_semi")
         .select(*keys, F.col("effective_from").alias(time_col), *attr_cols)
     )
+    merged_log = (
+        old_log.withColumn("__src", F.lit(0))
+        .unionByName(batch_log.withColumn("__src", F.lit(1)))
+    )
+    w_dedup = Window.partitionBy(*keys, time_col).orderBy(F.col("__src").desc())
+    merged_log = (
+        merged_log.withColumn("__rn", F.row_number().over(w_dedup))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
     rebuilt = scd2_build(
-        old_log.unionByName(batch_log),
+        merged_log,
         keys=keys, time_col=time_col, attr_cols=attr_cols,
         collapse_unchanged=collapse_unchanged,
     )

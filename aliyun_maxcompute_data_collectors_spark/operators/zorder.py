@@ -33,7 +33,10 @@ def _rank_codes(df: DataFrame, col: str, bits: int, n_rows: int) -> DataFrame:
     [0, 2^bits).  Formula matches percent_rank()*cap exactly: below/(n-1)
     in double, then *cap, then floor - so engines agree bit-for-bit."""
     cap = (1 << bits) - 1
-    counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
+    )
     scanned = running_agg(counts, col, "__cnt", agg="sum")
     if n_rows <= 1:
         code = F.lit(0).cast("long")
@@ -71,8 +74,13 @@ def with_zorder(
     bits: int = DEFAULT_BITS,
     out_col: str = "__z__",
 ) -> DataFrame:
-    """``df`` plus a z-value column over 2+ non-NULL orderable columns
+    """``df`` plus a z-value column over 2+ numeric/timestamp/date columns
     (``n_cols * bits`` must fit in 63 bits — lower ``bits`` for wide sets).
+
+    NULLs are kept: a NULL in a z-order column ranks as the smallest value
+    (code 0), so the output has exactly the input's rows — clustering must
+    never drop data.  String columns are rejected by the prefix scan
+    (``running_agg`` raises) rather than silently mis-binned.
 
     Cost: per column one distinct-count aggregate + prefix scan over the
     DISTINCT values, then one shuffle join back on the value.  All exchanges
@@ -87,7 +95,10 @@ def with_zorder(
     rank_cols = []
     for i, c in enumerate(cols):
         rc = _rank_codes(df, c, bits, n).withColumnRenamed("__code", f"__r{i}")
-        out = out.join(rc, c)
+        out = (
+            out.join(rc, c, "left")
+            .withColumn(f"__r{i}", F.coalesce(F.col(f"__r{i}"), F.lit(0)))
+        )
         rank_cols.append(f"__r{i}")
     z = _interleave([F.col(c) for c in rank_cols], bits)
     return out.withColumn(out_col, z).drop(*rank_cols)

@@ -138,6 +138,22 @@ class TestSCD2Incremental:
         assert k1[1].effective_to == _ts("2024-01-03T00:00:00")
         assert {r.k for r in out.collect()} == {1, 2, 9}
 
+    def test_replay_is_idempotent(self, spark, changelog):
+        """foreachBatch is at-least-once: applying the SAME batch twice must
+        yield the same dimension (batch rows already in the history are
+        deduped, not double-spliced into zero-width versions)."""
+        from aliyun_maxcompute_data_collectors_spark.operators.scd import (
+            scd2_apply_batch,
+        )
+        rows = changelog.orderBy("ts").collect()
+        first = spark.createDataFrame(rows[:3], changelog.schema)
+        rest = spark.createDataFrame(rows[3:], changelog.schema)
+        once = scd2_apply_batch(scd2_build(first, "k", "ts"), rest, "k", "ts")
+        twice = scd2_apply_batch(once, rest, "k", "ts")
+        key = lambda r: (r.k, r.version, r.attr, r.effective_from,
+                         r.effective_to, r.is_current)
+        assert sorted(map(key, twice.collect())) == sorted(map(key, once.collect()))
+
     def test_streaming_scd2_maintenance(self, spark, tmp_path):
         import json as _json
 
@@ -411,6 +427,34 @@ class TestHeavyHitters:
             .repartition(4)
         got = {r.item for r in heavy_hitters(df, "item", phi=0.2).collect()}
         assert got == {"a", "b"}
+
+    def test_null_items_excluded_consistently(self, spark):
+        from aliyun_maxcompute_data_collectors_spark.operators.corpus import (
+            heavy_hitters,
+        )
+        # NULL is 50% of raw rows; it must not appear as a hitter AND must
+        # not inflate the denominator (N counts non-NULL items only).
+        rows = [("a",)] * 8 + [("b",)] * 2 + [(None,)] * 10
+        df = spark.createDataFrame(rows, "item string").repartition(3)
+        got = {r.item: r.cnt for r in heavy_hitters(df, "item", phi=0.5).collect()}
+        assert got == {"a": 8}  # 8/10 non-null >= 0.5; NULL absent
+
+    def test_per_group_hitters_survive_group_size_skew(self, spark):
+        from aliyun_maxcompute_data_collectors_spark.operators.corpus import (
+            heavy_hitters_per_group,
+        )
+        # 'big' group: 6000 rows of long tail + one 20% hitter.
+        # 'small' group: 20 rows, one item at 50% — far below any GLOBAL
+        # count threshold; a single concatenated-stream MG sketch would
+        # evict it.  Per-group sketches must keep it at default capacity.
+        rows = ([("big", "bh")] * 1200
+                + [("big", f"t{i}") for i in range(4800)]
+                + [("small", "sh")] * 10
+                + [("small", f"u{i}") for i in range(10)])
+        df = spark.createDataFrame(rows, "g string, item string").repartition(8)
+        got = {(r.g, r.item): r.cnt
+               for r in heavy_hitters_per_group(df, "g", "item", phi=0.15).collect()}
+        assert got == {("big", "bh"): 1200, ("small", "sh"): 10}
 
 
 class TestZscoreOutliers:

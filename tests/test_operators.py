@@ -276,6 +276,52 @@ def test_zorder_three_columns(spark):
         with_zorder(df, ["x", "y", "w"], bits=32)
 
 
+def test_zorder_keeps_null_rows(spark):
+    """A NULL in a z-order column must not drop the row (clustering a table
+    must preserve it); NULL ranks as the smallest value (code 0)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.zorder import with_zorder
+    rows = [(1, 10.0), (None, 10.0), (2, 20.0), (4, None), (5, 50.0)]
+    df = spark.createDataFrame(rows, "x int, y double")
+    z = with_zorder(df, ["x", "y"], bits=8)
+    assert z.count() == 5
+    assert z.where(F.col("__z__").isNull()).count() == 0
+    # at equal y, NULL x ranks at-or-below the smallest real x (code 0)
+    nx = z.where(F.col("x").isNull()).first()
+    mn = z.where(F.col("x") == 1).first()
+    assert nx["__z__"] <= mn["__z__"]
+
+
+def test_running_agg_rejects_non_numeric_order(spark):
+    from aliyun_maxcompute_data_collectors_spark.operators.prefixscan import (
+        running_agg,
+    )
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "o string, v int")
+    with pytest.raises(ValueError, match="numeric"):
+        running_agg(df, "o", "v", agg="sum").collect()
+    # NULL order values are rejected too (contract: non-NULL)
+    df2 = spark.createDataFrame([(1.0, 1), (None, 2)], "o double, v int")
+    with pytest.raises(ValueError, match="NULL"):
+        running_agg(df2, "o", "v", agg="sum").collect()
+
+
+def test_running_agg_empty_and_date_order(spark):
+    from aliyun_maxcompute_data_collectors_spark.operators.prefixscan import (
+        running_agg,
+    )
+    empty = spark.createDataFrame([], "o double, v bigint")
+    out = running_agg(empty, "o", "v", agg="sum")
+    assert out.count() == 0 and {"__below", "__upto"} <= set(out.columns)
+    # date order columns bin via the timestamp cast
+    df = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-03", 4)],
+        "o string, v bigint",
+    ).select(F.col("o").cast("date").alias("o"), "v")
+    got = {str(r["o"]): (r["__below"], r["__upto"])
+           for r in running_agg(df, "o", "v", agg="sum").collect()}
+    assert got == {"2024-01-01": (0, 1), "2024-01-02": (1, 3),
+                   "2024-01-03": (3, 7)}
+
+
 def test_calibrated_quality_flags_language_outlier(spark):
     from aliyun_maxcompute_data_collectors_spark.operators import text as X
     typical = "the cat and the dog sat in the house with the mouse and it is warm"
