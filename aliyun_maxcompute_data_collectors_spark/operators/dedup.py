@@ -129,11 +129,30 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 5,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """(id1, id2, jaccard) for pairs >= threshold.  Cost ~ sum over shingles
-    of (docs sharing it)^2 - bounded for natural text; for adversarial hot
-    shingles, cap with a document-frequency filter before the self-join."""
-    sh = shingle_table(df, id_col, text_col, n).cache()
+    of (docs sharing it)^2 - bounded for natural text.
+
+    ``max_df`` caps the quadratic: shingles shared by more than ``max_df``
+    documents (boilerplate headers, license blurbs - one such shingle in
+    10^6 docs alone makes 10^12 candidate pairs) are dropped from the
+    shingle universe BEFORE the self-join, bounding per-shingle pair work
+    at max_df^2.  Both the intersection AND the per-doc sizes use the
+    filtered universe, so the output is the exact Jaccard over shingles
+    with df <= max_df - a well-defined (and for boilerplate, usually
+    better) similarity, not a biased estimate.  Default None = exact
+    classic Jaccard; ALWAYS set it on corpora you don't control."""
+    sh = shingle_table(df, id_col, text_col, n)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    sh = sh.cache()
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -571,11 +590,23 @@ def embedding_dup_pairs(
     vec_col: str,
     threshold: float = 0.95,
     block_col: str | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """(id1, id2, cos) for pairs with cosine >= threshold.  ``block_col``
-    (e.g. a cluster/label/LSH-bucket column) bounds the pair space; without
-    it this is an O(n^2) verify - use lsh blocking from similarity.py first."""
+    (e.g. a cluster/label/LSH-bucket column) bounds the pair space - use
+    lsh blocking from similarity.py (or SemDeDup's k-means cells) first.
+
+    Without blocking this is an all-pairs O(n^2) join, which no cluster
+    survives at corpus scale - so it RAISES unless the caller passes
+    ``allow_quadratic=True`` explicitly (small, already-bounded inputs
+    only).  A silent quadratic default is how 100-TB jobs die."""
     from aliyun_maxcompute_data_collectors_spark.operators.similarity import cosine_expr
+    if block_col is None and not allow_quadratic:
+        raise ValueError(
+            "embedding_dup_pairs without block_col is an all-pairs O(n^2) "
+            "join; pass block_col (cluster/LSH bucket) or opt in with "
+            "allow_quadratic=True on provably small inputs"
+        )
     sel = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if block_col:
         sel.append(F.col(block_col).alias("blk"))

@@ -235,6 +235,55 @@ def test_dedupe_corpus_methods(spark):
     assert kept_ng_hi == [1, 3, 4]
 
 
+def test_ngram_jaccard_max_df_caps_hot_shingle(spark):
+    """Adversarial boilerplate: one shingle shared by EVERY doc must not
+    generate the all-pairs candidate blowup when max_df is set."""
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    boiler = "common header line shared by all "  # one hot 5-gram + context
+    rows = [(i, boiler + f"unique body {i} alpha beta gamma delta epsilon")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id int, text string")
+
+    # uncapped: every doc pairs with every other through the hot shingles
+    uncapped = ngram_jaccard_pairs(df, "id", "text", n=5, threshold=0.01)
+    assert uncapped.count() == 60 * 59 // 2
+
+    # capped: hot shingles (df=60 > 10) leave the universe before the
+    # self-join -> candidate space collapses to docs sharing RARE shingles
+    capped = ngram_jaccard_pairs(df, "id", "text", n=5, threshold=0.01,
+                                 max_df=10)
+    assert capped.count() == 0
+
+    # exactness on the filtered universe: two real near-dups still pair
+    rows2 = rows + [(100, "the quick brown fox jumps over the lazy dog now"),
+                    (101, "the quick brown fox jumps over the lazy dog today")]
+    df2 = spark.createDataFrame(rows2, "id int, text string")
+    got = ngram_jaccard_pairs(df2, "id", "text", n=5, threshold=0.3,
+                              max_df=10).collect()
+    assert [(r.id1, r.id2) for r in got] == [(100, 101)]
+
+
+def test_embedding_dup_pairs_guards_quadratic(spark):
+    import pytest as _pt
+
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import (
+        embedding_dup_pairs,
+    )
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [1.0, 0.01], "a"), (3, [0.0, 1.0], "b")],
+        "id int, v array<double>, blk string",
+    )
+    with _pt.raises(ValueError, match="O\\(n\\^2\\)"):
+        embedding_dup_pairs(df, "id", "v", threshold=0.9)
+    blocked = embedding_dup_pairs(df, "id", "v", threshold=0.9, block_col="blk")
+    assert [(r.id1, r.id2) for r in blocked.collect()] == [(1, 2)]
+    optin = embedding_dup_pairs(df, "id", "v", threshold=0.9,
+                                allow_quadratic=True)
+    assert [(r.id1, r.id2) for r in optin.collect()] == [(1, 2)]
+
+
 def test_packing_invariants(spark):
     from pyspark.sql import functions as F
 
