@@ -185,7 +185,6 @@ def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 1000.0)
                & (F.col("o_orderpriority") != "1-URGENT"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
-        .orderBy("o_orderkey")
     )
 
 
@@ -300,7 +299,6 @@ def window_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
             _money(F.sum(_dec("o_totalprice")).over(w)).alias("cum_spend"),
             F.row_number().over(w).alias("order_seq"),
         )
-        .orderBy("o_custkey", "o_orderkey")
     )
 
 
@@ -363,7 +361,6 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag("o_totalprice", 1).over(w).alias("prev_price"),
             F.lead("o_totalprice", 1).over(w).alias("next_price"),
         )
-        .orderBy("o_custkey", "o_orderkey")
     )
 
 
@@ -387,7 +384,7 @@ def merge_newest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.select(
             "user_id", "event_id", "event_type", "value",
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
-        ).orderBy("user_id")
+        )
     )
 
 
@@ -440,7 +437,7 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     final = apply_cdc_batch(ops, key_cols=["key"], order_cols=["optime", "opseq"],
                             op_col="op", value_cols=["value"])
-    return final.orderBy("key")
+    return final
 
 
 _CDC_SQL = """
@@ -503,7 +500,6 @@ def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.dayofyear("ts").alias("doy"),
             F.weekofyear("ts").alias("wk"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -559,7 +555,6 @@ def unix_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.unix_micros(tz) / 1000).cast("long").alias("epoch_ms"),
             F.date_format(F.timestamp_seconds(epoch_s), "yyyy-MM-dd HH:mm:ss").alias("ts_rt"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -580,7 +575,6 @@ def regexp_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["events"]
         .select("event_id", k.alias("k_str"), k.cast("int").alias("k_int"))
         .where(F.col("k_str") != "")
-        .orderBy("event_id")
     )
 
 
@@ -600,7 +594,6 @@ def json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["events"]
         .select("event_id", F.get_json_object("props", "$.k").alias("k"))
-        .orderBy("event_id")
     )
 
 
@@ -718,7 +711,6 @@ def filter_pushdown_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("c_mktsegment").eqNullSafe(F.lit("BUILDING"))
         )
         .select("c_custkey", "c_name", "c_nationkey")
-        .orderBy("c_custkey")
     )
 
 
@@ -748,7 +740,6 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("end_s"),
             "n_events",
         )
-        .orderBy("user_id", "session_seq")
     )
 
 
@@ -1343,7 +1334,6 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value", "click_id",
             F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts_s"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -1383,7 +1373,6 @@ def range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
             F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("start_s"),
         )
-        .orderBy("event_id", "session_seq")
     )
 
 
@@ -1545,7 +1534,6 @@ def cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("123").cast("long").alias("s2l"),
             F.lit("1.5").cast("double").alias("s2d"),
         )
-        .orderBy("o_orderkey")
     )
 
 
@@ -1584,7 +1572,6 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.reverse(n).alias("rev"),
             F.split(n, "#").getItem(0).alias("head"),
         )
-        .orderBy("c_custkey")
     )
 
 
@@ -1721,7 +1708,6 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         val.crossJoin(F.broadcast(total))
         .where(F.col("v") * F.col("n_parts") * 2 > F.col("total_v") * 3)
         .select("l_partkey", _money(F.col("v")).alias("part_value"))
-        .orderBy(F.desc("part_value"), "l_partkey")
     )
 
 
@@ -1819,7 +1805,6 @@ def q20_excess_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name")
-        .orderBy("s_suppkey")
     )
 
 
@@ -1879,7 +1864,7 @@ def merge_into_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         # extra aggregation in the benched path
         validate_cardinality=False,
     )
-    return merged.orderBy("c_custkey")
+    return merged
 
 
 _MERGE_INTO_SQL = """
@@ -1942,7 +1927,6 @@ def complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(m, F.lit("n")).alias("map_n"),
             st.getField("n").alias("struct_n"),
         )
-        .orderBy("l_orderkey")
     )
 
 

@@ -54,7 +54,7 @@ def scd2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("effective_to").cast("timestamp").alias("effective_to"),
         "is_current",
         F.col("value").alias("attr_value"),
-    ).orderBy("user_id", "version")
+    )
 
 
 _SCD2_SQL = """
@@ -96,7 +96,7 @@ def temporal_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("purchase_value"),
         F.col("dim_version").alias("attr_version"),
         F.col("dim_value").alias("attr_value"),
-    ).orderBy("event_id")
+    )
 
 
 _TEMPORAL_JOIN_SQL = """
@@ -142,7 +142,7 @@ def cdc_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("ts").alias("last_change"),
         F.col("value").alias("attr_value"),
-    ).orderBy("user_id")
+    )
 
 
 _SNAPSHOT_SQL = f"""
@@ -176,7 +176,7 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "event_id",
         F.round("ewma_value", 6).alias("ewma_value"),
-    ).orderBy("user_id", "event_id")
+    )
 
 
 _EWMA_SQL = f"""
@@ -289,8 +289,7 @@ def pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["part"].select("p_partkey", "p_retailprice", "p_size"),
         minimize_col="p_retailprice", maximize_col="p_size",
     )
-    return front.select("p_partkey", "p_retailprice", "p_size") \
-        .orderBy("p_partkey")
+    return front.select("p_partkey", "p_retailprice", "p_size")
 
 
 _PARETO_SQL = """
@@ -318,7 +317,7 @@ def fuzzy_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["customer"])
     pairs = fuzzy_pairs_levenshtein(t["customer"], "c_custkey", "c_name",
                                     max_dist=1, block_tail=2)
-    return pairs.orderBy("id1", "id2")
+    return pairs
 
 
 _FUZZY_SQL = """
@@ -407,7 +406,6 @@ def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("zscore"),
         )
         .where(F.abs(F.col("zscore")) > _Z_THRESH)
-        .orderBy("event_id")
     )
 
 
@@ -451,8 +449,7 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.col("event_type") == "view",
                F.col("event_type") == "purchase"],
     )
-    return out.select("user_id", "step_1", "step_2", "step_3") \
-        .orderBy("user_id")
+    return out.select("user_id", "step_1", "step_2", "step_3")
 
 
 _FUNNEL_SQL = """
@@ -636,7 +633,6 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", F.col("v").alias("value6"),
                 F.round(z, 6).alias("robust_z"))
         .where(F.col("robust_z") > _MAD_THRESH)
-        .orderBy("event_id")
     )
 
 

@@ -84,7 +84,6 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
             "measure", "value",
         )
-        .orderBy("l_orderkey", "l_linenumber", "measure")
     )
 
 
@@ -195,7 +194,6 @@ def interval_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_anchor"),
             F.next_day(d, "Mon").alias("next_mon"),
         )
-        .orderBy("o_orderkey")
     )
 
 
@@ -344,8 +342,7 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aliyun_maxcompute_data_collectors_spark.operators.text import tfidf_top_terms
     t = load_tables(spark, sf_dir, ["documents"])
     top = tfidf_top_terms(t["documents"], "doc_id", "text", k=3, min_len=2)
-    return top.where(F.col("doc_id") % 20 == 3) \
-              .orderBy("doc_id", "rk")
+    return top.where(F.col("doc_id") % 20 == 3)
 
 
 _TFIDF_SQL = """
@@ -432,7 +429,6 @@ def conditional_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(price, F.lit(250000.0)).alias("floor_price"),
             F.least(price, F.lit(250000.0)).alias("capped_price"),
         )
-        .orderBy("o_orderkey")
     )
 
 
@@ -462,8 +458,7 @@ def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aliyun_maxcompute_data_collectors_spark.operators.timeseries import resample_fill
     t = load_tables(spark, sf_dir, ["events"])
     ev = t["events"].where(F.col("user_id") % 50 == 3)
-    return resample_fill(ev, "user_id", "ts", "value", 3600) \
-        .orderBy("user_id", "bucket_start")
+    return resample_fill(ev, "user_id", "ts", "value", 3600)
 
 
 _RESAMPLE_SQL = """
@@ -509,7 +504,7 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~0.51); 0.40 exercises real drops while staying "nearest neighbors only"
     kept = semantic_dedup(t["embeddings"], "vec_id", "embedding",
                           threshold=0.40, n_clusters=8)
-    return kept.select("vec_id").orderBy("vec_id")
+    return kept.select("vec_id")
 
 
 # ---------------------------------------------------------------------------
@@ -580,7 +575,7 @@ def rolling_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _money(F.max("sum_d").over(w)).alias("roll_max"),
         F.round(F.sum("sum_d").over(w).cast("double") / F.sum("n").over(w), 4)
         .alias("roll_avg_per_event"),
-    ).orderBy("user_id", "bucket_start")
+    )
 
 
 _ROLLING_SQL = """
@@ -657,7 +652,6 @@ def higher_order_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.forall("qtys", lambda x: x > 1).alias("all_nontrivial"),
             F.size(F.filter("qtys", lambda x: x > 25)).alias("n_big"),
         )
-        .orderBy("l_orderkey")
     )
 
 
@@ -765,7 +759,6 @@ def doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         unigram_logprob_scores(t["documents"], "doc_id", "text", vocab_size=500)
         .where(F.col("doc_id") % 10 == 2)
-        .orderBy("doc_id")
     )
 
 
@@ -839,7 +832,6 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.col("o_orderstatus").alias("status"), "o_orderpriority")
     return (
         a.unionByName(b, allowMissingColumns=True)
-        .orderBy("o_orderkey")
     )
 
 

@@ -36,7 +36,6 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(X.mean_word_length(c), 4).alias("mean_word_len"),
             X.quality_score(c).alias("quality"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -72,7 +71,6 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["documents"]
         .select("doc_id", "lang", X.lang_id("text").alias("pred_lang"))
-        .orderBy("doc_id")
     )
 
 
@@ -145,7 +143,6 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["documents"]
         .select("doc_id", X.fingerprint("text").alias("fp"))
-        .orderBy("doc_id")
     )
 
 
@@ -161,7 +158,6 @@ def doc_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ensure_parallelism(t["documents"])
         .select("doc_id", X.rolling_fingerprint("text").alias("rfp"))
-        .orderBy("doc_id")
     )
 
 
@@ -220,7 +216,6 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     return (
         D.ngram_jaccard_pairs(t["documents"], "doc_id", "text", n=5, threshold=0.8)
-        .orderBy("id1", "id2")
     )
 
 
@@ -242,7 +237,6 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     return (
         D.minhash_signature(t["documents"], "doc_id", "text", k=D.DEFAULT_K)
-        .orderBy("id")
     )
 
 
@@ -261,7 +255,6 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         D.minhash_lsh_pairs(t["documents"], "doc_id", "text",
                             k=D.DEFAULT_K, bands=D.DEFAULT_BANDS, threshold=0.8)
-        .orderBy("id1", "id2")
     )
 
 
@@ -329,7 +322,6 @@ def simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     return (
         D.simhash_dup_pairs(t["documents"], "doc_id", "text", max_hamming=12)
-        .orderBy("id1", "id2")
     )
 
 
@@ -340,7 +332,6 @@ def simhash32_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ensure_parallelism(t["documents"])
         .select("doc_id", D.simhash32("text").alias("sh32"))
-        .orderBy("doc_id")
     )
 
 
@@ -375,7 +366,6 @@ def dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         grouped.groupBy("group_id")
         .agg(F.count(F.lit(1)).alias("n_members"))
-        .orderBy("group_id")
     )
 
 
@@ -434,7 +424,6 @@ def embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         D.embedding_dup_pairs(t["embeddings"], "vec_id", "embedding",
                               threshold=0.35, block_col="label")
-        .orderBy("id1", "id2")
     )
 
 
@@ -457,7 +446,7 @@ def semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
     kept = semantic_dedup(t["embeddings"], "vec_id", "embedding",
                           threshold=0.40, n_clusters=1)
-    return kept.select("vec_id").orderBy("vec_id")
+    return kept.select("vec_id")
 
 
 _SEMDEDUP_EXACT_SQL = f"""
@@ -509,7 +498,6 @@ def blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         with_blob_meta(blobs, "blob")
         .select("doc_id", "n_bytes", "content_hash")
-        .orderBy("doc_id")
     )
 
 
@@ -534,7 +522,6 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_sample_plan(decoded, every_ms=500)
         .select("doc_id", F.col("meta.duration_ms").alias("duration_ms"),
                 "frame_idx", "frame_ts_ms")
-        .orderBy("doc_id", "frame_idx")
     )
 
 
@@ -568,7 +555,6 @@ def det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         deterministic_sample(t["documents"], "doc_id", 0.2)
         .select("doc_id", "lang", "source")
-        .orderBy("doc_id")
     )
 
 
@@ -607,7 +593,6 @@ def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         chunk_documents(t["documents"], "doc_id", "text", chunk_tokens=20)
         .select("id", "chunk_idx", "n_chunk_tokens", F.md5("chunk_text").alias("chunk_md5"))
-        .orderBy("id", "chunk_idx")
     )
 
 
@@ -637,7 +622,6 @@ def pack_seqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pack_sequences(docs, "doc_id", "n_tok", budget=512)
         .select("doc_id", "n_tok", "bin_id", "bin_offset")
-        .orderBy("doc_id")
     )
 
 
@@ -688,7 +672,6 @@ def decontam_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = docs.where(F.col("doc_id") % 53 != 7)
     return (
         D.decontaminate(probe, bench, "doc_id", "text", n=_DECONTAM_N)
-        .orderBy("doc_id")
     )
 
 
@@ -725,7 +708,6 @@ def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             X.top_token_ratio(c).alias("top_token_ratio"),
             X.repetition_ok(c).alias("repetition_ok"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -777,7 +759,6 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(X.redact_pii(F.col("txt")), 1, 120).alias("redacted_head"),
         )
         .where((F.col("n_email") + F.col("n_phone") + F.col("n_numid")) > 0)
-        .orderBy("doc_id")
     )
 
 
