@@ -353,11 +353,30 @@ def build_upsert_sql(table: str, cols: list[str], keys: list[str],
     raise ValueError(f"unknown dialect {dialect!r}")
 
 
+def build_call_sql(procedure: str, n_params: int, dialect: str = "jdbc") -> str:
+    """Stored-procedure export statement - one CALL per row, row columns as
+    IN parameters in column order (the reference's JdbcCallExportJob mode,
+    odps-sqoop/src/java/org/apache/sqoop/mapreduce/JdbcCallExportJob.java:
+    the procedure encapsulates the insert logic server-side).
+
+    ``jdbc`` emits the JDBC escape form ``{call p(?,..)}`` the reference
+    builds; ``ansi``/``mysql``/``postgres`` the SQL ``CALL p(?,..)``;
+    ``oracle`` a PL/SQL block."""
+    ph = ", ".join(["?"] * n_params)
+    if dialect == "jdbc":
+        return f"{{call {procedure}({ph})}}"
+    if dialect in ("ansi", "mysql", "postgres", "duckdb", "sqlite"):
+        return f"CALL {procedure}({ph})"
+    if dialect == "oracle":
+        return f"BEGIN {procedure}({ph}); END;"
+    raise ValueError(f"unknown dialect {dialect!r}")
+
+
 def export_jdbc(
     df: DataFrame,
     connect_fn,
     table: str,
-    mode: str = "insert",            # insert | update | upsert
+    mode: str = "insert",            # insert | update | upsert | call
     keys: list[str] | None = None,
     batch_size: int = 1000,          # reference export batch default
     dialect: str = "ansi",
@@ -365,7 +384,11 @@ def export_jdbc(
     """Batched JDBC export via foreachPartition.  ``connect_fn`` returns a
     DB-API connection (created per partition, executor-side - no driver
     bottleneck).  Retries ride on Spark task retries, like the reference
-    rides on MR task retries."""
+    rides on MR task retries.
+
+    ``mode="call"`` treats ``table`` as a stored-procedure name and invokes
+    it once per row with the row's columns as IN parameters (JdbcCallExportJob
+    parity); batching/commit cadence is identical to insert mode."""
     cols = df.columns
     if mode == "insert":
         sql = build_insert_sql(table, cols, dialect)
@@ -379,6 +402,10 @@ def export_jdbc(
         if not keys:
             raise ValueError("upsert mode needs keys")
         sql = build_upsert_sql(table, cols, keys, dialect)
+        param_cols = cols
+    elif mode == "call":
+        sql = build_call_sql(table, len(cols),
+                             "jdbc" if dialect == "ansi" else dialect)
         param_cols = cols
     else:
         raise ValueError(f"unknown export mode {mode!r}")
