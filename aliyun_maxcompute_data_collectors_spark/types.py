@@ -142,9 +142,33 @@ def to_odps_type(dt: T.DataType) -> str:
     raise OdpsTypeError(f"no ODPS type for Spark type {dt}")
 
 
+_CHAR_VARCHAR_RE = re.compile(r"(CHAR|VARCHAR)\s*\(\s*(\d+)\s*\)", re.IGNORECASE)
+
+# Spark's own metadata key for a declared char/varchar over a string runtime
+# type (CharVarcharUtils) - using it means any Spark-native tooling that
+# understands retained char/varchar metadata sees ours too.
+CHAR_VARCHAR_META_KEY = "__CHAR_VARCHAR_TYPE_STRING"
+
+
 def schema_from_odps(cols: list[tuple[str, str]]) -> T.StructType:
-    """[(name, odps_type_str), ...] -> StructType."""
-    return T.StructType([T.StructField(n, parse_odps_type(t)) for n, t in cols])
+    """[(name, odps_type_str), ...] -> StructType.
+
+    CHAR(n)/VARCHAR(n) run as StringType but RETAIN the declared length in
+    the field metadata (Trino connector parity, TypeConvertUtils.java:89-94
+    keeps the length where the Hive/Spark mapping drops it); DESCRIBE and
+    SHOW CREATE TABLE render the declared type from the catalog meta."""
+    fields = []
+    for n, t in cols:
+        m = _CHAR_VARCHAR_RE.fullmatch(t.strip())
+        md = {CHAR_VARCHAR_META_KEY: f"{m.group(1).lower()}({m.group(2)})"} if m else None
+        fields.append(T.StructField(n, parse_odps_type(t), metadata=md))
+    return T.StructType(fields)
+
+
+def declared_char_varchar(field: T.StructField) -> str | None:
+    """The declared ``char(n)``/``varchar(n)`` string of a field, or None."""
+    md = field.metadata or {}
+    return md.get(CHAR_VARCHAR_META_KEY)
 
 
 # fixed per-type width estimates (bytes), mirroring the reference's
