@@ -131,7 +131,12 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
                 df = _fix_nanos_timestamps(df, path)
                 if len(_DF_CACHE) > 64:
                     _DF_CACHE.clear()
+                    _SCAN_SPLIT_EST.clear()
                 _DF_CACHE[key] = df
+                max_split = int(spark.conf.get(
+                    "spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+                _SCAN_SPLIT_EST[id(df)] = max(
+                    1, -(-os.path.getsize(path) // max_split))
             df.createOrReplaceTempView(name)
             out[name] = df
         elif names is not None:
@@ -145,6 +150,13 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
 # footers on the driver; the logical plan is immutable so reuse is safe
 _DF_CACHE: dict = {}
 
+# bytes-based scan-split estimate per cached scan DataFrame (keyed by id();
+# entries live exactly as long as _DF_CACHE holds the df).  Lets
+# ensure_parallelism decide without df.rdd.getNumPartitions(), which forces
+# a full physical planning pass per call - cheap locally, measurable on wide
+# plans at scale.
+_SCAN_SPLIT_EST: dict[int, int] = {}
+
 
 def ensure_parallelism(df, min_partitions: int | None = None):
     """Round-robin repartition iff the plan's partitioning is below the
@@ -155,10 +167,17 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     the scan yields 1-2 partitions and the expensive work would run on one
     core.  On a healthy many-split scan this is a no-op - no shuffle is
     added at 100 TB where the scan is already wide.
+
+    For bare ``load_tables`` scans the split count is ESTIMATED from file
+    bytes / maxPartitionBytes (no planning pass); other plans fall back to
+    ``df.rdd.getNumPartitions()``.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n = _SCAN_SPLIT_EST.get(id(df))
+    if n is None:
+        n = df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
 
