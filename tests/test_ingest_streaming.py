@@ -226,3 +226,48 @@ def test_stream_stream_join(stream_env):
     q.awaitTermination(120)
     got = [r["ad"] for r in spark.sql("SELECT ad FROM ssj").collect()]
     assert got == [1], f"only the within-lag click should join, got {got}"
+
+
+def test_shardlog_source_per_shard_order_and_restart(spark, tmp_path):
+    """Broker-style sharded source (S16/ST7): 2 shards, per-shard cursors,
+    strict in-shard ordering, and restart resume from the checkpointed
+    offsets (segments consumed before the restart are NOT re-read)."""
+    from aliyun_maxcompute_data_collectors_spark.streaming.shardsource import (
+        ShardLogDataSource, append_records)
+
+    root = str(tmp_path / "broker")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    for shard, base in [("shard-0", 0), ("shard-1", 100)]:
+        append_records(root, shard, [{"seq": base + 1, "value": f"{shard}-a"}])
+        append_records(root, shard, [{"seq": base + 2, "value": f"{shard}-b"},
+                                     {"seq": base + 3, "value": f"{shard}-c"}])
+    spark.dataSource.register(ShardLogDataSource)
+
+    def run_once():
+        q = (spark.readStream.format("shardlog").option("path", root).load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out).collect()
+    assert len(first) == 6
+    for shard in ["shard-0", "shard-1"]:
+        seqs = [r.seq for r in sorted((r for r in first if r.shard == shard),
+                                      key=lambda r: (r.offset, r.seq))]
+        assert seqs == sorted(seqs), f"in-shard order broken for {shard}"
+
+    # new segments on one shard + a NEW shard appearing (resharding)
+    append_records(root, "shard-0", [{"seq": 4, "value": "shard-0-d"}])
+    append_records(root, "shard-2", [{"seq": 201, "value": "shard-2-a"}])
+    run_once()  # restart: resumes from checkpointed cursors
+    allrows = spark.read.parquet(out).collect()
+    assert len(allrows) == 8, "restart re-read already-consumed segments"
+    got = {(r.shard, r.seq) for r in allrows}
+    assert ("shard-0", 4) in got and ("shard-2", 201) in got
+
+    # batch twin reads everything
+    batch = (spark.read.format("shardlog").option("path", root).load())
+    assert batch.count() == 8
