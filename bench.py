@@ -5,10 +5,12 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ..
 Methodology:
 - every query is fully evaluated with a noop-format write: a bare count()
   lets Catalyst prune computed columns, under-measuring projection queries;
-- each query runs twice and the second (steady-state) time is reported -
-  the first run includes whole-stage-codegen/JIT compilation, which on a
-  long-lived cluster is amortized to zero.  Set BENCH_COLD=1 to report the
-  cold first run instead.
+- each query runs 1 warmup + $BENCH_ITERS (default 3) timed iterations and
+  the MINIMUM warm time is reported: the warmup absorbs whole-stage-codegen
+  /JIT compilation (amortized to zero on a long-lived cluster), and min is
+  the standard estimator under machine-load noise - it converges to the
+  true cost while mean/last are biased upward by interference.  Set
+  BENCH_COLD=1 to report the cold first run instead.
 """
 
 from __future__ import annotations
@@ -78,6 +80,11 @@ BENCH_QUERIES = [
 ]
 
 
+def _iters() -> int:
+    """Timed warm iterations per query (>=3 for a noise-robust minimum)."""
+    return max(1, int(os.environ.get("BENCH_ITERS", "3")))
+
+
 def _evaluate(df) -> None:
     """Force full evaluation of every output column without collecting."""
     df.write.format("noop").mode("overwrite").save()
@@ -103,14 +110,15 @@ def _bench_writes(spark, sf_dir: str, cold: bool) -> dict[str, float]:
         cat.create_table("w_bucketed", cols,
                          bucket=BucketSpec("hash", 16, ["l_orderkey"],
                                            [("l_orderkey", "ASC")]))
+        iters = 1 if cold else _iters()
         for name, table in [("write_append", "w_plain"),
                             ("write_bucketed", "w_bucketed")]:
             runs = []
-            for _ in range(1 if cold else 2):
+            for _ in range(1 if cold else 1 + iters):
                 t0 = time.perf_counter()
                 cat.insert(table, li, overwrite=True)
                 runs.append(time.perf_counter() - t0)
-            out[name] = round(runs[-1], 3)
+            out[name] = round(min(runs) if cold else min(runs[1:]), 3)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
     return out
@@ -124,15 +132,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in BENCH_QUERIES if n in REGISTRY]
+    iters = 1 if cold else _iters()
     times: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name][0]
         runs = []
-        for _ in range(1 if cold else 2):
+        for _ in range(1 if cold else 1 + iters):
             t0 = time.perf_counter()
             _evaluate(fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
-        times[name] = round(runs[-1], 3)
+        times[name] = round(min(runs) if cold else min(runs[1:]), 3)
     times.update(_bench_writes(spark, sf_dir, cold))
     total = round(sum(times.values()), 3)
     print(json.dumps({
