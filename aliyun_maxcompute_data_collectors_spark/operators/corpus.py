@@ -397,3 +397,117 @@ def split_assign(
     expr = (F.lit(names[-1]) if expr is None
             else expr.otherwise(names[-1]))  # remainder absorbs float edge
     return df.withColumn("split", expr)
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate scoring (C4/CCNet-style repeated-span signal)
+# ---------------------------------------------------------------------------
+
+def boilerplate_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str | None = None,
+    n: int = 3,
+    min_docs: int = 2,
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Fraction of each document's word ``n``-gram shingles that are
+    "boilerplate" - shingles appearing in >= ``min_docs`` distinct documents
+    (within ``group_col``, e.g. the crawl source/domain, when given).  The
+    C4 pipeline drops any 3-sentence span seen more than once; this is the
+    shingle-level generalization that yields a per-doc score instead of a
+    hard drop, so callers pick the threshold.
+
+    Plan at scale: shingle explode -> (group, shingle) doc-frequency
+    aggregate (one shuffle; shingles are distinct per doc so count(*) IS
+    doc frequency) -> hot set filtered to df >= min_docs (bounded by
+    total_shingles / min_docs - boilerplate is by definition concentrated,
+    so the hot set is small and broadcast back for a map-side join; pass
+    ``broadcast_hot=False`` to let AQE pick if min_docs is tiny on a huge
+    corpus) -> per-doc aggregate.  No quadratic term anywhere.
+
+    Output: (id_col, n_shingles long, n_boiler long, boiler_frac double).
+    """
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import word_shingles
+    from aliyun_maxcompute_data_collectors_spark.session import ensure_parallelism
+
+    gcols = [group_col] if group_col else []
+    src = ensure_parallelism(df.select(id_col, *gcols, text_col))
+    sh = src.select(
+        id_col, *gcols,
+        F.explode(word_shingles(text_col, n)).alias("shingle"))
+    dfreq = sh.groupBy(*gcols, "shingle").agg(
+        F.count(F.lit(1)).alias("__df"))
+    hot = dfreq.where(F.col("__df") >= min_docs).drop("__df") \
+        .withColumn("__hot", F.lit(1))
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    return (
+        sh.join(hot, [*gcols, "shingle"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hot").alias("n_boiler"),
+            F.round(F.count("__hot").cast("double") / F.count(F.lit(1)), 4)
+            .alias("boiler_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic shard assignment (training-export shuffle)
+# ---------------------------------------------------------------------------
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "sh42",
+) -> DataFrame:
+    """Global deterministic shuffle into ``n_shards`` fixed shards with a
+    stable within-shard order - the assignment step of a training-data
+    shard export (webdataset/TFRecord-style).  Both the shard id and the
+    within-shard position derive from md5(id||salt): reproducible across
+    runs, engines and cluster sizes, unlike rand()-based shuffles, and a
+    grown corpus never reorders previously exported rows relative to each
+    other within a shard.
+
+    Adds (shard_id int, shard_pos int).  Plan at scale: one map-side hash,
+    one shuffle on shard_id, one within-shard sort - exactly the exchange a
+    sharded write needs anyway, so ``write_shards`` reuses this plan with
+    zero extra cost.  Rows per shard ~ N/n_shards; pick n_shards so a shard
+    fits a writer task (the same sizing rule as any bucketed write).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    out = df.withColumn("__h", h).withColumn(
+        "shard_id",
+        (F.conv(F.substring("__h", 1, 8), 16, 10).cast("long")
+         % n_shards).cast("int"))
+    w = Window.partitionBy("shard_id").orderBy(
+        F.substring("__h", 9, 16), F.col(id_col))
+    return (
+        out.withColumn("shard_pos", F.row_number().over(w))
+        .drop("__h")
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    salt: str = "sh42",
+    fmt: str = "parquet",
+) -> None:
+    """Materialize the deterministic shard shuffle: one output directory per
+    shard_id, rows ordered by shard_pos within each file."""
+    assigned = shard_assign(df, id_col, n_shards, salt)
+    (
+        assigned.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "shard_pos")
+        .write.format(fmt).mode("overwrite")
+        .partitionBy("shard_id").save(path)
+    )

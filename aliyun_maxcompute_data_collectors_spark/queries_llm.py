@@ -789,6 +789,59 @@ ORDER BY doc_id
 """
 
 
+def boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate fraction: word 3-gram shingles shared by >=2 docs
+    of the same source (corpus.boilerplate_scores - the C4 repeated-span
+    signal as a score)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import boilerplate_scores
+    t = load_tables(spark, sf_dir, ["documents"])
+    return boilerplate_scores(t["documents"], "doc_id", "text",
+                              group_col="source", n=3, min_docs=2)
+
+
+_BOILER_SQL = f"""
+WITH {_shingle_cte(3)},
+gsh AS (
+  SELECT s.id, d.source, s.shingle
+  FROM shingles s JOIN documents d ON d.doc_id = s.id),
+hot AS (
+  SELECT source, shingle FROM gsh GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT g.id AS doc_id,
+       COUNT(*) AS n_shingles,
+       COUNT(h.shingle) AS n_boiler,
+       ROUND(CAST(COUNT(h.shingle) AS DOUBLE) / COUNT(*), 4) AS boiler_frac
+FROM gsh g LEFT JOIN hot h
+  ON g.source = h.source AND g.shingle = h.shingle
+GROUP BY 1
+"""
+
+
+def shard_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 8-shard training-export assignment with stable
+    within-shard order (corpus.shard_assign)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import shard_assign
+    t = load_tables(spark, sf_dir, ["documents"])
+    return shard_assign(t["documents"].select("doc_id", "lang"),
+                        "doc_id", n_shards=8).select(
+        "doc_id", "lang", "shard_id", "shard_pos")
+
+
+_SHARD_SQL = """
+WITH h AS (
+  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR) || 'sh42') AS hx
+  FROM documents),
+a AS (
+  SELECT doc_id, lang, hx,
+         CAST(CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 8 AS INT) AS shard_id
+  FROM h)
+SELECT doc_id, lang, shard_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard_id
+                               ORDER BY substr(hx, 9, 16), doc_id) AS INT)
+         AS shard_pos
+FROM a
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "decontaminate": (decontam_check, _DECONTAM_SQL),
     "repetition_profile": (repetition_profile, _REPETITION_SQL),
@@ -817,4 +870,6 @@ REGISTRY: dict[str, tuple] = {
     "ann_lsh_topk": (ann_lsh, None),  # rows-only: approximate by construction
     "blob_meta": (blob_meta, _BLOB_SQL),
     "frame_sample": (frame_sample, _FRAME_SAMPLE_SQL),
+    "boilerplate_frac": (boilerplate_q, _BOILER_SQL),
+    "shard_assign": (shard_assign_q, _SHARD_SQL),
 }

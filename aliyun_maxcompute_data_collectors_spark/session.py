@@ -136,7 +136,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
                 max_split = int(spark.conf.get(
                     "spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
                 _SCAN_SPLIT_EST[id(df)] = max(
-                    1, -(-os.path.getsize(path) // max_split))
+                    1, -(-_table_bytes(path) // max_split))
             df.createOrReplaceTempView(name)
             out[name] = df
         elif names is not None:
@@ -144,6 +144,15 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
             # not a downstream KeyError
             raise FileNotFoundError(f"table {name!r} not found at {path}")
     return out
+
+
+def _table_bytes(path: str) -> int:
+    """Total data bytes of a parquet table - single file or directory."""
+    if not os.path.isdir(path):
+        return os.path.getsize(path)
+    return sum(
+        os.path.getsize(os.path.join(path, p)) for p in os.listdir(path)
+        if p.endswith(".parquet") and not p.startswith(("_", ".")))
 
 
 # plan cache: re-reading the same parquet path re-lists files and re-reads
@@ -188,6 +197,15 @@ def _fix_nanos_timestamps(df, path: str):
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
+    if os.path.isdir(path):
+        # directory-style table (Spark-written, the realistic multi-file
+        # layout): all parts share one schema - read the first footer only
+        parts = sorted(
+            p for p in os.listdir(path)
+            if p.endswith(".parquet") and not p.startswith(("_", ".")))
+        if not parts:
+            return df
+        path = os.path.join(path, parts[0])
     schema = pq.read_schema(path)
     for f in schema:
         if str(f.type) == "timestamp[ns]":

@@ -74,6 +74,13 @@ def _offsets(spark, src: str) -> dict[str, int]:
     return out
 
 
+# key-derived unique attributes (dbgen generates one distinct value per key):
+# must stay unique across replicas, else blocked pair operators (fuzzy match)
+# see every value duplicated K times and their inherently output-sensitive
+# cost measures K^2 duplicate pairs instead of the workload's real shape
+NAME_COLS = {"customer": "c_name", "supplier": "s_name"}
+
+
 def replicate(df: DataFrame, table: str, k: int,
               offs: dict[str, int]) -> DataFrame:
     parts = []
@@ -81,6 +88,9 @@ def replicate(df: DataFrame, table: str, k: int,
         rep = df
         for col, base in KEYED.get(table, {}).items():
             rep = rep.withColumn(col, F.col(col) + F.lit(r * offs[base]))
+        if r > 0 and table in NAME_COLS:
+            nc = NAME_COLS[table]
+            rep = rep.withColumn(nc, F.concat(F.col(nc), F.lit(f"#r{r}")))
         if table == "documents" and r > 0:
             rep = rep.withColumn(
                 "text",

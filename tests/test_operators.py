@@ -547,3 +547,63 @@ def test_audio_decode_and_resample_plan(spark):
     # 10-byte payload: 500+10=510ms at 16k -> already at target
     assert got[1] == (False, 510 * 16)
     assert got[2][0] is True
+
+
+def test_boilerplate_scores(spark):
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import boilerplate_scores
+
+    # two sources; "the same header text" is shared by 3 docs of src_a only
+    rows = [
+        (1, "the same header text plus unique alpha words", "src_a"),
+        (2, "the same header text plus unique beta words", "src_a"),
+        (3, "the same header text plus unique gamma words", "src_a"),
+        (4, "completely different content here one", "src_a"),
+        (5, "the same header text plus unique delta words", "src_b"),  # alone in src_b
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in
+           boilerplate_scores(df, "doc_id", "text", group_col="source",
+                              n=3, min_docs=2).collect()}
+    assert len(out) == 5
+    # docs 1-3 share the 3-grams of "the same header text plus unique"
+    assert out[1]["n_boiler"] > 0 and out[2]["n_boiler"] > 0
+    assert out[4]["n_boiler"] == 0          # nothing shared within src_a
+    assert out[5]["n_boiler"] == 0          # same text but different source
+    assert abs(out[4]["boiler_frac"]) < 1e-9
+    # corpus-wide grouping sees doc 5's overlap with 1-3
+    corpus = {r["doc_id"]: r for r in
+              boilerplate_scores(df, "doc_id", "text", n=3, min_docs=2).collect()}
+    assert corpus[5]["n_boiler"] > 0
+
+
+def test_shard_assign_and_write(spark, tmp_path):
+    import pytest as _pytest
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import (
+        shard_assign, write_shards)
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(200)],
+                               "id long, payload string")
+    with _pytest.raises(ValueError, match="n_shards"):
+        shard_assign(df, "id", 0)
+    a = shard_assign(df, "id", 8)
+    rows = a.collect()
+    assert len(rows) == 200
+    assert {r["shard_id"] for r in rows} <= set(range(8))
+    # within-shard positions are 1..n_shard, dense
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r["shard_pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # deterministic across recomputation and stable under corpus growth:
+    # relative order of old rows within a shard never changes
+    sub = {(r["id"], r["shard_id"]) for r in
+           shard_assign(df.where("id < 100"), "id", 8).collect()}
+    full = {(r["id"], r["shard_id"]) for r in rows if r["id"] < 100}
+    assert sub == full
+
+    out = str(tmp_path / "shards")
+    write_shards(df, out, "id", 4)
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    assert back.select("shard_id").distinct().count() == 4
