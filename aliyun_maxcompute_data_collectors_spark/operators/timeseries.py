@@ -127,6 +127,70 @@ def interpolate_linear(
     return grid.withColumn(f"{value_col}_interp", interp.cast("double"))
 
 
+def gapfill_interpolated(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: Column | str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Dense per-key time grid with NULL buckets linearly interpolated -
+    the fused form of ``resample_fill`` + ``interpolate_linear``.
+
+    Instead of materializing the grid (range aggregate -> sequence explode
+    -> left join back) and then bracketing every gap with forward/backward
+    windows, each OBSERVED bucket emits itself plus the gap buckets since
+    the previous observation, and interpolates those gaps from the
+    (lag, current) pair it already holds.  Every gap is bracketed by
+    construction - identical semantics, but the plan drops from
+    4 exchanges + join + 2 window passes to 2 exchanges + 1 sort + 1
+    explode: aggregate on (key, bucket), one lag window on key, one
+    generator.  At 100 TB that removes the join shuffle of the full dense
+    grid - the widest intermediate in the old plan.
+
+    Interpolation is spelled ``pv + (cv - pv) * (x - pb) / (cb - pb)`` -
+    the same IEEE association as the SQL oracle, so ties round identically.
+
+    Output: ``(key, bucket_start long, n_events long, bucket_sum double?,
+    <value>_interp double)`` - matching interpolate_linear's column name.
+    """
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    step = int(step_seconds)
+    b = bucket_start(F.col(ts_col), step).alias("bucket_start")
+    per = (
+        df.select(F.col(key_col), b, val.cast("decimal(18,6)").alias("v"))
+        .groupBy(key_col, "bucket_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("v"), 2).cast("double").alias("bucket_sum"),
+        )
+    )
+    w = Window.partitionBy(key_col).orderBy("bucket_start")
+    obs = per.select(
+        key_col, "bucket_start", "n_events", "bucket_sum",
+        F.lag("bucket_start").over(w).alias("__pb"),
+        F.lag("bucket_sum").over(w).alias("__pv"),
+    )
+    cur, pb, pv = F.col("bucket_start"), F.col("__pb"), F.col("__pv")
+    x = F.explode(
+        F.sequence(F.coalesce(pb + step, cur), cur, F.lit(step))
+    ).alias("__x")
+    rows = obs.select(key_col, "n_events", "bucket_sum", "__pb", "__pv",
+                      cur.alias("__cb"), x)
+    cb, xx = F.col("__cb"), F.col("__x")
+    is_obs = xx == cb
+    interp = F.when(is_obs, F.col("bucket_sum").cast("double")).otherwise(
+        pv + (F.col("bucket_sum") - pv) * (xx - pb) / (cb - pb)
+    )
+    return rows.select(
+        key_col,
+        xx.alias("bucket_start"),
+        F.when(is_obs, F.col("n_events")).otherwise(F.lit(0)).alias("n_events"),
+        F.when(is_obs, F.col("bucket_sum")).alias("bucket_sum"),
+        interp.alias("bucket_sum_interp"),
+    )
+
+
 def ewma(
     df: DataFrame,
     key_col: str,

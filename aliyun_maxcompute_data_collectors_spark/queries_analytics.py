@@ -205,13 +205,11 @@ def interp_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated between bracketing observations (timeseries.interpolate_linear;
     decimal-exact bucket sums make the interpolation inputs deterministic)."""
     from aliyun_maxcompute_data_collectors_spark.operators.timeseries import (
-        interpolate_linear,
-        resample_fill,
+        gapfill_interpolated,
     )
     t = load_tables(spark, sf_dir, ["events"])
     ev = t["events"].where(F.col("event_type") == "view")
-    grid = resample_fill(ev, "user_id", "ts", "value", 21600)
-    out = interpolate_linear(grid, "user_id", "bucket_start", "bucket_sum")
+    out = gapfill_interpolated(ev, "user_id", "ts", "value", 21600)
     # Rounding is spelled floor(x*1e6 + 0.5)/1e6 IDENTICALLY in both
     # engines: interpolated values are dyadic rationals (cents * k/m) that
     # land EXACTLY on 6-decimal ties, where Spark's BigDecimal HALF_UP and

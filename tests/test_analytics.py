@@ -469,3 +469,35 @@ class TestZscoreOutliers:
         df = spark.createDataFrame(
             [("g", 5.0), ("g", 5.0), ("g", 5.0)], "g string, v double")
         assert zscore_outliers(df, ["g"], "v").count() == 0
+
+
+def test_gapfill_interpolated_equals_unfused(spark):
+    """The fused grid+interp operator must be row-identical to the
+    resample_fill -> interpolate_linear composition it replaces."""
+    from aliyun_maxcompute_data_collectors_spark.operators.timeseries import (
+        gapfill_interpolated, interpolate_linear, resample_fill)
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 1.0),   # obs bucket 0
+        (1, "2024-01-01 03:20:00", 7.0),   # gap of 2 buckets before this
+        (1, "2024-01-01 04:05:00", 2.5),   # adjacent bucket
+        (2, "2024-01-01 00:00:00", 10.0),  # single-obs key: one row, no gaps
+        (1, "2024-01-01 00:40:00", 0.25),  # second event in bucket 0
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double") \
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+
+    fused = gapfill_interpolated(df, "user_id", "ts", "value", 3600)
+    grid = resample_fill(df, "user_id", "ts", "value", 3600)
+    unfused = interpolate_linear(grid, "user_id", "bucket_start", "bucket_sum") \
+        .select("user_id", "bucket_start", "n_events", "bucket_sum",
+                "bucket_sum_interp")
+
+    key = lambda r: (r["user_id"], r["bucket_start"])
+    f = {key(r): r.asDict() for r in fused.collect()}
+    u = {key(r): r.asDict() for r in unfused.collect()}
+    assert f == u
+    # gap rows really are interpolated: bucket 1 and 2 of user 1 sit on the
+    # line between 1.25 (bucket 0) and 7.0 (bucket 3)
+    assert f[(1, 1704070800)]["bucket_sum_interp"] == 1.25 + (7.0 - 1.25) / 3
+    assert f[(1, 1704070800)]["n_events"] == 0
