@@ -621,3 +621,145 @@ def embedding_dup_pairs(
                 F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs an accumulated historical store
+# ---------------------------------------------------------------------------
+# The production shape at 100 TB is never "dedup the whole corpus at once":
+# a daily increment (GBs) must dedup against the historical corpus (100 TB)
+# without rescanning it.  Both operators below keep compact persistent
+# stores (fingerprints / band buckets + signatures, one-or-few rows per doc)
+# and join the small batch against them; re-deduping history never happens.
+# At scale, persist the stores as catalog tables BUCKETED on the join key
+# (fp / (band, bucket)) - then each batch join shuffles ONLY the batch side
+# (see catalog.BucketSpec; the zero-exchange co-located join is asserted in
+# tests/test_catalog.py).
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    store: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-dedup a new batch within itself AND against the historical
+    fingerprint store; returns ``(kept_rows, store_delta)``.
+
+    ``store`` holds one ``(fp, keep_id)`` row per distinct historical text
+    (None = first batch).  ``kept_rows`` are batch rows whose normalized
+    text is new: not in history, and the min-id representative within the
+    batch.  ``store_delta`` is the fingerprint rows to append to the store.
+
+    Plan: one batch-side aggregate (min id per fp), one left-anti join
+    against the store on fp, one semi join back to the batch rows.  The
+    store is never aggregated or rewritten - append-only.
+    """
+    fp = _fp_or_sentinel(text_col)
+    reps = (
+        batch.select(F.col(id_col).alias("__id"), fp.alias("fp"))
+        .groupBy("fp").agg(F.min("__id").alias("keep_id"))
+    )
+    if store is not None:
+        reps = reps.join(store.select("fp"), "fp", "left_anti")
+    kept = (
+        batch.withColumn("__fp", fp)
+        .join(reps, [F.col("__fp") == reps["fp"],
+                     batch[id_col] == reps["keep_id"]], "left_semi")
+        .drop("__fp")
+    )
+    return kept, reps
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    sig_store: DataFrame | None = None,
+    bucket_store: DataFrame | None = None,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    n: int = 5,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Near-dup dedup of a new batch against the historical corpus via
+    MinHash banding, without rescanning history.
+
+    Persistent stores, one append per batch:
+      - ``sig_store``:    (id, sig_0..sig_{k-1}) - one row per kept doc;
+      - ``bucket_store``: (id, band, bucket)     - ``bands`` rows per kept doc.
+
+    Returns ``(kept_rows, sig_delta, bucket_delta)``: batch rows that are
+    near-dups of NOTHING kept before them (history, or an earlier-id batch
+    survivor), plus the store rows for exactly those survivors.
+
+    Plan: batch signatures (one narrow projection) -> batch band buckets ->
+    candidates = batch x history on (band, bucket) UNION batch x batch
+    within buckets - both equijoins on bucket keys, never all-pairs ->
+    verify candidates on exact signature agreement >= threshold -> batch
+    rows with a surviving-older neighbor are dropped (within-batch dup
+    chains resolve to the min id, matching minhash_lsh_pairs + transitive
+    keep-min semantics for pairwise chains).  History is touched ONLY
+    through the bucket equijoin and the signature re-attach for verification
+    - at 100 TB, bucket both stores on their join keys so these joins
+    shuffle only the batch side.
+    """
+    sig = minhash_signature(batch, id_col, text_col, k, n, seed) \
+        .localCheckpoint(eager=True)
+    rows = k // bands
+    band_cols = []
+    for bi in range(bands):
+        cols = [F.col(f"sig_{bi * rows + r}") for r in range(rows)]
+        band_cols.append(F.struct(F.lit(bi).alias("band"),
+                                  F.md5(F.concat_ws(",", *cols)).alias("bucket")))
+    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")) \
+        .select("id", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+
+    sig_cols = [f"sig_{i}" for i in range(k)]
+    cand_parts = []
+    # batch x history candidates
+    if bucket_store is not None:
+        cand_parts.append(
+            buckets.alias("nw").join(
+                bucket_store.alias("h"),
+                (F.col("nw.band") == F.col("h.band"))
+                & (F.col("nw.bucket") == F.col("h.bucket")))
+            .select(F.col("nw.id").alias("new_id"),
+                    F.col("h.id").alias("old_id")))
+    # within-batch candidates (older id wins, same as minhash_lsh_pairs)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand_parts.append(
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") > F.col("b.id")))
+        .select(F.col("a.id").alias("new_id"), F.col("b.id").alias("old_id")))
+    cand = cand_parts[0]
+    for p in cand_parts[1:]:
+        cand = cand.unionByName(p)
+    cand = cand.distinct()
+
+    new_sig = sig.select(F.col("id").alias("new_id"),
+                         *[F.col(c).alias(f"a_{c}") for c in sig_cols])
+    old_sig_src = sig if sig_store is None else \
+        sig.unionByName(sig_store.select("id", *sig_cols))
+    old_sig = old_sig_src.select(F.col("id").alias("old_id"),
+                                 *[F.col(c).alias(f"b_{c}") for c in sig_cols])
+    matches = sum(
+        F.when(F.col(f"a_sig_{i}") == F.col(f"b_sig_{i}"), 1).otherwise(0)
+        for i in range(k))
+    dup_new = (
+        cand.join(new_sig, "new_id").join(old_sig, "old_id")
+        .where(matches / F.lit(float(k)) >= threshold)
+        .select(F.col("new_id").alias("id")).distinct()
+    )
+    # NOTE: a batch doc whose only near-dup neighbor is a LARGER-id batch doc
+    # that itself gets dropped still survives (neighbor drops are not
+    # re-evaluated transitively) - same pairwise semantics as
+    # minhash_lsh_pairs; chain-collapse callers follow with
+    # graph.connected_components on the pair set.
+    kept_sig = sig.join(dup_new, "id", "left_anti")
+    kept = batch.join(kept_sig.select(F.col("id").alias(id_col)),
+                      id_col, "left_semi")
+    kept_buckets = buckets.join(dup_new, "id", "left_anti")
+    return kept, kept_sig, kept_buckets

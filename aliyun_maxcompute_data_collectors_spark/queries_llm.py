@@ -789,6 +789,105 @@ ORDER BY doc_id
 """
 
 
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup a 'daily batch' (doc_id % 5 = 0) against the historical
+    corpus fingerprint store (the other 80%) without rescanning history
+    (dedup.incremental_exact_dedup).  Returns the kept batch rows."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    hist = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    store = (
+        hist.select(D._fp_or_sentinel("text").alias("fp"),
+                    F.col("doc_id").alias("keep_id"))
+        .groupBy("fp").agg(F.min("keep_id").alias("keep_id"))
+    )
+    kept, _delta = D.incremental_exact_dedup(batch, "doc_id", "text", store)
+    return kept.select("doc_id", "lang", "source")
+
+
+_FP_EXPR = ("COALESCE(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+            ", '__NULL_TEXT__')")
+
+_DEDUP_INCR_SQL = f"""
+WITH hist AS (
+  SELECT DISTINCT {_FP_EXPR} AS fp FROM documents WHERE doc_id % 5 <> 0),
+batch AS (
+  SELECT doc_id, {_FP_EXPR} AS fp FROM documents WHERE doc_id % 5 = 0),
+reps AS (
+  SELECT fp, MIN(doc_id) AS keep_id FROM batch GROUP BY 1),
+fresh AS (
+  SELECT r.keep_id FROM reps r
+  WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = r.fp))
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN fresh f ON d.doc_id = f.keep_id
+"""
+
+
+def minhash_incr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup of the doc_id%5=0 batch against historical MinHash
+    band-bucket + signature stores (dedup.incremental_minhash_dedup); output
+    is the surviving batch doc ids."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    hist = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    hsig = D.minhash_signature(hist, "doc_id", "text", D.DEFAULT_K)
+    rows = D.DEFAULT_K // D.DEFAULT_BANDS
+    band_cols = []
+    for bi in range(D.DEFAULT_BANDS):
+        cols = [F.col(f"sig_{bi * rows + r}") for r in range(rows)]
+        band_cols.append(F.struct(F.lit(bi).alias("band"),
+                                  F.md5(F.concat_ws(",", *cols)).alias("bucket")))
+    hbuckets = hsig.select("id", F.explode(F.array(*band_cols)).alias("bb")) \
+        .select("id", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+    kept, _s, _b = D.incremental_minhash_dedup(
+        batch, "doc_id", "text", sig_store=hsig, bucket_store=hbuckets)
+    return kept.select("doc_id")
+
+
+def _minhash_incr_sql(k: int = D.DEFAULT_K, bands: int = D.DEFAULT_BANDS,
+                      threshold: float = 0.8) -> str:
+    rows = k // bands
+    shingles, mins = D.minhash_sql_parts("text", k=k, n=5)
+    band_selects = []
+    for bi in range(bands):
+        cols = ", ".join(f"sig_{bi * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT id, {', '.join(f'sig_{i}' for i in range(k))}, "
+            f"{bi} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sig"
+        )
+    sim = " + ".join(f"(CASE WHEN a.sig_{i} = s.sig_{i} THEN 1 ELSE 0 END)"
+                     for i in range(k))
+    return f"""
+WITH _src AS (SELECT doc_id AS id, text FROM documents),
+sh AS ({shingles}),
+sig AS (SELECT id, {", ".join(mins)} FROM sh GROUP BY id),
+bands AS (
+  {" UNION ALL ".join(band_selects)}
+),
+cand AS (
+  SELECT DISTINCT a.id AS new_id, b.id AS old_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket
+   AND a.id % 5 = 0
+   AND (b.id % 5 <> 0 OR b.id < a.id)
+),
+dup AS (
+  SELECT DISTINCT c.new_id
+  FROM cand c
+  JOIN sig a ON a.id = c.new_id
+  JOIN sig s ON s.id = c.old_id
+  WHERE ({sim}) / {float(k)} >= {threshold}
+)
+SELECT d.doc_id
+FROM documents d
+WHERE d.doc_id % 5 = 0
+  AND NOT EXISTS (SELECT 1 FROM dup WHERE dup.new_id = d.doc_id)
+"""
+
+
 def boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc boilerplate fraction: word 3-gram shingles shared by >=2 docs
     of the same source (corpus.boilerplate_scores - the C4 repeated-span
@@ -872,4 +971,6 @@ REGISTRY: dict[str, tuple] = {
     "frame_sample": (frame_sample, _FRAME_SAMPLE_SQL),
     "boilerplate_frac": (boilerplate_q, _BOILER_SQL),
     "shard_assign": (shard_assign_q, _SHARD_SQL),
+    "dedup_incremental": (dedup_incremental_q, _DEDUP_INCR_SQL),
+    "minhash_incremental": (minhash_incr_q, _minhash_incr_sql()),
 }

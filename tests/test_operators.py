@@ -607,3 +607,64 @@ def test_shard_assign_and_write(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 200
     assert back.select("shard_id").distinct().count() == 4
+
+
+def test_incremental_dedup_two_batches(spark):
+    """Store evolution across sequential batches: batch-2 dups of batch-1
+    survivors are dropped without rescanning batch 1's raw text."""
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import (
+        incremental_exact_dedup, incremental_minhash_dedup)
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "ALPHA  beta gamma"),  # dup of 1 (normalized)
+         (3, "totally different text")],
+        "doc_id long, text string")
+    kept1, store = incremental_exact_dedup(b1, "doc_id", "text", None)
+    assert {r["doc_id"] for r in kept1.collect()} == {1, 3}
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha beta gamma"),        # dup of history (doc 1)
+         (11, "brand new content"),
+         (12, "brand  NEW content")],     # dup of 11 within batch
+        "doc_id long, text string")
+    kept2, delta = incremental_exact_dedup(b2, "doc_id", "text", store)
+    assert {r["doc_id"] for r in kept2.collect()} == {11}
+    # delta holds only genuinely-new fingerprints
+    assert delta.count() == 1
+    # append and run a third batch against the union
+    store2 = store.unionByName(delta)
+    b3 = spark.createDataFrame([(20, "BRAND new   content")],
+                               "doc_id long, text string")
+    kept3, _ = incremental_exact_dedup(b3, "doc_id", "text", store2)
+    assert kept3.count() == 0
+
+    # near-dup variant: 40-word docs, batch doc differing by one word from a
+    # historical doc is dropped; an unrelated doc survives
+    # 200 words, one changed: ~2.5% of shingles differ, sig agreement 14/16
+    # and two full bands collide - a deterministic LSH hit (verified once,
+    # frozen by the fixed permutation constants)
+    base = " ".join(f"w{i}" for i in range(200))
+    near = " ".join(("w7x" if i == 7 else f"w{i}") for i in range(200))
+    other = " ".join(f"z{i}" for i in range(200))
+    h = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import (
+        DEFAULT_BANDS, DEFAULT_K, minhash_signature)
+    from pyspark.sql import functions as F
+    hsig = minhash_signature(h, "doc_id", "text", DEFAULT_K)
+    rows = DEFAULT_K // DEFAULT_BANDS
+    bcols = []
+    for bi in range(DEFAULT_BANDS):
+        cols = [F.col(f"sig_{bi * rows + r}") for r in range(rows)]
+        bcols.append(F.struct(F.lit(bi).alias("band"),
+                              F.md5(F.concat_ws(",", *cols)).alias("bucket")))
+    hb = hsig.select("id", F.explode(F.array(*bcols)).alias("bb")) \
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    batch = spark.createDataFrame([(100, near), (101, other)],
+                                  "doc_id long, text string")
+    kept, ksig, kbuck = incremental_minhash_dedup(
+        batch, "doc_id", "text", sig_store=hsig, bucket_store=hb,
+        threshold=0.5)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {101}
+    assert {r["id"] for r in ksig.collect()} == {101}
+    assert kbuck.where("id = 100").count() == 0
