@@ -11,6 +11,8 @@ with no UDF serialization cost.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -489,3 +491,50 @@ def unigram_logprob_scores(
         )
     )
     return scored
+
+
+# ---------------------------------------------------------------------------
+# composable quality-filter pipeline (Dolma tagger/mixer shape)
+# ---------------------------------------------------------------------------
+
+def filter_pipeline(
+    df: DataFrame,
+    rules: list[tuple[str, Column]],
+    mode: str = "report",
+) -> DataFrame:
+    """Compose named boolean quality rules into ONE scan - the
+    tagger->mixer pattern of LLM-corpus pipelines (Dolma, CCNet, RefinedWeb)
+    without materializing per-tagger intermediates.
+
+    ``rules`` is ``[(name, keep_condition_column), ...]`` - build conditions
+    from the signal functions in this module (token_count, stopword_ratio,
+    dup_token_ratio, lang_id, ...), all pure JVM expressions.  NULL
+    conditions (e.g. a ratio over an empty doc) count as FAILED - a doc the
+    rule cannot evaluate is not silently kept.
+
+    mode="report": adds one boolean ``ok_<name>`` per rule, ``kept``, and
+    ``drop_reason`` (first failing rule in order, NULL when kept) - the
+    audit table that lets you tune thresholds from one pass over the corpus.
+    mode="filter": returns only surviving rows, original schema.
+
+    Single narrow projection; no shuffle, no join, no UDF.  At 100 TB the
+    whole pipeline is one whole-stage-codegen pass over the scan.
+    """
+    if mode not in ("report", "filter"):
+        raise ValueError(f"mode must be 'report' or 'filter', got {mode!r}")
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    oks = [(name, F.coalesce(cond, F.lit(False))) for name, cond in rules]
+    kept = reduce(lambda a, b: a & b, [c for _, c in oks])
+    if mode == "filter":
+        return df.where(kept)
+    reason = None
+    for name, c in oks:
+        step = F.when(~c, F.lit(name))
+        reason = step if reason is None else reason.when(~c, F.lit(name))
+    return df.select(
+        "*",
+        *[c.alias(f"ok_{name}") for name, c in oks],
+        kept.alias("kept"),
+        reason.alias("drop_reason"),
+    )

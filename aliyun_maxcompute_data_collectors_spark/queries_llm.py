@@ -789,6 +789,54 @@ ORDER BY doc_id
 """
 
 
+def filter_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/Dolma-style composed quality gate in one codegen pass
+    (text.filter_pipeline): token-count window, stopword floor, duplicate-
+    token ceiling, language allowlist; audit-mode output with first failing
+    rule per doc."""
+    from aliyun_maxcompute_data_collectors_spark.operators.text import (
+        dup_token_ratio, filter_pipeline, stopword_ratio, token_count)
+    t = load_tables(spark, sf_dir, ["documents"])
+    rules = [
+        ("len", token_count("text").between(15, 10000)),
+        ("stopword", stopword_ratio("text") >= 0.02),
+        ("rep", dup_token_ratio("text") <= 0.6),
+        ("lang", F.col("lang").isin("en", "de", "fr")),
+    ]
+    out = filter_pipeline(t["documents"], rules, mode="report")
+    return out.select("doc_id", "ok_len", "ok_stopword", "ok_rep", "ok_lang",
+                      "kept", "drop_reason")
+
+
+# DuckDB mirrors of the rule expressions (token/stopword/dup-token formulas
+# match text.py's token_count / stopword_ratio / dup_token_ratio)
+_FLT_NTOK = "len(string_split_regex(trim(text), '\\s+'))"
+_FLT_SW = ("CASE WHEN {n} > 0 THEN CAST(len(regexp_extract_all(lower(text), "
+           "'\\b(the|a|of|and|to|in|is|it)\\b')) AS DOUBLE) / {n} "
+           "ELSE 0.0 END").format(n=_FLT_NTOK)
+_FLT_NORM_TOKS = ("string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')")
+_FLT_DUP = (f"CASE WHEN len({_FLT_NORM_TOKS}) > 0 THEN "
+            f"ROUND(CAST(len({_FLT_NORM_TOKS}) - len(list_distinct({_FLT_NORM_TOKS})) AS DOUBLE)"
+            f" / len({_FLT_NORM_TOKS}), 4) ELSE 0.0 END")
+
+_FILTER_PIPE_SQL = f"""
+WITH flags AS (
+  SELECT doc_id,
+    COALESCE({_FLT_NTOK} BETWEEN 15 AND 10000, FALSE) AS ok_len,
+    COALESCE({_FLT_SW} >= 0.02, FALSE) AS ok_stopword,
+    COALESCE({_FLT_DUP} <= 0.6, FALSE) AS ok_rep,
+    COALESCE(lang IN ('en', 'de', 'fr'), FALSE) AS ok_lang
+  FROM documents)
+SELECT doc_id, ok_len, ok_stopword, ok_rep, ok_lang,
+       (ok_len AND ok_stopword AND ok_rep AND ok_lang) AS kept,
+       CASE WHEN NOT ok_len THEN 'len'
+            WHEN NOT ok_stopword THEN 'stopword'
+            WHEN NOT ok_rep THEN 'rep'
+            WHEN NOT ok_lang THEN 'lang' END AS drop_reason
+FROM flags
+"""
+
+
 def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup a 'daily batch' (doc_id % 5 = 0) against the historical
     corpus fingerprint store (the other 80%) without rescanning history
@@ -973,4 +1021,5 @@ REGISTRY: dict[str, tuple] = {
     "shard_assign": (shard_assign_q, _SHARD_SQL),
     "dedup_incremental": (dedup_incremental_q, _DEDUP_INCR_SQL),
     "minhash_incremental": (minhash_incr_q, _minhash_incr_sql()),
+    "filter_pipeline": (filter_pipeline_q, _FILTER_PIPE_SQL),
 }

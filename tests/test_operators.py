@@ -668,3 +668,28 @@ def test_incremental_dedup_two_batches(spark):
     assert ids == {101}
     assert {r["id"] for r in ksig.collect()} == {101}
     assert kbuck.where("id = 100").count() == 0
+
+
+def test_filter_pipeline_modes(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from aliyun_maxcompute_data_collectors_spark.operators.text import (
+        filter_pipeline, token_count)
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five"), (2, "short"), (3, None)],
+        "id long, text string")
+    rules = [("len", token_count("text") >= 3),
+             ("notnull", F.col("text").isNotNull())]
+    rep = {r["id"]: r for r in filter_pipeline(df, rules).collect()}
+    assert rep[1]["kept"] and rep[1]["drop_reason"] is None
+    assert not rep[2]["kept"] and rep[2]["drop_reason"] == "len"
+    # NULL text -> token_count NULL -> rule counts as failed, first in order
+    assert not rep[3]["kept"] and rep[3]["drop_reason"] == "len"
+    kept = filter_pipeline(df, rules, mode="filter")
+    assert [r["id"] for r in kept.collect()] == [1]
+    assert kept.columns == df.columns
+    with _pytest.raises(ValueError):
+        filter_pipeline(df, rules, mode="bogus")
+    with _pytest.raises(ValueError):
+        filter_pipeline(df, [])
