@@ -49,10 +49,17 @@ def resample_fill(
     rows, ``filled_sum`` carries the last observed bucket's sum (NULL only
     before the first observation, which cannot happen here since the grid
     starts at the key's first bucket).
+
+    Fused plan (same shape as ``gapfill_interpolated``): each observed
+    bucket emits itself plus the gap buckets since the previous observation
+    and forward-fills them from the lag value it already holds — aggregate,
+    one lag window, one generator; no dense-grid materialization, no join
+    back, no running ignorenulls window.  2 exchanges total.
     """
     val = F.col(value_col) if isinstance(value_col, str) else value_col
     key = F.col(key_col)
-    b = bucket_start(F.col(ts_col), step_seconds).alias("bucket_start")
+    step = int(step_seconds)
+    b = bucket_start(F.col(ts_col), step).alias("bucket_start")
     per = (
         df.select(key.alias(key_col), b, val.cast("decimal(18,6)").alias("v"))
         .groupBy(key_col, "bucket_start")
@@ -61,28 +68,31 @@ def resample_fill(
             F.round(F.sum("v"), 2).cast("double").alias("bucket_sum"),
         )
     )
-    rng = per.groupBy(key_col).agg(
-        F.min("bucket_start").alias("b0"), F.max("bucket_start").alias("b1")
+    w = Window.partitionBy(key_col).orderBy("bucket_start")
+    # last NON-NULL sum strictly before the current bucket: keeps the old
+    # composition's behavior for all-NULL-value buckets (they stay is_gap
+    # and carry the previous observed sum forward)
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    obs = per.select(
+        key_col, "n_events", "bucket_sum",
+        F.col("bucket_start").alias("__cb"),
+        F.lag("bucket_start").over(w).alias("__pb"),
+        F.last("bucket_sum", ignorenulls=True).over(w_prev).alias("__pv"),
     )
-    grid = rng.select(
+    cur, pb = F.col("__cb"), F.col("__pb")
+    x = F.explode(
+        F.sequence(F.coalesce(pb + step, cur), cur, F.lit(step))
+    ).alias("__x")
+    rows = obs.select(key_col, "n_events", "bucket_sum", "__pv", "__cb", x)
+    is_obs = F.col("__x") == F.col("__cb")
+    bsum = F.when(is_obs, F.col("bucket_sum"))
+    return rows.select(
         key_col,
-        F.explode(
-            F.sequence(F.col("b0"), F.col("b1"), F.lit(int(step_seconds)))
-        ).alias("bucket_start"),
-    )
-    joined = grid.join(per, [key_col, "bucket_start"], "left")
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy("bucket_start")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return joined.select(
-        key_col,
-        "bucket_start",
-        F.coalesce("n_events", F.lit(0)).alias("n_events"),
-        "bucket_sum",
-        F.last("bucket_sum", ignorenulls=True).over(w).alias("filled_sum"),
-        F.col("bucket_sum").isNull().alias("is_gap"),
+        F.col("__x").alias("bucket_start"),
+        F.when(is_obs, F.col("n_events")).otherwise(F.lit(0)).alias("n_events"),
+        bsum.alias("bucket_sum"),
+        F.coalesce(bsum, F.col("__pv")).alias("filled_sum"),
+        bsum.isNull().alias("is_gap"),
     )
 
 
@@ -150,6 +160,12 @@ def gapfill_interpolated(
 
     Interpolation is spelled ``pv + (cv - pv) * (x - pb) / (cb - pb)`` -
     the same IEEE association as the SQL oracle, so ties round identically.
+
+    Precondition: buckets whose aggregate sum is NULL (every value in the
+    bucket NULL) are treated as observed anchors with a NULL interpolant,
+    not re-interpolated from their neighbors - filter NULL values upstream
+    if they can occur (the unfused composition bracketed such buckets,
+    which a single forward pass cannot).
 
     Output: ``(key, bucket_start long, n_events long, bucket_sum double?,
     <value>_interp double)`` - matching interpolate_linear's column name.

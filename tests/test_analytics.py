@@ -501,3 +501,32 @@ def test_gapfill_interpolated_equals_unfused(spark):
     # line between 1.25 (bucket 0) and 7.0 (bucket 3)
     assert f[(1, 1704070800)]["bucket_sum_interp"] == 1.25 + (7.0 - 1.25) / 3
     assert f[(1, 1704070800)]["n_events"] == 0
+
+
+def test_resample_fill_fused_semantics(spark):
+    """Fused resample_fill keeps the original composition's semantics,
+    including the all-NULL-value bucket corner (is_gap, carry-forward)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.timeseries import resample_fill
+
+    rows = [
+        (1, "2024-01-01 00:15:00", 2.0),
+        (1, "2024-01-01 02:30:00", None),   # observed bucket, NULL sum
+        (1, "2024-01-01 04:45:00", 8.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double") \
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    out = {r["bucket_start"]: r.asDict()
+           for r in resample_fill(df, "user_id", "ts", "value", 3600).collect()}
+    assert len(out) == 5  # dense hourly grid 00..04
+    b0 = 1704067200
+    assert out[b0]["n_events"] == 1 and out[b0]["filled_sum"] == 2.0
+    assert not out[b0]["is_gap"]
+    # pure gap bucket: zero events, carries 2.0
+    assert out[b0 + 3600]["n_events"] == 0 and out[b0 + 3600]["is_gap"]
+    assert out[b0 + 3600]["filled_sum"] == 2.0
+    # observed bucket with NULL sum: event counted, still a gap, carries 2.0
+    assert out[b0 + 2 * 3600]["n_events"] == 1
+    assert out[b0 + 2 * 3600]["is_gap"]
+    assert out[b0 + 2 * 3600]["bucket_sum"] is None
+    assert out[b0 + 2 * 3600]["filled_sum"] == 2.0
+    assert out[b0 + 4 * 3600]["filled_sum"] == 8.0
