@@ -365,10 +365,22 @@ def minhash_lsh_pairs(
     n: int = 5,
     threshold: float = 0.8,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banding: docs sharing any band bucket become
     candidates; candidates are verified with the exact signature similarity
     (fraction of matching minhashes >= threshold).
+
+    ``max_bucket`` caps the per-bucket quadratic the same way
+    ``ngram_jaccard_pairs(max_df=...)`` caps hot shingles: a (band, bucket)
+    shared by more than ``max_bucket`` docs (a boilerplate near-dup family
+    of size g emits ~g^2/2 pairs per band) is dropped BEFORE the self-join.
+    Pairs inside an over-cap family are still found through any OTHER band
+    that stays under the cap, so recall degrades only for families hot in
+    EVERY band - which at that size are better handled by exact dedup or a
+    representative-per-family pass first.  Default None = emit everything
+    (output-sensitive: the sf10 scale smoke measured 26M pairs from 500k
+    docs with 100-member families, time sublinear in output size).
 
     Scale shape: signatures (1 row/doc) -> explode to `bands` rows/doc ->
     groupBy band bucket (shuffle ~ corpus size, not pairs) -> pair join only
@@ -389,6 +401,14 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         "id", F.explode(F.array(*band_cols)).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket is not None:
+        cool = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_bucket)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(cool, ["band", "bucket"], "left_semi")
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (

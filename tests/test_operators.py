@@ -693,3 +693,23 @@ def test_filter_pipeline_modes(spark):
         filter_pipeline(df, rules, mode="bogus")
     with _pytest.raises(ValueError):
         filter_pipeline(df, [])
+
+
+def test_minhash_lsh_max_bucket_cap(spark):
+    """A planted 30-member identical family must not emit its ~435 pairs
+    when every band bucket it occupies is over the cap; unrelated pairs
+    under the cap are unaffected."""
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import minhash_lsh_pairs
+
+    fam = " ".join(f"f{i}" for i in range(60))
+    solo_a = " ".join(f"a{i}" for i in range(60))
+    rows = [(i, fam) for i in range(30)]            # hot family
+    rows += [(100, solo_a), (101, solo_a)]          # small dup pair
+    rows += [(200, " ".join(f"z{i}" for i in range(60)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    raw = minhash_lsh_pairs(df, "doc_id", "text").count()
+    assert raw == 30 * 29 // 2 + 1                  # family pairs + (100,101)
+    capped = minhash_lsh_pairs(df, "doc_id", "text", max_bucket=10)
+    got = {(r["id1"], r["id2"]) for r in capped.collect()}
+    assert got == {(100, 101)}                      # family suppressed, pair kept
