@@ -296,6 +296,7 @@ def minhash_signature(
     k: int = DEFAULT_K,
     n: int = 5,
     seed: int = 42,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, sig_0..sig_{k-1}): min over shingles of each permuted hash.
 
@@ -309,10 +310,20 @@ def minhash_signature(
     from aliyun_maxcompute_data_collectors_spark.session import ensure_parallelism
     perms = minhash_perms(k, seed)
     src = ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
-    hs = F.transform(
-        word_shingles(text_col, n),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
-    )
+    if hash_fn == "md5":
+        shingle_hash = lambda s: F.conv(  # noqa: E731
+            F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    elif hash_fn == "xxhash64":
+        # production fast path: one JVM hash vs md5's crypto rounds +
+        # hex/conv string work.  NOT oracle-portable (DuckDB lacks xxhash64)
+        # - signatures differ from the md5 path but the MinHash estimator
+        # properties are identical; pick one hash per corpus and stick to it
+        # (stores from incremental dedup embed it).
+        shingle_hash = lambda s: F.pmod(  # noqa: E731
+            F.xxhash64(s), F.lit(MINHASH_P)).cast("long")
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    hs = F.transform(word_shingles(text_col, n), shingle_hash)
     stage = src.select("id", hs.alias("__hs__"))
 
     a_arr = F.array(*[F.lit(a) for a, _ in perms])

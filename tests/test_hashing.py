@@ -210,3 +210,22 @@ def test_expr_and_udf_paths_agree(spark, monkeypatch):
     udf_h = [r["h"] for r in
              df.withColumn("h", H.odps_hash(df, ["id", "k2"])).orderBy("id").collect()]
     assert expr_h == udf_h
+
+
+def test_minhash_hash_fn_variants(spark):
+    import pytest as _pytest
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import (
+        MINHASH_P, minhash_signature)
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id long, text string")
+    md5_sig = minhash_signature(df, "doc_id", "text").collect()[0]
+    xx_sig = minhash_signature(df, "doc_id", "text", hash_fn="xxhash64").collect()[0]
+    # both in-domain; deterministic across recomputation
+    for r in (md5_sig, xx_sig):
+        assert all(0 <= r[f"sig_{i}"] < MINHASH_P for i in range(16))
+    assert minhash_signature(df, "doc_id", "text", hash_fn="xxhash64") \
+        .collect()[0] == xx_sig
+    with _pytest.raises(ValueError, match="hash_fn"):
+        minhash_signature(df, "doc_id", "text", hash_fn="sha1").collect()

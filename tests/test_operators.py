@@ -713,3 +713,24 @@ def test_minhash_lsh_max_bucket_cap(spark):
     capped = minhash_lsh_pairs(df, "doc_id", "text", max_bucket=10)
     got = {(r["id1"], r["id2"]) for r in capped.collect()}
     assert got == {(100, 101)}                      # family suppressed, pair kept
+
+
+def test_pretrain_pipeline_example(spark, tmp_path):
+    """The end-to-end corpus pipeline example runs and every stage strictly
+    narrows (or preserves) the corpus; the shard export is readable."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "pretrain_pipeline",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "examples", "pretrain_pipeline.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / "corpus")
+    stats = mod.run(spark, "/root/testdata/sf0.001", out)
+    assert stats["input"] >= stats["after_quality"] >= stats["after_exact"] \
+        >= stats["after_minhash"] >= stats["after_decontam"]
+    assert stats["after_decontam"] == stats["train"] + stats["val"]
+    back = spark.read.parquet(os.path.join(out, "train"))
+    assert back.count() == stats["train"]
+    assert back.select("shard_id").distinct().count() <= 4
