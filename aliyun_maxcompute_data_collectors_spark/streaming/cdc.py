@@ -159,3 +159,47 @@ def scd2_foreach_batch_writer(catalog, table: str, keys: list[str],
         catalog.insert(table, merged, overwrite=True)
 
     return _apply
+
+
+def dedup_ingest_writer(catalog, table: str, store_table: str,
+                        id_col: str, text_col: str):
+    """foreachBatch hook: streaming dedup-on-ingest against a persistent
+    fingerprint store.  Each micro-batch keeps only rows whose normalized
+    text was never seen - in ANY earlier batch or this one - then appends
+    the survivors to ``table`` and their fingerprints to ``store_table``
+    (schema ``(fp string, keep_id)``; create it bucketed on fp so the
+    anti-join shuffles only the batch side).
+
+    Idempotent under micro-batch replay (foreachBatch is at-least-once),
+    at EVERY crash point of the two appends, because survivors are also
+    anti-joined against the target table's ids before appending:
+      - replay after both appends: store has the fps -> kept/delta empty;
+      - replay after rows, before store: id anti-join drops the re-derived
+        rows, the store append then completes (same delta recomputed);
+      - replay before anything: clean re-run.
+    Rows append BEFORE fingerprints - with the id guard that order has no
+    lossy window (store-first would lose rows on a crash in between).
+
+    The streaming twin of ``dedup.incremental_exact_dedup``; the
+    within-watermark ``dropDuplicates`` operator (sink.dedup_within_watermark)
+    bounds state by TIME, this store bounds it by CONTENT and never expires.
+    At scale, bucket BOTH ``store_table`` (on fp) and ``table`` (on id) so
+    the guards shuffle only the micro-batch side.
+    """
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store = catalog.read_table(store_table)
+        kept, delta = incremental_exact_dedup(batch_df, id_col, text_col, store)
+        existing = catalog.read_table(table).select(id_col)
+        kept = kept.join(existing, id_col, "left_anti")
+        kept = kept.localCheckpoint(eager=True)
+        delta = delta.localCheckpoint(eager=True)
+        catalog.insert(table, kept)
+        catalog.insert(store_table, delta)
+
+    return _apply

@@ -271,3 +271,42 @@ def test_shardlog_source_per_shard_order_and_restart(spark, tmp_path):
     # batch twin reads everything
     batch = (spark.read.format("shardlog").option("path", root).load())
     assert batch.count() == 8
+
+
+def test_dedup_ingest_writer_store_and_replay(stream_env):
+    """Streaming dedup-on-ingest: cross-batch content dedup via the
+    persistent fp store, and idempotency at every replay point."""
+    from aliyun_maxcompute_data_collectors_spark.streaming.cdc import dedup_ingest_writer
+
+    spark, src, cat, tmp = stream_env
+    cat.create_table("corpus", [("doc_id", "BIGINT"), ("text", "STRING")])
+    cat.create_table("fp_store", [("fp", "STRING"), ("keep_id", "BIGINT")])
+    writer = dedup_ingest_writer(cat, "corpus", "fp_store", "doc_id", "text")
+
+    b1 = spark.createDataFrame(
+        [(1, "hello world"), (2, "HELLO   world"), (3, "unique one")],
+        "doc_id long, text string")
+    writer(b1, 0)
+    assert {r["doc_id"] for r in cat.read_table("corpus").collect()} == {1, 3}
+    assert cat.read_table("fp_store").count() == 2
+
+    # batch 2: one cross-batch dup, one new; then replay it (at-least-once)
+    b2 = spark.createDataFrame(
+        [(10, "hello  WORLD"), (11, "fresh content")], "doc_id long, text string")
+    writer(b2, 1)
+    writer(b2, 1)  # full replay after successful commit: no-op
+    got = {r["doc_id"] for r in cat.read_table("corpus").collect()}
+    assert got == {1, 3, 11}
+    assert cat.read_table("corpus").count() == 3
+    assert cat.read_table("fp_store").count() == 3
+
+    # crash-between-appends replay: rows landed, store append lost
+    b3 = spark.createDataFrame([(20, "late batch")], "doc_id long, text string")
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import (
+        incremental_exact_dedup)
+    kept, _delta = incremental_exact_dedup(b3, "doc_id", "text",
+                                           cat.read_table("fp_store"))
+    cat.insert("corpus", kept)              # simulate: rows written, fp lost
+    writer(b3, 2)                           # replay completes the batch
+    assert cat.read_table("corpus").where("doc_id = 20").count() == 1
+    assert cat.read_table("fp_store").where("keep_id = 20").count() == 1
