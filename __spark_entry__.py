@@ -48,11 +48,14 @@ _PRIORITY = [
     "det_sample", "stratified_sample", "chunk_documents", "pack_sequences",
     "corpus_stats", "heavy_hitters_by_lang", "doc_logprob", "tfidf_keywords",
     "profile_documents", "blob_meta", "frame_sample", "split_assignment",
-    # tier 1c: advanced analytics (SCD2 family, smoothing, skyline, fuzzy)
+    # tier 1c: round-3 LLM-pipeline additions (all oracle-backed) + the
+    # analytics queries most changed this round
+    "dedup_incremental", "minhash_incremental", "filter_pipeline",
+    "boilerplate_frac", "shard_assign",
     "cdc_snapshot_at", "ewma_user_value", "interp_gapfill", "pareto_parts",
+    # tier 2: rest of the r1/r2-unchecked set (round-4 rotation candidates)
     "fuzzy_customer_names", "regr_value_trend", "zscore_anomalies",
     "funnel_steps", "cohort_retention",
-    # tier 2: rest of the r1/r2-unchecked set (round-4 rotation candidates)
     "asof_join_events", "range_join_sessions", "rollup_hypertable",
     "zorder_cluster", "sketch_suite", "pivot_priority", "unpivot_measures",
     "agg_extras", "bitwise_agg", "interval_math", "width_bucket_hist",
