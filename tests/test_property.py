@@ -296,3 +296,50 @@ def test_prefixscan_matches_sequential_reference(spark, rows):
                 acc = v if acc is None else max(acc, v)
                 run[o] = (below, acc)
         assert got == run
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 50),
+                       st.text(alphabet="ab ", max_size=6)),
+             min_size=0, max_size=25),
+    st.lists(st.text(alphabet="ab ", max_size=6), max_size=8),
+)
+@settings(max_examples=40, deadline=None)
+def test_incremental_exact_dedup_matches_reference(spark, batch_rows, hist_texts):
+    """Incremental dedup == pure-python first-seen-wins reference: a batch
+    row survives iff its normalized text is not in history and its id is
+    the batch minimum for that text."""
+    import re as _re
+
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import (
+        incremental_exact_dedup)
+
+    batch_rows = [(i, t) for i, (k, t) in enumerate(batch_rows)]
+    norm = lambda t: _re.sub(r"\s+", " ", t.lower()).strip()  # noqa: E731
+    hist_fps = {norm(t) for t in hist_texts}
+    first = {}
+    for i, t in batch_rows:
+        first.setdefault(norm(t), i)
+    expect = {i for i, t in batch_rows
+              if norm(t) not in hist_fps and first[norm(t)] == i}
+
+    batch = spark.createDataFrame(batch_rows or [(0, "x")],
+                                  "doc_id long, text string")
+    if not batch_rows:
+        batch = batch.where("doc_id < 0")
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import _fp_or_sentinel
+    from pyspark.sql import functions as F
+    hist = spark.createDataFrame([(t,) for t in hist_texts] or [("x",)],
+                                 "text string")
+    if not hist_texts:
+        hist = hist.where("1=0")
+    store = hist.select(_fp_or_sentinel("text").alias("fp")) \
+        .distinct().withColumn("keep_id", F.lit(0))
+    kept, delta = incremental_exact_dedup(batch, "doc_id", "text", store)
+    got = {r["doc_id"] for r in kept.collect()}
+    assert got == expect
+    # delta fingerprints are disjoint from the store and unique
+    d = [r["fp"] for r in delta.collect()]
+    assert len(d) == len(set(d))
+    store_fps = {r["fp"] for r in store.collect()}
+    assert not (set(d) & store_fps)
