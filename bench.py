@@ -77,6 +77,11 @@ BENCH_QUERIES = [
     "variant_extract",
     "mad_outliers",
     "heavy_hitters_by_lang",
+    "boilerplate_frac",
+    "shard_assign",
+    "dedup_incremental",
+    "minhash_incremental",
+    "filter_pipeline",
 ]
 
 
