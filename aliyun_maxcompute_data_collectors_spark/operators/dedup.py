@@ -367,6 +367,23 @@ def minhash_sql_parts(text_expr: str, k: int = DEFAULT_K, n: int = 5, seed: int 
     return shingles, mins
 
 
+def minhash_band_buckets(sig: DataFrame, k: int = DEFAULT_K,
+                         bands: int = DEFAULT_BANDS) -> DataFrame:
+    """(id, band, bucket) rows from a signature frame - THE band-bucket
+    derivation, shared by every LSH consumer (pair join, incremental dedup,
+    query oracles, pipelines) so persisted bucket stores stay bit-compatible
+    with freshly computed ones.  ``bucket = md5(concat_ws(',', sig_band))``."""
+    rows = k // bands
+    band_cols = []
+    for bi in range(bands):
+        cols = [F.col(f"sig_{bi * rows + r}") for r in range(rows)]
+        band_cols.append(F.struct(F.lit(bi).alias("band"),
+                                  F.md5(F.concat_ws(",", *cols)).alias("bucket")))
+    return sig.select("id", F.explode(F.array(*band_cols)).alias("bb")) \
+        .select("id", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -396,22 +413,14 @@ def minhash_lsh_pairs(
     Scale shape: signatures (1 row/doc) -> explode to `bands` rows/doc ->
     groupBy band bucket (shuffle ~ corpus size, not pairs) -> pair join only
     within buckets."""
-    rows = k // bands
     # materialize signatures once: the band self-join references them on BOTH
     # sides, and without a lineage cut each side would recompute the full
     # shingle->md5->min pipeline (2x the dominant cost)
     sig = minhash_signature(df, id_col, text_col, k, n, seed).localCheckpoint(eager=True)
-    band_cols = []
-    for bi in range(bands):
-        cols = [F.col(f"sig_{bi * rows + r}") for r in range(rows)]
-        band_cols.append(F.struct(F.lit(bi).alias("band"),
-                                  F.md5(F.concat_ws(",", *cols)).alias("bucket")))
     # narrow (id, band, bucket) rows only - the self-join and distinct never
     # carry the k signature columns; signatures re-attach to the (much
     # smaller) candidate pair set afterwards
-    buckets = sig.select(
-        "id", F.explode(F.array(*band_cols)).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = minhash_band_buckets(sig, k, bands)
     if max_bucket is not None:
         cool = (
             buckets.groupBy("band", "bucket")
@@ -712,6 +721,7 @@ def incremental_minhash_dedup(
     n: int = 5,
     threshold: float = 0.8,
     seed: int = 42,
+    hash_fn: str = "md5",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Near-dup dedup of a new batch against the historical corpus via
     MinHash banding, without rescanning history.
@@ -719,6 +729,13 @@ def incremental_minhash_dedup(
     Persistent stores, one append per batch:
       - ``sig_store``:    (id, sig_0..sig_{k-1}) - one row per kept doc;
       - ``bucket_store``: (id, band, bucket)     - ``bands`` rows per kept doc.
+    The stores must come WITH their signatures: passing ``bucket_store``
+    without ``sig_store`` raises (history candidates could never be
+    verified and would be silently kept).  ``hash_fn`` must be the SAME
+    value the stores were built with ('md5' default, 'xxhash64' fast path)
+    - signatures from different base hashes never collide, so a mismatch
+    silently finds nothing; pick one per corpus and persist it alongside
+    the stores.
 
     Returns ``(kept_rows, sig_delta, bucket_delta)``: batch rows that are
     near-dups of NOTHING kept before them (history, or an earlier-id batch
@@ -735,17 +752,13 @@ def incremental_minhash_dedup(
     - at 100 TB, bucket both stores on their join keys so these joins
     shuffle only the batch side.
     """
-    sig = minhash_signature(batch, id_col, text_col, k, n, seed) \
+    if bucket_store is not None and sig_store is None:
+        raise ValueError(
+            "bucket_store without sig_store: history candidates could not "
+            "be verified and would be silently kept - pass both stores")
+    sig = minhash_signature(batch, id_col, text_col, k, n, seed, hash_fn) \
         .localCheckpoint(eager=True)
-    rows = k // bands
-    band_cols = []
-    for bi in range(bands):
-        cols = [F.col(f"sig_{bi * rows + r}") for r in range(rows)]
-        band_cols.append(F.struct(F.lit(bi).alias("band"),
-                                  F.md5(F.concat_ws(",", *cols)).alias("bucket")))
-    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")) \
-        .select("id", F.col("bb.band").alias("band"),
-                F.col("bb.bucket").alias("bucket"))
+    buckets = minhash_band_buckets(sig, k, bands)
 
     sig_cols = [f"sig_{i}" for i in range(k)]
     cand_parts = []

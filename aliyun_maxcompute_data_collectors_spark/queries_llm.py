@@ -881,15 +881,7 @@ def minhash_incr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = docs.where(F.col("doc_id") % 5 != 0)
     batch = docs.where(F.col("doc_id") % 5 == 0)
     hsig = D.minhash_signature(hist, "doc_id", "text", D.DEFAULT_K)
-    rows = D.DEFAULT_K // D.DEFAULT_BANDS
-    band_cols = []
-    for bi in range(D.DEFAULT_BANDS):
-        cols = [F.col(f"sig_{bi * rows + r}") for r in range(rows)]
-        band_cols.append(F.struct(F.lit(bi).alias("band"),
-                                  F.md5(F.concat_ws(",", *cols)).alias("bucket")))
-    hbuckets = hsig.select("id", F.explode(F.array(*band_cols)).alias("bb")) \
-        .select("id", F.col("bb.band").alias("band"),
-                F.col("bb.bucket").alias("bucket"))
+    hbuckets = D.minhash_band_buckets(hsig)
     kept, _s, _b = D.incremental_minhash_dedup(
         batch, "doc_id", "text", sig_store=hsig, bucket_store=hbuckets)
     return kept.select("doc_id")

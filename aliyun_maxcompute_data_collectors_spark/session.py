@@ -133,8 +133,8 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
                     _DF_CACHE.clear()
                     _SCAN_SPLIT_EST.clear()
                 _DF_CACHE[key] = df
-                max_split = int(spark.conf.get(
-                    "spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+                max_split = _parse_bytes_conf(spark.conf.get(
+                    "spark.sql.files.maxPartitionBytes", "134217728"))
                 _SCAN_SPLIT_EST[id(df)] = max(
                     1, -(-_table_bytes(path) // max_split))
             df.createOrReplaceTempView(name)
@@ -144,6 +144,25 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
             # not a downstream KeyError
             raise FileNotFoundError(f"table {name!r} not found at {path}")
     return out
+
+
+_SIZE_SUFFIX = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
+                "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+                "t": 1 << 40, "tb": 1 << 40}
+
+
+def _parse_bytes_conf(value: str, default: int = 134217728) -> int:
+    """Spark byte-size conf values accept suffixed forms ('256m', '128MB',
+    '1g') as well as plain byte counts - parse them all; fall back to the
+    default rather than crashing table loading on an exotic spelling."""
+    s = str(value).strip().lower()
+    i = len(s)
+    while i > 0 and not s[:i].isdigit():
+        i -= 1
+    try:
+        return int(s[:i]) * _SIZE_SUFFIX[s[i:].strip()]
+    except (ValueError, KeyError):
+        return default
 
 
 def _table_bytes(path: str) -> int:

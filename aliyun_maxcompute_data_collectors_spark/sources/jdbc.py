@@ -404,8 +404,11 @@ def export_jdbc(
         sql = build_upsert_sql(table, cols, keys, dialect)
         param_cols = cols
     elif mode == "call":
-        sql = build_call_sql(table, len(cols),
-                             "jdbc" if dialect == "ansi" else dialect)
+        # pass the dialect through: DB-API connections (sqlite/duckdb/
+        # psycopg2 - this function's documented transport) reject the JDBC
+        # escape form '{call p(?)}'; callers on a real JDBC bridge opt into
+        # it with dialect="jdbc"
+        sql = build_call_sql(table, len(cols), dialect)
         param_cols = cols
     else:
         raise ValueError(f"unknown export mode {mode!r}")

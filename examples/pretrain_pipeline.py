@@ -46,7 +46,11 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     drops = {r["drop_reason"]: r["n"] for r in
              report.where(~F.col("kept"))
              .groupBy("drop_reason").agg(F.count(F.lit(1)).alias("n")).collect()}
-    quality = text.filter_pipeline(docs, rules, mode="filter")
+    # each stage is checkpointed once: the stats counts and the next stage
+    # then reuse the materialized survivors instead of re-running the whole
+    # upstream chain per action
+    quality = text.filter_pipeline(docs, rules, mode="filter") \
+        .localCheckpoint(eager=True)
     stats["after_quality"] = quality.count()
     stats.update({f"dropped_{k}": v for k, v in drops.items()})
 
@@ -60,27 +64,22 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     )
     batch1, fp_delta = dedup.incremental_exact_dedup(
         batch, "doc_id", "text", hist_store)
+    batch1 = batch1.localCheckpoint(eager=True)
     stats["after_exact"] = batch1.count()
 
     hsig = dedup.minhash_signature(history, "doc_id", "text")
-    rows = dedup.DEFAULT_K // dedup.DEFAULT_BANDS
-    bcols = []
-    for bi in range(dedup.DEFAULT_BANDS):
-        cols = [F.col(f"sig_{bi * rows + r}") for r in range(rows)]
-        bcols.append(F.struct(F.lit(bi).alias("band"),
-                              F.md5(F.concat_ws(",", *cols)).alias("bucket")))
-    hbuckets = hsig.select("id", F.explode(F.array(*bcols)).alias("bb")) \
-        .select("id", F.col("bb.band").alias("band"),
-                F.col("bb.bucket").alias("bucket"))
+    hbuckets = dedup.minhash_band_buckets(hsig)
     batch2, sig_delta, bucket_delta = dedup.incremental_minhash_dedup(
         batch1, "doc_id", "text", sig_store=hsig, bucket_store=hbuckets)
+    batch2 = batch2.localCheckpoint(eager=True)
     stats["after_minhash"] = batch2.count()
 
     # 4. decontaminate against a benchmark set (planted: first 5 docs)
     bench = docs.orderBy("doc_id").limit(5).select("text")
     contaminated = dedup.decontaminate(batch2, bench, "doc_id", "text", n=8) \
         .select("doc_id")
-    clean = batch2.join(contaminated, "doc_id", "left_anti")
+    clean = batch2.join(contaminated, "doc_id", "left_anti") \
+        .localCheckpoint(eager=True)
     stats["after_decontam"] = clean.count()
 
     # 5. boilerplate scoring (kept as a column, threshold left to training)
@@ -92,7 +91,8 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
 
     # 6-7. deterministic split + sharded export
     final = corpus.split_assign(scored, "doc_id",
-                                {"train": 0.9, "val": 0.1})
+                                {"train": 0.9, "val": 0.1}) \
+        .localCheckpoint(eager=True)
     train = final.where(F.col("split") == "train")
     corpus.write_shards(train, os.path.join(out_dir, "train"), "doc_id",
                         n_shards=4)

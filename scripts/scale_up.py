@@ -116,11 +116,13 @@ def main() -> None:
     for t in TABLES:
         df = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
         big = df if t in ("region", "nation") else replicate(df, t, k, offs)
-        # single-file output to mirror the driver layout; row-groups still
-        # give Spark row-range splits on read (SURVEY S4)
-        big.coalesce(max(1, k // 2)).write.mode("overwrite").parquet(
-            os.path.join(dst, f"{t}.parquet"))
-        print(t, "rows:", big.count() if t != "lineitem" else "(skipped)")
+        # ~k/2 files per table: a directory-style multi-file layout (what a
+        # real big table looks like); row-groups still give row-range splits
+        out = os.path.join(dst, f"{t}.parquet")
+        big.coalesce(max(1, k // 2)).write.mode("overwrite").parquet(out)
+        # count the WRITTEN files - counting `big` would re-run the whole
+        # k-way replication a second time
+        print(t, "rows:", spark.read.parquet(out).count())
     spark.stop()
     print("wrote", dst)
 

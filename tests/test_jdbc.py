@@ -140,7 +140,10 @@ def test_export_call_mode_shapes_and_roundtrip(spark, tmp_path):
             self._cur = cur
 
         def executemany(self, sql, batch):
-            assert sql == "{call sp_load(?, ?)}"  # the exported statement
+            # default dialect 'ansi' must emit the standard CALL form - a
+            # DB-API connection (this shim's contract) rejects the JDBC
+            # escape form '{call ...}'
+            assert sql == "CALL sp_load(?, ?)"
             self._cur.executemany("INSERT INTO tgt VALUES (?, ?)", batch)
 
     class _CallConn:

@@ -574,6 +574,16 @@ def test_boilerplate_scores(spark):
     corpus = {r["doc_id"]: r for r in
               boilerplate_scores(df, "doc_id", "text", n=3, min_docs=2).collect()}
     assert corpus[5]["n_boiler"] > 0
+    # per-doc contract holds for degenerate docs: NULL / empty / shorter
+    # than n words each yield one whole-text (or NULL) shingle, never a
+    # dropped row
+    edge = spark.createDataFrame([(10, None), (11, ""), (12, "one two")],
+                                 "doc_id long, text string") \
+        .withColumn("source", F.lit("s"))
+    got = {r["doc_id"]: r["n_shingles"] for r in
+           boilerplate_scores(edge, "doc_id", "text", group_col="source",
+                              n=3, min_docs=2).collect()}
+    assert got == {10: 1, 11: 1, 12: 1}
 
 
 def test_shard_assign_and_write(spark, tmp_path):
@@ -648,17 +658,9 @@ def test_incremental_dedup_two_batches(spark):
     other = " ".join(f"z{i}" for i in range(200))
     h = spark.createDataFrame([(1, base)], "doc_id long, text string")
     from aliyun_maxcompute_data_collectors_spark.operators.dedup import (
-        DEFAULT_BANDS, DEFAULT_K, minhash_signature)
-    from pyspark.sql import functions as F
+        DEFAULT_K, minhash_band_buckets, minhash_signature)
     hsig = minhash_signature(h, "doc_id", "text", DEFAULT_K)
-    rows = DEFAULT_K // DEFAULT_BANDS
-    bcols = []
-    for bi in range(DEFAULT_BANDS):
-        cols = [F.col(f"sig_{bi * rows + r}") for r in range(rows)]
-        bcols.append(F.struct(F.lit(bi).alias("band"),
-                              F.md5(F.concat_ws(",", *cols)).alias("bucket")))
-    hb = hsig.select("id", F.explode(F.array(*bcols)).alias("bb")) \
-        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    hb = minhash_band_buckets(hsig)
     batch = spark.createDataFrame([(100, near), (101, other)],
                                   "doc_id long, text string")
     kept, ksig, kbuck = incremental_minhash_dedup(
@@ -668,6 +670,11 @@ def test_incremental_dedup_two_batches(spark):
     assert ids == {101}
     assert {r["id"] for r in ksig.collect()} == {101}
     assert kbuck.where("id = 100").count() == 0
+    # bucket store without its signatures is an unverifiable combination
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bucket_store"):
+        incremental_minhash_dedup(batch, "doc_id", "text",
+                                  sig_store=None, bucket_store=hb)
 
 
 def test_filter_pipeline_modes(spark):
@@ -734,3 +741,14 @@ def test_pretrain_pipeline_example(spark, tmp_path):
     back = spark.read.parquet(os.path.join(out, "train"))
     assert back.count() == stats["train"]
     assert back.select("shard_id").distinct().count() <= 4
+
+
+def test_parse_bytes_conf_suffixes():
+    from aliyun_maxcompute_data_collectors_spark.session import _parse_bytes_conf
+    assert _parse_bytes_conf("268435456") == 268435456
+    assert _parse_bytes_conf("256m") == 256 << 20
+    assert _parse_bytes_conf("128MB") == 128 << 20
+    assert _parse_bytes_conf("1g") == 1 << 30
+    assert _parse_bytes_conf("64k") == 64 << 10
+    assert _parse_bytes_conf("134217728b") == 134217728
+    assert _parse_bytes_conf("nonsense") == 134217728  # safe fallback
