@@ -148,3 +148,30 @@ def test_migration_apply(spark, tmp_path):
     meta = cat.get_meta("mig")
     assert meta.columns == [("a", "INT"), ("s", "STRING")]
     assert meta.partition_columns == [("ds", "STRING")]
+
+
+def test_hive_udf_bridge_surface(spark):
+    """U2 surface: DDL generation + error contract; live registration is
+    env-gated (no UDF jar ships in this container) and skipped."""
+    import pytest as _pytest
+
+    from aliyun_maxcompute_data_collectors_spark.functions.hive_udf import (
+        drop_hive_udf, hive_function_ddl, register_hive_udf)
+
+    assert hive_function_ddl("my_upper", "com.example.Upper") == \
+        "CREATE OR REPLACE TEMPORARY FUNCTION my_upper AS 'com.example.Upper'"
+    assert hive_function_ddl("f", "com.x.F", jars=["/tmp/u.jar", "hdfs:///u2.jar"],
+                             temporary=False, or_replace=False) == \
+        ("CREATE FUNCTION f AS 'com.x.F' "
+         "USING JAR '/tmp/u.jar', JAR 'hdfs:///u2.jar'")
+    with _pytest.raises(ValueError):
+        hive_function_ddl("bad name;drop", "com.x.F")
+    with _pytest.raises(ValueError):
+        hive_function_ddl("ok", "com.x.F with spaces")
+
+    # registering a class that is not on the classpath must surface Spark's
+    # own error, not silently no-op; drop is idempotent either way
+    with _pytest.raises(Exception):
+        register_hive_udf(spark, "missing_udf", "com.example.DoesNotExist")
+        spark.sql("SELECT missing_udf(1)").collect()
+    drop_hive_udf(spark, "missing_udf")
