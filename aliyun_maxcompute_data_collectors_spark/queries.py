@@ -1132,6 +1132,45 @@ ORDER BY s_suppkey
 """
 
 
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: orders x lineitem join + CASE-conditional counts
+    (host-engine join surface, spark-connector README TPC-H parity list).
+
+    The synthetic lineitem has no l_shipmode/l_commitdate/l_receiptdate, so
+    l_returnflag stands in for the mode column and l_shipdate for the
+    receipt-window predicate; the physical plan is the canonical Q12 one:
+    date-filtered lineitem shuffle-joined to orders on the order key, then
+    a two-branch conditional aggregate.  COUNT(CASE ...) rather than
+    SUM(CASE ...) keeps both engines in BIGINT (DuckDB SUM(int) -> INT128).
+    """
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    li = t["lineitem"].where(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("ship_mode"))
+        .agg(
+            F.count(F.when(high, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~high, F.lit(1))).alias("low_line_count"),
+        )
+        .orderBy("ship_mode")
+    )
+
+
+_Q12_SQL = """
+SELECT l_returnflag AS ship_mode,
+  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+GROUP BY 1 ORDER BY ship_mode
+"""
+
+
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: large-volume orders — having-filtered aggregate on
     lineitem joined back to orders (both shuffle on the order key, so the
@@ -2040,6 +2079,7 @@ REGISTRY: dict[str, tuple] = {
     "q9_product_profit": (q9_product_profit, _Q9_SQL),
     "q14_promo_revenue": (q14_promo_revenue, _Q14_SQL),
     "q15_top_supplier": (q15_top_supplier, _Q15_SQL),
+    "q12_shipmode_priority": (q12_shipmode_priority, _Q12_SQL),
     "q18_large_orders": (q18_large_orders, _Q18_SQL),
     "q21_waiting_supplier": (q21_waiting_supplier, _Q21_SQL),
     "asof_join_events": (asof_join_events, _ASOF_SQL),
