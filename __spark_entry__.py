@@ -51,9 +51,10 @@ _PRIORITY = [
     # tier 1c: round-3 LLM-pipeline additions (all oracle-backed) + the
     # analytics queries most changed this round
     "dedup_incremental", "minhash_incremental", "filter_pipeline",
-    "boilerplate_frac", "shard_assign",
-    "cdc_snapshot_at", "ewma_user_value", "interp_gapfill", "pareto_parts",
+    "boilerplate_frac", "shard_assign", "span_dedup",
+    "cdc_snapshot_at", "ewma_user_value", "interp_gapfill",
     # tier 2: rest of the r1/r2-unchecked set (round-4 rotation candidates)
+    "pareto_parts",
     "fuzzy_customer_names", "regr_value_trend", "zscore_anomalies",
     "funnel_steps", "cohort_retention",
     "asof_join_events", "range_join_sessions", "rollup_hypertable",

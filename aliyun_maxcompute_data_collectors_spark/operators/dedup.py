@@ -621,6 +621,77 @@ def dedupe_corpus(
 
 
 # ---------------------------------------------------------------------------
+# C4-style duplicate-span removal (sub-document dedup)
+# ---------------------------------------------------------------------------
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_words: int = 20,
+) -> DataFrame:
+    """Remove duplicated sub-document spans across the whole corpus, keeping
+    only the globally-first occurrence of each span (C4's "discard any
+    three-sentence span seen before" rule, at aligned word-window
+    granularity since the synthetic corpus has no sentence punctuation).
+
+    Reference parity: the reference engines dedup whole rows only; this is
+    a training-data-pipeline extension (SURVEY beyond-reference scope).
+
+    Plan shape (scale notes):
+      1. split -> explode aligned ``span_words``-word windows (narrow);
+      2. hash-groupBy span fingerprint picking the lexicographic-min
+         (id, span_idx) winner — partial-aggregable, so a boilerplate span
+         repeated in 10^6 docs costs one combiner row per input partition,
+         never a hot-key reduce;
+      3. fp-equi join back (1 winner row per fp — no fanout) to drop
+         non-first occurrences;
+      4. per-doc reassembly (groupBy id, ordered array_sort concat).
+    Three shuffles total, all key-partitioned; nothing quadratic.
+
+    Returns one row per doc that retains >=1 span:
+    (id, n_spans, n_kept, text_dedup).  Docs whose every span was seen
+    earlier elsewhere are dropped entirely (the C4 behavior).
+    """
+    base = (
+        df.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(F.col(id_col).alias("id"),
+                F.split(F.trim(F.col(text_col)), r"\s+").alias("words"))
+    )
+    spans = (
+        base
+        .withColumn("n_spans",
+                    F.ceil(F.size("words") / F.lit(span_words)).cast("int"))
+        .select("id", "n_spans", "words",
+                F.explode(F.sequence(F.lit(0), F.col("n_spans") - 1)).alias("span_idx"))
+        .select(
+            "id", "n_spans", "span_idx",
+            F.array_join(
+                F.slice("words", F.col("span_idx") * span_words + 1, span_words),
+                " ").alias("span"))
+        .withColumn("fp", F.md5(F.col("span")))
+    )
+    winners = spans.groupBy("fp").agg(
+        F.min(F.struct(F.col("id").alias("d"), F.col("span_idx").alias("p"))).alias("w"))
+    kept = (
+        spans.join(winners, "fp")
+        .where((F.col("id") == F.col("w.d")) & (F.col("span_idx") == F.col("w.p")))
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.max("n_spans").alias("n_spans"),
+            F.count(F.lit(1)).cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                    lambda s: s["span"]),
+                " ").alias("text_dedup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -928,6 +928,47 @@ WHERE d.doc_id % 5 = 0
 """
 
 
+def span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicate-span removal (dedup.span_dedup): drop every
+    aligned 20-word span whose text was already seen at a lexicographically
+    earlier (doc, position); emit per-doc kept counts + md5 of the
+    reassembled text so the driver compare stays narrow."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    out = D.span_dedup(t["documents"], "doc_id", "text", span_words=20)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_spans", "n_kept",
+        F.md5("text_dedup").alias("text_md5"))
+
+
+_SPAN_DEDUP_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+s AS (
+  SELECT doc_id, words,
+         CAST(ceil(len(words) / 20.0) AS INT) AS n_spans,
+         unnest(range(0, CAST(ceil(len(words) / 20.0) AS BIGINT))) AS span_idx
+  FROM w
+),
+sp AS (
+  SELECT doc_id, n_spans, span_idx,
+         array_to_string(words[span_idx*20 + 1 : LEAST((span_idx+1)*20, len(words))], ' ') AS span
+  FROM s
+),
+f AS (SELECT doc_id, n_spans, span_idx, span, md5(span) AS fp FROM sp),
+win AS (SELECT fp, MIN({'d': doc_id, 'p': span_idx}) AS w FROM f GROUP BY 1),
+kept AS (
+  SELECT f.* FROM f JOIN win USING (fp)
+  WHERE f.doc_id = win.w.d AND f.span_idx = win.w.p
+)
+SELECT doc_id, MAX(n_spans) AS n_spans,
+       CAST(COUNT(*) AS INT) AS n_kept,
+       md5(string_agg(span, ' ' ORDER BY span_idx)) AS text_md5
+FROM kept GROUP BY doc_id
+"""
+
+
 def boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc boilerplate fraction: word 3-gram shingles shared by >=2 docs
     of the same source (corpus.boilerplate_scores - the C4 repeated-span
@@ -1010,6 +1051,7 @@ REGISTRY: dict[str, tuple] = {
     "blob_meta": (blob_meta, _BLOB_SQL),
     "frame_sample": (frame_sample, _FRAME_SAMPLE_SQL),
     "boilerplate_frac": (boilerplate_q, _BOILER_SQL),
+    "span_dedup": (span_dedup_q, _SPAN_DEDUP_SQL),
     "shard_assign": (shard_assign_q, _SHARD_SQL),
     "dedup_incremental": (dedup_incremental_q, _DEDUP_INCR_SQL),
     "minhash_incremental": (minhash_incr_q, _minhash_incr_sql()),

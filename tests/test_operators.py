@@ -76,6 +76,43 @@ def test_exact_dedup_keeps_min_id(spark):
     assert kept == [2, 9]  # normalization folds case/whitespace; min id wins
 
 
+def test_span_dedup_first_occurrence_wins(spark):
+    # spans are aligned 3-word windows; doc 1 repeats doc 0's first span,
+    # doc 2 is made ENTIRELY of spans seen earlier -> dropped outright
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),          # spans: [a b c] [d e f]
+            (1, "a b c x y z"),          # span 0 dupes doc0 span0 -> only [x y z] kept
+            (2, "d e f a b c"),          # both spans seen earlier -> doc dropped
+            (3, "g h"),                  # short doc: single ragged span, unique
+        ],
+        "doc_id int, text string")
+    out = {r["id"]: r for r in
+           D.span_dedup(df, "doc_id", "text", span_words=3).collect()}
+    assert set(out) == {0, 1, 3}
+    assert out[0]["n_spans"] == 2 and out[0]["n_kept"] == 2
+    assert out[0]["text_dedup"] == "a b c d e f"
+    assert out[1]["n_kept"] == 1 and out[1]["text_dedup"] == "x y z"
+    assert out[3]["n_kept"] == 1 and out[3]["text_dedup"] == "g h"
+
+
+def test_span_dedup_idempotent_on_corpus(spark, sf_dir):
+    # corpus-level invariant: every surviving span fingerprint is globally
+    # unique.  Dropping a span shifts later spans by whole window multiples
+    # (only the final span may be ragged), so reassembled text re-splits
+    # into exactly the kept spans -> a second pass must be a no-op.
+    from aliyun_maxcompute_data_collectors_spark.session import load_tables
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = D.span_dedup(docs, "doc_id", "text", span_words=20)
+    n_docs, total = out.agg(
+        F.count(F.lit(1)), F.sum("n_kept")).collect()[0]
+    assert n_docs > 0 and total > 0
+    again = D.span_dedup(out, "id", "text_dedup", span_words=20)
+    n_docs2, total2 = again.agg(
+        F.count(F.lit(1)), F.sum("n_kept")).collect()[0]
+    assert (n_docs2, total2) == (n_docs, total)
+
+
 def test_lsh_recall_vs_brute_force(spark, sf_dir):
     from aliyun_maxcompute_data_collectors_spark.session import load_tables
     t = load_tables(spark, sf_dir, ["embeddings"])
