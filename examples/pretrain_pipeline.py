@@ -5,10 +5,11 @@ shuffle-bounded operator from this repo:
   1. quality gate      text.filter_pipeline      (one codegen pass)
   2. exact dedup       dedup.incremental_exact_dedup   (vs a history store)
   3. near-dup dedup    dedup.incremental_minhash_dedup (vs band buckets)
-  4. decontamination   dedup.decontaminate             (broadcast benchmark)
-  5. boilerplate score corpus.boilerplate_scores       (hot-shingle join)
-  6. train/val split   corpus.split_assign             (hash, map-side)
-  7. shard export      corpus.write_shards             (one shuffle)
+  4. span dedup        dedup.span_dedup                (C4 sub-doc rule)
+  5. decontamination   dedup.decontaminate             (broadcast benchmark)
+  6. boilerplate score corpus.boilerplate_scores       (hot-shingle join)
+  7. train/val split   corpus.split_assign             (hash, map-side)
+  8. shard export      corpus.write_shards             (one shuffle)
 
 Exact dedup runs BEFORE minhash on purpose: identical-text families make
 near-dup pair output quadratic in family size (see SCALE.md, sf10 smoke);
@@ -74,22 +75,34 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     batch2 = batch2.localCheckpoint(eager=True)
     stats["after_minhash"] = batch2.count()
 
-    # 4. decontaminate against a benchmark set (planted: first 5 docs)
+    # 4. sub-document span dedup (C4 rule): drop repeated aligned 20-word
+    # windows corpus-wide, keep the first occurrence, reassemble the text;
+    # docs whose every span was seen earlier disappear entirely
+    spans = dedup.span_dedup(batch2, "doc_id", "text", span_words=20)
+    batch3 = (
+        batch2.drop("text")
+        .join(spans.select(F.col("id").alias("doc_id"),
+                           F.col("text_dedup").alias("text")), "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    stats["after_span"] = batch3.count()
+
+    # 5. decontaminate against a benchmark set (planted: first 5 docs)
     bench = docs.orderBy("doc_id").limit(5).select("text")
-    contaminated = dedup.decontaminate(batch2, bench, "doc_id", "text", n=8) \
+    contaminated = dedup.decontaminate(batch3, bench, "doc_id", "text", n=8) \
         .select("doc_id")
-    clean = batch2.join(contaminated, "doc_id", "left_anti") \
+    clean = batch3.join(contaminated, "doc_id", "left_anti") \
         .localCheckpoint(eager=True)
     stats["after_decontam"] = clean.count()
 
-    # 5. boilerplate scoring (kept as a column, threshold left to training)
+    # 6. boilerplate scoring (kept as a column, threshold left to training)
     scored = clean.join(
         corpus.boilerplate_scores(clean, "doc_id", "text",
                                   group_col="source", n=3, min_docs=2)
         .select("doc_id", "boiler_frac"),
         "doc_id")
 
-    # 6-7. deterministic split + sharded export
+    # 7-8. deterministic split + sharded export
     final = corpus.split_assign(scored, "doc_id",
                                 {"train": 0.9, "val": 0.1}) \
         .localCheckpoint(eager=True)

@@ -773,7 +773,8 @@ def test_pretrain_pipeline_example(spark, tmp_path):
     out = str(tmp_path / "corpus")
     stats = mod.run(spark, "/root/testdata/sf0.001", out)
     assert stats["input"] >= stats["after_quality"] >= stats["after_exact"] \
-        >= stats["after_minhash"] >= stats["after_decontam"]
+        >= stats["after_minhash"] >= stats["after_span"] \
+        >= stats["after_decontam"]
     assert stats["after_decontam"] == stats["train"] + stats["val"]
     back = spark.read.parquet(os.path.join(out, "train"))
     assert back.count() == stats["train"]
