@@ -46,12 +46,29 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     same_id_excluded: bool = True,
+    salt: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query: (query_id, neighbor_id, cos, rank).
 
     queries is expected to be small (it is broadcast); corpus scans once.
-    Rank ties (at 6-decimal cosine) break by neighbor id - deterministic."""
-    from aliyun_maxcompute_data_collectors_spark.session import ensure_parallelism
+    Rank ties (at 6-decimal cosine) break by neighbor id - deterministic.
+
+    A single window partitioned by query_id alone funnels the ENTIRE scored
+    corpus into n_queries reducer tasks - with 8 queries and a 100 TB
+    corpus that is 8 straggler tasks.  On a wide corpus scan the top-k is
+    therefore two-phase: a salted per-(query, salt-bucket) window first
+    (reducer parallelism = n_queries * salt), then the global window over
+    only k*salt survivors per query - identical output.  ``salt=None``
+    auto-enables at >=128 estimated scan splits (a narrow local corpus
+    keeps the cheaper single-window plan); pass an int to force a width,
+    0 to disable."""
+    from aliyun_maxcompute_data_collectors_spark.session import (
+        ensure_parallelism, estimated_scan_splits)
+    if salt is None:
+        n_parts = estimated_scan_splits(corpus)
+        if n_parts is None:
+            n_parts = corpus.rdd.getNumPartitions()
+        salt = 32 if n_parts >= 128 else 0
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = ensure_parallelism(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
@@ -62,7 +79,15 @@ def cosine_topk(
         "query_id", "neighbor_id",
         F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    order = [F.desc("cos"), F.asc("neighbor_id")]
+    if salt:
+        w_local = Window.partitionBy(
+            "query_id", F.pmod(F.xxhash64("neighbor_id"), F.lit(salt))).orderBy(*order)
+        scored = (
+            scored.withColumn("__r", F.row_number().over(w_local))
+            .where(F.col("__r") <= k).drop("__r")
+        )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

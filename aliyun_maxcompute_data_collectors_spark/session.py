@@ -186,6 +186,13 @@ _DF_CACHE: dict = {}
 _SCAN_SPLIT_EST: dict[int, int] = {}
 
 
+def estimated_scan_splits(df) -> int | None:
+    """Bytes-based scan-split estimate for a ``load_tables`` DataFrame, or
+    None for derived plans.  Callers that adapt their plan shape to input
+    width (e.g. salted top-k) use this to avoid a planning pass."""
+    return _SCAN_SPLIT_EST.get(id(df))
+
+
 def ensure_parallelism(df, min_partitions: int | None = None):
     """Round-robin repartition iff the plan's partitioning is below the
     cluster's parallelism.

@@ -113,6 +113,17 @@ def test_span_dedup_idempotent_on_corpus(spark, sf_dir):
     assert (n_docs2, total2) == (n_docs, total)
 
 
+def test_cosine_topk_salted_matches_single_window(spark, sf_dir):
+    # the two-phase salted plan (100 TB reducer-parallelism path) must be
+    # bit-identical to the single-window plan
+    from aliyun_maxcompute_data_collectors_spark.session import load_tables
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    q = e.where(F.col("vec_id") < 5)
+    plain = sorted(map(tuple, cosine_topk(q, e, k=5, salt=0).collect()))
+    salted = sorted(map(tuple, cosine_topk(q, e, k=5, salt=4).collect()))
+    assert plain == salted and len(plain) == 25
+
+
 def test_lsh_recall_vs_brute_force(spark, sf_dir):
     from aliyun_maxcompute_data_collectors_spark.session import load_tables
     t = load_tables(spark, sf_dir, ["embeddings"])
