@@ -206,6 +206,76 @@ def mixture_weights(
     return df.withColumn("mix_weight", w)
 
 
+def mixture_rebalance(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    targets: dict[str, float],
+    salt: str = "s42",
+) -> tuple[DataFrame, DataFrame]:
+    """Downsample per source so the surviving corpus hits exact mixture
+    shares (DoReMi-style static reweighting applied as data selection).
+
+    ``targets`` maps source -> desired share of the FINAL corpus.  The
+    largest feasible corpus at that mixture is N* = min_s(count_s/share_s);
+    each source keeps ``share_s * N* / count_s`` of its rows (the binding
+    source keeps everything), selected by deterministic id-hash so the
+    sample is reproducible across runs, engines and cluster sizes.
+
+    Scale shape: one partial-aggregable count per source, then
+    broadcast-joined keep-fractions — the data-sized pass is a single
+    map-side filter; nothing shuffles the corpus itself.
+
+    Returns (sampled_df, plan_df) where plan has one row per targeted
+    source: (source, n_docs, share, keep_frac)."""
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(s, float(sh)) for s, sh in targets.items()], f"{source_col} string, share double")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    j = counts.join(F.broadcast(tgt), source_col)
+    nstar = j.agg(F.min(F.col("n_docs") / F.col("share")).alias("nstar"))
+    plan = (
+        j.crossJoin(F.broadcast(nstar))
+        .select(source_col, "n_docs", "share",
+                F.least(F.lit(1.0),
+                        F.col("share") * F.col("nstar") / F.col("n_docs"))
+                .alias("keep_frac"))
+    )
+    sampled = (
+        df.join(F.broadcast(plan.select(source_col, "keep_frac")), source_col)
+        .where(_hash_frac(F.col(id_col), salt) < F.col("keep_frac"))
+        .drop("keep_frac")
+    )
+    return sampled, plan
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col,
+    n: int,
+    salt: str = "ws42",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of ``n`` rows (Efraimidis-
+    Spirakis A-Res): each row draws key u^(1/w) with u a deterministic
+    id-hash uniform; the global top-n keys are the sample.  Heavier rows
+    win proportionally more often; the whole draw is reproducible.
+
+    Implemented as ln(u)/w (same argmax ordering, better conditioned) with
+    the key rounded to 9 decimals + id tiebreak so both engines rank
+    identically.  Global top-n via orderBy+limit = per-partition TakeOrdered
+    + driver merge of n*partitions candidate rows — no full sort at scale.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    key = F.round(F.log(_hash_frac(F.col(id_col), salt)) /
+                  F.greatest(w.cast("double"), F.lit(1e-12)), 9)
+    return (
+        df.withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(n)
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus statistics
 # ---------------------------------------------------------------------------

@@ -586,6 +586,71 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def mixture_rebalance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-mixture downsampling (corpus.mixture_rebalance): keep-fractions
+    for the largest corpus hitting the target source shares, with realized
+    kept counts from the deterministic id-hash sample."""
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import mixture_rebalance
+    t = load_tables(spark, sf_dir, ["documents"])
+    targets = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    sampled, plan = mixture_rebalance(t["documents"], "doc_id", "source", targets)
+    kept = sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        plan.join(kept, "source", "left")
+        .select("source", "n_docs",
+                F.round("share", 6).alias("share"),
+                F.round("keep_frac", 6).alias("keep_frac"),
+                F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+_MIXTURE_SQL = f"""
+WITH tgt(source, share) AS (
+  VALUES ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+         ('src2', CAST(0.2 AS DOUBLE))),
+counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+j AS (SELECT c.source, c.n_docs, t.share FROM counts c JOIN tgt t USING (source)),
+ns AS (SELECT MIN(n_docs / share) AS nstar FROM j),
+plan AS (
+  SELECT source, n_docs, share,
+         LEAST(CAST(1.0 AS DOUBLE), share * nstar / n_docs) AS keep_frac
+  FROM j, ns),
+kept AS (
+  SELECT d.source, COUNT(*) AS n_kept
+  FROM documents d JOIN plan p USING (source)
+  WHERE {_HFRAC} < p.keep_frac GROUP BY 1)
+SELECT p.source, p.n_docs, ROUND(p.share, 6) AS share,
+       ROUND(p.keep_frac, 6) AS keep_frac,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM plan p LEFT JOIN kept k USING (source) ORDER BY source
+"""
+
+_HFRAC_WS = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ws42'), 1, 8)) AS BIGINT)"
+             " / 4294967296.0")
+
+
+def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sample without replacement, 100 docs
+    weighted by n_chars (corpus.weighted_sample) - deterministic draw."""
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import weighted_sample
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        weighted_sample(t["documents"], "doc_id", "n_chars", n=100)
+        .select("doc_id", "source", "n_chars", "sample_key")
+    )
+
+
+_WSAMPLE_SQL = f"""
+SELECT doc_id, source, n_chars,
+       ROUND(ln({_HFRAC_WS}) / GREATEST(CAST(n_chars AS DOUBLE), 1e-12), 9)
+         AS sample_key
+FROM documents
+ORDER BY sample_key DESC, doc_id ASC
+LIMIT 100
+"""
+
+
 def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking (20-token chunks, stride 20)."""
     from aliyun_maxcompute_data_collectors_spark.operators.corpus import chunk_documents
@@ -1027,6 +1092,8 @@ REGISTRY: dict[str, tuple] = {
     "repetition_profile": (repetition_profile, _REPETITION_SQL),
     "pii_redact": (pii_redact, _pii_sql()),
     "det_sample": (det_sample, _DET_SAMPLE_SQL),
+    "mixture_rebalance": (mixture_rebalance_q, _MIXTURE_SQL),
+    "weighted_sample": (weighted_sample_q, _WSAMPLE_SQL),
     "stratified_sample": (strat_sample, _STRAT_SQL),
     "chunk_documents": (chunk_docs, _CHUNK_SQL),
     "pack_sequences": (pack_seqs, _PACK_SQL),

@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "minhash_incremental",
     "filter_pipeline",
+    "span_dedup",
+    "q12_shipmode_priority",
 ]
 
 

@@ -113,6 +113,39 @@ def test_span_dedup_idempotent_on_corpus(spark, sf_dir):
     assert (n_docs2, total2) == (n_docs, total)
 
 
+def test_mixture_rebalance_plan_math(spark):
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import mixture_rebalance
+    # 100 a-rows, 50 b-rows; target 50/50 -> feasible corpus = 100 (b binds):
+    # a keeps 0.5, b keeps 1.0
+    rows = [(i, "a") for i in range(100)] + [(1000 + i, "b") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    sampled, plan = mixture_rebalance(df, "doc_id", "source",
+                                      {"a": 0.5, "b": 0.5})
+    p = {r["source"]: r for r in plan.collect()}
+    assert p["a"]["keep_frac"] == 0.5 and p["b"]["keep_frac"] == 1.0
+    kept = {r["source"]: r["n"] for r in
+            sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert kept["b"] == 50                  # binding source keeps everything
+    assert 35 <= kept["a"] <= 65            # hash-sampled ~50
+    # unknown sources are dropped entirely
+    df2 = df.union(spark.createDataFrame([(9999, "junk")], df.schema))
+    sampled2, _ = mixture_rebalance(df2, "doc_id", "source", {"a": 0.5, "b": 0.5})
+    assert sampled2.where(F.col("source") == "junk").count() == 0
+
+
+def test_weighted_sample_biased_and_deterministic(spark):
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import weighted_sample
+    # 50 heavy rows (w=1000) vs 50 light (w=1): a 10-draw should be all-heavy
+    rows = [(i, 1000) for i in range(50)] + [(100 + i, 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, w int")
+    got = weighted_sample(df, "doc_id", "w", n=10).collect()
+    assert len(got) == 10
+    assert all(r["w"] == 1000 for r in got)
+    # deterministic: same draw twice
+    again = weighted_sample(df, "doc_id", "w", n=10).collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in again)
+
+
 def test_cosine_topk_salted_matches_single_window(spark, sf_dir):
     # the two-phase salted plan (100 TB reducer-parallelism path) must be
     # bit-identical to the single-window plan
