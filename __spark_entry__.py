@@ -52,9 +52,9 @@ _PRIORITY = [
     # analytics queries most changed this round
     "dedup_incremental", "minhash_incremental", "filter_pipeline",
     "boilerplate_frac", "shard_assign", "span_dedup",
-    "mixture_rebalance", "weighted_sample", "interp_gapfill",
+    "mixture_rebalance", "weighted_sample", "split_leakage",
     # tier 2: rest of the r1/r2-unchecked set (round-4 rotation candidates)
-    "pareto_parts", "cdc_snapshot_at", "ewma_user_value",
+    "interp_gapfill", "pareto_parts", "cdc_snapshot_at", "ewma_user_value",
     "fuzzy_customer_names", "regr_value_trend", "zscore_anomalies",
     "funnel_steps", "cohort_retention",
     "asof_join_events", "range_join_sessions", "rollup_hypertable",

@@ -469,6 +469,46 @@ def split_assign(
     return df.withColumn("split", expr)
 
 
+def split_leakage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    splits: dict[str, float] | None = None,
+    train_split: str = "train",
+    salt: str = "s42",
+) -> DataFrame:
+    """Cross-split contamination audit: per non-train split, how many docs
+    share an exact normalized-text fingerprint with ANY train doc (the
+    leakage a held-out eval set must not have).  Run after split_assign and
+    before export; non-zero leak_frac means dedup must run BEFORE splitting.
+
+    Scale shape: fingerprints hash-partition once for the train-side
+    distinct and once for the left-semi probe - both fp-keyed shuffles; no
+    pairwise term.  Returns (split, n_docs, n_leaked, leak_frac)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import _fp_or_sentinel
+    assigned = (
+        split_assign(df, id_col, splits or {"train": 0.8, "val": 0.1, "test": 0.1},
+                     salt=salt)
+        .select("split", _fp_or_sentinel(text_col).alias("fp"))
+    )
+    holdout = assigned.where(F.col("split") != train_split)
+    train_fps = (assigned.where(F.col("split") == train_split)
+                 .select("fp").distinct())
+    totals = holdout.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+    leaks = (
+        holdout.join(train_fps, "fp", "left_semi")
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n_leaked"))
+    )
+    return (
+        totals.join(leaks, "split", "left")
+        .select(
+            "split", "n_docs",
+            F.coalesce("n_leaked", F.lit(0)).alias("n_leaked"),
+            F.round(F.coalesce("n_leaked", F.lit(0)).cast("double") /
+                    F.col("n_docs"), 6).alias("leak_frac"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # cross-document boilerplate scoring (C4/CCNet-style repeated-span signal)
 # ---------------------------------------------------------------------------

@@ -546,6 +546,9 @@ _NTOK = "len(string_split_regex(trim(text), '\\s+'))"
 _HFRAC = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's42'), 1, 8)) AS BIGINT)"
           " / 4294967296.0")
 
+_FP_EXPR = ("COALESCE(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+            ", '__NULL_TEXT__')")
+
 
 def det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sampling - reproducible across runs/engines/cluster
@@ -648,6 +651,37 @@ SELECT doc_id, source, n_chars,
 FROM documents
 ORDER BY sample_key DESC, doc_id ASC
 LIMIT 100
+"""
+
+
+def split_leakage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/holdout contamination audit (corpus.split_leakage): exact
+    fingerprint overlap between the 80% train split and each held-out
+    split under the deterministic 80/10/10 assignment."""
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import split_leakage
+    t = load_tables(spark, sf_dir, ["documents"])
+    return split_leakage(t["documents"], "doc_id", "text").orderBy("split")
+
+
+_LEAKAGE_SQL = f"""
+WITH assigned AS (
+  SELECT {_FP_EXPR} AS fp,
+         CASE WHEN {_HFRAC} < 0.8 THEN 'train'
+              WHEN {_HFRAC} < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents),
+train_fp AS (SELECT DISTINCT fp FROM assigned WHERE split = 'train'),
+nt AS (SELECT split, COUNT(*) AS n_docs FROM assigned
+       WHERE split <> 'train' GROUP BY 1),
+lk AS (
+  SELECT a.split, COUNT(*) AS n_leaked FROM assigned a
+  WHERE a.split <> 'train'
+    AND EXISTS (SELECT 1 FROM train_fp t WHERE t.fp = a.fp)
+  GROUP BY 1)
+SELECT nt.split, nt.n_docs, COALESCE(lk.n_leaked, 0) AS n_leaked,
+       ROUND(CAST(COALESCE(lk.n_leaked, 0) AS DOUBLE) / nt.n_docs, 6)
+         AS leak_frac
+FROM nt LEFT JOIN lk USING (split) ORDER BY split
 """
 
 
@@ -919,8 +953,6 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang", "source")
 
 
-_FP_EXPR = ("COALESCE(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
-            ", '__NULL_TEXT__')")
 
 _DEDUP_INCR_SQL = f"""
 WITH hist AS (
@@ -1094,6 +1126,7 @@ REGISTRY: dict[str, tuple] = {
     "det_sample": (det_sample, _DET_SAMPLE_SQL),
     "mixture_rebalance": (mixture_rebalance_q, _MIXTURE_SQL),
     "weighted_sample": (weighted_sample_q, _WSAMPLE_SQL),
+    "split_leakage": (split_leakage_q, _LEAKAGE_SQL),
     "stratified_sample": (strat_sample, _STRAT_SQL),
     "chunk_documents": (chunk_docs, _CHUNK_SQL),
     "pack_sequences": (pack_seqs, _PACK_SQL),
