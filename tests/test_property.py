@@ -343,3 +343,39 @@ def test_incremental_exact_dedup_matches_reference(spark, batch_rows, hist_texts
     assert len(d) == len(set(d))
     store_fps = {r["fp"] for r in store.collect()}
     assert not (set(d) & store_fps)
+
+
+@given(
+    st.lists(st.text(alphabet="ab ", max_size=24), min_size=0, max_size=15),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=30, deadline=None)
+def test_span_dedup_matches_reference(spark, texts, span_words):
+    """span_dedup == pure-python sequential first-occurrence reference:
+    walking docs in (id, pos) order and keeping each aligned window the
+    first time it is seen reproduces the lexicographic-min winner rule."""
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import span_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    seen: set[str] = set()
+    expect = {}
+    for doc_id, text in rows:
+        words = text.split()
+        if not words:
+            continue
+        n_spans = -(-len(words) // span_words)
+        kept = []
+        for si in range(n_spans):
+            span = " ".join(words[si * span_words:(si + 1) * span_words])
+            if span not in seen:
+                seen.add(span)
+                kept.append(span)
+        if kept:
+            expect[doc_id] = (n_spans, len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(rows or [(0, "x")], "doc_id long, text string")
+    if not rows:
+        df = df.where("doc_id < 0")
+    got = {r["id"]: (r["n_spans"], r["n_kept"], r["text_dedup"])
+           for r in span_dedup(df, "doc_id", "text", span_words=span_words).collect()}
+    assert got == expect
