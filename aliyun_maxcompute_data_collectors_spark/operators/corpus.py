@@ -232,6 +232,16 @@ def mixture_rebalance(
     tgt = spark.createDataFrame(
         [(s, float(sh)) for s, sh in targets.items()], f"{source_col} string, share double")
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    # a target source absent from the data makes the mixture infeasible
+    # (N* = min includes count=0); failing fast beats silently returning a
+    # plan that cannot realize the requested shares.  The check is
+    # dimension-sized (<= len(targets) rows), not a data-sized action.
+    missing = [r[0] for r in
+               tgt.join(counts, source_col, "left_anti").collect()]
+    if missing:
+        raise ValueError(
+            f"mixture infeasible: target sources {sorted(missing)} have no "
+            "rows in the corpus")
     j = counts.join(F.broadcast(tgt), source_col)
     nstar = j.agg(F.min(F.col("n_docs") / F.col("share")).alias("nstar"))
     plan = (
@@ -486,9 +496,15 @@ def split_leakage(
     distinct and once for the left-semi probe - both fp-keyed shuffles; no
     pairwise term.  Returns (split, n_docs, n_leaked, leak_frac)."""
     from aliyun_maxcompute_data_collectors_spark.operators.dedup import _fp_or_sentinel
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if train_split not in splits:
+        # an audit that can never match the train side would report zero
+        # leakage for ANY corpus - exactly the silent pass it exists to catch
+        raise ValueError(
+            f"train_split {train_split!r} is not one of the split names "
+            f"{sorted(splits)}")
     assigned = (
-        split_assign(df, id_col, splits or {"train": 0.8, "val": 0.1, "test": 0.1},
-                     salt=salt)
+        split_assign(df, id_col, splits, salt=salt)
         .select("split", _fp_or_sentinel(text_col).alias("fp"))
     )
     holdout = assigned.where(F.col("split") != train_split)
@@ -520,7 +536,7 @@ def boilerplate_scores(
     group_col: str | None = None,
     n: int = 3,
     min_docs: int = 2,
-    broadcast_hot: bool = True,
+    broadcast_hot: bool = False,
     reuse: str = "persist",
 ) -> DataFrame:
     """Fraction of each document's word ``n``-gram shingles that are
@@ -532,11 +548,15 @@ def boilerplate_scores(
 
     Plan at scale: shingle explode -> (group, shingle) doc-frequency
     aggregate (one shuffle; shingles are distinct per doc so count(*) IS
-    doc frequency) -> hot set filtered to df >= min_docs (bounded by
-    total_shingles / min_docs - boilerplate is by definition concentrated,
-    so the hot set is small and broadcast back for a map-side join; pass
-    ``broadcast_hot=False`` to let AQE pick if min_docs is tiny on a huge
-    corpus) -> per-doc aggregate.  No quadratic term anywhere.
+    doc frequency) -> hot set filtered to df >= min_docs -> join back ->
+    per-doc aggregate.  No quadratic term anywhere.
+
+    The hot set's only size bound is total_shingles / min_docs - at the
+    default min_docs=2 that can be a large fraction of the shingle
+    universe on a real crawl, so the default ``broadcast_hot=False`` lets
+    AQE pick the join strategy from the MEASURED hot-set size (it still
+    broadcasts when genuinely small).  Set ``broadcast_hot=True`` only
+    when min_docs is high enough that the hot set is provably tiny.
 
     The shingle table feeds BOTH the doc-frequency aggregate and the probe
     join.  ``reuse="persist"`` (default) caches it (memory+disk, LRU

@@ -827,6 +827,11 @@ def incremental_minhash_dedup(
         raise ValueError(
             "bucket_store without sig_store: history candidates could not "
             "be verified and would be silently kept - pass both stores")
+    if sig_store is not None and bucket_store is None:
+        raise ValueError(
+            "sig_store without bucket_store: no batch-vs-history candidates "
+            "would be generated, so every historical near-dup would be "
+            "silently kept - pass both stores")
     sig = minhash_signature(batch, id_col, text_col, k, n, seed, hash_fn) \
         .localCheckpoint(eager=True)
     buckets = minhash_band_buckets(sig, k, bands)

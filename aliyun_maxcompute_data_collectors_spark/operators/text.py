@@ -524,6 +524,16 @@ def filter_pipeline(
         raise ValueError(f"mode must be 'report' or 'filter', got {mode!r}")
     if not rules:
         raise ValueError("rules must be non-empty")
+    if mode == "report":
+        # appending report columns over an input that already has them
+        # (e.g. the report of a previous pass) would create duplicate
+        # column names and AMBIGUOUS_REFERENCE errors downstream
+        reserved = {"kept", "drop_reason"} | {f"ok_{n}" for n, _ in rules}
+        clash = sorted(reserved & set(df.columns))
+        if clash:
+            raise ValueError(
+                f"input already has report column(s) {clash}; drop or "
+                "rename them (are you re-running report mode on a report?)")
     oks = [(name, F.coalesce(cond, F.lit(False))) for name, cond in rules]
     kept = reduce(lambda a, b: a & b, [c for _, c in oks])
     if mode == "filter":

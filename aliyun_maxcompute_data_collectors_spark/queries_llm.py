@@ -977,7 +977,11 @@ def minhash_incr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"]
     hist = docs.where(F.col("doc_id") % 5 != 0)
     batch = docs.where(F.col("doc_id") % 5 == 0)
-    hsig = D.minhash_signature(hist, "doc_id", "text", D.DEFAULT_K)
+    # lineage cut: hsig feeds BOTH the band-bucket build and the signature
+    # re-attach inside incremental_minhash_dedup; without it the dominant
+    # shingle->hash->min job over history runs twice
+    hsig = D.minhash_signature(hist, "doc_id", "text", D.DEFAULT_K) \
+        .localCheckpoint(eager=True)
     hbuckets = D.minhash_band_buckets(hsig)
     kept, _s, _b = D.incremental_minhash_dedup(
         batch, "doc_id", "text", sig_store=hsig, bucket_store=hbuckets)

@@ -68,7 +68,9 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     batch1 = batch1.localCheckpoint(eager=True)
     stats["after_exact"] = batch1.count()
 
-    hsig = dedup.minhash_signature(history, "doc_id", "text")
+    # lineage cut: hsig is consumed twice inside incremental_minhash_dedup
+    hsig = dedup.minhash_signature(history, "doc_id", "text") \
+        .localCheckpoint(eager=True)
     hbuckets = dedup.minhash_band_buckets(hsig)
     batch2, sig_delta, bucket_delta = dedup.incremental_minhash_dedup(
         batch1, "doc_id", "text", sig_store=hsig, bucket_store=hbuckets)

@@ -131,6 +131,34 @@ def test_mixture_rebalance_plan_math(spark):
     df2 = df.union(spark.createDataFrame([(9999, "junk")], df.schema))
     sampled2, _ = mixture_rebalance(df2, "doc_id", "source", {"a": 0.5, "b": 0.5})
     assert sampled2.where(F.col("source") == "junk").count() == 0
+    # a TARGET source with no rows makes the mixture infeasible -> raise
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="infeasible"):
+        mixture_rebalance(df, "doc_id", "source",
+                          {"a": 0.4, "b": 0.4, "ghost": 0.2})
+
+
+def test_guards_raise_not_silently_pass(spark):
+    import pytest as _pytest
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import split_leakage
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import (
+        incremental_minhash_dedup, minhash_signature)
+    from aliyun_maxcompute_data_collectors_spark.operators.text import filter_pipeline
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    # leakage audit with a train name that matches nothing must raise,
+    # not report zero leakage
+    with _pytest.raises(ValueError, match="train_split"):
+        split_leakage(df, "doc_id", "text",
+                      splits={"tr": 0.9, "val": 0.1}, train_split="train")
+    # sig_store without bucket_store would silently skip history dedup
+    sig = minhash_signature(df, "doc_id", "text")
+    with _pytest.raises(ValueError, match="bucket_store"):
+        incremental_minhash_dedup(df, "doc_id", "text", sig_store=sig)
+    # report-mode over an existing report would duplicate columns
+    rules = [("len", F.length("text") > 1)]
+    report = filter_pipeline(df, rules)
+    with _pytest.raises(ValueError, match="report column"):
+        filter_pipeline(report, rules)
 
 
 def test_weighted_sample_biased_and_deterministic(spark):
