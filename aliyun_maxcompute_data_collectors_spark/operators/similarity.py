@@ -39,6 +39,23 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def topk_per_query(scored: DataFrame, k: int, salt: int = 0,
+                   tiebreak_col: str = "neighbor_id") -> DataFrame:
+    """Rank (query_id, ..., cos) rows to top-k per query.  ``salt`` > 0
+    inserts a per-(query, salt-bucket) pre-pass so reducer parallelism is
+    n_queries * salt instead of n_queries - the scale path when the scored
+    set is much larger than k per query."""
+    order = [F.desc("cos"), F.asc(tiebreak_col)]
+    if salt:
+        w_local = Window.partitionBy(
+            "query_id", F.pmod(F.xxhash64(tiebreak_col), F.lit(salt))).orderBy(*order)
+        scored = (scored.withColumn("__r", F.row_number().over(w_local))
+                  .where(F.col("__r") <= k).drop("__r"))
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -79,42 +96,28 @@ def cosine_topk(
         "query_id", "neighbor_id",
         F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cos"),
     )
-    order = [F.desc("cos"), F.asc("neighbor_id")]
-    if salt:
-        w_local = Window.partitionBy(
-            "query_id", F.pmod(F.xxhash64("neighbor_id"), F.lit(salt))).orderBy(*order)
-        scored = (
-            scored.withColumn("__r", F.row_number().over(w_local))
-            .where(F.col("__r") <= k).drop("__r")
-        )
-    w = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return topk_per_query(scored, k, salt=salt)
 
 
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN via k-means coarse quantizer
 # ---------------------------------------------------------------------------
 
-def ivf_topk(
-    queries: DataFrame,
+def ivf_build(
     corpus: DataFrame,
-    k: int = 5,
     n_clusters: int = 16,
-    n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-) -> DataFrame:
-    """IVF ANN: k-means partitions the corpus into ``n_clusters`` cells; each
-    query searches only its ``n_probe`` nearest cells, exact cosine re-rank
-    within.  The scale path when LSH recall is poor on low-structure vectors:
-    cells follow the data distribution instead of random hyperplanes.
+) -> tuple[DataFrame, list[list[float]]]:
+    """Build the IVF index once: k-means partitions the corpus into
+    ``n_clusters`` cells.  Returns ``(cells, centers)`` where ``cells`` is
+    (neighbor_id, cv, cell) and ``centers`` the centroid list.
 
-    Uses Spark ML KMeans (itself a distributed fit); assignment is a
-    broadcast of n_clusters centroids - no shuffle beyond the cell join."""
+    At scale, WRITE ``cells`` out partitioned/bucketed by ``cell`` (and the
+    centers as a tiny side table) - the fit is one distributed KMeans job
+    and every subsequent query batch reuses it; re-fitting per query batch
+    (what a single-call API forces) wastes the dominant cost."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -124,11 +127,25 @@ def ivf_topk(
     )
     km = KMeans(k=n_clusters, seed=seed, featuresCol="features", predictionCol="cell")
     model = km.fit(corpus_v)
-    corpus_cells = model.transform(corpus_v).select("neighbor_id", "cv", "cell")
+    cells = model.transform(corpus_v).select("neighbor_id", "cv", "cell")
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    return cells, centers
 
-    centers = model.clusterCenters()
+
+def ivf_query(
+    cells: DataFrame,
+    centers: list[list[float]],
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a prebuilt IVF index: each query probes its ``n_probe``
+    nearest cells (centroid scoring is a pure expression over broadcast
+    literals), exact cosine re-rank within the probed cells only."""
     center_lits = [
-        (ci, F.array(*[F.lit(float(x)) for x in c])) for ci, c in enumerate(centers)
+        (ci, F.array(*[F.lit(x) for x in c])) for ci, c in enumerate(centers)
     ]
 
     def query_cells(vec: Column) -> Column:
@@ -145,14 +162,31 @@ def ivf_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         F.explode(query_cells(F.col(vec_col))).alias("cell"),
     )
-    cand = corpus_cells.join(F.broadcast(q), "cell").where(
+    cand = cells.join(F.broadcast(q), "cell").where(
         F.col("query_id") != F.col("neighbor_id"))
     scored = cand.select(
         "query_id", "neighbor_id",
         F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cos"),
     ).dropDuplicates(["query_id", "neighbor_id"])
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return topk_per_query(scored, k)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN in one call (ivf_build + ivf_query): the scale path when LSH
+    recall is poor on low-structure vectors - cells follow the data
+    distribution instead of random hyperplanes.  Amortizing callers should
+    use ivf_build once and ivf_query per batch."""
+    cells, centers = ivf_build(corpus, n_clusters, id_col, vec_col, seed)
+    return ivf_query(cells, centers, queries, k, n_probe, id_col, vec_col)
 
 
 # ---------------------------------------------------------------------------
