@@ -257,8 +257,8 @@ def lsh_topk(
         "query_id", "neighbor_id",
         F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    # candidates are bucket-bounded (~n/2^bits per probe) so no salt pass
+    return topk_per_query(scored, k)
 
 
 # ---------------------------------------------------------------------------
