@@ -379,3 +379,34 @@ def test_span_dedup_matches_reference(spark, texts, span_words):
     got = {r["id"]: (r["n_spans"], r["n_kept"], r["text_dedup"])
            for r in span_dedup(df, "doc_id", "text", span_words=span_words).collect()}
     assert got == expect
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**6),
+             min_size=1, max_size=20),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=25, deadline=None)
+def test_weighted_sample_matches_reference(spark, weights, n):
+    """weighted_sample == pure-python Efraimidis-Spirakis with the same
+    md5-derived uniforms: identical ranked draw, not just the same bias."""
+    import hashlib
+    import math
+
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import weighted_sample
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+
+    def key(doc_id, w):
+        u = int(hashlib.md5(f"{doc_id}ws42".encode()).hexdigest()[:8], 16) / 2**32
+        k = -math.inf if u == 0.0 else math.log(u) / max(float(w), 1e-12)
+        return round(k, 9)
+
+    expect = sorted(rows, key=lambda r: (-key(*r), r[0]))[:n]
+    expect_ids = [r[0] for r in expect]
+
+    df = spark.createDataFrame(rows, "doc_id long, w int")
+    got = weighted_sample(df, "doc_id", "w", n=n).collect()
+    got_ids = [r["doc_id"] for r in
+               sorted(got, key=lambda r: (-r["sample_key"], r["doc_id"]))]
+    assert got_ids == expect_ids
