@@ -212,6 +212,7 @@ def mixture_rebalance(
     source_col: str,
     targets: dict[str, float],
     salt: str = "s42",
+    weight_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Downsample per source so the surviving corpus hits exact mixture
     shares (DoReMi-style static reweighting applied as data selection).
@@ -222,6 +223,12 @@ def mixture_rebalance(
     source keeps everything), selected by deterministic id-hash so the
     sample is reproducible across runs, engines and cluster sizes.
 
+    ``weight_col`` (e.g. a token count) switches the unit of measure:
+    shares then target WEIGHT mass per source (count_s = sum of weights),
+    the way real pretraining mixtures are specified in tokens.  Selection
+    stays row-level uniform-by-hash, so the realized mass per source
+    matches the target in expectation (exact for homogeneous row weights).
+
     Scale shape: one partial-aggregable count per source, then
     broadcast-joined keep-fractions — the data-sized pass is a single
     map-side filter; nothing shuffles the corpus itself.
@@ -231,7 +238,9 @@ def mixture_rebalance(
     spark = df.sparkSession
     tgt = spark.createDataFrame(
         [(s, float(sh)) for s, sh in targets.items()], f"{source_col} string, share double")
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    unit = (F.count(F.lit(1)) if weight_col is None
+            else F.sum(F.col(weight_col).cast("double")))
+    counts = df.groupBy(source_col).agg(unit.alias("n_docs"))
     # a target source absent from the data makes the mixture infeasible
     # (N* = min includes count=0); failing fast beats silently returning a
     # plan that cannot realize the requested shares.  The check is

@@ -136,6 +136,15 @@ def test_mixture_rebalance_plan_math(spark):
     with _pytest.raises(ValueError, match="infeasible"):
         mixture_rebalance(df, "doc_id", "source",
                           {"a": 0.4, "b": 0.4, "ghost": 0.2})
+    # token-weighted targets: same counts but a weighs 4 tokens/row vs b's 1
+    # -> in token units a has 400 vs b 50, so b binds at 50/50 and a keeps
+    # 100/400 of its mass
+    dfw = df.withColumn("n_tok", F.when(F.col("source") == "a", 4).otherwise(1))
+    _, planw = mixture_rebalance(dfw, "doc_id", "source",
+                                 {"a": 0.5, "b": 0.5}, weight_col="n_tok")
+    pw = {r["source"]: r for r in planw.collect()}
+    assert pw["b"]["keep_frac"] == 1.0
+    assert abs(pw["a"]["keep_frac"] - 0.125) < 1e-12
 
 
 def test_guards_raise_not_silently_pass(spark):
