@@ -316,13 +316,50 @@ FROM comp GROUP BY group_id ORDER BY group_id
 
 
 def simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures + chunk-blocked near-dup pairs.  Non-SQL-expressible
-    (64-bit bit-twiddling) -> rows-only driver check; pytest covers parity
-    with the pure-Python reference."""
+    """64-bit SimHash chunk-blocked near-dup pairs.  Oracle-checked: DuckDB
+    recomputes the signatures with UBIGINT bit ops (same md5-first-8-bytes
+    token hashes, per-bit sign votes, two's-complement reassembly) and
+    verifies ALL pairs by bit_count(xor) - the blocking is pigeonhole-exact,
+    so the blocked Spark plan and the brute-force oracle must agree
+    exactly."""
     t = load_tables(spark, sf_dir, ["documents"])
     return (
         D.simhash_dup_pairs(t["documents"], "doc_id", "text", max_hamming=12)
     )
+
+
+def _simhash64_sql(max_hamming: int = 12) -> str:
+    """All-pairs oracle for ``simhash_sig``: exact 64-bit SimHash in SQL.
+
+    Signature reassembly emits a signed BIGINT directly (bits 0..62 as
+    powers of two, bit 63 as -2^63) so no unsigned->signed cast can
+    overflow; xor/bit_count operate on the identical two's-complement bit
+    pattern in both engines."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64))
+    bits_lo = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(63))
+    signed = (f"({bits_lo}) + (CASE WHEN v63 > 0 THEN "
+              f"CAST(-9223372036854775808 AS BIGINT) ELSE 0 END)")
+    return f"""
+WITH src AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+tok AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+  FROM src WHERE trim(text) <> ''),
+h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT) AS h FROM tok),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+sig AS (
+  SELECT doc_id, {signed} AS sh FROM v
+  UNION ALL
+  SELECT doc_id, CAST(0 AS BIGINT) AS sh FROM src WHERE trim(text) = '')
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
 
 
 def simhash32_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1144,7 +1181,7 @@ REGISTRY: dict[str, tuple] = {
     "ngram_jaccard": (ngram_jaccard, _JACCARD_SQL),
     "minhash_signature": (minhash_signature, _minhash_sql()),
     "minhash_lsh": (minhash_lsh, _minhash_lsh_sql()),
-    "simhash_pairs": (simhash_sig, None),  # rows-only: 64-bit, not SQL-expressible
+    "simhash_pairs": (simhash_sig, _simhash64_sql()),  # exact all-pairs oracle
     "simhash32_sig": (simhash32_sig, _SIMHASH32_SQL),
     "dedup_transitive": (dedup_transitive, _dedup_transitive_sql()),
     "ivf_topk": (ivf_topk_q, None),  # rows-only: kmeans-dependent
