@@ -509,8 +509,10 @@ SELECT vec_id FROM comp WHERE vec_id = rep ORDER BY vec_id
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-5 (the 100TB path: bucket join, no cross
-    product).  Approximate by construction -> rows-only check; recall vs
-    brute force is asserted in pytest."""
+    product).  "Approximate" means approximate vs BRUTE FORCE - the
+    algorithm itself is deterministic (seeded hyperplanes, d >= 0 sign
+    rule, exact re-rank), so the oracle regenerates the same planes from
+    the shared constants and must match hash-exactly."""
     t = load_tables(spark, sf_dir, ["embeddings"])
     e = t["embeddings"]
     return (
@@ -518,6 +520,51 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                  n_probe_planes=8)
         .orderBy("query_id", "rank")
     )
+
+
+def _ann_lsh_sql(k: int = 5, bits: int = 4, dim: int = 64,
+                 n_probe_planes: int = 8, seed: int = 42, nq: int = 8) -> str:
+    """Oracle for ``ann_lsh_topk``: regenerate the SAME seeded hyperplanes
+    (operators/similarity.hyperplanes - shared constants, so the two sides
+    cannot drift) as SQL list literals; bucket bit i = (dot >= 0), candidate
+    = any probe bucket equal, exact re-rank on the fold-identical cosine.
+    Both engines left-fold the dot from 0.0, so the sign tests see
+    bit-identical doubles."""
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import hyperplanes
+
+    def dot(vec_expr: str, plane) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        return (f"list_reduce(list_transform(list_zip({vec_expr}, {lit}),"
+                " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),"
+                " (s, x) -> s + x)")
+
+    bucket_exprs = []
+    for p in range(n_probe_planes):
+        planes = hyperplanes(dim, bits, seed + p)
+        terms = " + ".join(
+            f"(CASE WHEN {dot('embedding', pl)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, pl in enumerate(planes))
+        bucket_exprs.append(f"({terms}) AS b{p}")
+    match = " OR ".join(f"qa.b{p} = ca.b{p}" for p in range(n_probe_planes))
+    return f"""
+WITH sig AS (
+  SELECT vec_id, {", ".join(bucket_exprs)} FROM embeddings),
+q AS (SELECT * FROM sig WHERE vec_id < {nq}),
+cand AS (
+  SELECT DISTINCT qa.vec_id AS query_id, ca.vec_id AS neighbor_id
+  FROM q qa JOIN sig ca ON qa.vec_id <> ca.vec_id AND ({match})),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, ROUND({_COS}, 6) AS cos
+  FROM cand c JOIN embeddings a ON a.vec_id = c.query_id
+              JOIN embeddings b ON b.vec_id = c.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1188,7 +1235,7 @@ REGISTRY: dict[str, tuple] = {
     "embedding_topk": (embedding_topk, _TOPK_EMB_SQL),
     "embedding_dups": (embedding_dups, _EMB_DUPS_SQL),
     "semantic_dedup_exact": (semantic_dedup_exact, _SEMDEDUP_EXACT_SQL),
-    "ann_lsh_topk": (ann_lsh, None),  # rows-only: approximate by construction
+    "ann_lsh_topk": (ann_lsh, _ann_lsh_sql()),  # deterministic planes -> exact oracle
     "blob_meta": (blob_meta, _BLOB_SQL),
     "frame_sample": (frame_sample, _FRAME_SAMPLE_SQL),
     "boilerplate_frac": (boilerplate_q, _BOILER_SQL),
