@@ -534,6 +534,63 @@ def split_leakage(
     )
 
 
+def distribution_drift(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Drift diagnostics between two categorical distributions - e.g. the
+    token / language / source histograms of two corpus snapshots, the
+    monitoring signal that catches silent mixture shifts between pipeline
+    runs.  Inputs are pre-aggregated (key, n) histograms or raw key rows
+    (auto-counted when no ``n`` column exists).
+
+    Returns the ``top_n`` keys by probability movement |p_a - p_b| with a
+    ``jsd`` column (Jensen-Shannon divergence, natural log - bounded by
+    ln 2, defined for disjoint supports) repeated on every row.
+
+    Determinism across engines: per-key JSD terms are rounded then summed
+    as DECIMAL (exact, order-independent) - a double SUM would depend on
+    aggregation order and never hash-match a second engine.  Scale: two
+    hash aggregates + one full-outer join on the key, a 2-row totals
+    broadcast; nothing data-sized crosses the driver."""
+    def hist(df: DataFrame, n_alias: str) -> DataFrame:
+        if "n" in df.columns:
+            return df.select(F.col(key_col).alias("key"), F.col("n").alias(n_alias))
+        return (df.groupBy(F.col(key_col).alias("key"))
+                .agg(F.count(F.lit(1)).alias(n_alias)))
+
+    ha, hb = hist(a, "n_a"), hist(b, "n_b")
+    j = (ha.join(hb, "key", "full_outer")
+         .select("key",
+                 F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                 F.coalesce("n_b", F.lit(0)).alias("n_b")))
+    tot = j.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    p = (j.crossJoin(F.broadcast(tot))
+         .select("key", "n_a", "n_b",
+                 (F.col("n_a").cast("double") / F.col("ta")).alias("p_a"),
+                 (F.col("n_b").cast("double") / F.col("tb")).alias("p_b")))
+    m = (F.col("p_a") + F.col("p_b")) / 2
+    term = (
+        F.when(F.col("p_a") > 0, F.col("p_a") * F.log(F.col("p_a") / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("p_b") > 0, F.col("p_b") * F.log(F.col("p_b") / m)).otherwise(F.lit(0.0))
+    ) * 0.5
+    scored = p.withColumn(
+        "jsd_term", F.round(term, 12).cast("decimal(38,15)"))
+    jsd = scored.agg(
+        F.round(F.sum("jsd_term").cast("double"), 8).alias("jsd"))
+    return (
+        scored.withColumn("drift", F.round(F.abs(F.col("p_a") - F.col("p_b")), 12))
+        .crossJoin(F.broadcast(jsd))
+        .select("key", "n_a", "n_b",
+                F.round("p_a", 8).alias("p_a"), F.round("p_b", 8).alias("p_b"),
+                F.round("drift", 8).alias("drift"), "jsd")
+        .orderBy(F.desc("drift"), F.asc("key"))
+        .limit(top_n)
+    )
+
+
 # ---------------------------------------------------------------------------
 # cross-document boilerplate scoring (C4/CCNet-style repeated-span signal)
 # ---------------------------------------------------------------------------

@@ -769,6 +769,56 @@ FROM nt LEFT JOIN lk USING (split) ORDER BY split
 """
 
 
+def corpus_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots (doc_id parity
+    as the snapshot split): top-20 probability movers + Jensen-Shannon
+    divergence (corpus.distribution_drift, decimal-exact term sum)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import distribution_drift
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+
+    def toks(df):
+        return df.select(
+            F.explode(F.split(X.normalized("text"), " ")).alias("token"))
+
+    return distribution_drift(
+        toks(docs.where(F.col("doc_id") % 2 == 0)),
+        toks(docs.where(F.col("doc_id") % 2 == 1)),
+        "token", top_n=20)
+
+
+_NORM_TOKS = "unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))"
+
+_DRIFT_SQL = f"""
+WITH ta AS (SELECT {_NORM_TOKS} AS key FROM documents WHERE doc_id % 2 = 0),
+tb AS (SELECT {_NORM_TOKS} AS key FROM documents WHERE doc_id % 2 = 1),
+ha AS (SELECT key, COUNT(*) AS n_a FROM ta GROUP BY 1),
+hb AS (SELECT key, COUNT(*) AS n_b FROM tb GROUP BY 1),
+j AS (
+  SELECT key, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+  FROM ha FULL OUTER JOIN hb USING (key)),
+tot AS (SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM j),
+p AS (
+  SELECT key, n_a, n_b,
+         CAST(n_a AS DOUBLE) / t_a AS p_a,
+         CAST(n_b AS DOUBLE) / t_b AS p_b
+  FROM j, tot),
+s AS (
+  SELECT key, n_a, n_b, p_a, p_b,
+         CAST(ROUND(
+           ((CASE WHEN p_a > 0 THEN p_a * ln(p_a / ((p_a + p_b) / 2)) ELSE 0.0 END)
+          + (CASE WHEN p_b > 0 THEN p_b * ln(p_b / ((p_a + p_b) / 2)) ELSE 0.0 END))
+           * 0.5, 12) AS DECIMAL(38,15)) AS jsd_term,
+         ROUND(ABS(p_a - p_b), 12) AS drift
+  FROM p),
+g AS (SELECT ROUND(CAST(SUM(jsd_term) AS DOUBLE), 8) AS jsd FROM s)
+SELECT key, n_a, n_b, ROUND(p_a, 8) AS p_a, ROUND(p_b, 8) AS p_b,
+       ROUND(drift, 8) AS drift, g.jsd
+FROM s, g
+ORDER BY s.drift DESC, key ASC
+LIMIT 20
+"""
+
+
 def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking (20-token chunks, stride 20)."""
     from aliyun_maxcompute_data_collectors_spark.operators.corpus import chunk_documents
@@ -1215,6 +1265,7 @@ REGISTRY: dict[str, tuple] = {
     "mixture_rebalance": (mixture_rebalance_q, _MIXTURE_SQL),
     "weighted_sample": (weighted_sample_q, _WSAMPLE_SQL),
     "split_leakage": (split_leakage_q, _LEAKAGE_SQL),
+    "corpus_drift": (corpus_drift_q, _DRIFT_SQL),
     "stratified_sample": (strat_sample, _STRAT_SQL),
     "chunk_documents": (chunk_docs, _CHUNK_SQL),
     "pack_sequences": (pack_seqs, _PACK_SQL),

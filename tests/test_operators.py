@@ -147,6 +147,25 @@ def test_mixture_rebalance_plan_math(spark):
     assert abs(pw["a"]["keep_frac"] - 0.125) < 1e-12
 
 
+def test_distribution_drift_bounds(spark):
+    from math import log
+
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import distribution_drift
+    a = spark.createDataFrame([("x",), ("x",), ("y",)], "k string")
+    # identical snapshots -> zero divergence, zero drift everywhere
+    same = distribution_drift(a, a, "k").collect()
+    assert all(r["jsd"] == 0.0 and r["drift"] == 0.0 for r in same)
+    # disjoint supports -> JSD = ln 2 (the upper bound), every key fully moved
+    b = spark.createDataFrame([("z",), ("w",)], "k string")
+    rows = distribution_drift(a, b, "k").collect()
+    assert abs(rows[0]["jsd"] - log(2)) < 1e-6
+    # pre-aggregated (key, n) histograms are accepted as-is
+    ha = spark.createDataFrame([("x", 3), ("y", 1)], "k string, n long")
+    hb = spark.createDataFrame([("x", 1), ("y", 3)], "k string, n long")
+    sym = {r["key"]: r for r in distribution_drift(ha, hb, "k").collect()}
+    assert sym["x"]["drift"] == sym["y"]["drift"] == 0.5
+
+
 def test_guards_raise_not_silently_pass(spark):
     import pytest as _pytest
     from aliyun_maxcompute_data_collectors_spark.operators.corpus import split_leakage
