@@ -241,16 +241,25 @@ def mixture_rebalance(
     unit = (F.count(F.lit(1)) if weight_col is None
             else F.sum(F.col(weight_col).cast("double")))
     counts = df.groupBy(source_col).agg(unit.alias("n_docs"))
-    # a target source absent from the data makes the mixture infeasible
-    # (N* = min includes count=0); failing fast beats silently returning a
-    # plan that cannot realize the requested shares.  The check is
-    # dimension-sized (<= len(targets) rows), not a data-sized action.
+    # a target source absent from the data - or, with weight_col, one whose
+    # weight mass is zero/NULL - makes the mixture infeasible (N* would be
+    # 0 or undefined); failing fast beats silently returning a plan that
+    # cannot realize the requested shares.  Both checks are dimension-sized
+    # (<= len(targets) rows), not data-sized actions.
     missing = [r[0] for r in
                tgt.join(counts, source_col, "left_anti").collect()]
     if missing:
         raise ValueError(
             f"mixture infeasible: target sources {sorted(missing)} have no "
             "rows in the corpus")
+    empty = [r[0] for r in
+             tgt.join(counts, source_col)
+             .where(F.col("n_docs").isNull() | (F.col("n_docs") <= 0))
+             .select(source_col).collect()]
+    if empty:
+        raise ValueError(
+            f"mixture infeasible: target sources {sorted(empty)} have zero "
+            f"or undefined {'weight mass' if weight_col else 'row count'}")
     j = counts.join(F.broadcast(tgt), source_col)
     nstar = j.agg(F.min(F.col("n_docs") / F.col("share")).alias("nstar"))
     plan = (
@@ -556,8 +565,12 @@ def distribution_drift(
     hash aggregates + one full-outer join on the key, a 2-row totals
     broadcast; nothing data-sized crosses the driver."""
     def hist(df: DataFrame, n_alias: str) -> DataFrame:
-        if "n" in df.columns:
-            return df.select(F.col(key_col).alias("key"), F.col("n").alias(n_alias))
+        # a pre-aggregated histogram must be EXACTLY (key_col, n) - sniffing
+        # any frame that merely contains an 'n' column would take per-row
+        # values as category counts; duplicate keys are merged either way
+        if set(df.columns) == {key_col, "n"}:
+            return (df.groupBy(F.col(key_col).alias("key"))
+                    .agg(F.sum("n").alias(n_alias)))
         return (df.groupBy(F.col(key_col).alias("key"))
                 .agg(F.count(F.lit(1)).alias(n_alias)))
 
@@ -567,10 +580,18 @@ def distribution_drift(
                  F.coalesce("n_a", F.lit(0)).alias("n_a"),
                  F.coalesce("n_b", F.lit(0)).alias("n_b")))
     tot = j.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    # an empty snapshot reads as all-zero probabilities (every key fully
+    # drifted, JSD = ln 2) rather than NULL-poisoning the whole report -
+    # "snapshot went empty" is exactly the regression this monitor exists
+    # to surface
     p = (j.crossJoin(F.broadcast(tot))
          .select("key", "n_a", "n_b",
-                 (F.col("n_a").cast("double") / F.col("ta")).alias("p_a"),
-                 (F.col("n_b").cast("double") / F.col("tb")).alias("p_b")))
+                 F.when(F.col("ta") > 0,
+                        F.col("n_a").cast("double") / F.col("ta"))
+                 .otherwise(F.lit(0.0)).alias("p_a"),
+                 F.when(F.col("tb") > 0,
+                        F.col("n_b").cast("double") / F.col("tb"))
+                 .otherwise(F.lit(0.0)).alias("p_b")))
     m = (F.col("p_a") + F.col("p_b")) / 2
     term = (
         F.when(F.col("p_a") > 0, F.col("p_a") * F.log(F.col("p_a") / m)).otherwise(F.lit(0.0))
@@ -580,14 +601,17 @@ def distribution_drift(
         "jsd_term", F.round(term, 12).cast("decimal(38,15)"))
     jsd = scored.agg(
         F.round(F.sum("jsd_term").cast("double"), 8).alias("jsd"))
+    # order + cut on the 12-decimal drift, THEN round for display - ordering
+    # on the 8-rounded value would let sub-1e-8 drift differences straddle
+    # the top_n boundary differently in each engine
     return (
         scored.withColumn("drift", F.round(F.abs(F.col("p_a") - F.col("p_b")), 12))
         .crossJoin(F.broadcast(jsd))
+        .orderBy(F.desc("drift"), F.asc("key"))
+        .limit(top_n)
         .select("key", "n_a", "n_b",
                 F.round("p_a", 8).alias("p_a"), F.round("p_b", 8).alias("p_b"),
                 F.round("drift", 8).alias("drift"), "jsd")
-        .orderBy(F.desc("drift"), F.asc("key"))
-        .limit(top_n)
     )
 
 

@@ -334,7 +334,15 @@ def _simhash64_sql(max_hamming: int = 12) -> str:
     Signature reassembly emits a signed BIGINT directly (bits 0..62 as
     powers of two, bit 63 as -2^63) so no unsigned->signed cast can
     overflow; xor/bit_count operate on the identical two's-complement bit
-    pattern in both engines."""
+    pattern in both engines.
+
+    Documented precondition (same class as the interp_gapfill NULL-anchor
+    rule in SCALE.md): the Spark-side pandas UDF tokenizes with Python
+    ``str.split()`` (all Unicode whitespace) while this oracle uses the
+    regex ``\\s+`` class - texts whose only separators are exotic
+    whitespace (vertical tab, unicode spaces) would tokenize differently.
+    The synthetic corpus is space-separated only (verified: zero such
+    rows at every SF), so the oracle is exact on the driver's data."""
     votes = ", ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
         for b in range(64))
@@ -346,8 +354,7 @@ def _simhash64_sql(max_hamming: int = 12) -> str:
     return f"""
 WITH src AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
 tok AS (
-  SELECT doc_id,
-         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+  SELECT doc_id, {_NORM_TOKS} AS w
   FROM src WHERE trim(text) <> ''),
 h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT) AS h FROM tok),
 v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
@@ -786,7 +793,10 @@ def corpus_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token", top_n=20)
 
 
-_NORM_TOKS = "unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))"
+# THE normalized-token split - every oracle that tokenizes text must use
+# this one constant so a normalization change cannot desynchronize them
+_NORM_SPLIT = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+_NORM_TOKS = f"unnest({_NORM_SPLIT})"
 
 _DRIFT_SQL = f"""
 WITH ta AS (SELECT {_NORM_TOKS} AS key FROM documents WHERE doc_id % 2 = 0),
@@ -799,8 +809,8 @@ j AS (
 tot AS (SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM j),
 p AS (
   SELECT key, n_a, n_b,
-         CAST(n_a AS DOUBLE) / t_a AS p_a,
-         CAST(n_b AS DOUBLE) / t_b AS p_b
+         CASE WHEN t_a > 0 THEN CAST(n_a AS DOUBLE) / t_a ELSE 0.0 END AS p_a,
+         CASE WHEN t_b > 0 THEN CAST(n_b AS DOUBLE) / t_b ELSE 0.0 END AS p_b
   FROM j, tot),
 s AS (
   SELECT key, n_a, n_b, p_a, p_b,
@@ -944,7 +954,7 @@ def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_W = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+_W = _NORM_SPLIT
 _DUP_TOK = (f"(CASE WHEN len({_W}) > 0 THEN ROUND(CAST(len({_W}) - "
             f"len(list_distinct({_W})) AS DOUBLE) / len({_W}), 4) ELSE 0.0 END)")
 _BIGRAMS = f"list_transform(range(1, len({_W})), i -> {_W}[i] || ' ' || {_W}[i+1])"
@@ -1047,7 +1057,7 @@ _FLT_NTOK = "len(string_split_regex(trim(text), '\\s+'))"
 _FLT_SW = ("CASE WHEN {n} > 0 THEN CAST(len(regexp_extract_all(lower(text), "
            "'\\b(the|a|of|and|to|in|is|it)\\b')) AS DOUBLE) / {n} "
            "ELSE 0.0 END").format(n=_FLT_NTOK)
-_FLT_NORM_TOKS = ("string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')")
+_FLT_NORM_TOKS = _NORM_SPLIT
 _FLT_DUP = (f"CASE WHEN len({_FLT_NORM_TOKS}) > 0 THEN "
             f"ROUND(CAST(len({_FLT_NORM_TOKS}) - len(list_distinct({_FLT_NORM_TOKS})) AS DOUBLE)"
             f" / len({_FLT_NORM_TOKS}), 4) ELSE 0.0 END")

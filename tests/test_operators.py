@@ -159,11 +159,16 @@ def test_distribution_drift_bounds(spark):
     b = spark.createDataFrame([("z",), ("w",)], "k string")
     rows = distribution_drift(a, b, "k").collect()
     assert abs(rows[0]["jsd"] - log(2)) < 1e-6
-    # pre-aggregated (key, n) histograms are accepted as-is
-    ha = spark.createDataFrame([("x", 3), ("y", 1)], "k string, n long")
+    # pre-aggregated (key, n) histograms are accepted (duplicate keys merge)
+    ha = spark.createDataFrame([("x", 2), ("x", 1), ("y", 1)], "k string, n long")
     hb = spark.createDataFrame([("x", 1), ("y", 3)], "k string, n long")
     sym = {r["key"]: r for r in distribution_drift(ha, hb, "k").collect()}
     assert sym["x"]["drift"] == sym["y"]["drift"] == 0.5
+    # an EMPTY snapshot reads as all-zero probabilities -> one-sided
+    # divergence ln(2)/2 and non-NULL drift, never a NULL-poisoned report
+    gone = distribution_drift(a, a.where("1=0"), "k").collect()
+    assert abs(gone[0]["jsd"] - log(2) / 2) < 1e-6
+    assert all(r["drift"] is not None for r in gone)
 
 
 def test_guards_raise_not_silently_pass(spark):
