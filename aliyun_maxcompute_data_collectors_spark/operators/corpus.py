@@ -241,34 +241,35 @@ def mixture_rebalance(
     unit = (F.count(F.lit(1)) if weight_col is None
             else F.sum(F.col(weight_col).cast("double")))
     counts = df.groupBy(source_col).agg(unit.alias("n_docs"))
+    # ONE dimension-sized collect (<= len(targets) rows) feeds every
+    # feasibility check AND the plan: the per-source counts aggregate is a
+    # full corpus scan, so probing it once instead of once per check / per
+    # plan action saves two extra full scans at scale.
+    probed = (tgt.join(counts, source_col, "left")
+              .select(source_col, "share", "n_docs").collect())
     # a target source absent from the data - or, with weight_col, one whose
     # weight mass is zero/NULL - makes the mixture infeasible (N* would be
     # 0 or undefined); failing fast beats silently returning a plan that
-    # cannot realize the requested shares.  Both checks are dimension-sized
-    # (<= len(targets) rows), not data-sized actions.
-    missing = [r[0] for r in
-               tgt.join(counts, source_col, "left_anti").collect()]
+    # cannot realize the requested shares.
+    missing = [r[0] for r in probed if r["n_docs"] is None]
     if missing:
         raise ValueError(
             f"mixture infeasible: target sources {sorted(missing)} have no "
             "rows in the corpus")
-    empty = [r[0] for r in
-             tgt.join(counts, source_col)
-             .where(F.col("n_docs").isNull() | (F.col("n_docs") <= 0))
-             .select(source_col).collect()]
+    empty = [r[0] for r in probed if not r["n_docs"] > 0]
     if empty:
         raise ValueError(
             f"mixture infeasible: target sources {sorted(empty)} have zero "
             f"or undefined {'weight mass' if weight_col else 'row count'}")
-    j = counts.join(F.broadcast(tgt), source_col)
-    nstar = j.agg(F.min(F.col("n_docs") / F.col("share")).alias("nstar"))
-    plan = (
-        j.crossJoin(F.broadcast(nstar))
-        .select(source_col, "n_docs", "share",
-                F.least(F.lit(1.0),
-                        F.col("share") * F.col("nstar") / F.col("n_docs"))
-                .alias("keep_frac"))
-    )
+    nstar = min(float(r["n_docs"]) / r["share"] for r in probed)
+    # n_docs keeps its engine type: bigint for row counts, double for
+    # weight mass - the plan must hash-match an oracle COUNT(*)/SUM
+    ndocs_t = "bigint" if weight_col is None else "double"
+    plan = spark.createDataFrame(
+        [(r[source_col], r["n_docs"], r["share"],
+          min(1.0, r["share"] * nstar / float(r["n_docs"])))
+         for r in probed],
+        f"{source_col} string, n_docs {ndocs_t}, share double, keep_frac double")
     sampled = (
         df.join(F.broadcast(plan.select(source_col, "keep_frac")), source_col)
         .where(_hash_frac(F.col(id_col), salt) < F.col("keep_frac"))
@@ -295,8 +296,13 @@ def weighted_sample(
     + driver merge of n*partitions candidate rows — no full sort at scale.
     """
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    key = F.round(F.log(_hash_frac(F.col(id_col), salt)) /
-                  F.greatest(w.cast("double"), F.lit(1e-12)), 9)
+    # clamp the uniform away from 0: u is a 32-bit hash fraction, so u=0
+    # happens ~2^-32 per row - at corpus scale that is a certainty.  Spark
+    # ln(0) yields NULL (sorts last under desc: silently drops the row)
+    # while DuckDB ln(0) raises; greatest(u, 1e-300) keeps both engines
+    # identical and the row merely "extremely unlikely to win".
+    u = F.greatest(_hash_frac(F.col(id_col), salt), F.lit(1e-300))
+    key = F.round(F.log(u) / F.greatest(w.cast("double"), F.lit(1e-12)), 9)
     return (
         df.withColumn("sample_key", key)
         .orderBy(F.desc("sample_key"), F.asc(id_col))
@@ -580,10 +586,12 @@ def distribution_drift(
                  F.coalesce("n_a", F.lit(0)).alias("n_a"),
                  F.coalesce("n_b", F.lit(0)).alias("n_b")))
     tot = j.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
-    # an empty snapshot reads as all-zero probabilities (every key fully
-    # drifted, JSD = ln 2) rather than NULL-poisoning the whole report -
-    # "snapshot went empty" is exactly the regression this monitor exists
-    # to surface
+    # an empty snapshot reads as all-zero probabilities rather than
+    # NULL-poisoning the whole report - "snapshot went empty" is exactly
+    # the regression this monitor exists to surface.  The resulting JSD is
+    # the one-sided sum ln(2)/2 ~= 0.3466 (only the non-empty side
+    # contributes p*ln(p/(p/2)) terms); alert thresholds should use that
+    # bound, not ln 2 (test_distribution_drift_bounds pins it).
     p = (j.crossJoin(F.broadcast(tot))
          .select("key", "n_a", "n_b",
                  F.when(F.col("ta") > 0,

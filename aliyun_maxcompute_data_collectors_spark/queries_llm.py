@@ -186,8 +186,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEDUP_EXACT_SQL = """
-SELECT COUNT(*) AS n_groups, SUM(n) AS n_docs,
-       SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+SELECT COUNT(*) AS n_groups, CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
        MIN(keep_id) AS min_keep_id
 FROM (
   SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
@@ -737,7 +737,8 @@ def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WSAMPLE_SQL = f"""
 SELECT doc_id, source, n_chars,
-       ROUND(ln({_HFRAC_WS}) / GREATEST(CAST(n_chars AS DOUBLE), 1e-12), 9)
+       ROUND(ln(GREATEST({_HFRAC_WS}, 1e-300))
+             / GREATEST(CAST(n_chars AS DOUBLE), 1e-12), 9)
          AS sample_key
 FROM documents
 ORDER BY sample_key DESC, doc_id ASC
@@ -889,7 +890,7 @@ def corpus_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CORPUS_STATS_SQL = f"""
-SELECT lang, COUNT(*) AS n_docs, SUM({_NTOK}) AS total_tokens,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM({_NTOK}) AS BIGINT) AS total_tokens,
   ROUND(CAST(SUM({_NTOK}) AS DOUBLE) / COUNT(*), 4) AS mean_tokens,
   MAX({_NTOK}) AS max_tokens, MIN({_NTOK}) AS min_tokens,
   ROUND(CAST(quantile_cont(CAST({_NTOK} AS DOUBLE), 0.5) AS DOUBLE), 4) AS p50_tokens,

@@ -166,12 +166,20 @@ def _parse_bytes_conf(value: str, default: int = 134217728) -> int:
 
 
 def _table_bytes(path: str) -> int:
-    """Total data bytes of a parquet table - single file or directory."""
+    """Total data bytes of a parquet table - single file or a directory
+    tree.  Partitioned tables nest data files under partition dirs
+    (``dt=2024-01-01/part-*.parquet``), so walk recursively; a top-level
+    listdir would sum such tables to 0 and defeat the scan-split /
+    salted-top-k parallelism heuristics downstream."""
     if not os.path.isdir(path):
         return os.path.getsize(path)
-    return sum(
-        os.path.getsize(os.path.join(path, p)) for p in os.listdir(path)
-        if p.endswith(".parquet") and not p.startswith(("_", ".")))
+    total = 0
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        total += sum(
+            os.path.getsize(os.path.join(root, p)) for p in files
+            if p.endswith(".parquet") and not p.startswith(("_", ".")))
+    return total
 
 
 # plan cache: re-reading the same parquet path re-lists files and re-reads
