@@ -17,13 +17,23 @@ Algorithm (from the reference's observable behavior, re-derived in Python):
 - bucket id = pmod(combined, num_buckets)
 
 All arithmetic is two's-complement 32/64-bit with arithmetic right shifts,
-emulated here with numpy wraparound ints.  Integral/bool/date/timestamp
-keys hash as a pure JVM codegen expression (ANSI-off sessions); string/
-decimal/float keys take an Arrow-batched pandas UDF whose string path is
-vectorized column-wise over a byte matrix (~30x over per-row hashing:
-string-key bucketed writes land within ~1.4x of integral keys at sf0.1).
-A Scala extension jar could close the rest; at 100 TB the bucketed *write*
-is the only consumer, and it is shuffle-bound, not hash-bound.
+emulated here with numpy wraparound ints.  EVERY type now also has a
+bit-exact pure-JVM expression translation (round-4: string/binary via a
+nibble-stream ``aggregate`` fold, decimal via div/remainder arithmetic,
+float/double via ``reflect`` bit casts) - but dispatch is measurement-
+driven, not purity-driven.  Measured on 600k string keys at sf0.1
+(min-of-2 warm, noop sink): expression fold 14.9s (interpreted HOF lambda,
+~15 expr-node evals per byte), packed-long-state variant 16.4s, per-byte
+``conv`` variant 34.7s, Arrow-batched numpy UDF **1.1s**; float/double
+``reflect`` 4.5-5.4s vs UDF **0.29s**.  Interpreted HOFs never reach
+whole-stage codegen, so "expression" does not imply "fast" - the
+vectorized byte-matrix UDF wins by 7-13x and string-key bucketed writes
+land within ~1.35x of integral keys at sf0.1 (bench row
+``write_bucketed_str``).  Default dispatch therefore uses expressions for
+integral/bool/date/timestamp (true codegen, ~0 cost) and the Arrow UDF
+for string/binary/decimal/float/double; ``force_expr=True`` opts into the
+all-expression plan for environments where Python workers are unavailable
+(correctness identical, tested).
 """
 
 from __future__ import annotations
@@ -236,11 +246,23 @@ def _hash_series(s: pd.Series, dt: T.DataType, null_mask: np.ndarray | None = No
         days = s.to_numpy().astype("datetime64[D]").astype(_I64)
         out = _basic_long_hasher(days)
     elif isinstance(dt, T.DecimalType):
-        out = np.fromiter(
-            (0 if isnull else hash_decimal(v) for v, isnull in zip(s.to_numpy(), null)),
-            dtype=_I32,
-            count=n,
-        )
+        # per-row work is pure python-int divides on the unscaled value
+        # (exact at any precision); the 64-bit mix runs once, batched.
+        # ~10x over calling hash_decimal per value, which allocates numpy
+        # arrays and runs the 6-step mix per row.
+        big_p = 10 ** (9 + dt.scale)
+        big_s = 10 ** dt.scale
+        packed = np.zeros(n, dtype=_I64)
+        for i, (v, isnull) in enumerate(zip(s.to_numpy(), null)):
+            if isnull or v is None:
+                continue
+            u = int(v.scaleb(dt.scale))  # exact unscaled integer
+            q = -((-u) // big_p) if u < 0 else u // big_p  # trunc toward 0
+            rem = u - q * big_p
+            r = -((-rem) // big_s) if rem < 0 else rem // big_s
+            m = ((q << 30) | (r & 0xFFFFFFFFFFFFFFFF)) & 0xFFFFFFFFFFFFFFFF
+            packed[i] = m - (1 << 64) if m >= (1 << 63) else m
+        out = _basic_long_hasher(packed)
     else:
         raise TypeError(f"odps_hash: unsupported bucket column type {dt}")
     out = out.copy()
@@ -284,13 +306,69 @@ def _mix64_expr(l: Column) -> Column:
     return _sign_extend_32(l)
 
 
+# default-dispatch expression types: true whole-stage-codegen translations
+# with ~zero cost over the scan.  String/binary/decimal/float/double ALSO
+# have expression translations (below) but their JVM forms are interpreted
+# (HOF fold / reflect) and measured 7-13x slower than the Arrow UDF, so
+# they only engage under force_expr.
 _EXPR_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                T.BooleanType, T.DateType, T.TimestampType, T.TimestampNTZType)
+
+# decimal expression path needs quotient = v div 10^9 to fit a long with
+# room for exact decimal re-multiplication; precision-9 <= 18 guarantees it
+_DECIMAL_EXPR_MAX_PRECISION = 27
+
+
+def _expr_capable(dt: T.DataType, force: bool = False) -> bool:
+    if isinstance(dt, _EXPR_TYPES):
+        return True
+    if not force:
+        return False
+    if isinstance(dt, T.DecimalType):
+        return dt.precision <= _DECIMAL_EXPR_MAX_PRECISION
+    return isinstance(dt, (T.StringType, T.BinaryType,
+                           T.FloatType, T.DoubleType))
+
+
+def _sext32_sql(e: str) -> str:
+    return f"shiftright(shiftleft({e}, 32), 32)"
+
+
+def _string_hash_sql(bin_sql: str) -> str:
+    """Bytewise shift-add-xor hash over a BINARY-typed SQL expression, as one
+    JVM ``aggregate`` over the hex-split nibble stream.
+
+    Layout rationale: there is no byte-accessor for BINARY in Spark SQL, and
+    referencing the value inside a lambda body re-evaluates it per element
+    (interpreted HOFs do no subexpression caching), so the one collection
+    expression an ``aggregate`` evaluates ONCE is ``split(hex(bytes), '')``
+    - the nibble stream.  The fold carries (h, hi-nibble, odd?) in a struct
+    and applies the per-byte recurrence (hash_string: h+=b; h+=h<<10; h^=h>>6
+    on wrapping int32, emulated with sign-extended longs) on every odd
+    nibble.  O(len) work per row, all JVM-side."""
+    nib = "(instr('0123456789ABCDEF', c) - 1)"
+    b_uns = "(acc.hi * 16 + CAST((instr('0123456789ABCDEF', c) - 1) AS BIGINT))"
+    b = f"(CASE WHEN {b_uns} > 127 THEN {b_uns} - 256 ELSE {b_uns} END)"
+    t1 = _sext32_sql(f"(acc.h + {b})")
+    t2 = _sext32_sql(f"({t1} + shiftleft({t1}, 10))")
+    h_step = f"({t2} ^ shiftright({t2}, 6))"
+    t3 = _sext32_sql("(acc.h + shiftleft(acc.h, 3))")
+    t4 = f"({t3} ^ shiftright({t3}, 11))"
+    h_fin = _sext32_sql(f"({t4} + shiftleft({t4}, 15))")
+    return f"""aggregate(
+      filter(split(hex({bin_sql}), ''), c -> c <> ''),
+      named_struct('h', CAST(0 AS BIGINT), 'hi', CAST(0 AS BIGINT), 'odd', false),
+      (acc, c) -> CASE WHEN NOT acc.odd
+        THEN named_struct('h', acc.h, 'hi', CAST({nib} AS BIGINT), 'odd', true)
+        ELSE named_struct('h', {h_step}, 'hi', CAST(0 AS BIGINT), 'odd', false)
+      END,
+      acc -> {h_fin})"""
 
 
 def _hash_col_expr(c: str, dt: T.DataType) -> Column:
     """Per-column ODPS hash as a pure expression (32-bit-range long)."""
     col = F.col(c)
+    name = c.replace("`", "``")
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         h = _mix64_expr(col.cast("long"))
     elif isinstance(dt, T.BooleanType):
@@ -300,13 +378,35 @@ def _hash_col_expr(c: str, dt: T.DataType) -> Column:
     elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         # floorDiv/floorMod with integer ops only (SQL `div` + pmod): double
         # division would round near second boundaries for large epochs
-        name = c.replace("`", "``")
         us = f"unix_micros(cast(`{name}` as timestamp))"
         packed = F.expr(
             f"shiftleft((({us}) - pmod({us}, 1000000)) div 1000000, 30)"
             f" | (pmod({us}, 1000000) * 1000)"
         )
         h = _mix64_expr(packed)
+    elif isinstance(dt, (T.StringType, T.BinaryType)):
+        bin_sql = (f"encode(`{name}`, 'UTF-8')" if isinstance(dt, T.StringType)
+                   else f"`{name}`")
+        h = F.expr(_string_hash_sql(bin_sql))
+    elif isinstance(dt, T.DoubleType):
+        # doubleToLongBits via JVM reflection: interpreted but JVM-side, and
+        # bit-exact incl. canonical-NaN (matches numpy's .view(int64))
+        h = _mix64_expr(F.expr(
+            f"CAST(reflect('java.lang.Double', 'doubleToLongBits', `{name}`)"
+            " AS BIGINT)"))
+    elif isinstance(dt, T.FloatType):
+        h = _mix64_expr(F.expr(
+            f"CAST(reflect('java.lang.Float', 'floatToIntBits', `{name}`)"
+            " AS BIGINT)"))
+    elif isinstance(dt, T.DecimalType):
+        # divideAndRemainder(10^9) with truncation toward zero: SQL `div`
+        # truncates, and decimal->long CAST truncates (ANSI-off).  The
+        # remainder is computed in decimal, so q*10^9 never overflows a
+        # long (precision gate keeps q itself long-ranged).
+        q = f"(`{name}` div 1000000000)"
+        r = (f"CAST(`{name}` - CAST({q} AS DECIMAL(38,0)) * 1000000000"
+             " AS BIGINT)")
+        h = _mix64_expr(F.expr(f"shiftleft({q}, 30) | {r}"))
     else:  # pragma: no cover - guarded by caller
         raise TypeError(f"odps_hash expression path: unsupported type {dt}")
     return F.when(col.isNull(), F.lit(0).cast("long")).otherwise(h)
@@ -322,17 +422,21 @@ def odps_hash_expr(cols: list[str], dtypes: list[T.DataType]) -> Column:
     return s32.bitwiseXOR(F.shiftright(s32, 8)).cast("int")
 
 
-def odps_hash(df: DataFrame, cols: list[str]) -> Column:
+def odps_hash(df: DataFrame, cols: list[str], force_expr: bool = False) -> Column:
     """Column expression: ODPS row hash of ``cols`` (int32).
 
     Usage: ``df.withColumn("h", odps_hash(df, ["k1", "k2"]))``.
 
     Dispatch: when the session runs ANSI-off (our engine sessions do) and
-    every column type has an expression translation (integral/boolean/date/
-    timestamp - the overwhelmingly common bucket keys) the hash is a pure
-    JVM expression inside whole-stage codegen.  Otherwise (ANSI session,
-    or string/decimal/float/double keys) it falls back to the Arrow-batched
-    pandas UDF - same bits either way.
+    every column type has a *codegen* expression translation (integral/
+    boolean/date/timestamp - the overwhelmingly common bucket keys) the
+    hash is a pure JVM expression inside whole-stage codegen.  Otherwise
+    (ANSI session, or string/decimal/float/double keys) it uses the
+    Arrow-batched pandas UDF - same bits either way, and measured 7-13x
+    faster than the interpreted-HOF/reflect expression forms of those
+    types (module docstring has the numbers).  ``force_expr=True`` selects
+    the all-expression plan regardless (for Python-worker-less
+    deployments); it raises if some column type has no expression form.
 
     UDF path: integral columns are null-coalesced JVM-side and accompanied
     by an isnull flag so the Arrow->pandas transfer keeps exact int64 (a
@@ -342,7 +446,18 @@ def odps_hash(df: DataFrame, cols: list[str]) -> Column:
     ansi_off = (
         df.sparkSession.conf.get("spark.sql.ansi.enabled", "true") == "false"
     )
-    if ansi_off and all(isinstance(dt, _EXPR_TYPES) for dt in dtypes):
+    if force_expr:
+        if not ansi_off:
+            raise ValueError(
+                "odps_hash(force_expr=True) needs an ANSI-off session: the "
+                "expression mix relies on wraparound long arithmetic")
+        bad = [c for c, dt in zip(cols, dtypes) if not _expr_capable(dt, force=True)]
+        if bad:
+            raise TypeError(
+                f"odps_hash(force_expr=True): no expression translation for "
+                f"columns {bad}")
+        return odps_hash_expr(cols, dtypes)
+    if ansi_off and all(_expr_capable(dt) for dt in dtypes):
         return odps_hash_expr(cols, dtypes)
     flagged = [
         isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))

@@ -107,8 +107,18 @@ def _bench_writes(spark, sf_dir: str, cold: bool) -> dict[str, float]:
     from aliyun_maxcompute_data_collectors_spark.session import load_tables
     from aliyun_maxcompute_data_collectors_spark.types import to_odps_type
 
+    from pyspark.sql import functions as F
+
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    # string-keyed variant: lineitem has no high-cardinality string, so
+    # derive the order-line business key a real schema would carry; the row
+    # exists to measure the string ODPS-hash path (expression vs pandas UDF)
+    li_str = li.withColumn(
+        "l_linekey",
+        F.concat(F.lit("ORD-"), F.col("l_orderkey"), F.lit("-"),
+                 F.col("l_linenumber")))
     cols = [(f.name, to_odps_type(f.dataType)) for f in li.schema.fields]
+    cols_str = [(f.name, to_odps_type(f.dataType)) for f in li_str.schema.fields]
     wh = tempfile.mkdtemp(prefix="benchwh_")
     out: dict[str, float] = {}
     try:
@@ -117,13 +127,17 @@ def _bench_writes(spark, sf_dir: str, cold: bool) -> dict[str, float]:
         cat.create_table("w_bucketed", cols,
                          bucket=BucketSpec("hash", 16, ["l_orderkey"],
                                            [("l_orderkey", "ASC")]))
+        cat.create_table("w_bucketed_str", cols_str,
+                         bucket=BucketSpec("hash", 16, ["l_linekey"],
+                                           [("l_linekey", "ASC")]))
         iters = 1 if cold else _iters()
-        for name, table in [("write_append", "w_plain"),
-                            ("write_bucketed", "w_bucketed")]:
+        for name, table, src in [("write_append", "w_plain", li),
+                                 ("write_bucketed", "w_bucketed", li),
+                                 ("write_bucketed_str", "w_bucketed_str", li_str)]:
             runs = []
             for _ in range(1 if cold else 1 + iters):
                 t0 = time.perf_counter()
-                cat.insert(table, li, overwrite=True)
+                cat.insert(table, src, overwrite=True)
                 runs.append(time.perf_counter() - t0)
             out[name] = round(min(runs) if cold else min(runs[1:]), 3)
     finally:

@@ -229,3 +229,67 @@ def test_minhash_hash_fn_variants(spark):
         .collect()[0] == xx_sig
     with _pytest.raises(ValueError, match="hash_fn"):
         minhash_signature(df, "doc_id", "text", hash_fn="sha1").collect()
+
+
+def test_expr_path_string_binary_parity(spark):
+    """force_expr string/binary hash (nibble-stream aggregate fold) must be
+    bit-identical to the scalar reference, unicode and empty included."""
+    vals = ["", "a", "abc", "hello world", "列七", "ünïcode", "x" * 300,
+            "\t\n", None, "€𝄞 mixed", "ORD-12345-6"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    col = H.odps_hash(df, ["s"], force_expr=True)
+    plan = df.withColumn("h", col)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # JVM-side, no Python worker
+    for r in df.withColumn("h", col).collect():
+        assert r["h"] == H.combine_hashes([H.hash_string(r["s"])]), r["s"]
+
+    bvals = [b"", b"\x00", b"\xff\x80\x7f", bytes(range(256)), None]
+    bdf = spark.createDataFrame([(v,) for v in bvals], "b binary")
+    bcol = H.odps_hash(bdf, ["b"], force_expr=True)
+    for r in bdf.withColumn("h", bcol).collect():
+        assert r["h"] == H.combine_hashes([H.hash_string(r["b"])]), r["b"]
+
+
+def test_expr_path_decimal_float_double_parity(spark):
+    """force_expr decimal (div/rem arithmetic) and float/double (reflect
+    bit casts) must match the scalar reference on adversarial values."""
+    import math
+
+    dvals = [Decimal("0"), Decimal("1.5"), Decimal("-1.5"), Decimal("123.45"),
+             Decimal("-9999999999999999.99"),
+             Decimal("1234567890123456789.123456"),
+             Decimal("-1234567890123456789.123456"), None]
+    df = spark.createDataFrame([(v,) for v in dvals], "d decimal(27,6)")
+    for r in df.withColumn("h", H.odps_hash(df, ["d"], force_expr=True)).collect():
+        assert r["h"] == H.combine_hashes([H.hash_decimal(r["d"])]), r["d"]
+
+    fvals = [0.0, -0.0, 1.5, -1.5, math.pi, float("inf"), float("-inf"),
+             float("nan"), 1e-310, None]
+    xdf = spark.createDataFrame([(v,) for v in fvals], "x double")
+    for r in xdf.withColumn("h", H.odps_hash(xdf, ["x"], force_expr=True)).collect():
+        assert r["h"] == H.combine_hashes([H.hash_double(r["x"])]), r["x"]
+    fdf = spark.createDataFrame([(v,) for v in fvals], "x float")
+    for r in fdf.withColumn("h", H.odps_hash(fdf, ["x"], force_expr=True)).collect():
+        assert r["h"] == H.combine_hashes([H.hash_float(r["x"])]), r["x"]
+
+
+def test_expr_force_guards(spark):
+    """force_expr raises on unsupported types (decimal beyond the precision
+    gate keeps its exactness by refusing the long-ranged quotient path)."""
+    df = spark.createDataFrame([(Decimal("1"),)], "d decimal(38,6)")
+    with pytest.raises(TypeError, match="no expression translation"):
+        H.odps_hash(df, ["d"], force_expr=True)
+
+
+def test_udf_decimal_vectorized_parity(spark):
+    """The batched int-math decimal UDF path == scalar hash_decimal on a
+    spread of scales/signs (default dispatch for decimal is the UDF)."""
+    import random as _r
+
+    rng = _r.Random(11)
+    vals = [Decimal(rng.randrange(-10**20, 10**20)) / Decimal(10**6)
+            for _ in range(300)] + [None, Decimal("0")]
+    df = spark.createDataFrame([(v,) for v in vals], "d decimal(30,6)")
+    col = H.odps_hash(df, ["d"])  # decimal(30) > expr gate -> UDF even forced off
+    for r in df.withColumn("h", col).collect():
+        assert r["h"] == H.combine_hashes([H.hash_decimal(r["d"])]), r["d"]
