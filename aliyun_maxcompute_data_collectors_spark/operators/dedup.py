@@ -51,6 +51,10 @@ def minhash_perms(k: int, seed: int = 42) -> list[tuple[int, int]]:
 
 DEFAULT_K = 16
 DEFAULT_BANDS = 4  # 4 rows per band with k=16
+# default per-(band,bucket) membership cap for LSH pair emission: bounds
+# candidate pairs at bands*cap/2 per doc (linear in corpus size) while a
+# 100-member identical family still dedups fine via exact dedup first
+DEFAULT_MAX_BUCKET = 100
 
 
 # ---------------------------------------------------------------------------
@@ -393,7 +397,7 @@ def minhash_lsh_pairs(
     n: int = 5,
     threshold: float = 0.8,
     seed: int = 42,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs via banding: docs sharing any band bucket become
     candidates; candidates are verified with the exact signature similarity
@@ -406,9 +410,12 @@ def minhash_lsh_pairs(
     Pairs inside an over-cap family are still found through any OTHER band
     that stays under the cap, so recall degrades only for families hot in
     EVERY band - which at that size are better handled by exact dedup or a
-    representative-per-family pass first.  Default None = emit everything
-    (output-sensitive: the sf10 scale smoke measured 26M pairs from 500k
-    docs with 100-member families, time sublinear in output size).
+    representative-per-family pass first.  The cap is ON by default since
+    round 4 (DEFAULT_MAX_BUCKET=100: pair output is bounded by
+    ~bands*cap/2 per member row, i.e. LINEAR in corpus size; the r3 sf10
+    smoke ran uncapped and went 11.1x at 10x data purely on quadratic
+    family output - 26M pairs from 500k docs).  Pass ``max_bucket=None``
+    to opt into unbounded output deliberately.
 
     Scale shape: signatures (1 row/doc) -> explode to `bands` rows/doc ->
     groupBy band bucket (shuffle ~ corpus size, not pairs) -> pair join only

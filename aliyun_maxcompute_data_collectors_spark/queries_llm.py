@@ -259,7 +259,8 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_lsh_sql(k: int = D.DEFAULT_K, bands: int = D.DEFAULT_BANDS,
-                     threshold: float = 0.8) -> str:
+                     threshold: float = 0.8,
+                     max_bucket: int = D.DEFAULT_MAX_BUCKET) -> str:
     rows = k // bands
     shingles, mins = D.minhash_sql_parts("text", k=k, n=5)
     band_selects = []
@@ -273,8 +274,15 @@ def _minhash_lsh_sql(k: int = D.DEFAULT_K, bands: int = D.DEFAULT_BANDS,
 WITH _src AS (SELECT doc_id AS id, text FROM documents),
 sh AS ({shingles}),
 sig AS (SELECT id, {", ".join(mins)} FROM sh GROUP BY id),
-bands AS (
+bands_all AS (
   {" UNION ALL ".join(band_selects)}
+),
+bands AS (
+  -- mirror of the engine's default max_bucket cap: (band,bucket) families
+  -- above the cap are dropped before pairing
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS __bn
+    FROM bands_all) WHERE __bn <= {max_bucket}
 ),
 cand AS (
   SELECT DISTINCT a.id AS id1, b.id AS id2,
