@@ -336,3 +336,135 @@ def _small(df: DataFrame) -> bool:
     as broadcastable unless provably huge (heuristic only - the anti-join is
     correct either way, AQE re-plans on the real size)."""
     return True
+
+
+# ---------------------------------------------------------------------------
+# deterministic seeded Lloyd's k-means (engine-reproducible)
+# ---------------------------------------------------------------------------
+#
+# Spark-ML KMeans is the production fit (kmeans|| init, convergence checks),
+# but its centroids depend on run internals, so queries built on it can only
+# be rows-only checked.  This variant trades convergence speed for CROSS-
+# ENGINE determinism, making ivf_topk / semantic_dedup hash-match a DuckDB
+# oracle:
+#   - initial centroids: seeded Gaussian literals (host numpy, like the LSH
+#     hyperplanes) - identical constants on both engines;
+#   - assignment: argmin of sequential-fold squared L2 distance, ties to the
+#     lower cell id - identical IEEE doubles on identical inputs;
+#   - update: per-dimension sums in DECIMAL(38,15) (exact, order-independent
+#     - a double sum would depend on partition order and never match a
+#     second engine), then one double division by the count.  Empty cells
+#     keep their previous centroid.
+# The per-iteration driver collect is k x dim decimals - metadata-scale.
+# Fixed n_iter (no convergence test) keeps both engines on the same plan.
+
+_KM_DEC = "decimal(38,15)"
+
+
+def det_kmeans_init(dim: int, n_clusters: int, seed: int = 42,
+                    scale: float = 0.1) -> list[list[float]]:
+    """Seeded initial centroids, rounded to 6 decimals so they embed as
+    short SQL literals bit-identically."""
+    rng = np.random.default_rng(seed)
+    return [[round(float(x), 6) for x in row]
+            for row in rng.standard_normal((n_clusters, dim)) * scale]
+
+
+def _sq_dist_expr(vec: Column, center: list[float]) -> Column:
+    lits = F.array(*[F.lit(float(x)) for x in center])
+    return F.aggregate(
+        F.zip_with(vec, lits,
+                   lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def det_kmeans_assign_expr(vec: Column, centers: list[list[float]]) -> Column:
+    """Cell id = argmin squared distance, tie -> lower cell (struct sort on
+    (dist, cell) - same ordering a ROW_NUMBER() OVER (ORDER BY d, cell)
+    oracle uses)."""
+    scored = F.array(*[
+        F.struct(_sq_dist_expr(vec, c).alias("d"), F.lit(ci).alias("c"))
+        for ci, c in enumerate(centers)])
+    return F.array_sort(scored)[0]["c"]
+
+
+def det_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_clusters: int,
+    n_iter: int = 2,
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Deterministic Lloyd's: returns (cells, centers) like ivf_build, with
+    cells = (neighbor_id, cv, cell) under the final centers."""
+    centers = det_kmeans_init(dim, n_clusters, seed)
+    vec = F.col(vec_col)
+    for _ in range(n_iter):
+        a = df.select(vec.alias("__v"),
+                      det_kmeans_assign_expr(vec, centers).alias("cell"))
+        aggs = [F.count(F.lit(1)).alias("n")] + [
+            F.sum(F.element_at(F.col("__v"), i + 1).cast("double").cast(_KM_DEC))
+            .alias(f"s{i}") for i in range(dim)]
+        stats = {r["cell"]: r for r in a.groupBy("cell").agg(*aggs).collect()}
+        centers = [
+            [float(stats[ci][f"s{i}"]) / stats[ci]["n"] for i in range(dim)]
+            if ci in stats else centers[ci]
+            for ci in range(n_clusters)]
+    cells = df.select(
+        F.col(id_col).alias("neighbor_id"), vec.alias("cv"),
+        det_kmeans_assign_expr(vec, centers).alias("cell"))
+    return cells, centers
+
+
+def det_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ivf_topk on the deterministic quantizer - identical plan shape
+    (probe n_probe cells by centroid dot, exact re-rank within cells), but
+    every number is reproducible in a second engine."""
+    cells, centers = det_kmeans(corpus, id_col, vec_col, dim, n_clusters,
+                                n_iter, seed)
+    return ivf_query(cells, centers, queries, k, n_probe, id_col, vec_col)
+
+
+def det_semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """semantic_dedup (SemDeDup: cluster-blocked cosine pairs -> transitive
+    closure -> keep min-id representative) on the deterministic quantizer."""
+    from aliyun_maxcompute_data_collectors_spark.operators.graph import connected_components
+
+    cells, _ = det_kmeans(df, id_col, vec_col, dim, n_clusters, n_iter, seed)
+    a = cells.select("cell", F.col("neighbor_id").alias("id1"),
+                     F.col("cv").alias("v1"))
+    b = cells.select("cell", F.col("neighbor_id").alias("id2"),
+                     F.col("cv").alias("v2"))
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2",
+                F.round(cosine_expr(F.col("v1"), F.col("v2")), 6).alias("cos"))
+        .where(F.col("cos") >= threshold))
+    comp = connected_components(pairs, "id1", "id2")
+    drop = (comp.where(F.col("node") != F.col("component"))
+            .select(F.col("node").alias("_drop_id")))
+    return df.join(F.broadcast(drop), df[id_col] == F.col("_drop_id"),
+                   "left_anti")

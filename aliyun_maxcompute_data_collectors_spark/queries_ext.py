@@ -16,6 +16,13 @@ from pyspark.sql.window import Window
 from aliyun_maxcompute_data_collectors_spark.session import load_tables
 from aliyun_maxcompute_data_collectors_spark.operators.profile import check_constraints, profile
 
+
+def _det_semdedup_sql_lazy() -> str:
+    """Oracle for semantic_dedup: deterministic-Lloyd's blocked pairs +
+    recursive transitive closure (generator shared with ivf_topk's)."""
+    from aliyun_maxcompute_data_collectors_spark.queries_llm import _det_semdedup_sql
+    return _det_semdedup_sql(dim=64, k=8, n_iter=2, threshold=0.40)
+
 _DEC = "decimal(18,6)"
 
 
@@ -497,13 +504,17 @@ ORDER BY g.user_id, g.bucket_start
 
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus minus semantic near-duplicates (k-means blocked cosine,
-    transitive groups, min-id representative kept)."""
-    from aliyun_maxcompute_data_collectors_spark.operators.similarity import semantic_dedup
+    transitive groups, min-id representative kept).  Round 4: the blocking
+    quantizer is the deterministic seeded Lloyd's (similarity.det_kmeans),
+    so the full pipeline hash-matches a DuckDB oracle (upgraded from
+    rows-only; similarity.semantic_dedup keeps the Spark-ML fit for
+    production convergence)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import det_semantic_dedup
     t = load_tables(spark, sf_dir, ["embeddings"])
     # the synthetic embeddings have no 0.9+ twins (max off-diagonal cosine is
     # ~0.51); 0.40 exercises real drops while staying "nearest neighbors only"
-    kept = semantic_dedup(t["embeddings"], "vec_id", "embedding",
-                          threshold=0.40, n_clusters=8)
+    kept = det_semantic_dedup(t["embeddings"], dim=64, threshold=0.40,
+                              n_clusters=8, n_iter=2)
     return kept.select("vec_id")
 
 
@@ -983,7 +994,7 @@ REGISTRY: dict[str, tuple] = {
     "window_value_suite": (window_value_suite, _WINDOW_VALUE_SQL),
     "conditional_exprs": (conditional_exprs, _CONDITIONAL_SQL),
     "resample_gapfill": (resample_gapfill, _RESAMPLE_SQL),
-    "semantic_dedup": (semantic_dedup_q, None),  # rows-only: kmeans-dependent
+    "semantic_dedup": (semantic_dedup_q, _det_semdedup_sql_lazy()),
     "split_assignment": (split_assignment, _SPLIT_SQL),
     "rolling_hourly_stats": (rolling_hourly_stats, _ROLLING_SQL),
     "string_agg_nations": (string_agg_nations, _STRING_AGG_SQL),

@@ -422,13 +422,141 @@ def dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-5 (kmeans coarse quantizer; centroid-dependent ->
-    rows-only check, recall asserted in pytest)."""
-    from aliyun_maxcompute_data_collectors_spark.operators.similarity import ivf_topk
+    """IVF ANN top-5 on the deterministic seeded-Lloyd's quantizer
+    (similarity.det_kmeans): seeded-literal init, fixed iterations,
+    decimal-exact centroid sums, argmin ties to the lower cell - every
+    number reproducible in DuckDB, so this query is hash-match
+    oracle-checked (upgraded from rows-only in round 4).  Production
+    callers wanting kmeans|| convergence keep similarity.ivf_topk
+    (Spark-ML fit, same query plan shape)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import det_ivf_topk
     t = load_tables(spark, sf_dir, ["embeddings"])
     e = t["embeddings"]
-    return ivf_topk(e.where(F.col("vec_id") < 8), e, k=5,
-                    n_clusters=8, n_probe=4).orderBy("query_id", "rank")
+    return det_ivf_topk(e.where(F.col("vec_id") < 8), e, dim=64, k=5,
+                        n_clusters=8, n_probe=4, n_iter=2) \
+        .orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# deterministic-Lloyd's SQL mirror (shared by ivf_topk / semantic_dedup)
+# ---------------------------------------------------------------------------
+
+def _cos_sql2(av: str, bv: str) -> str:
+    """Generic cosine fragment (same fold shape as _COS, parametrized)."""
+    return (
+        f"list_reduce(list_transform(list_zip({av}, {bv}),"
+        " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (s, x) -> s + x)"
+        f" / (sqrt(list_reduce(list_transform({av}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (s, x) -> s + x))"
+        f" * sqrt(list_reduce(list_transform({bv}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (s, x) -> s + x)))"
+    )
+
+
+def _km_dist_sql(ev: str, cv: str) -> str:
+    """Squared L2 between a FLOAT[] and a DOUBLE[] - the same sequential
+    fold det_kmeans_assign_expr runs, so distances are IEEE-identical."""
+    return (
+        f"list_reduce(list_transform(list_zip({ev}, {cv}),"
+        " x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])),"
+        " (s, x) -> s + x)"
+    )
+
+
+def _km_dot_sql(ev: str, cv: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({ev}, {cv}),"
+        " x -> CAST(x[1] AS DOUBLE) * x[2]), (s, x) -> s + x)"
+    )
+
+
+def _det_kmeans_cte(dim: int = 64, k: int = 8, n_iter: int = 2,
+                    seed: int = 42) -> str:
+    """CTE chain mirroring similarity.det_kmeans: k0 = seeded literals,
+    a{i}/s{i}/k{i+1} = assignment / decimal-exact sums / mean update per
+    iteration (empty cells keep the previous centroid), af = final
+    assignment.  Ends with the final-centers CTE named kf."""
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import det_kmeans_init
+    init = det_kmeans_init(dim, k, seed)
+    vals = ", ".join(
+        f"({ci}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for ci, c in enumerate(init))
+    parts = [
+        "e AS (SELECT vec_id, embedding FROM embeddings)",
+        f"k0 AS (SELECT * FROM (VALUES {vals}) AS t(cell, c))",
+    ]
+    for it in range(n_iter):
+        dist = _km_dist_sql("e.embedding", f"k{it}.c")
+        parts.append(f"""a{it} AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, k{it}.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {dist}, k{it}.cell) AS rn
+    FROM e CROSS JOIN k{it}) WHERE rn = 1)""")
+        sums = ", ".join(
+            f"SUM(CAST(CAST(embedding[{i + 1}] AS DOUBLE) AS DECIMAL(38,15))) AS s{i}"
+            for i in range(dim))
+        parts.append(
+            f"s{it} AS (SELECT cell, COUNT(*) AS n, {sums} FROM a{it} GROUP BY cell)")
+        means = ", ".join(f"CAST(s{it}.s{i} AS DOUBLE) / s{it}.n"
+                          for i in range(dim))
+        parts.append(f"""k{it + 1} AS (
+  SELECT k{it}.cell, CASE WHEN s{it}.n IS NULL THEN k{it}.c ELSE [{means}] END AS c
+  FROM k{it} LEFT JOIN s{it} USING (cell))""")
+    distf = _km_dist_sql("e.embedding", "kf.c")
+    parts.append(f"kf AS (SELECT * FROM k{n_iter})")
+    parts.append(f"""af AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, kf.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {distf}, kf.cell) AS rn
+    FROM e CROSS JOIN kf) WHERE rn = 1)""")
+    return ",\n".join(parts)
+
+
+def _ivf_topk_sql(dim: int = 64, k: int = 8, n_iter: int = 2,
+                  n_probe: int = 4, topk: int = 5) -> str:
+    negdot = f"-({_km_dot_sql('q.embedding', 'kf.c')})"
+    cos = _cos_sql2("p.qv", "a.embedding")
+    return f"""
+WITH {_det_kmeans_cte(dim, k, n_iter)},
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, kf.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {negdot}, kf.cell) AS rn
+    FROM (SELECT * FROM e WHERE vec_id < 8) q CROSS JOIN kf) WHERE rn <= {n_probe}),
+scored AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id, ROUND({cos}, 6) AS cos
+  FROM probes p JOIN af a USING (cell)
+  WHERE a.vec_id <> p.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {topk}
+ORDER BY query_id, rank
+"""
+
+
+def _det_semdedup_sql(dim: int = 64, k: int = 8, n_iter: int = 2,
+                      threshold: float = 0.40) -> str:
+    cos = _cos_sql2("a.embedding", "b.embedding")
+    return f"""
+WITH RECURSIVE {_det_kmeans_cte(dim, k, n_iter)},
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND({cos}, 6) >= {threshold}
+),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+reach AS (
+  SELECT vec_id AS src, vec_id AS dst FROM embeddings
+  UNION
+  SELECT r.src, e2.b AS dst FROM reach r JOIN edges e2 ON r.dst = e2.a
+),
+comp AS (SELECT src AS vec_id, MIN(dst) AS rep FROM reach GROUP BY src)
+SELECT vec_id FROM comp WHERE vec_id = rep ORDER BY vec_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1301,7 +1429,7 @@ REGISTRY: dict[str, tuple] = {
     "simhash_pairs": (simhash_sig, _simhash64_sql()),  # exact all-pairs oracle
     "simhash32_sig": (simhash32_sig, _SIMHASH32_SQL),
     "dedup_transitive": (dedup_transitive, _dedup_transitive_sql()),
-    "ivf_topk": (ivf_topk_q, None),  # rows-only: kmeans-dependent
+    "ivf_topk": (ivf_topk_q, _ivf_topk_sql()),  # deterministic Lloyd's -> exact
     "embedding_topk": (embedding_topk, _TOPK_EMB_SQL),
     "embedding_dups": (embedding_dups, _EMB_DUPS_SQL),
     "semantic_dedup_exact": (semantic_dedup_exact, _SEMDEDUP_EXACT_SQL),
