@@ -310,3 +310,88 @@ def test_dedup_ingest_writer_store_and_replay(stream_env):
     writer(b3, 2)                           # replay completes the batch
     assert cat.read_table("corpus").where("doc_id = 20").count() == 1
     assert cat.read_table("fp_store").where("keep_id = 20").count() == 1
+
+
+def test_cdc_writer_batch_replay_idempotent(stream_env):
+    """ST4 under at-least-once foreachBatch: after a successful apply, the
+    streaming engine may re-invoke the hook with the SAME batch (same
+    batch_id) on recovery.  The MERGE must converge - replaying an
+    insert/update/delete mix cannot double-apply (VERDICT r3 ask #8)."""
+    from aliyun_maxcompute_data_collectors_spark.streaming.cdc import (
+        cdc_foreach_batch_writer)
+
+    spark, _src, cat, _tmp = stream_env
+    cat.create_table("state2", [("k", "BIGINT"), ("v", "STRING")])
+    cat.insert("state2", spark.createDataFrame(
+        [(1, "a"), (2, "b"), (4, "keep")], "k long, v string"))
+    hook = cdc_foreach_batch_writer(cat, "state2", ["k"], ["seq"])
+
+    batch = spark.createDataFrame(
+        [(2, "U", 1, "B"), (1, "D", 2, None), (3, "I", 3, "c"),
+         (3, "U", 4, "c2")],  # net per key: U(2), D(1), I+U(3)
+        "k long, op string, seq long, v string")
+    hook(batch, 0)
+    after_once = sorted((r["k"], r["v"]) for r in cat.read_table("state2").collect())
+    assert after_once == [(2, "B"), (3, "c2"), (4, "keep")]
+
+    hook(batch, 0)  # recovery replay: same batch, same id
+    after_twice = sorted((r["k"], r["v"]) for r in cat.read_table("state2").collect())
+    assert after_twice == after_once
+    assert cat.read_table("state2").count() == 3  # no duplicate rows
+
+    # contract note: only the LAST uncommitted batch is ever replayed by
+    # Structured Streaming (checkpoint commits strictly in batch order), so
+    # same-batch convergence above is the exactly-once guarantee; a
+    # hypothetical stale replay of batch 0 AFTER batch 1 would re-apply old
+    # images because the plain-parquet target keeps no per-key seq
+    # watermark - that ordering cannot occur through the checkpointed
+    # writer, which is why cdc_stream_writer routes every apply through it
+
+
+def test_scd2_writer_out_of_order_batches_splice(stream_env):
+    """Streaming SCD2 maintenance with batches arriving OUT of event-time
+    order: a later micro-batch carrying an earlier-timestamped row must
+    splice into history (re-close the neighbor version), ending bit-equal
+    to the in-order full rebuild (VERDICT r3 ask #8)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.scd import scd2_build
+    from aliyun_maxcompute_data_collectors_spark.streaming.cdc import (
+        scd2_foreach_batch_writer)
+
+    spark, _src, cat, _tmp = stream_env
+    schema = "k long, ts timestamp_ntz, attr string"
+    rows = [
+        (1, "2024-01-01 00:00:00", "a"),
+        (1, "2024-01-03 00:00:00", "b"),
+        (2, "2024-01-01 12:00:00", "x"),
+        (1, "2024-01-02 00:00:00", "z"),   # late: lands between a and b
+        (2, "2024-01-04 00:00:00", "y"),
+    ]
+    def df(rs):
+        return spark.createDataFrame(
+            [(k, ts, a) for k, ts, a in rs], "k long, ts string, attr string"
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    cat.create_table("dim", [("k", "BIGINT"), ("attr", "STRING"),
+                             ("version", "INT"),
+                             ("effective_from", "TIMESTAMP_NTZ"),
+                             ("effective_to", "TIMESTAMP_NTZ"),
+                             ("is_current", "BOOLEAN")])
+    # seed with batch 1 (in-order prefix), then batch 2 arrives OUT of order
+    cat.insert("dim", scd2_build(df(rows[:3]), "k", "ts"))
+    hook = scd2_foreach_batch_writer(cat, "dim", ["k"], "ts")
+    hook(df(rows[3:]), 1)
+
+    got = cat.read_table("dim")
+    full = scd2_build(df(rows), "k", "ts")
+    key = lambda r: (r["k"], r["version"], r["attr"], r["effective_from"],
+                     r["effective_to"], r["is_current"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, full.collect()))
+    # the late row for k=1 closed at the previously-open neighbor
+    k1 = sorted([r for r in got.collect() if r["k"] == 1],
+                key=lambda r: r["version"])
+    assert [r["attr"] for r in k1] == ["a", "z", "b"]
+
+    # replaying the same micro-batch (same id) after success: unchanged
+    hook(df(rows[3:]), 1)
+    assert sorted(map(key, cat.read_table("dim").collect())) == \
+        sorted(map(key, full.collect()))
