@@ -59,6 +59,7 @@ _PRIORITY = [
     # tier 3: round-4 re-verify (query/oracle changed this round)
     "ivf_topk", "semantic_dedup", "minhash_lsh", "weighted_sample",
     # tier 4: round-4 additions (registered as implemented this round)
+    "ccnet_buckets", "source_overlap", "zipf_profile", "ngram_novelty",
 ]
 
 

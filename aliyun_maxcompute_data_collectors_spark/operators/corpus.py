@@ -751,3 +751,146 @@ def write_shards(
         .write.format(fmt).mode("overwrite")
         .partitionBy("shard_id").save(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 corpus analytics: CCNet bucket sampling, cross-source overlap,
+# Zipf profile, n-gram novelty
+# ---------------------------------------------------------------------------
+
+def ccnet_bucket_sample(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    vocab_size: int = 500,
+    keep: tuple[float, float, float] = (1.0, 0.5, 0.1),
+    salt: str = "ccnet",
+) -> DataFrame:
+    """CCNet-style perplexity-bucketed sampling: per language, rank docs by
+    self-trained unigram-LM mean logprob, cut into head/middle/tail
+    terciles (NTILE(3), ties broken by id), keep each bucket at its own
+    deterministic hash fraction.  The standard recipe for skimming the
+    high-quality head of a crawl while retaining a tail sample.
+
+    Scale: the per-lang NTILE is one repartition+sort per language - the
+    same cost CCNet's per-lang percentile cut pays.  At extreme per-lang
+    cardinality swap the tercile for approx_percentile thresholds
+    (documented trade: approx cut = no global sort, +-epsilon boundary).
+    Output: (id, lang, bucket 1..3, mean_logprob) for KEPT docs."""
+    from aliyun_maxcompute_data_collectors_spark.operators.text import (
+        unigram_logprob_scores)
+
+    scores = unigram_logprob_scores(docs, id_col, text_col, vocab_size)
+    j = docs.select(id_col, lang_col).join(scores, id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.desc("mean_logprob"), F.asc(id_col))
+    b = j.withColumn("bucket", F.ntile(3).over(w))
+    keep_frac = (
+        F.when(F.col("bucket") == 1, F.lit(float(keep[0])))
+        .when(F.col("bucket") == 2, F.lit(float(keep[1])))
+        .otherwise(F.lit(float(keep[2]))))
+    return (
+        b.where(_hash_frac(F.col(id_col), salt) < keep_frac)
+        .select(id_col, lang_col, "bucket", "mean_logprob"))
+
+
+def source_overlap(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how many
+    normalized-text fingerprints appear in BOTH (corpus-health check before
+    mixing crawls - e.g. how much of C4 is already inside CC).
+
+    Scale shape: one distinct on (fp, source) - cardinality <= corpus -
+    then a self-equijoin on fp whose per-key fan-out is bounded by the
+    number of SOURCES (not docs), and a tiny pair aggregate."""
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import _fp_or_sentinel
+
+    d = docs.select(_fp_or_sentinel(text_col).alias("fp"),
+                    F.col(source_col).alias("src")).distinct()
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("source_a"),
+                 F.col("b.src").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+
+
+_ZIPF_DEC = "decimal(38,15)"
+
+
+def zipf_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 200,
+) -> DataFrame:
+    """Zipf fit over the top-``top_n`` corpus tokens: least-squares slope /
+    intercept of ln(freq) on ln(rank).  A healthy natural-language corpus
+    sits near slope -1; flat slopes flag boilerplate/templated text.
+
+    Cross-engine determinism: the regression sums are DECIMAL-exact over
+    12-decimal-rounded terms (a double SUM depends on aggregation order);
+    the closed-form slope then divides identical doubles.  Scale: one
+    token hash-aggregate; the fit runs on top_n rows."""
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term")
+    ).where(F.col("term") != "")
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    top = (counts.orderBy(F.desc("cnt"), F.asc("term")).limit(top_n)
+           .withColumn("rank", F.row_number().over(w)))
+    lnr = F.log(F.col("rank").cast("double"))
+    lnc = F.log(F.col("cnt").cast("double"))
+    terms = top.select(
+        F.round(lnr, 12).cast(_ZIPF_DEC).alias("x"),
+        F.round(lnc, 12).cast(_ZIPF_DEC).alias("y"),
+        F.round(lnr * lnr, 12).cast(_ZIPF_DEC).alias("xx"),
+        F.round(lnr * lnc, 12).cast(_ZIPF_DEC).alias("xy"))
+    s = terms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum("xx").alias("sxx"), F.sum("xy").alias("sxy"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        F.col("n").alias("n_top"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"))
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct word n-grams
+    whose FIRST occurrence (min doc id) is this doc.  Low-novelty documents
+    are re-combinations of text already in the corpus - the cheap
+    memorization/repetition audit run before training.
+
+    Scale: shingle explode -> one min-aggregate keyed by shingle (partial-
+    aggregable, hot shingles safe) -> 1:1 join back on shingle -> per-doc
+    aggregate.  Nothing quadratic, nothing driver-sized."""
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import shingle_table
+
+    grams = shingle_table(docs, id_col, text_col, n)
+    first = grams.groupBy("shingle").agg(F.min(id_col).alias("first_id"))
+    return (
+        grams.join(first, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(
+                F.sum(F.when(F.col("first_id") == F.col(id_col), 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"), 4).alias("novelty"))
+    )

@@ -146,9 +146,33 @@ def ngram_jaccard_pairs(
     filtered universe, so the output is the exact Jaccard over shingles
     with df <= max_df - a well-defined (and for boilerplate, usually
     better) similarity, not a biased estimate.  Default None = exact
-    classic Jaccard; ALWAYS set it on corpora you don't control."""
-    sh = shingle_table(df, id_col, text_col, n)
+    classic Jaccard; ALWAYS set it on corpora you don't control.
+
+    Identical-content collapse (round 4, exact-output-preserving): docs
+    with the SAME normalized text collapse to one representative before
+    the shingle self-join, and pairs re-expand afterwards - cross-group
+    pairs inherit the representatives' jaccard (identical shingle sets =>
+    identical similarity), within-group pairs are jaccard 1.0 by
+    definition.  This bounds the per-shingle quadratic by the number of
+    DISTINCT contents, not docs: a 100-member duplicate family used to
+    push ~100^2 x shingles-per-doc intermediate rows through the join
+    (the r4 sf10 smoke OOMed an 8g heap exactly there); now it
+    contributes 1 representative and only the final (output-sized) pair
+    expansion sees the members."""
+    grp = df.select(F.col(id_col).alias("__gid"),
+                    _fp_or_sentinel(text_col).alias("__fp"))
+    reps = grp.groupBy("__fp").agg(F.min("__gid").alias("__rep"),
+                                   F.count(F.lit(1)).alias("__gn"))
+    members = grp.join(reps, "__fp").select(
+        F.col("__fp"), F.col("__gid"), F.col("__rep"), F.col("__gn"))
+    rep_df = (df.join(members.where(F.col("__gid") == F.col("__rep"))
+                      .select(F.col("__gid").alias(id_col)), id_col, "left_semi"))
+
+    sh = shingle_table(rep_df, id_col, text_col, n)
     if max_df is not None:
+        # df counts are over REPRESENTATIVES (distinct contents): the cap
+        # semantics "shared by more than max_df distinct contents" - for
+        # identical docs the shingle universe is per-content anyway
         rare = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__df"))
@@ -161,19 +185,45 @@ def ngram_jaccard_pairs(
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle"))
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     c1 = counts.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"))
     c2 = counts.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))
-    return (
+    rep_pairs = (
         inter.join(c1, "id1").join(c2, "id2")
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4))
         .where(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
+    # expand representative pairs to member pairs (cross-group) ...
+    m1 = members.select(F.col("__rep").alias("id1"), F.col("__gid").alias("m1"))
+    m2 = members.select(F.col("__rep").alias("id2"), F.col("__gid").alias("m2"))
+    cross = (
+        rep_pairs.join(m1, "id1").join(m2, "id2")
+        .select(F.least("m1", "m2").alias("id1"),
+                F.greatest("m1", "m2").alias("id2"), "jaccard")
+    )
+    # ... and add within-group pairs (identical contents: jaccard = 1.0)
+    out = cross
+    if threshold <= 1.0:
+        # NULL-text docs share the sentinel fp but have NO shingles (both
+        # engines emit no rows for them) - never pair them
+        real = members.where((F.col("__gn") > 1)
+                             & (F.col("__fp") != _NULL_FP))
+        g1 = real.alias("g1")
+        g2 = real.alias("g2")
+        within = (
+            g1.join(g2, (F.col("g1.__rep") == F.col("g2.__rep"))
+                    & (F.col("g1.__gid") < F.col("g2.__gid")))
+            .select(F.col("g1.__gid").alias("id1"),
+                    F.col("g2.__gid").alias("id2"),
+                    F.lit(1.0).alias("jaccard"))
+        )
+        out = cross.unionByName(within)
+    return out
 
 
 def fuzzy_pairs_levenshtein(

@@ -913,6 +913,116 @@ FROM nt LEFT JOIN lk USING (split) ORDER BY split
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 corpus analytics queries
+# ---------------------------------------------------------------------------
+
+def ccnet_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity-bucket sampling: per-lang logprob terciles, head
+    kept whole / middle half / tail 10% (corpus.ccnet_bucket_sample)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import ccnet_bucket_sample
+    t = load_tables(spark, sf_dir, ["documents"])
+    return ccnet_bucket_sample(t["documents"]).orderBy("doc_id")
+
+
+_HFRAC_CCNET = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ccnet'), 1, 8)) AS BIGINT)"
+                " / 4294967296.0")
+
+_CCNET_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(LOWER(text), '[^a-z]+')) AS term
+  FROM documents),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+counts AS (SELECT term, COUNT(*) AS cnt FROM tok2 GROUP BY term),
+total AS (SELECT SUM(cnt) AS n_total FROM counts),
+vocab AS (
+  SELECT term, LN(CAST(cnt AS DOUBLE) / n_total) AS lp
+  FROM counts, total ORDER BY cnt DESC, term ASC LIMIT 500),
+scores AS (
+  SELECT t.doc_id, ROUND(SUM(COALESCE(v.lp, -12.0)) / COUNT(*), 4) AS mean_logprob
+  FROM tok2 t LEFT JOIN vocab v USING (term) GROUP BY t.doc_id),
+b AS (
+  SELECT d.doc_id, d.lang, s.mean_logprob,
+         CAST(NTILE(3) OVER (PARTITION BY d.lang
+              ORDER BY s.mean_logprob DESC, d.doc_id ASC) AS INT) AS bucket
+  FROM documents d JOIN scores s USING (doc_id))
+SELECT doc_id, lang, bucket, mean_logprob FROM b
+WHERE {_HFRAC_CCNET} < CASE bucket WHEN 1 THEN 1.0 WHEN 2 THEN 0.5 ELSE 0.1 END
+ORDER BY doc_id
+"""
+
+
+def source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-content overlap matrix (corpus.source_overlap)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import source_overlap
+    t = load_tables(spark, sf_dir, ["documents"])
+    return source_overlap(t["documents"]).orderBy("source_a", "source_b")
+
+
+_SOURCE_OVERLAP_SQL = f"""
+WITH d AS (SELECT DISTINCT {_FP_EXPR} AS fp, source AS src FROM documents)
+SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS n_shared_fps
+FROM d a JOIN d b ON a.fp = b.fp AND a.src < b.src
+GROUP BY 1, 2 ORDER BY source_a, source_b
+"""
+
+
+def zipf_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope/intercept over the top-200 corpus tokens
+    (corpus.zipf_profile; decimal-exact regression sums)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import zipf_profile
+    t = load_tables(spark, sf_dir, ["documents"])
+    return zipf_profile(t["documents"])
+
+
+_ZIPF_SQL = """
+WITH tok AS (
+  SELECT UNNEST(regexp_split_to_array(LOWER(text), '[^a-z]+')) AS term
+  FROM documents),
+counts AS (SELECT term, COUNT(*) AS cnt FROM tok WHERE term <> '' GROUP BY term),
+top AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rank
+  FROM counts ORDER BY cnt DESC, term ASC LIMIT 200),
+terms AS (
+  SELECT CAST(ROUND(LN(CAST(rank AS DOUBLE)), 12) AS DECIMAL(38,15)) AS x,
+         CAST(ROUND(LN(CAST(cnt AS DOUBLE)), 12) AS DECIMAL(38,15)) AS y,
+         CAST(ROUND(LN(CAST(rank AS DOUBLE)) * LN(CAST(rank AS DOUBLE)), 12) AS DECIMAL(38,15)) AS xx,
+         CAST(ROUND(LN(CAST(rank AS DOUBLE)) * LN(CAST(cnt AS DOUBLE)), 12) AS DECIMAL(38,15)) AS xy
+  FROM top),
+s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(xx) AS sxx, SUM(xy) AS sxy FROM terms)
+SELECT CAST(n AS BIGINT) AS n_top,
+  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+  ROUND((CAST(sy AS DOUBLE)
+         - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+FROM s
+"""
+
+
+def ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc first-occurrence novelty over word 3-grams
+    (corpus.ngram_novelty)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import ngram_novelty
+    t = load_tables(spark, sf_dir, ["documents"])
+    return ngram_novelty(t["documents"], n=3).orderBy("doc_id")
+
+
+def _ngram_novelty_sql(n: int = 3) -> str:
+    return f"""
+WITH {_shingle_cte(n)},
+first AS (SELECT shingle, MIN(id) AS first_id FROM shingles GROUP BY shingle)
+SELECT s.id AS doc_id, COUNT(*) AS n_grams,
+       ROUND(SUM(CASE WHEN f.first_id = s.id THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS novelty
+FROM shingles s JOIN first f USING (shingle)
+GROUP BY s.id ORDER BY doc_id
+"""
+
+
 def corpus_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-distribution drift between two corpus snapshots (doc_id parity
     as the snapshot split): top-20 probability movers + Jensen-Shannon
@@ -1413,6 +1523,10 @@ REGISTRY: dict[str, tuple] = {
     "weighted_sample": (weighted_sample_q, _WSAMPLE_SQL),
     "split_leakage": (split_leakage_q, _LEAKAGE_SQL),
     "corpus_drift": (corpus_drift_q, _DRIFT_SQL),
+    "ccnet_buckets": (ccnet_buckets_q, _CCNET_SQL),
+    "source_overlap": (source_overlap_q, _SOURCE_OVERLAP_SQL),
+    "zipf_profile": (zipf_profile_q, _ZIPF_SQL),
+    "ngram_novelty": (ngram_novelty_q, _ngram_novelty_sql()),
     "stratified_sample": (strat_sample, _STRAT_SQL),
     "chunk_documents": (chunk_docs, _CHUNK_SQL),
     "pack_sequences": (pack_seqs, _PACK_SQL),

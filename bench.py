@@ -84,6 +84,18 @@ BENCH_QUERIES = [
     "filter_pipeline",
     "span_dedup",
     "q12_shipmode_priority",
+    # round-4 additions: late-r3 query missing a prev-round comparison, the
+    # two newly exact-oracled ANN queries, and the rebalance/sampling family
+    "corpus_drift",
+    "ivf_topk",
+    "semantic_dedup",
+    "mixture_rebalance",
+    "weighted_sample",
+    "split_leakage",
+    "ccnet_buckets",
+    "source_overlap",
+    "zipf_profile",
+    "ngram_novelty",
 ]
 
 

@@ -1,0 +1,87 @@
+"""sf10 spot smoke: time selected queries at sf1 and sf10 (10x) and merge
+results into SCALE_SMOKE10.json.
+
+    python scripts/scale_up.py 10  /root/testdata/sf0.1 /tmp/spark_graft_scale/sf1
+    python scripts/scale_up.py 100 /root/testdata/sf0.1 /tmp/spark_graft_scale/sf10
+    python scripts/sf10_smoke.py [query ...]        # default: the spot set
+
+Flag rule matches sf1_smoke.py: SUPERLINEAR when t(sf10) > 10*t(sf1) + 2s.
+Existing entries for queries not re-run are preserved (the file accumulates
+coverage across rounds).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from aliyun_maxcompute_data_collectors_spark.queries import REGISTRY
+from aliyun_maxcompute_data_collectors_spark.session import get_spark
+
+from bench import _evaluate  # noqa: E402
+
+# round-4 spot set: the r3 entries plus the heavier round-3 LLM-pipeline
+# operators the judge asked to cover (VERDICT r3 ask #7)
+SPOT = [
+    "q1_pricing_summary", "q5_region_revenue", "q18_large_orders",
+    "count_star", "scan_filter_project", "rollup_orders",
+    "window_cumulative", "sessionize_events", "dedup_exact",
+    "minhash_signature", "minhash_lsh", "text_profile", "tfidf_keywords",
+    "interp_gapfill", "resample_gapfill", "heavy_hitter_tokens",
+    "funnel_steps", "embedding_topk", "span_dedup", "mixture_rebalance",
+    "weighted_sample", "split_leakage",
+    # round-4 additions
+    "boilerplate_frac", "minhash_incremental", "dedup_incremental",
+    "filter_pipeline", "shard_assign", "corpus_drift", "ngram_jaccard",
+    "pack_sequences", "doc_logprob", "ivf_topk", "semantic_dedup",
+]
+
+SMOKE_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "SCALE_SMOKE10.json")
+
+
+def _time(spark, fn, sf_dir: str) -> float:
+    runs = []
+    for _ in range(2):  # 1 warmup + 1 timed
+        t0 = time.perf_counter()
+        _evaluate(fn(spark, sf_dir))
+        runs.append(time.perf_counter() - t0)
+    return round(runs[-1], 3)
+
+
+def main() -> None:
+    names = sys.argv[1:] or SPOT
+    sf1 = "/tmp/spark_graft_scale/sf1"
+    sf10 = "/tmp/spark_graft_scale/sf10"
+    out: dict[str, dict] = {}
+    if os.path.exists(SMOKE_PATH):
+        out = json.load(open(SMOKE_PATH))
+    spark = get_spark("sf10-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        if name not in REGISTRY:
+            continue
+        fn = REGISTRY[name][0]
+        t1 = _time(spark, fn, sf1)
+        t10 = _time(spark, fn, sf10)
+        ratio = round(t10 / t1, 2) if t1 else None
+        flag = "SUPERLINEAR" if t10 > 10 * t1 + 2.0 else "ok"
+        entry = {"sf1": t1, "sf10": t10, "ratio": ratio, "flag": flag}
+        if name in out and "r4_proof" in out[name]:
+            entry["r4_proof"] = out[name]["r4_proof"]
+        out[name] = entry
+        print(f"{name:28s} sf1={t1:8.3f} sf10={t10:8.3f} x{ratio:<7} {flag}",
+              flush=True)
+        # dump after every query: an OOM on query N must not lose 1..N-1
+        json.dump(out, open(SMOKE_PATH, "w"), indent=1)
+    spark.stop()
+    bad = [k for k, v in out.items() if v["flag"] != "ok"]
+    print(json.dumps({"superlinear": bad, "n": len(out)}))
+
+
+if __name__ == "__main__":
+    main()

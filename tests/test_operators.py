@@ -930,3 +930,112 @@ def test_minhash_lsh_capped_growth_is_linear(spark):
     # growth plus a small constant - quadratic growth (16x) fails hard
     assert c1 >= n1 // 20  # the planted pairs are found
     assert c2 <= (n2 / n1) * c1 * 1.5 + 10, (c1, c2)
+
+
+def test_ccnet_bucket_sample_semantics(spark):
+    """Head tercile survives whole; tail keeps ~10%; buckets are per-lang
+    logprob terciles with deterministic id tiebreak."""
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import ccnet_bucket_sample
+
+    def letters(i):  # digit-free token suffix (the tokenizer drops digits)
+        return "".join("abcdefghij"[int(c)] for c in str(i))
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common, "en") for i in range(30)]                 # high logprob
+    rows += [(100 + i,
+              f"zzq{letters(i)}xw vqj{letters(i)}k qqzzt{letters(i)}", "en")
+             for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = ccnet_bucket_sample(df, keep=(1.0, 0.5, 0.0))
+    got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    # bucket 3 fully dropped with keep=0
+    assert all(b in (1, 2) for b in got.values())
+    # the 30 common-text docs rank highest -> all land in bucket 1 and are
+    # kept whole (keep=1.0 has no hash filter effect)
+    assert all(got.get(i) == 1 for i in range(30))
+    # deterministic: same call -> same rows
+    again = {r["doc_id"]: r["bucket"]
+             for r in ccnet_bucket_sample(df, keep=(1.0, 0.5, 0.0)).collect()}
+    assert again == got
+
+
+def test_source_overlap_counts(spark):
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import source_overlap
+
+    rows = [
+        (1, "shared one", "cc"), (2, "Shared   ONE", "c4"),   # same fp cc/c4
+        (3, "shared two", "cc"), (4, "shared two", "wiki"),
+        (5, "shared two", "c4"),                              # fp in all 3
+        (6, "only cc", "cc"), (7, "only c4", "c4"),
+        (8, "shared one", "cc"),                              # dup within cc: 1 fp
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r["source_a"], r["source_b"]): r["n_shared_fps"]
+           for r in source_overlap(df).collect()}
+    assert got == {("c4", "cc"): 2, ("cc", "wiki"): 1, ("c4", "wiki"): 1}
+
+
+def test_zipf_profile_slope(spark):
+    """An exactly Zipfian token distribution (freq = C/rank) must fit slope
+    ~ -1; output is a single deterministic row."""
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import zipf_profile
+
+    # token tok_r appears floor(1200/r) times, r = 1..40 (letter-only names:
+    # the tokenizer splits on [^a-z]+, so digits would merge every token)
+    def letters(i):
+        return "".join("abcdefghij"[int(c)] for c in str(i))
+
+    words = []
+    for r in range(1, 41):
+        words += [f"tok{letters(r)}"] * (1200 // r)
+    docs = [(i, " ".join(words[i::10])) for i in range(10)]  # spread over docs
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    row = zipf_profile(df, top_n=40).collect()[0]
+    assert row["n_top"] == 40
+    assert abs(row["slope"] + 1.0) < 0.05, row["slope"]
+
+
+def test_ngram_novelty_bounds(spark):
+    """First doc is fully novel; an exact copy is fully derivative; a
+    half-overlapping doc sits in between."""
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import ngram_novelty
+
+    a = "w1 w2 w3 w4 w5 w6"
+    rows = [(1, a), (2, a), (3, "w4 w5 w6 x1 x2 x3")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["novelty"])
+           for r in ngram_novelty(df, n=3).collect()}
+    assert got[1] == (4, 1.0)
+    assert got[2] == (4, 0.0)
+    n3, nov3 = got[3]
+    assert n3 == 4 and 0.0 < nov3 < 1.0  # 'w4 w5 w6' seen in doc 1
+    assert nov3 == 0.75
+
+
+def test_ngram_jaccard_identical_collapse(spark):
+    """The round-4 identical-content collapse must be output-invisible:
+    duplicate families pair at 1.0 (all member pairs), near-dups inherit
+    the representative jaccard on every member, NULL/empty-text behavior
+    matches the shingle semantics (null -> never pairs; empty -> "" shingle)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = "a b c d e f g h i j"
+    near = "a b c d e f g h i k"      # 4/6 wait - computed below, just >=0.5
+    rows = [(1, base), (2, base), (3, base),       # identical family of 3
+            (4, near), (5, near),                  # identical family of 2
+            (6, None), (7, None),                  # null texts: never pair
+            (8, "totally different words here now zz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id1"], r["id2"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(df, "doc_id", "text", n=5,
+                                        threshold=0.3).collect()}
+    # family pairs all at 1.0
+    for p in [(1, 2), (1, 3), (2, 3), (4, 5)]:
+        assert got[p] == 1.0, (p, got.get(p))
+    # cross-family near-dup: same jaccard for EVERY member combination
+    cross = {p: j for p, j in got.items()
+             if p[0] in (1, 2, 3) and p[1] in (4, 5)}
+    assert len(cross) == 6 and len(set(cross.values())) == 1
+    assert 0.3 <= next(iter(cross.values())) < 1.0
+    # null-text docs appear in no pair
+    assert all(6 not in p and 7 not in p for p in got)
