@@ -468,3 +468,65 @@ def det_semantic_dedup(
             .select(F.col("node").alias("_drop_id")))
     return df.join(F.broadcast(drop), df[id_col] == F.col("_drop_id"),
                    "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# embedding-column health audit
+# ---------------------------------------------------------------------------
+
+def embedding_quality(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_cols: list[str] | None = None,
+    expected_dim: int | None = None,
+) -> DataFrame:
+    """Vector-column health report per group: null vectors, dimension
+    mismatches, non-finite elements, zero-norm vectors, and norm stats -
+    the audit run before any ANN/dedup pass trusts an embedding column.
+
+    All pure fold expressions over the array; the norm MEAN uses a
+    decimal-exact sum of 12-rounded norms (a double sum is aggregation-
+    order-dependent and would never hash-match another engine).  One hash
+    aggregate; nothing data-sized leaves the executors."""
+    vec = F.col(vec_col)
+    norm = norm_expr(vec)
+    inf = F.lit(float("inf"))
+    nonfinite = F.exists(vec, lambda x: F.isnan(x.cast("double"))
+                         | (F.abs(x.cast("double")) == inf))
+    bad_dim = (F.lit(False) if expected_dim is None
+               else F.size(vec) != F.lit(expected_dim))
+    rows = df.select(
+        *(group_cols or []),
+        vec.isNull().cast("int").alias("__null"),
+        F.when(vec.isNull(), 0).otherwise(bad_dim.cast("int")).alias("__baddim"),
+        F.when(vec.isNull(), 0).otherwise(nonfinite.cast("int")).alias("__nonfin"),
+        F.when(vec.isNull() | nonfinite, 0)
+         .otherwise((norm < 1e-12).cast("int")).alias("__zero"),
+        F.when(vec.isNull() | nonfinite, None)
+         .otherwise(F.round(norm, 12)).alias("__norm"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("__null").cast("long").alias("n_null"),
+        F.sum("__baddim").cast("long").alias("n_bad_dim"),
+        F.sum("__nonfin").cast("long").alias("n_nonfinite"),
+        F.sum("__zero").cast("long").alias("n_zero_norm"),
+        F.round(F.min("__norm"), 6).alias("min_norm"),
+        F.round(F.max("__norm"), 6).alias("max_norm"),
+        F.round(F.sum(F.col("__norm").cast("decimal(38,15)")).cast("double")
+                / F.count("__norm"), 6).alias("mean_norm"),
+    ]
+    if group_cols:
+        return rows.groupBy(*group_cols).agg(*aggs)
+    return rows.agg(*aggs)
+
+
+def det_kmeans_assign_best(vec: Column, centers: list[list[float]]) -> Column:
+    """Struct (d: squared distance, c: cell) of the argmin assignment -
+    select ``["c"]`` / ``["d"]`` off it.  Used for incremental assignment
+    of new vectors against a FROZEN index (build once with det_kmeans /
+    ivf_build, assign each arriving batch without refitting)."""
+    scored = F.array(*[
+        F.struct(_sq_dist_expr(vec, c).alias("d"), F.lit(ci).alias("c"))
+        for ci, c in enumerate(centers)])
+    return F.array_sort(scored)[0]

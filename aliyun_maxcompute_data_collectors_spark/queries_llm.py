@@ -469,18 +469,19 @@ def _km_dot_sql(ev: str, cv: str) -> str:
 
 
 def _det_kmeans_cte(dim: int = 64, k: int = 8, n_iter: int = 2,
-                    seed: int = 42) -> str:
+                    seed: int = 42, where: str = "") -> str:
     """CTE chain mirroring similarity.det_kmeans: k0 = seeded literals,
     a{i}/s{i}/k{i+1} = assignment / decimal-exact sums / mean update per
     iteration (empty cells keep the previous centroid), af = final
-    assignment.  Ends with the final-centers CTE named kf."""
+    assignment.  Ends with the final-centers CTE named kf.  ``where``
+    restricts the fit corpus (frozen-index / incremental-assign oracles)."""
     from aliyun_maxcompute_data_collectors_spark.operators.similarity import det_kmeans_init
     init = det_kmeans_init(dim, k, seed)
     vals = ", ".join(
         f"({ci}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
         for ci, c in enumerate(init))
     parts = [
-        "e AS (SELECT vec_id, embedding FROM embeddings)",
+        f"e AS (SELECT vec_id, embedding FROM embeddings{where})",
         f"k0 AS (SELECT * FROM (VALUES {vals}) AS t(cell, c))",
     ]
     for it in range(n_iter):
@@ -531,6 +532,86 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {topk}
 ORDER BY query_id, rank
+"""
+
+
+def ivf_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental assignment against a FROZEN IVF index: centers fit once
+    on the historical corpus (vec_id < 400, deterministic Lloyd's), each
+    new vector (vec_id >= 400) assigned to its nearest cell without a
+    refit - the arriving-batch half of the build-once/assign-many ANN
+    maintenance cycle."""
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import (
+        det_kmeans, det_kmeans_assign_best)
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = t["embeddings"]
+    _, centers = det_kmeans(e.where(F.col("vec_id") < 400), "vec_id",
+                            "embedding", dim=64, n_clusters=8, n_iter=2)
+    best = det_kmeans_assign_best(F.col("embedding"), centers)
+    return (
+        e.where(F.col("vec_id") >= 400)
+        .select("vec_id", best.alias("__b"))
+        .select("vec_id", F.col("__b")["c"].alias("cell"),
+                F.round(F.col("__b")["d"], 6).alias("dist"))
+        .orderBy("vec_id"))
+
+
+def _ivf_assign_sql(dim: int = 64, k: int = 8, n_iter: int = 2,
+                    split: int = 400) -> str:
+    dist = _km_dist_sql("n.embedding", "kf.c")
+    return f"""
+WITH {_det_kmeans_cte(dim, k, n_iter, where=f" WHERE vec_id < {split}")},
+newv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {split}),
+a AS (
+  SELECT vec_id, cell, dist FROM (
+    SELECT n.vec_id, kf.cell, {dist} AS dist,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY {dist}, kf.cell) AS rn
+    FROM newv n CROSS JOIN kf) WHERE rn = 1)
+SELECT vec_id, cell, ROUND(dist, 6) AS dist FROM a ORDER BY vec_id
+"""
+
+
+def embedding_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-column health report (similarity.embedding_quality)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import embedding_quality
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return embedding_quality(t["embeddings"], "embedding", ["label"],
+                             expected_dim=64).orderBy("label")
+
+
+_EMB_NORM = ("sqrt(list_reduce(list_transform(embedding,"
+             " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (s, x) -> s + x))")
+
+_EMB_QUALITY_SQL = f"""
+WITH rows_ AS (
+  SELECT label,
+    CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS nul,
+    CASE WHEN embedding IS NULL THEN 0
+         WHEN len(embedding) <> 64 THEN 1 ELSE 0 END AS baddim,
+    CASE WHEN embedding IS NULL THEN 0
+         WHEN list_reduce(list_transform(embedding,
+              x -> CASE WHEN isnan(CAST(x AS DOUBLE))
+                        OR abs(CAST(x AS DOUBLE)) = CAST('inf' AS DOUBLE)
+                   THEN 1 ELSE 0 END), (s, x) -> s + x) > 0 THEN 1 ELSE 0
+         END AS nonfin,
+    CASE WHEN embedding IS NULL THEN NULL ELSE {_EMB_NORM} END AS rawnorm
+  FROM embeddings),
+r2 AS (
+  SELECT label, nul, baddim, nonfin,
+    CASE WHEN nonfin = 1 OR rawnorm IS NULL THEN 0
+         WHEN rawnorm < 1e-12 THEN 1 ELSE 0 END AS zero_,
+    CASE WHEN nonfin = 1 THEN NULL ELSE ROUND(rawnorm, 12) END AS nrm
+  FROM rows_)
+SELECT label, COUNT(*) AS n_vecs,
+  CAST(SUM(nul) AS BIGINT) AS n_null,
+  CAST(SUM(baddim) AS BIGINT) AS n_bad_dim,
+  CAST(SUM(nonfin) AS BIGINT) AS n_nonfinite,
+  CAST(SUM(zero_) AS BIGINT) AS n_zero_norm,
+  ROUND(MIN(nrm), 6) AS min_norm,
+  ROUND(MAX(nrm), 6) AS max_norm,
+  ROUND(CAST(SUM(CAST(nrm AS DECIMAL(38,15))) AS DOUBLE) / COUNT(nrm), 6)
+    AS mean_norm
+FROM r2 GROUP BY label ORDER BY label
 """
 
 
@@ -1527,6 +1608,8 @@ REGISTRY: dict[str, tuple] = {
     "source_overlap": (source_overlap_q, _SOURCE_OVERLAP_SQL),
     "zipf_profile": (zipf_profile_q, _ZIPF_SQL),
     "ngram_novelty": (ngram_novelty_q, _ngram_novelty_sql()),
+    "ivf_assign_incremental": (ivf_assign_q, _ivf_assign_sql()),
+    "embedding_quality": (embedding_quality_q, _EMB_QUALITY_SQL),
     "stratified_sample": (strat_sample, _STRAT_SQL),
     "chunk_documents": (chunk_docs, _CHUNK_SQL),
     "pack_sequences": (pack_seqs, _PACK_SQL),

@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "source_overlap",
     "zipf_profile",
     "ngram_novelty",
+    "ivf_assign_incremental",
+    "embedding_quality",
 ]
 
 

@@ -1039,3 +1039,48 @@ def test_ngram_jaccard_identical_collapse(spark):
     assert 0.3 <= next(iter(cross.values())) < 1.0
     # null-text docs appear in no pair
     assert all(6 not in p and 7 not in p for p in got)
+
+
+def test_embedding_quality_planted_defects(spark):
+    """Null vector, wrong dimension, NaN element, inf element, and
+    zero-norm vector are each counted exactly once; norm stats skip the
+    non-finite/null rows."""
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import (
+        embedding_quality)
+
+    rows = [
+        (1, [3.0, 4.0]),            # norm 5
+        (2, [0.0, 0.0]),            # zero norm
+        (3, None),                  # null vector
+        (4, [1.0, 2.0, 2.0]),       # wrong dim
+        (5, [float("nan"), 1.0]),   # NaN element
+        (6, [float("inf"), 1.0]),   # inf element
+        (7, [0.0, 1.0]),            # norm 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = embedding_quality(df, "embedding", expected_dim=2).collect()[0]
+    assert r["n_vecs"] == 7
+    assert r["n_null"] == 1
+    assert r["n_bad_dim"] == 1
+    assert r["n_nonfinite"] == 2
+    assert r["n_zero_norm"] == 1
+    assert r["min_norm"] == 0.0 and r["max_norm"] == 5.0
+    # mean over finite non-null norms: (5 + 0 + 3 + 1) / 4
+    assert r["mean_norm"] == 2.25
+
+
+def test_ivf_assign_matches_full_fit_cells(spark, sf_dir):
+    """Frozen-index assignment of vectors the fit HAS seen must reproduce
+    the fit's own cells (assignment expr == det_kmeans final pass)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import (
+        det_kmeans, det_kmeans_assign_best)
+    from aliyun_maxcompute_data_collectors_spark.session import load_tables
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cells, centers = det_kmeans(e, "vec_id", "embedding", dim=64,
+                                n_clusters=8, n_iter=2)
+    best = det_kmeans_assign_best(F.col("embedding"), centers)
+    re_assigned = e.select(F.col("vec_id").alias("neighbor_id"),
+                           best["c"].alias("cell2"))
+    joined = cells.join(re_assigned, "neighbor_id")
+    assert joined.where(F.col("cell") != F.col("cell2")).count() == 0
