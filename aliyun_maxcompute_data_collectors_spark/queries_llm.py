@@ -542,12 +542,12 @@ def ivf_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     refit - the arriving-batch half of the build-once/assign-many ANN
     maintenance cycle."""
     from aliyun_maxcompute_data_collectors_spark.operators.similarity import (
-        det_kmeans, det_kmeans_assign_best)
+        det_assign_fast, det_kmeans)
     t = load_tables(spark, sf_dir, ["embeddings"])
     e = t["embeddings"]
     _, centers = det_kmeans(e.where(F.col("vec_id") < 400), "vec_id",
                             "embedding", dim=64, n_clusters=8, n_iter=2)
-    best = det_kmeans_assign_best(F.col("embedding"), centers)
+    best = det_assign_fast(F.col("embedding"), centers)
     return (
         e.where(F.col("vec_id") >= 400)
         .select("vec_id", best.alias("__b"))

@@ -1084,3 +1084,36 @@ def test_ivf_assign_matches_full_fit_cells(spark, sf_dir):
                            best["c"].alias("cell2"))
     joined = cells.join(re_assigned, "neighbor_id")
     assert joined.where(F.col("cell") != F.col("cell2")).count() == 0
+
+
+def test_vectorized_fold_kernels_bit_equal(spark):
+    """cosine_fast / det_assign_fast must be BIT-identical to the HOF fold
+    expressions (same float32->float64 widening, same sequential dim
+    order), including distance ties resolving to the lower cell."""
+    import random as _r
+
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import (
+        cosine_expr, cosine_fast, det_assign_fast, det_kmeans_assign_best)
+
+    rng = _r.Random(5)
+    dim = 16
+    rows = [(i,
+             [rng.uniform(-1, 1) for _ in range(dim)],
+             [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, f"id long, a array<float>, b array<float>")
+    cmp = df.select(
+        cosine_expr(F.col("a"), F.col("b")).alias("c1"),
+        cosine_fast(F.col("a"), F.col("b")).alias("c2"))
+    assert cmp.where(F.col("c1") != F.col("c2")).count() == 0  # exact ==
+
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(6)]
+    # plant a tie: two identical centers -> strict < must keep the lower
+    centers.append(list(centers[0]))
+    best_e = det_kmeans_assign_best(F.col("a"), centers)
+    best_f = det_assign_fast(F.col("a"), centers)
+    cmp2 = df.select(best_e["c"].alias("e"), best_e["d"].alias("de"),
+                     best_f["c"].alias("f"), best_f["d"].alias("df_"))
+    assert cmp2.where((F.col("e") != F.col("f"))
+                      | (F.col("de") != F.col("df_"))).count() == 0
+    assert cmp2.where(F.col("f") == 6).count() == 0  # tie never picks the copy
