@@ -410,3 +410,78 @@ def test_weighted_sample_matches_reference(spark, weights, n):
     got_ids = [r["doc_id"] for r in
                sorted(got, key=lambda r: (-r["sample_key"], r["doc_id"]))]
     assert got_ids == expect_ids
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 30),        # content id (collisions = dups)
+                       st.sampled_from(["cc", "c4", "wiki"])),
+             min_size=1, max_size=40),
+)
+@settings(max_examples=20, deadline=None)
+def test_ngram_novelty_invariants(spark, docs):
+    """novelty in [0,1]; the minimum doc_id of every content group scores
+    its grams as novel wherever that content's grams first appear there;
+    total novel grams across docs == number of distinct grams."""
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import ngram_novelty
+
+    rows = [(i, f"w{c}a w{c}b w{c}c w{c}d common tail") for i, (c, _s) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_novelty(df, n=3).collect()
+    assert all(0.0 <= r["novelty"] <= 1.0 for r in out)
+    total_novel = sum(round(r["novelty"] * r["n_grams"]) for r in out)
+    distinct_grams = (df.selectExpr(
+        "explode(array_distinct(transform(sequence(0, size(split(text, ' ')) - 3), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))) AS g")
+        .select("g").distinct().count())
+    assert total_novel == distinct_grams
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 25),
+                       st.sampled_from(["cc", "c4", "wiki"])),
+             min_size=1, max_size=40),
+)
+@settings(max_examples=20, deadline=None)
+def test_source_overlap_matches_set_reference(spark, docs):
+    """source_overlap == pure-python set intersection counts per pair."""
+    from collections import defaultdict
+
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import source_overlap
+
+    rows = [(i, f"content {c} body", s) for i, (c, s) in enumerate(docs)]
+    by_src = defaultdict(set)
+    for _i, (c, s) in enumerate(docs):
+        by_src[s].add(c)
+    srcs = sorted(by_src)
+    expect = {}
+    for i, s1 in enumerate(srcs):
+        for s2 in srcs[i + 1:]:
+            n = len(by_src[s1] & by_src[s2])
+            if n:
+                expect[(s1, s2)] = n
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r["source_a"], r["source_b"]): r["n_shared_fps"]
+           for r in source_overlap(df).collect()}
+    assert got == expect
+
+
+@given(st.integers(2, 5), st.integers(1, 3))
+@settings(max_examples=10, deadline=None)
+def test_det_kmeans_partitions_all_rows(spark, k, n_iter):
+    """Every vector gets exactly one cell in [0, k); cells reproduce on a
+    second identical call (pure determinism, no RNG state)."""
+    import random as _r
+
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import det_kmeans
+
+    rng = _r.Random(k * 10 + n_iter)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cells, centers = det_kmeans(df, "vec_id", "embedding", dim=8,
+                                n_clusters=k, n_iter=n_iter)
+    got = {r["neighbor_id"]: r["cell"] for r in cells.collect()}
+    assert len(got) == 60 and all(0 <= c < k for c in got.values())
+    cells2, centers2 = det_kmeans(df, "vec_id", "embedding", dim=8,
+                                  n_clusters=k, n_iter=n_iter)
+    assert centers2 == centers
+    assert {r["neighbor_id"]: r["cell"] for r in cells2.collect()} == got
