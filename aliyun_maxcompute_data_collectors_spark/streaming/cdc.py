@@ -203,3 +203,46 @@ def dedup_ingest_writer(catalog, table: str, store_table: str,
         catalog.insert(store_table, delta)
 
     return _apply
+
+
+def ivf_assign_ingest_writer(catalog, table: str, centers_table: str,
+                             id_col: str, vec_col: str):
+    """foreachBatch hook: streaming half of the build-once/assign-many ANN
+    lifecycle.  ``centers_table`` holds the frozen coarse quantizer
+    ``(cell int, center array<double>)`` (write it once from
+    similarity.det_kmeans / ivf_build); each arriving micro-batch of
+    vectors is assigned to its nearest cell (vectorized sequential-fold
+    kernel, bit-equal to the batch path) and appended to ``table`` as
+    ``(id, vec, cell, dist)``.  Create ``table`` partitioned or bucketed
+    by ``cell`` so downstream probes prune to the probed cells.
+
+    Idempotent under micro-batch replay: survivors are anti-joined against
+    the target's ids before appending, so re-invoking with an
+    already-committed batch appends nothing.
+    """
+    from pyspark.sql import functions as F
+
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import det_assign_fast
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        centers_rows = sorted(
+            (r["cell"], list(r["center"]))
+            for r in catalog.read_table(centers_table).collect())
+        if not centers_rows:
+            raise ValueError(f"{centers_table} is empty - build the index "
+                             "first (det_kmeans/ivf_build)")
+        if [c for c, _v in centers_rows] != list(range(len(centers_rows))):
+            raise ValueError(f"{centers_table} cells must be 0..k-1 dense")
+        centers = [v for _c, v in centers_rows]
+        best = det_assign_fast(F.col(vec_col), centers)
+        assigned = batch_df.select(
+            F.col(id_col), F.col(vec_col), best["c"].alias("cell"),
+            F.round(best["d"], 6).alias("dist"))
+        existing = catalog.read_table(table).select(id_col)
+        assigned = assigned.join(existing, id_col, "left_anti")
+        assigned = assigned.localCheckpoint(eager=True)
+        catalog.insert(table, assigned)
+
+    return _apply

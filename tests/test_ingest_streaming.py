@@ -395,3 +395,42 @@ def test_scd2_writer_out_of_order_batches_splice(stream_env):
     hook(df(rows[3:]), 1)
     assert sorted(map(key, cat.read_table("dim").collect())) == \
         sorted(map(key, full.collect()))
+
+
+def test_ivf_assign_ingest_writer(stream_env):
+    """Streaming ANN maintenance: arriving vectors assigned against the
+    persisted frozen quantizer, bit-equal to the batch assignment, and
+    replay-idempotent."""
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import (
+        det_assign_fast, det_kmeans)
+    from aliyun_maxcompute_data_collectors_spark.session import load_tables
+    from aliyun_maxcompute_data_collectors_spark.streaming.cdc import (
+        ivf_assign_ingest_writer)
+
+    spark, _src, cat, _tmp = stream_env
+    e = load_tables(spark, "/root/testdata/sf0.001", ["embeddings"])["embeddings"]
+    _cells, centers = det_kmeans(e.where(F.col("vec_id") < 40), "vec_id",
+                                 "embedding", dim=64, n_clusters=4, n_iter=1)
+    cat.create_table("centers", [("cell", "INT"), ("center", "ARRAY<DOUBLE>")])
+    cat.insert("centers", spark.createDataFrame(
+        list(enumerate(centers)), "cell int, center array<double>"))
+    cat.create_table("vec_index", [("vec_id", "BIGINT"),
+                                   ("embedding", "ARRAY<FLOAT>"),
+                                   ("cell", "INT"), ("dist", "DOUBLE")])
+    hook = ivf_assign_ingest_writer(cat, "vec_index", "centers",
+                                    "vec_id", "embedding")
+    b1 = e.where((F.col("vec_id") >= 40) & (F.col("vec_id") < 60)) \
+          .select("vec_id", "embedding")
+    b2 = e.where(F.col("vec_id") >= 60).select("vec_id", "embedding")
+    hook(b1, 0)
+    hook(b2, 1)
+    hook(b2, 1)  # replay after success: no duplicates
+    idx = cat.read_table("vec_index")
+    n_new = e.where(F.col("vec_id") >= 40).count()
+    assert idx.count() == n_new
+    # cells equal the batch assignment exactly
+    best = det_assign_fast(F.col("embedding"), centers)
+    batch = (e.where(F.col("vec_id") >= 40)
+             .select("vec_id", best["c"].alias("cell2")))
+    assert idx.join(batch, "vec_id") \
+              .where(F.col("cell") != F.col("cell2")).count() == 0
