@@ -52,6 +52,18 @@ def main() -> None:
         ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
         ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
         print(f"queries: 5  k: 5  recall vs exact: {len(ex & ap) / len(ex):.2f}")
+
+        # ---- maintenance: assign an arriving batch WITHOUT refitting ----
+        # (the streaming twin is streaming/cdc.ivf_assign_ingest_writer)
+        from aliyun_maxcompute_data_collectors_spark.operators.similarity import det_assign_fast
+        arriving = emb.where(F.col("vec_id") % 97 == 0) \
+            .select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("cv"))
+        best = det_assign_fast(F.col("cv"), centers_r)
+        assigned = arriving.select("neighbor_id", "cv", best["c"].alias("cell"))
+        assigned.write.mode("append").partitionBy("cell") \
+            .parquet(os.path.join(out, "cells"))
+        print("incrementally assigned:", assigned.count(), "vectors")
     finally:
         spark.stop()
         import shutil
