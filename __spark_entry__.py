@@ -60,7 +60,7 @@ _PRIORITY = [
     "ivf_topk", "semantic_dedup", "minhash_lsh", "weighted_sample",
     # tier 4: round-4 additions (registered as implemented this round)
     "ccnet_buckets", "source_overlap", "zipf_profile", "ngram_novelty",
-    "ivf_assign_incremental", "embedding_quality",
+    "ivf_assign_incremental", "embedding_quality", "dup_rate_by_source",
 ]
 
 

@@ -1034,6 +1034,36 @@ ORDER BY doc_id
 """
 
 
+def dup_rate_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication health: docs, distinct normalized contents,
+    dup rate, and largest family size - the first per-crawl quality gate
+    before deciding dedup strategy.  One fp hash-aggregate per source."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import _fp_or_sentinel
+    d = t["documents"].select(F.col("source"), _fp_or_sentinel("text").alias("fp"))
+    fam = d.groupBy("source", "fp").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        fam.groupBy("source")
+        .agg(F.sum("n").cast("long").alias("n_docs"),
+             F.count(F.lit(1)).alias("n_distinct"),
+             F.round(F.lit(1.0) - F.count(F.lit(1))
+                     / F.sum("n").cast("double"), 6).alias("dup_rate"),
+             F.max("n").cast("long").alias("max_family"))
+        .orderBy("source"))
+
+
+_DUP_RATE_SQL = f"""
+WITH fam AS (
+  SELECT source, {_FP_EXPR} AS fp, COUNT(*) AS n
+  FROM documents GROUP BY 1, 2)
+SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_distinct,
+       ROUND(1.0 - COUNT(*) / CAST(SUM(n) AS DOUBLE), 6) AS dup_rate,
+       CAST(MAX(n) AS BIGINT) AS max_family
+FROM fam GROUP BY source ORDER BY source
+"""
+
+
 def source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source exact-content overlap matrix (corpus.source_overlap)."""
     from aliyun_maxcompute_data_collectors_spark.operators.corpus import source_overlap
@@ -1606,6 +1636,7 @@ REGISTRY: dict[str, tuple] = {
     "corpus_drift": (corpus_drift_q, _DRIFT_SQL),
     "ccnet_buckets": (ccnet_buckets_q, _CCNET_SQL),
     "source_overlap": (source_overlap_q, _SOURCE_OVERLAP_SQL),
+    "dup_rate_by_source": (dup_rate_by_source_q, _DUP_RATE_SQL),
     "zipf_profile": (zipf_profile_q, _ZIPF_SQL),
     "ngram_novelty": (ngram_novelty_q, _ngram_novelty_sql()),
     "ivf_assign_incremental": (ivf_assign_q, _ivf_assign_sql()),

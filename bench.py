@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "ngram_novelty",
     "ivf_assign_incremental",
     "embedding_quality",
+    "dup_rate_by_source",
 ]
 
 

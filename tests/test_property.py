@@ -485,3 +485,46 @@ def test_det_kmeans_partitions_all_rows(spark, k, n_iter):
                                   n_clusters=k, n_iter=n_iter)
     assert centers2 == centers
     assert {r["neighbor_id"]: r["cell"] for r in cells2.collect()} == got
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 6),     # content pool (forces dup families)
+                       st.integers(0, 3)),    # variant: extra suffix words
+             min_size=2, max_size=25),
+)
+@settings(max_examples=15, deadline=None)
+def test_ngram_jaccard_matches_python_reference(spark, docs):
+    """The r4 identical-content collapse + expansion must equal a direct
+    python computation of shingle-set Jaccard over ALL doc pairs - for any
+    random mix of exact duplicates and near-variants."""
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+
+    def text(c, v):
+        words = [f"w{c}x{i}" for i in range(6)] + [f"v{v}y{j}" for j in range(v)]
+        return " ".join(words)
+
+    rows = [(i, text(c, v)) for i, (c, v) in enumerate(docs)]
+    n = 3
+
+    def shingles(t):
+        w = t.split()
+        if len(w) < n:
+            return {t}
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    expect = {}
+    for i, (ida, ta) in enumerate(rows):
+        sa = shingles(ta)
+        for idb, tb in rows[i + 1:]:
+            sb = shingles(tb)
+            j = len(sa & sb) / len(sa | sb)
+            j = round(j, 4)
+            if j >= 0.3:
+                expect[(ida, idb)] = j
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id1"], r["id2"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(df, "doc_id", "text", n=n,
+                                        threshold=0.3).collect()}
+    assert got == expect
