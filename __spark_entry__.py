@@ -61,6 +61,9 @@ _PRIORITY = [
     # tier 4: round-4 additions (registered as implemented this round)
     "ccnet_buckets", "source_overlap", "zipf_profile", "ngram_novelty",
     "ivf_assign_incremental", "embedding_quality", "dup_rate_by_source",
+    # position 51+: misses the 50-query driver window this round - front of
+    # the round-5 rotation (local-harness green at sf0.001/0.01)
+    "decontaminate_bloom",
 ]
 
 

@@ -949,3 +949,90 @@ def incremental_minhash_dedup(
                       id_col, "left_semi")
     kept_buckets = buckets.join(dup_new, "id", "left_anti")
     return kept, kept_sig, kept_buckets
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (scale path for huge eval-gram sets)
+# ---------------------------------------------------------------------------
+
+BLOOM_M_DEFAULT = 1 << 20  # bits
+BLOOM_K_DEFAULT = 5        # probes per n-gram
+
+
+def _bloom_positions(shingle: Column, m: int, k: int) -> list[Column]:
+    """k bit positions via double hashing: pos_i = (h1 + i*h2) mod m with
+    h1/h2 the first/second 8 md5 hex digits (engine-portable, deterministic;
+    h2 forced odd so the probe sequence cycles the full table)."""
+    h1 = F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(shingle), 9, 8), 16, 10).cast("long") \
+        .bitwiseOR(F.lit(1).cast("long"))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m)).cast("long") for i in range(k)]
+
+
+def bloom_build(
+    benchmark: DataFrame,
+    text_col: str,
+    n: int = 8,
+    m: int = BLOOM_M_DEFAULT,
+    k: int = BLOOM_K_DEFAULT,
+) -> DataFrame:
+    """Build the benchmark n-gram Bloom filter as a (word, bits) table:
+    word = bit-position div 63, bits = OR of the set bits in that word
+    (63 bits per long: DuckDB's checked ``<<`` rejects shifting into the
+    sign bit, so the portable word never uses bit 63).
+    At m=2^20 the table is <= 16384 rows (128 KB of longs) regardless of
+    eval-set size - THAT is the point: `decontaminate` broadcasts the
+    exact distinct-gram set, which stops fitting in executor memory
+    somewhere around 10^8-10^9 eval grams, while this stays constant-size
+    with a tunable false-positive rate ((1-e^(-kn/m))^k; no false
+    negatives ever)."""
+    grams = (benchmark
+             .select(F.explode(word_shingles(text_col, n)).alias("shingle"))
+             .distinct())
+    pos = grams.select(
+        F.explode(F.array(*_bloom_positions(F.col("shingle"), m, k)))
+        .alias("pos")).distinct()
+    return (pos.select((F.col("pos") / 63).cast("long").alias("word"),
+                       F.expr("shiftleft(CAST(1 AS BIGINT), "
+                              "CAST(pmod(pos, 63) AS INT))").alias("b"))
+            .groupBy("word").agg(F.bit_or("b").alias("bits")))
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    bloom_words: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    m: int = BLOOM_M_DEFAULT,
+    k: int = BLOOM_K_DEFAULT,
+) -> DataFrame:
+    """(id, n_contaminated_ngrams) like `decontaminate`, but probing the
+    constant-size Bloom table instead of the exact gram set.  A gram is
+    flagged iff ALL k probed bits are set (no false negatives; false
+    positives at the configured rate flag extra grams, never miss real
+    leakage - the safe direction for decontamination).
+
+    Scale shape: grams explode to k (id, gram, word, mask) probe rows that
+    map-side broadcast-join the <=m/64-row word table; per-gram AND and
+    per-doc count are two narrow aggregations."""
+    grams = shingle_table(corpus, id_col, text_col, n)
+    probes = grams.select(
+        F.col(id_col), F.col("shingle"),
+        F.explode(F.array(*_bloom_positions(F.col("shingle"), m, k)))
+        .alias("pos"))
+    probed = (probes
+              .select(id_col, "shingle",
+                      (F.col("pos") / 63).cast("long").alias("word"),
+                      F.expr("shiftleft(CAST(1 AS BIGINT), "
+                             "CAST(pmod(pos, 63) AS INT))").alias("mask"))
+              .join(F.broadcast(bloom_words), "word", "left")
+              .select(id_col, "shingle",
+                      (F.coalesce(F.col("bits"), F.lit(0).cast("long"))
+                       .bitwiseAND(F.col("mask")) != 0).cast("int")
+                      .alias("hit")))
+    return (probed.groupBy(id_col, "shingle")
+            .agg(F.min("hit").alias("all_hit"))
+            .where(F.col("all_hit") == 1)
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams")))

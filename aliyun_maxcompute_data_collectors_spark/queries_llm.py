@@ -1296,6 +1296,66 @@ ORDER BY g.doc_id
 """
 
 
+_BLOOM_M, _BLOOM_K = 1 << 20, 5
+
+
+def decontam_bloom_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (the constant-memory scale path of
+    `decontaminate`): benchmark grams fill a 2^20-bit Bloom table (<=16384
+    (word,bits) rows however large the eval set), the corpus probes it
+    map-side.  No false negatives; the deterministic md5 double-hashing
+    makes false positives identical in both engines, so the oracle is
+    exact."""
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import (
+        bloom_build, bloom_decontaminate)
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    bench = docs.where(F.col("doc_id") % 53 == 7)
+    probe = docs.where(F.col("doc_id") % 53 != 7)
+    words = bloom_build(bench, "text", n=_DECONTAM_N, m=_BLOOM_M, k=_BLOOM_K)
+    return bloom_decontaminate(probe, words, "doc_id", "text",
+                               n=_DECONTAM_N, m=_BLOOM_M, k=_BLOOM_K) \
+        .orderBy("doc_id")
+
+
+def _bloom_decontam_sql(m: int = _BLOOM_M, k: int = _BLOOM_K) -> str:
+    h1 = "CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)"
+    h2 = "(CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) | 1)"
+    bit = "(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT))"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= {_DECONTAM_N}
+    THEN list_distinct(list_transform(range(1, len(w)-{_DECONTAM_N}+2),
+                                      i -> array_to_string(w[i:i+{_DECONTAM_N - 1}], ' ')))
+    ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM toks),
+bpos AS (
+  SELECT DISTINCT (h1 + i * h2) % {m} AS pos FROM (
+    SELECT DISTINCT {h1} AS h1, {h2} AS h2
+    FROM grams WHERE doc_id % 53 = 7)
+  CROSS JOIN (SELECT unnest(range({k})) AS i)),
+words AS (
+  SELECT pos // 63 AS word, bit_or({bit}) AS bits FROM bpos GROUP BY 1),
+probes AS (
+  SELECT doc_id, shingle, (h1 + i * h2) % {m} AS pos FROM (
+    SELECT doc_id, shingle, {h1} AS h1, {h2} AS h2
+    FROM grams WHERE doc_id % 53 <> 7)
+  CROSS JOIN (SELECT unnest(range({k})) AS i)),
+hits AS (
+  SELECT p.doc_id, p.shingle,
+         MIN(CASE WHEN (COALESCE(w.bits, 0) & (CAST(1 AS BIGINT) << CAST(p.pos % 63 AS INT))) <> 0
+             THEN 1 ELSE 0 END) AS all_hit
+  FROM probes p LEFT JOIN words w ON w.word = p.pos // 63
+  GROUP BY 1, 2)
+SELECT doc_id, COUNT(*) AS n_contaminated_ngrams
+FROM hits WHERE all_hit = 1 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality gate per document."""
     t = load_tables(spark, sf_dir, ["documents"])
@@ -1627,6 +1687,7 @@ FROM a
 
 REGISTRY: dict[str, tuple] = {
     "decontaminate": (decontam_check, _DECONTAM_SQL),
+    "decontaminate_bloom": (decontam_bloom_check, _bloom_decontam_sql()),
     "repetition_profile": (repetition_profile, _REPETITION_SQL),
     "pii_redact": (pii_redact, _pii_sql()),
     "det_sample": (det_sample, _DET_SAMPLE_SQL),

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "ivf_assign_incremental",
     "embedding_quality",
     "dup_rate_by_source",
+    "decontaminate_bloom",
 ]
 
 

@@ -1117,3 +1117,34 @@ def test_vectorized_fold_kernels_bit_equal(spark):
     assert cmp2.where((F.col("e") != F.col("f"))
                       | (F.col("de") != F.col("df_"))).count() == 0
     assert cmp2.where(F.col("f") == 6).count() == 0  # tie never picks the copy
+
+
+def test_bloom_decontaminate_superset_of_exact(spark, sf_dir):
+    """Bloom probing can only over-flag (false positives), never miss: every
+    doc/count the exact decontaminate finds appears with >= count, and with
+    the default 2^20-bit table on this corpus the two are identical."""
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import (
+        bloom_build, bloom_decontaminate, decontaminate)
+    from aliyun_maxcompute_data_collectors_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    bench = docs.where(F.col("doc_id") % 53 == 7)
+    probe = docs.where(F.col("doc_id") % 53 != 7)
+    exact = {r["doc_id"]: r["n_contaminated_ngrams"]
+             for r in decontaminate(probe, bench, "doc_id", "text", n=4).collect()}
+    words = bloom_build(bench, "text", n=4)
+    bloom = {r["doc_id"]: r["n_contaminated_ngrams"]
+             for r in bloom_decontaminate(probe, words, "doc_id", "text",
+                                          n=4).collect()}
+    for d, n in exact.items():
+        assert bloom.get(d, 0) >= n, (d, n, bloom.get(d))
+    assert bloom == exact  # at 2^20 bits the FP rate is ~0 here
+
+    # a deliberately tiny filter must still be a superset (more FPs, no FNs)
+    tiny = bloom_build(bench, "text", n=4, m=1 << 8, k=2)
+    tiny_hits = {r["doc_id"]: r["n_contaminated_ngrams"]
+                 for r in bloom_decontaminate(probe, tiny, "doc_id", "text",
+                                              n=4, m=1 << 8, k=2).collect()}
+    for d, n in exact.items():
+        assert tiny_hits.get(d, 0) >= n
+    assert sum(tiny_hits.values()) > sum(exact.values())  # FPs appeared
