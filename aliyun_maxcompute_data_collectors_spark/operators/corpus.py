@@ -808,10 +808,14 @@ def source_overlap(
     Scale shape: one distinct on (fp, source) - cardinality <= corpus -
     then a self-equijoin on fp whose per-key fan-out is bounded by the
     number of SOURCES (not docs), and a tiny pair aggregate."""
-    from aliyun_maxcompute_data_collectors_spark.operators.dedup import _fp_or_sentinel
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import (
+        _NULL_FP, _fp_or_sentinel)
 
-    d = docs.select(_fp_or_sentinel(text_col).alias("fp"),
-                    F.col(source_col).alias("src")).distinct()
+    # NULL-text docs all share the sentinel fingerprint; counting it would
+    # report sham cross-source overlap (same exclusion ngram_jaccard makes)
+    d = (docs.select(_fp_or_sentinel(text_col).alias("fp"),
+                     F.col(source_col).alias("src"))
+         .where(F.col("fp") != _NULL_FP).distinct())
     a = d.alias("a")
     b = d.alias("b")
     return (

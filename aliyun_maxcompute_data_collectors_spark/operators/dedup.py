@@ -140,14 +140,19 @@ def ngram_jaccard_pairs(
     of (docs sharing it)^2 - bounded for natural text.
 
     ``max_df`` caps the quadratic: shingles shared by more than ``max_df``
-    documents (boilerplate headers, license blurbs - one such shingle in
-    10^6 docs alone makes 10^12 candidate pairs) are dropped from the
-    shingle universe BEFORE the self-join, bounding per-shingle pair work
-    at max_df^2.  Both the intersection AND the per-doc sizes use the
-    filtered universe, so the output is the exact Jaccard over shingles
-    with df <= max_df - a well-defined (and for boilerplate, usually
-    better) similarity, not a biased estimate.  Default None = exact
-    classic Jaccard; ALWAYS set it on corpora you don't control.
+    DISTINCT CONTENTS (since round 4 - identical docs collapse first, so
+    df counts unique texts, not raw documents; a boilerplate shingle in
+    10^6 distinct docs alone makes 10^12 candidate pairs) are dropped from
+    the shingle universe BEFORE the self-join, bounding per-shingle pair
+    work at max_df^2.  Both the intersection AND the per-doc sizes use the
+    filtered universe, so the output is the exact Jaccard over the kept
+    shingle universe - a well-defined (and for boilerplate, usually
+    better) similarity, not a biased estimate.  Note the unit change from
+    pre-round-4: a shingle whose occurrences are concentrated in one big
+    duplicate family now counts ONCE toward df, which keeps exact
+    duplicates pairable (they report jaccard 1.0 regardless of the cap).
+    Default None = exact classic Jaccard; ALWAYS set it on corpora you
+    don't control.
 
     Identical-content collapse (round 4, exact-output-preserving): docs
     with the SAME normalized text collapse to one representative before

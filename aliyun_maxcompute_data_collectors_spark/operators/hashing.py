@@ -181,11 +181,19 @@ def hash_timestamp(epoch_micros: int | None) -> int:
 
 def hash_decimal(v: Decimal | None) -> int:
     """Decimal hashing: divideAndRemainder(10^9) -> (quot << 30 | rem-int),
-    both truncated toward zero, then the long mix."""
+    both truncated toward zero, then the long mix.  Java's
+    BigDecimal.divideAndRemainder is EXACT, so the division must not round
+    at Python's default 28-digit context - a decimal(38,*) quotient can
+    carry >28 significant digits and the default context would round it
+    before truncation (caught in the round-4 review; the batched
+    _hash_series path always used exact integer math)."""
     if v is None:
         return 0
-    q = int((v / Decimal(10) ** 9).to_integral_value(rounding=ROUND_DOWN))
-    r = int((v - q * Decimal(10) ** 9).to_integral_value(rounding=ROUND_DOWN))
+    import decimal as _d
+    with _d.localcontext() as _ctx:
+        _ctx.prec = 200
+        q = int((v / Decimal(10) ** 9).to_integral_value(rounding=ROUND_DOWN))
+        r = int((v - q * Decimal(10) ** 9).to_integral_value(rounding=ROUND_DOWN))
     # Java: totalSec <<= 30; totalSec |= nanos  (nanos sign-extended to 64-bit)
     packed = ((q << 30) | (r & 0xFFFFFFFFFFFFFFFF)) if r < 0 else ((q << 30) | r)
     return int(_basic_long_hasher(_to_i64(packed))[0])
@@ -250,13 +258,18 @@ def _hash_series(s: pd.Series, dt: T.DataType, null_mask: np.ndarray | None = No
         # (exact at any precision); the 64-bit mix runs once, batched.
         # ~10x over calling hash_decimal per value, which allocates numpy
         # arrays and runs the 6-step mix per row.
+        import decimal as _d
         big_p = 10 ** (9 + dt.scale)
         big_s = 10 ** dt.scale
         packed = np.zeros(n, dtype=_I64)
-        for i, (v, isnull) in enumerate(zip(s.to_numpy(), null)):
-            if isnull or v is None:
+        with _d.localcontext() as _ctx:
+            _ctx.prec = 200  # scaleb rounds at context precision; a
+            # decimal(38,*) needs >28 digits to stay exact (r4 review)
+            unscaled = [None if (isnull or v is None) else int(v.scaleb(dt.scale))
+                        for v, isnull in zip(s.to_numpy(), null)]
+        for i, u in enumerate(unscaled):
+            if u is None:
                 continue
-            u = int(v.scaleb(dt.scale))  # exact unscaled integer
             q = -((-u) // big_p) if u < 0 else u // big_p  # trunc toward 0
             rem = u - q * big_p
             r = -((-rem) // big_s) if rem < 0 else rem // big_s

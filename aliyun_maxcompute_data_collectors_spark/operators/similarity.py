@@ -381,11 +381,9 @@ def _sq_dist_expr(vec: Column, center: list[float]) -> Column:
 def det_kmeans_assign_expr(vec: Column, centers: list[list[float]]) -> Column:
     """Cell id = argmin squared distance, tie -> lower cell (struct sort on
     (dist, cell) - same ordering a ROW_NUMBER() OVER (ORDER BY d, cell)
-    oracle uses)."""
-    scored = F.array(*[
-        F.struct(_sq_dist_expr(vec, c).alias("d"), F.lit(ci).alias("c"))
-        for ci, c in enumerate(centers)])
-    return F.array_sort(scored)[0]["c"]
+    oracle uses).  Thin view over det_kmeans_assign_best so there is ONE
+    copy of the argmin expression to keep bit-identical."""
+    return det_kmeans_assign_best(vec, centers)["c"]
 
 
 def det_kmeans(
@@ -550,27 +548,56 @@ def det_kmeans_assign_best(vec: Column, centers: list[list[float]]) -> Column:
 import pandas as _pd  # noqa: E402  (kept local to avoid top-level rename)
 
 
-def _mat(s) -> np.ndarray:
-    """Series of fixed-dim float arrays -> (n, d) float64 matrix."""
-    return np.stack([np.asarray(v, dtype=np.float64) for v in s])
+def _row_groups(vals: list) -> dict[int, tuple[list[int], np.ndarray]]:
+    """Group row indices by vector length -> (indices, (g, len) matrix).
+    Rows are vectorized per length group so mixed-dim batches still run
+    columnwise."""
+    by_len: dict[int, list[int]] = {}
+    for i, v in enumerate(vals):
+        by_len.setdefault(len(v), []).append(i)
+    return {ln: (idx, np.stack([vals[i] for i in idx]))
+            for ln, idx in by_len.items()}
 
 
 def cosine_fast(a: Column, b: Column) -> Column:
-    """Vectorized cosine, bit-equal to cosine_expr (unrounded)."""
+    """Vectorized cosine, bit-equal to cosine_expr (unrounded) INCLUDING
+    the fold's null semantics: a NULL vector, a length-mismatched pair,
+    or a zero norm (double 0/0 is NULL in Spark, not NaN) all yield NULL.
+    Known divergence: a NULL *element* inside a vector arrives through
+    Arrow as NaN, so such rows yield NaN here where the fold yields NULL
+    - per-element nulls in an embedding column are data corruption
+    (embedding_quality counts whole-vector defects; fix upstream)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def _cos(sa: _pd.Series, sb: _pd.Series) -> _pd.Series:
-        A, B = _mat(sa), _mat(sb)
-        n, d = A.shape
-        dot = np.zeros(n)
-        na = np.zeros(n)
-        nb = np.zeros(n)
-        for i in range(d):  # sequential over dims == the fold's order
-            dot += A[:, i] * B[:, i]
-            na += A[:, i] * A[:, i]
-            nb += B[:, i] * B[:, i]
-        return _pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+        n = len(sa)
+        out: list = [None] * n
+        valid: list[int] = []
+        av: list[np.ndarray] = []
+        bv: list[np.ndarray] = []
+        for i, (x, y) in enumerate(zip(sa, sb)):
+            if x is None or y is None or len(x) != len(y):
+                continue
+            valid.append(i)
+            av.append(np.asarray(x, dtype=np.float64))
+            bv.append(np.asarray(y, dtype=np.float64))
+        if valid:
+            for ln, (pos, A) in _row_groups(av).items():
+                B = np.stack([bv[p] for p in pos])
+                m = len(pos)
+                dot = np.zeros(m)
+                na = np.zeros(m)
+                nb = np.zeros(m)
+                for i in range(ln):  # sequential over dims == the fold
+                    dot += A[:, i] * B[:, i]
+                    na += A[:, i] * A[:, i]
+                    nb += B[:, i] * B[:, i]
+                den = np.sqrt(na) * np.sqrt(nb)
+                for j, p in enumerate(pos):
+                    # x/0.0 is NULL in Spark doubles - mirror it
+                    out[valid[p]] = float(dot[j] / den[j]) if den[j] != 0.0 else None
+        return _pd.Series(out, dtype=object)
 
     return _cos(a, b)
 
@@ -579,28 +606,40 @@ def det_assign_fast(vec: Column, centers: list[list[float]]) -> Column:
     """Vectorized argmin cell assignment, bit-equal to
     det_kmeans_assign_best: returns struct (d: squared distance of the
     winner, c: cell id), ties to the lower cell (strict < keeps the
-    earlier center, exactly the struct-sort order)."""
+    earlier center, exactly the struct-sort order).  NULL vectors and
+    dimension mismatches reproduce the fold's outcome: (d NULL, c 0)."""
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centers, dtype=np.float64)
+    dim = C.shape[1]
 
     @pandas_udf("d double, c int")
     def _assign(sv: _pd.Series) -> _pd.DataFrame:
-        X = _mat(sv)
-        n, d = X.shape
-        best_d = None
-        best_c = np.zeros(n, dtype=np.int32)
-        for ci in range(C.shape[0]):
-            acc = np.zeros(n)
-            for i in range(d):
-                t = X[:, i] - C[ci, i]
-                acc += t * t
-            if best_d is None:
-                best_d = acc
-            else:
-                better = acc < best_d
-                best_d = np.where(better, acc, best_d)
-                best_c = np.where(better, np.int32(ci), best_c)
-        return _pd.DataFrame({"d": best_d, "c": best_c})
+        n = len(sv)
+        out_d: list = [None] * n
+        out_c = np.zeros(n, dtype=np.int32)
+        rows = [(i, np.asarray(v, dtype=np.float64)) for i, v in enumerate(sv)
+                if v is not None and len(v) == dim]
+        if rows:
+            idx = [i for i, _v in rows]
+            X = np.stack([v for _i, v in rows])
+            m = len(idx)
+            best_d = None
+            best_c = np.zeros(m, dtype=np.int32)
+            for ci in range(C.shape[0]):
+                acc = np.zeros(m)
+                for i in range(dim):
+                    t = X[:, i] - C[ci, i]
+                    acc += t * t
+                if best_d is None:
+                    best_d = acc
+                else:
+                    better = acc < best_d
+                    best_d = np.where(better, acc, best_d)
+                    best_c = np.where(better, np.int32(ci), best_c)
+            for j, i in enumerate(idx):
+                out_d[i] = float(best_d[j])
+                out_c[i] = best_c[j]
+        return _pd.DataFrame({"d": _pd.Series(out_d, dtype=object), "c": out_c})
 
     return _assign(vec)

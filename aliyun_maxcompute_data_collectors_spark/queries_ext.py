@@ -17,9 +17,12 @@ from aliyun_maxcompute_data_collectors_spark.session import load_tables
 from aliyun_maxcompute_data_collectors_spark.operators.profile import check_constraints, profile
 
 
-def _det_semdedup_sql_lazy() -> str:
+def _det_semdedup_oracle() -> str:
     """Oracle for semantic_dedup: deterministic-Lloyd's blocked pairs +
-    recursive transitive closure (generator shared with ivf_topk's)."""
+    recursive transitive closure (generator shared with ivf_topk's).
+    Called once at module import - the import lives here (not top-level)
+    only to keep this module importable standalone in tools that stub
+    queries_llm."""
     from aliyun_maxcompute_data_collectors_spark.queries_llm import _det_semdedup_sql
     return _det_semdedup_sql(dim=64, k=8, n_iter=2, threshold=0.40)
 
@@ -994,7 +997,7 @@ REGISTRY: dict[str, tuple] = {
     "window_value_suite": (window_value_suite, _WINDOW_VALUE_SQL),
     "conditional_exprs": (conditional_exprs, _CONDITIONAL_SQL),
     "resample_gapfill": (resample_gapfill, _RESAMPLE_SQL),
-    "semantic_dedup": (semantic_dedup_q, _det_semdedup_sql_lazy()),
+    "semantic_dedup": (semantic_dedup_q, _det_semdedup_oracle()),
     "split_assignment": (split_assignment, _SPLIT_SQL),
     "rolling_hourly_stats": (rolling_hourly_stats, _ROLLING_SQL),
     "string_agg_nations": (string_agg_nations, _STRING_AGG_SQL),

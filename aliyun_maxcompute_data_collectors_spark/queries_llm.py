@@ -1072,7 +1072,8 @@ def source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SOURCE_OVERLAP_SQL = f"""
-WITH d AS (SELECT DISTINCT {_FP_EXPR} AS fp, source AS src FROM documents)
+WITH d AS (SELECT DISTINCT {_FP_EXPR} AS fp, source AS src FROM documents
+           WHERE text IS NOT NULL)
 SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS n_shared_fps
 FROM d a JOIN d b ON a.fp = b.fp AND a.src < b.src
 GROUP BY 1, 2 ORDER BY source_a, source_b

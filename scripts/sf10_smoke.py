@@ -74,7 +74,8 @@ def main() -> None:
         if name in out and "r4_proof" in out[name]:
             entry["r4_proof"] = out[name]["r4_proof"]
         out[name] = entry
-        print(f"{name:28s} sf1={t1:8.3f} sf10={t10:8.3f} x{ratio:<7} {flag}",
+        rtxt = f"{ratio:<7}" if ratio is not None else "n/a    "
+        print(f"{name:28s} sf1={t1:8.3f} sf10={t10:8.3f} x{rtxt} {flag}",
               flush=True)
         # dump after every query: an OOM on query N must not lose 1..N-1
         json.dump(out, open(SMOKE_PATH, "w"), indent=1)

@@ -1148,3 +1148,84 @@ def test_bloom_decontaminate_superset_of_exact(spark, sf_dir):
     for d, n in exact.items():
         assert tiny_hits.get(d, 0) >= n
     assert sum(tiny_hits.values()) > sum(exact.values())  # FPs appeared
+
+
+def test_vectorized_kernels_null_semantics_match_fold(spark):
+    """r4 review findings 1-2: cosine_fast must yield NULL (like the HOF
+    fold) for NULL vectors, length-mismatched pairs, and zero norms (Spark
+    double 0/0 is NULL, not NaN); det_assign_fast must yield (d NULL, c 0)
+    for NULL/ragged vectors exactly as the struct-sort expression does."""
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import (
+        cosine_expr, cosine_fast, det_assign_fast, det_kmeans_assign_best)
+
+    rows = [(1, [1.0, 2.0], [2.0, 1.0]),
+            (2, None, [1.0, 1.0]),
+            (3, [1.0, 2.0], None),
+            (4, [1.0], [1.0, 2.0]),          # ragged pair
+            (5, [0.0, 0.0], [1.0, 2.0]),     # zero norm
+            (6, [3.0, 4.0], [3.0, 4.0])]
+    df = spark.createDataFrame(rows, "id long, a array<float>, b array<float>")
+    got = df.select("id", cosine_expr(F.col("a"), F.col("b")).alias("c1"),
+                    cosine_fast(F.col("a"), F.col("b")).alias("c2")).collect()
+    for r in got:
+        assert (r["c1"] is None) == (r["c2"] is None), r
+        if r["c1"] is not None:
+            assert r["c1"] == r["c2"], r
+
+    centers = [[1.0, 0.0], [0.0, 1.0]]
+    be = det_kmeans_assign_best(F.col("a"), centers)
+    bf = det_assign_fast(F.col("a"), centers)
+    for r in df.select("id", be["d"].alias("de"), be["c"].alias("ce"),
+                       bf["d"].alias("df_"), bf["c"].alias("cf")).collect():
+        assert (r["de"] is None) == (r["df_"] is None), r
+        assert r["ce"] == r["cf"], r
+        if r["de"] is not None:
+            assert r["de"] == r["df_"], r
+
+
+def test_hash_decimal_exact_beyond_default_context(spark):
+    """r4 review finding 3: quotients with >28 significant digits must not
+    round before truncation - scalar, batched-UDF, and (within the
+    precision gate) expression paths all agree and are exact."""
+    from decimal import Decimal as D_
+
+    from aliyun_maxcompute_data_collectors_spark.operators import hashing as H
+
+    vals = [D_("12345678901999999999.9999999995"),
+            D_("-12345678901999999999.9999999995"),
+            D_("99999999999999999999999999.9999999999"),
+            D_("-99999999999999999999999999.9999999999")]
+    # independent exact reference via integer math (the unscaled value is
+    # taken under a wide context: default-28-digit scaleb rounds!)
+    def ref(v):
+        from decimal import localcontext
+        with localcontext() as c:
+            c.prec = 200
+            u = int(v.scaleb(10))  # scale 10 below
+        P, S = 10 ** 19, 10 ** 10
+        q = -((-u) // P) if u < 0 else u // P
+        rem = u - q * P
+        r = -((-rem) // S) if rem < 0 else rem // S
+        m = ((q << 30) | (r & 0xFFFFFFFFFFFFFFFF)) & 0xFFFFFFFFFFFFFFFF
+        import numpy as np
+        return int(H._basic_long_hasher(
+            np.array([m], dtype=np.uint64).astype(np.int64))[0])
+
+    for v in vals:
+        assert H.hash_decimal(v) == ref(v), v
+    df = spark.createDataFrame([(v,) for v in vals], "d decimal(38,10)")
+    for r in df.withColumn("h", H.odps_hash(df, ["d"])).collect():
+        assert r["h"] == H.combine_hashes([H.hash_decimal(r["d"])]), r["d"]
+
+
+def test_source_overlap_ignores_null_text(spark):
+    """r4 review finding 4: NULL-text docs must not register as shared
+    content between sources."""
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import source_overlap
+
+    rows = [(1, None, "cc"), (2, None, "c4"),      # sham overlap candidates
+            (3, "real shared", "cc"), (4, "real shared", "c4")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r["source_a"], r["source_b"]): r["n_shared_fps"]
+           for r in source_overlap(df).collect()}
+    assert got == {("c4", "cc"): 1}
