@@ -871,6 +871,59 @@ def zipf_profile(
         F.round((sy - slope * sx) / n, 6).alias("intercept"))
 
 
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-``top_k`` adjacent-bigram collocations by pointwise mutual
+    information: PMI(x,y) = ln( p(x,y) / (p(x) p(y)) ) with p(x,y) over
+    bigram occurrences and p(x), p(y) over token occurrences.  High-PMI
+    pairs are multiword expressions ("los angeles"); a corpus whose top
+    PMI list is template fragments is boilerplate-heavy.  ``min_count``
+    drops hapax bigrams (classic PMI degeneracy: a 1-count bigram of two
+    1-count tokens maxes the score).
+
+    Scale: tokens stay inside their doc row until the two explodes; both
+    count aggregates are partial-aggregable hash aggs keyed by term /
+    (x, y) - hot tokens combine map-side, nothing quadratic.  The two
+    corpus totals ride in on a 1-row broadcast cross join; unigram counts
+    attach to the min_count-filtered bigram survivors (vocabulary-sized
+    hash joins, never bigram-universe-sized).  Cross-engine determinism:
+    the PMI double is computed with one fixed operation order
+    (cast-divide-multiply-divide-ln, identical in the DuckDB oracle) and
+    rounded to 6; ties at the top_k boundary break on (x, y)."""
+    w = F.expr(
+        f"filter(split(lower({text_col}), '[^a-z]+'), t -> t <> '')")
+    d = docs.select(w.alias("w"))
+    uni = (d.select(F.explode("w").alias("term"))
+           .groupBy("term").agg(F.count(F.lit(1)).alias("n_term")))
+    bg = F.expr(
+        "zip_with(slice(w, 1, greatest(size(w) - 1, 0)),"
+        "         slice(w, 2, greatest(size(w) - 1, 0)),"
+        "         (a, b) -> struct(a AS x, b AS y))")
+    big = (d.select(F.explode(bg).alias("bg"))
+           .select(F.col("bg.x").alias("x"), F.col("bg.y").alias("y"))
+           .groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy")))
+    tot = (uni.agg(F.sum("n_term").cast("double").alias("n_tok"))
+           .crossJoin(big.agg(F.sum("n_xy").cast("double").alias("n_big"))))
+    cand = (big.where(F.col("n_xy") >= min_count)
+            .join(uni.select(F.col("term").alias("x"),
+                             F.col("n_term").alias("n_x")), "x")
+            .join(uni.select(F.col("term").alias("y"),
+                             F.col("n_term").alias("n_y")), "y")
+            .crossJoin(F.broadcast(tot)))
+    pmi = F.log(
+        (F.col("n_xy").cast("double") / F.col("n_big"))
+        / ((F.col("n_x").cast("double") / F.col("n_tok"))
+           * (F.col("n_y").cast("double") / F.col("n_tok"))))
+    return (cand.select("x", "y", "n_xy", "n_x", "n_y",
+                        F.round(pmi, 6).alias("pmi"))
+            .orderBy(F.desc("pmi"), F.asc("x"), F.asc("y"))
+            .limit(top_k))
+
+
 def ngram_novelty(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -135,6 +135,7 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.8,
     max_df: int | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """(id1, id2, jaccard) for pairs >= threshold.  Cost ~ sum over shingles
     of (docs sharing it)^2 - bounded for natural text.
@@ -164,7 +165,21 @@ def ngram_jaccard_pairs(
     push ~100^2 x shingles-per-doc intermediate rows through the join
     (the r4 sf10 smoke OOMed an 8g heap exactly there); now it
     contributes 1 representative and only the final (output-sized) pair
-    expansion sees the members."""
+    expansion sees the members.
+
+    ``metric`` selects the similarity (same candidate generation, same
+    shuffles - only the denominator of the final scalar changes):
+    ``"jaccard"`` = inter / union (symmetric; output column ``jaccard``);
+    ``"containment"`` = inter / min(|A|, |B|) (detects SUBSET duplicates -
+    a short doc fully contained in a longer one scores 1.0 under
+    containment but arbitrarily low under Jaccard because the union is
+    dominated by the longer doc; output column ``containment``).
+    Containment is the standard complement to Jaccard in dedup pipelines
+    for quote/excerpt/concatenation artifacts."""
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(
+            f"metric must be 'jaccard' or 'containment', got {metric!r}")
+    sim_col = metric
     grp = df.select(F.col(id_col).alias("__gid"),
                     _fp_or_sentinel(text_col).alias("__fp"))
     reps = grp.groupBy("__fp").agg(F.min("__gid").alias("__rep"),
@@ -198,11 +213,13 @@ def ngram_jaccard_pairs(
     )
     c1 = counts.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"))
     c2 = counts.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))
+    denom = (F.least("n1", "n2") if metric == "containment"
+             else F.col("n1") + F.col("n2") - F.col("inter"))
     rep_pairs = (
         inter.join(c1, "id1").join(c2, "id2")
-        .withColumn("jaccard", F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4))
-        .where(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "jaccard")
+        .withColumn(sim_col, F.round(F.col("inter") / denom, 4))
+        .where(F.col(sim_col) >= threshold)
+        .select("id1", "id2", sim_col)
     )
     # expand representative pairs to member pairs (cross-group) ...
     m1 = members.select(F.col("__rep").alias("id1"), F.col("__gid").alias("m1"))
@@ -210,9 +227,10 @@ def ngram_jaccard_pairs(
     cross = (
         rep_pairs.join(m1, "id1").join(m2, "id2")
         .select(F.least("m1", "m2").alias("id1"),
-                F.greatest("m1", "m2").alias("id2"), "jaccard")
+                F.greatest("m1", "m2").alias("id2"), sim_col)
     )
-    # ... and add within-group pairs (identical contents: jaccard = 1.0)
+    # ... and add within-group pairs (identical contents: similarity = 1.0
+    # under either metric)
     out = cross
     if threshold <= 1.0:
         # NULL-text docs share the sentinel fp but have NO shingles (both
@@ -226,10 +244,30 @@ def ngram_jaccard_pairs(
                     & (F.col("g1.__gid") < F.col("g2.__gid")))
             .select(F.col("g1.__gid").alias("id1"),
                     F.col("g2.__gid").alias("id2"),
-                    F.lit(1.0).alias("jaccard"))
+                    F.lit(1.0).alias(sim_col))
         )
         out = cross.unionByName(within)
     return out
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(id1, id2, containment) for pairs whose shared-shingle count covers
+    >= ``threshold`` of the SMALLER doc's shingle set - the asymmetric
+    complement to :func:`ngram_jaccard_pairs` that catches excerpt /
+    quote / concatenation duplicates symmetric Jaccard misses (a 50-token
+    doc embedded verbatim in a 5000-token doc has containment 1.0 and
+    Jaccard ~0.01).  Same blocked candidate generation, identical-content
+    collapse, and ``max_df`` hot-shingle cap as the Jaccard pass - one
+    shingle self-join, never all-pairs."""
+    return ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold,
+                               max_df=max_df, metric="containment")
 
 
 def fuzzy_pairs_levenshtein(

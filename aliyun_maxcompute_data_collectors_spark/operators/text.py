@@ -548,3 +548,51 @@ def filter_pipeline(
         kept.alias("kept"),
         reason.alias("drop_reason"),
     )
+
+
+# ---------------------------------------------------------------------------
+# character-entropy gate (gibberish / degenerate-text filter)
+# ---------------------------------------------------------------------------
+
+_ENT_DEC = "decimal(38,15)"
+
+
+def char_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_entropy: float = 1.0,
+) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the character distribution of
+    lowercased text, plus a pass flag: degenerate documents ("aaaa...",
+    single repeated phrase as one long run) have near-zero entropy, while
+    natural language sits in a band (~2.5-3.2 nats for English letters+
+    space).  The cheap first gate against binary-garbage and stuck-key
+    spam, run alongside the Gopher repetition gate.
+
+    Scale: explode-to-chars never reaches the shuffle - the (doc, char)
+    count is partially aggregated map-side, so at most
+    |alphabet-per-doc| rows per doc cross the wire (a 1 MB doc of ASCII
+    contributes <=~100 rows, not 10^6).  The per-doc total then comes
+    from a window over the already-(doc,char)-keyed counts and the final
+    per-doc aggregate reuses the same hash partitioning on the doc key.
+    Cross-engine determinism: each -p*ln(p) term is rounded to 12
+    decimals and summed as DECIMAL(38,15) (order-free exact sum), then
+    the entropy is rounded to 6 - the same fixed-order discipline as
+    zipf_profile."""
+    ch = (docs.select(F.col(id_col),
+                      F.explode(F.split(F.lower(F.col(text_col)), ""))
+                      .alias("ch"))
+          .where(F.col("ch") != ""))
+    counts = ch.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    wn = Window.partitionBy(id_col)
+    p = F.col("cnt").cast("double") / F.col("n")
+    term = F.round(p * F.log(p), 12).cast(_ENT_DEC)
+    per = (counts.withColumn("n", F.sum("cnt").over(wn))
+           .select(F.col(id_col), F.col("n"), term.alias("t")))
+    ent = F.round(-F.sum("t").cast("double"), 6)
+    return (per.groupBy(id_col)
+            .agg(F.max("n").cast("long").alias("n_chars"),
+                 F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+                 ent.alias("entropy"),
+                 (ent >= F.lit(float(min_entropy))).alias("ok_entropy")))

@@ -1686,6 +1686,101 @@ FROM a
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 (late) corpus analytics: containment dedup, PMI collocations,
+# character-entropy gate
+# ---------------------------------------------------------------------------
+
+def ngram_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric subset-duplicate pairs: shared 5-gram count over the
+    SMALLER doc's shingle set (dedup.ngram_containment_pairs) - catches
+    excerpt/quote/concatenation duplicates symmetric Jaccard misses."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return D.ngram_containment_pairs(
+        t["documents"], "doc_id", "text", n=5, threshold=0.9)
+
+
+_CONTAIN_SQL = f"""
+WITH {_shingle_cte(5)},
+counts AS (SELECT id, COUNT(*) AS n_sh FROM shingles GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT id1, id2,
+       ROUND(CAST(i AS DOUBLE) / LEAST(c1.n_sh, c2.n_sh), 4) AS containment
+FROM inter JOIN counts c1 ON c1.id = id1 JOIN counts c2 ON c2.id = id2
+WHERE ROUND(CAST(i AS DOUBLE) / LEAST(c1.n_sh, c2.n_sh), 4) >= 0.9
+ORDER BY id1, id2
+"""
+
+
+def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-bigram collocations by PMI (corpus.pmi_collocations,
+    min_count=5)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import pmi_collocations
+    t = load_tables(spark, sf_dir, ["documents"])
+    return pmi_collocations(t["documents"], min_count=5, top_k=50)
+
+
+_PMI_SQL = """
+WITH d AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     t -> t <> '') AS w
+  FROM documents),
+uc AS (SELECT term, COUNT(*) AS n_term
+       FROM (SELECT UNNEST(w) AS term FROM d) GROUP BY term),
+bigr AS (
+  SELECT bg.x AS x, bg.y AS y FROM (
+    SELECT UNNEST(list_transform(range(1, len(w)),
+                  i -> struct_pack(x := w[i], y := w[i+1]))) AS bg
+    FROM d)),
+bc AS (SELECT x, y, COUNT(*) AS n_xy FROM bigr GROUP BY x, y),
+tot AS (SELECT (SELECT CAST(SUM(n_term) AS DOUBLE) FROM uc) AS n_tok,
+               (SELECT CAST(SUM(n_xy) AS DOUBLE) FROM bc) AS n_big),
+cand AS (
+  SELECT b.x, b.y, b.n_xy, cx.n_term AS n_x, cy.n_term AS n_y
+  FROM bc b JOIN uc cx ON cx.term = b.x JOIN uc cy ON cy.term = b.y
+  WHERE b.n_xy >= 5)
+SELECT x, y, n_xy, n_x, n_y,
+       ROUND(LN((CAST(n_xy AS DOUBLE) / n_big)
+                / ((CAST(n_x AS DOUBLE) / n_tok)
+                   * (CAST(n_y AS DOUBLE) / n_tok))), 6) AS pmi
+FROM cand, tot
+ORDER BY pmi DESC, x ASC, y ASC LIMIT 50
+"""
+
+
+def char_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-entropy gate (text.char_entropy, nats,
+    min_entropy=1.0)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.text import char_entropy
+    t = load_tables(spark, sf_dir, ["documents"])
+    return char_entropy(t["documents"]).orderBy("doc_id")
+
+
+_CHARENT_SQL = """
+WITH ch AS (
+  SELECT doc_id, ch
+  FROM (SELECT doc_id, UNNEST(string_split(lower(text), '')) AS ch
+        FROM documents)
+  WHERE ch <> ''),
+counts AS (SELECT doc_id, ch, COUNT(*) AS cnt FROM ch GROUP BY doc_id, ch),
+per AS (SELECT doc_id, cnt, SUM(cnt) OVER (PARTITION BY doc_id) AS n
+        FROM counts),
+terms AS (
+  SELECT doc_id, n,
+         CAST(ROUND((CAST(cnt AS DOUBLE) / n) * LN(CAST(cnt AS DOUBLE) / n),
+                    12) AS DECIMAL(38,15)) AS t
+  FROM per)
+SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_chars,
+       COUNT(*) AS n_distinct_chars,
+       ROUND(-CAST(SUM(t) AS DOUBLE), 6) AS entropy,
+       ROUND(-CAST(SUM(t) AS DOUBLE), 6) >= 1.0 AS ok_entropy
+FROM terms GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "decontaminate": (decontam_check, _DECONTAM_SQL),
     "decontaminate_bloom": (decontam_bloom_check, _bloom_decontam_sql()),
@@ -1714,6 +1809,9 @@ REGISTRY: dict[str, tuple] = {
     "doc_rolling_fp": (doc_rolling_fp, _ROLLING_FP_SQL),
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "ngram_jaccard": (ngram_jaccard, _JACCARD_SQL),
+    "ngram_containment": (ngram_containment_q, _CONTAIN_SQL),
+    "pmi_collocations": (pmi_collocations_q, _PMI_SQL),
+    "char_entropy_gate": (char_entropy_q, _CHARENT_SQL),
     "minhash_signature": (minhash_signature, _minhash_sql()),
     "minhash_lsh": (minhash_lsh, _minhash_lsh_sql()),
     "simhash_pairs": (simhash_sig, _simhash64_sql()),  # exact all-pairs oracle

@@ -1229,3 +1229,82 @@ def test_source_overlap_ignores_null_text(spark):
     got = {(r["source_a"], r["source_b"]): r["n_shared_fps"]
            for r in source_overlap(df).collect()}
     assert got == {("c4", "cc"): 1}
+
+
+def test_ngram_containment_subset_dup(spark):
+    """A short doc embedded verbatim in a much longer doc scores
+    containment 1.0 even though its Jaccard is far below threshold -
+    the defining case for the asymmetric metric.  Identical contents
+    still pair at 1.0 and the output column is named 'containment'."""
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs)
+
+    short = "a b c d e f"                      # 2 5-gram shingles
+    long_ = short + " " + " ".join(f"w{i}" for i in range(40))
+    rows = [(1, short), (2, long_), (3, short)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id1"], r["id2"]): r["containment"]
+           for r in ngram_containment_pairs(df, "doc_id", "text", n=5,
+                                            threshold=0.9).collect()}
+    assert got[(1, 2)] == 1.0          # subset dup found
+    assert got[(1, 3)] == 1.0          # identical contents
+    assert got[(2, 3)] == 1.0          # symmetric expansion of the subset
+    # and Jaccard at the same threshold misses the subset pair entirely
+    jac = {(r["id1"], r["id2"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(df, "doc_id", "text", n=5,
+                                        threshold=0.9).collect()}
+    assert (1, 2) not in jac and (1, 3) in jac
+
+
+def test_ngram_containment_metric_validation(spark):
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import ngram_jaccard_pairs
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="metric"):
+        ngram_jaccard_pairs(df, "doc_id", "text", metric="dice").collect()
+
+
+def test_pmi_collocations_known_corpus(spark):
+    """Hand-checkable PMI: 'new york' always adjacent, 'the'/'dog' never
+    adjacent to each other.  PMI(new, york) = ln(p(xy)/(p(x)p(y))) with
+    exact counts; hapax bigrams are dropped by min_count."""
+    import math
+
+    from aliyun_maxcompute_data_collectors_spark.operators.corpus import pmi_collocations
+
+    # 6 docs: "new york" x6 (always adjacent); "the dog" co-occur but
+    # only adjacent once (below min_count=2? it's adjacent in every doc
+    # of group B - use structure: 'the x dog' keeps them non-adjacent)
+    rows = ([(i, "new york is big") for i in range(6)]
+            + [(10 + i, "the red dog runs") for i in range(6)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(df, min_count=2, top_k=100).collect()
+    got = {(r["x"], r["y"]): r for r in out}
+    assert ("new", "york") in got
+    r = got[("new", "york")]
+    # corpus: 12 docs x 4 tokens = 48 tokens, 12 docs x 3 bigrams = 36
+    assert r["n_xy"] == 6 and r["n_x"] == 6 and r["n_y"] == 6
+    expect = math.log((6 / 36.0) / ((6 / 48.0) * (6 / 48.0)))
+    assert abs(r["pmi"] - round(expect, 6)) < 1e-9
+    # non-adjacent pair never appears
+    assert ("the", "dog") not in got
+    # hapax (min_count) filtering: nothing with n_xy < 2
+    assert all(r["n_xy"] >= 2 for r in out)
+
+
+def test_char_entropy_exact_values(spark):
+    """Uniform two-char text has entropy ln 2; single-char text has 0;
+    NULL text emits no row; the gate flag follows min_entropy."""
+    import math
+
+    from aliyun_maxcompute_data_collectors_spark.operators.text import char_entropy
+
+    rows = [(1, "abab"), (2, "aaaa"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in char_entropy(df, min_entropy=0.5).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_chars"] == 4 and got[1]["n_distinct_chars"] == 2
+    assert abs(got[1]["entropy"] - round(math.log(2), 6)) < 1e-9
+    assert got[1]["ok_entropy"] is True
+    assert got[2]["entropy"] == 0.0 and got[2]["ok_entropy"] is False
