@@ -63,7 +63,8 @@ _PRIORITY = [
     "ivf_assign_incremental", "embedding_quality", "dup_rate_by_source",
     # position 51+: misses the 50-query driver window this round - front of
     # the round-5 rotation (local-harness green at sf0.001/0.01)
-    "decontaminate_bloom",
+    "decontaminate_bloom", "ngram_containment", "pmi_collocations",
+    "char_entropy_gate",
 ]
 
 

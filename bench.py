@@ -100,6 +100,9 @@ BENCH_QUERIES = [
     "embedding_quality",
     "dup_rate_by_source",
     "decontaminate_bloom",
+    "ngram_containment",
+    "pmi_collocations",
+    "char_entropy_gate",
 ]
 
 

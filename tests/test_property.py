@@ -528,3 +528,44 @@ def test_ngram_jaccard_matches_python_reference(spark, docs):
            for r in ngram_jaccard_pairs(df, "doc_id", "text", n=n,
                                         threshold=0.3).collect()}
     assert got == expect
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 6),     # content pool (forces dup families)
+                       st.integers(0, 3)),    # variant: extra suffix words
+             min_size=2, max_size=25),
+)
+@settings(max_examples=15, deadline=None)
+def test_ngram_containment_matches_python_reference(spark, docs):
+    """Containment through the shared collapse/expansion path must equal a
+    direct python computation of |A∩B| / min(|A|,|B|) over ALL doc pairs."""
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import (
+        ngram_containment_pairs)
+
+    def text(c, v):
+        words = [f"w{c}x{i}" for i in range(6)] + [f"v{v}y{j}" for j in range(v)]
+        return " ".join(words)
+
+    rows = [(i, text(c, v)) for i, (c, v) in enumerate(docs)]
+    n = 3
+
+    def shingles(t):
+        w = t.split()
+        if len(w) < n:
+            return {t}
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    expect = {}
+    for i, (ida, ta) in enumerate(rows):
+        sa = shingles(ta)
+        for idb, tb in rows[i + 1:]:
+            sb = shingles(tb)
+            c = round(len(sa & sb) / min(len(sa), len(sb)), 4)
+            if c >= 0.3:
+                expect[(ida, idb)] = c
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id1"], r["id2"]): r["containment"]
+           for r in ngram_containment_pairs(df, "doc_id", "text", n=n,
+                                            threshold=0.3).collect()}
+    assert got == expect
