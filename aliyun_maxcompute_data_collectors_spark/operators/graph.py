@@ -46,21 +46,22 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        new_label = F.least(F.col("component"),
+                            F.coalesce("nbr_min", "component"))
+        # labels only ever decrease, so "changed" is new < old - computed
+        # in the same row as the update, which saves the join-back-and-
+        # compare shuffle the previous formulation paid every iteration
         updated = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
-                F.least(F.col("component"), F.coalesce("nbr_min", "component"))
-                .alias("component"),
+                new_label.alias("component"),
+                (new_label < F.col("component")).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u").join(labels.alias("l"), "node")
-            .where(F.col("u.component") != F.col("l.component"))
-            .count()
-        )
-        labels = updated
+        changed = updated.where(F.col("__chg")).count()
+        labels = updated.drop("__chg")
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")

@@ -296,6 +296,10 @@ def semantic_dedup_pairs(
         model = KMeans(k=n_clusters, seed=seed, featuresCol="features",
                        predictionCol="cell").fit(v)
         cells = model.transform(v).select("_sd_id", "_sd_v", "cell")
+    # lineage cut: the self-join below references cells twice, and the two
+    # sides project differently so Spark cannot reuse the exchange - each
+    # would re-run the model.transform (or re-scan) pass
+    cells = cells.localCheckpoint(eager=True)
     a = cells.select(F.col("cell"), F.col("_sd_id").alias("id1"), F.col("_sd_v").alias("v1"))
     b = cells.select(F.col("cell"), F.col("_sd_id").alias("id2"), F.col("_sd_v").alias("v2"))
     return (
@@ -398,10 +402,17 @@ def det_kmeans(
     """Deterministic Lloyd's: returns (cells, centers) like ivf_build, with
     cells = (neighbor_id, cv, cell) under the final centers."""
     centers = det_kmeans_init(dim, n_clusters, seed)
-    vec = F.col(vec_col)
+    # (id, vec) projection shared by every Lloyd's iteration and the final
+    # assignment; kept lazy - measured at sf0.1, an eager localCheckpoint
+    # here costs more than the repeated two-column parquet scan it saves
+    # (column pruning makes the re-scan cheap; the per-iteration UDF pass
+    # is inherent either way)
+    src = df.select(F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("cv"))
+    vec = F.col("cv")
     for _ in range(n_iter):
-        a = df.select(vec.alias("__v"),
-                      det_assign_fast(vec, centers)["c"].alias("cell"))
+        a = src.select(vec.alias("__v"),
+                       det_assign_fast(vec, centers)["c"].alias("cell"))
         aggs = [F.count(F.lit(1)).alias("n")] + [
             F.sum(F.element_at(F.col("__v"), i + 1).cast("double").cast(_KM_DEC))
             .alias(f"s{i}") for i in range(dim)]
@@ -410,9 +421,8 @@ def det_kmeans(
             [float(stats[ci][f"s{i}"]) / stats[ci]["n"] for i in range(dim)]
             if ci in stats else centers[ci]
             for ci in range(n_clusters)]
-    cells = df.select(
-        F.col(id_col).alias("neighbor_id"), vec.alias("cv"),
-        det_assign_fast(vec, centers)["c"].alias("cell"))
+    cells = src.select(
+        "neighbor_id", "cv", det_assign_fast(vec, centers)["c"].alias("cell"))
     return cells, centers
 
 
@@ -451,6 +461,10 @@ def det_semantic_dedup(
     from aliyun_maxcompute_data_collectors_spark.operators.graph import connected_components
 
     cells, _ = det_kmeans(df, id_col, vec_col, dim, n_clusters, n_iter, seed)
+    # both sides of the within-cell self-join reference cells; without a
+    # lineage cut each side re-runs the full assignment pass (the dominant
+    # cost) - identical to the signature checkpoint in minhash_lsh_pairs
+    cells = cells.localCheckpoint(eager=True)
     a = cells.select("cell", F.col("neighbor_id").alias("id1"),
                      F.col("cv").alias("v1"))
     b = cells.select("cell", F.col("neighbor_id").alias("id2"),
