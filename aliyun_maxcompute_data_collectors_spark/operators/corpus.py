@@ -240,23 +240,30 @@ def mixture_rebalance(
         [(s, float(sh)) for s, sh in targets.items()], f"{source_col} string, share double")
     unit = (F.count(F.lit(1)) if weight_col is None
             else F.sum(F.col(weight_col).cast("double")))
-    counts = df.groupBy(source_col).agg(unit.alias("n_docs"))
+    # n_rows rides along so absent-from-corpus is distinguishable from
+    # present-but-all-NULL-weights: SUM(weight) over all-NULL rows is NULL,
+    # identical through the left join to a source with no rows at all, and
+    # the two cases deserve different errors (ADVICE r4 #1).
+    counts = df.groupBy(source_col).agg(
+        unit.alias("n_docs"), F.count(F.lit(1)).alias("n_rows"))
     # ONE dimension-sized collect (<= len(targets) rows) feeds every
     # feasibility check AND the plan: the per-source counts aggregate is a
     # full corpus scan, so probing it once instead of once per check / per
     # plan action saves two extra full scans at scale.
     probed = (tgt.join(counts, source_col, "left")
-              .select(source_col, "share", "n_docs").collect())
-    # a target source absent from the data - or, with weight_col, one whose
-    # weight mass is zero/NULL - makes the mixture infeasible (N* would be
-    # 0 or undefined); failing fast beats silently returning a plan that
-    # cannot realize the requested shares.
-    missing = [r[0] for r in probed if r["n_docs"] is None]
+              .select(source_col, "share", "n_docs", "n_rows").collect())
+    # a target source absent from the data makes the mixture infeasible
+    # (N* would be 0 or undefined); failing fast beats silently returning a
+    # plan that cannot realize the requested shares.
+    missing = [r[0] for r in probed if r["n_rows"] is None]
     if missing:
         raise ValueError(
             f"mixture infeasible: target sources {sorted(missing)} have no "
             "rows in the corpus")
-    empty = [r[0] for r in probed if not r["n_docs"] > 0]
+    # present but zero/NULL mass (e.g. weight_col all-NULL for the source)
+    # routes to the zero-or-undefined message, not the missing one.
+    empty = [r[0] for r in probed
+             if r["n_docs"] is None or not r["n_docs"] > 0]
     if empty:
         raise ValueError(
             f"mixture infeasible: target sources {sorted(empty)} have zero "

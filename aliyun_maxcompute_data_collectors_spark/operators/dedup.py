@@ -15,6 +15,7 @@ the DuckDB oracle replicate signatures bit-for-bit (see minhash_sql_parts).
 
 from __future__ import annotations
 
+import logging
 from functools import reduce
 
 import numpy as np
@@ -531,12 +532,24 @@ def minhash_lsh_pairs(
         # buffer - a 10M-member degenerate bucket OOMs an executor there.
         # The count agg is partially aggregated map-side, so hot buckets
         # are dropped without ever concentrating their rows or bytes.
-        cool = (
+        counts = (
             buckets.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") <= max_bucket)
-            .select("band", "bucket")
         )
+        # recall-loss signal (ADVICE r4 #4): library consumers otherwise get
+        # silently different pair sets when families exceed the cap.  One
+        # narrow (band,bucket) count job - map-side combined, no data rows
+        # move - priced acceptable because this function is already eager
+        # (the signature localCheckpoint above).
+        n_over = counts.where(F.col("__n") > max_bucket).count()
+        if n_over:
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_pairs: %d (band,bucket) groups exceed "
+                "max_bucket=%d and were dropped before the pair join; "
+                "pairs inside those families are found only via other "
+                "bands (run exact dedup first, or pass max_bucket=None "
+                "for unbounded output)", n_over, max_bucket)
+        cool = counts.where(F.col("__n") <= max_bucket).select("band", "bucket")
         buckets = buckets.join(cool, ["band", "bucket"], "left_semi")
     a = buckets.alias("a")
     b = buckets.alias("b")

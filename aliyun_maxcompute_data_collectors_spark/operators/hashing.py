@@ -38,6 +38,7 @@ all-expression plan for environments where Python workers are unavailable
 
 from __future__ import annotations
 
+import os
 from decimal import ROUND_DOWN, Decimal
 
 import numpy as np
@@ -435,7 +436,8 @@ def odps_hash_expr(cols: list[str], dtypes: list[T.DataType]) -> Column:
     return s32.bitwiseXOR(F.shiftright(s32, 8)).cast("int")
 
 
-def odps_hash(df: DataFrame, cols: list[str], force_expr: bool = False) -> Column:
+def odps_hash(df: DataFrame, cols: list[str],
+              force_expr: bool | None = None) -> Column:
     """Column expression: ODPS row hash of ``cols`` (int32).
 
     Usage: ``df.withColumn("h", odps_hash(df, ["k1", "k2"]))``.
@@ -454,7 +456,17 @@ def odps_hash(df: DataFrame, cols: list[str], force_expr: bool = False) -> Colum
     UDF path: integral columns are null-coalesced JVM-side and accompanied
     by an isnull flag so the Arrow->pandas transfer keeps exact int64 (a
     nullable int column otherwise becomes float64 and corrupts keys above
-    2^53)."""
+    2^53).
+
+    Deployment switch: ``force_expr`` defaults to the
+    ``SPARK_GRAFT_FORCE_EXPR_HASH`` environment variable (1/true), so
+    Python-worker-less clusters flip EVERY hash consumer - including
+    ``catalog.insert``'s bucketed-write routing - to the all-expression
+    plan without touching call sites; bucket layouts stay bit-identical
+    across the switch (tested in test_hashing.py)."""
+    if force_expr is None:
+        force_expr = os.environ.get(
+            "SPARK_GRAFT_FORCE_EXPR_HASH", "").lower() in ("1", "true")
     dtypes = [df.schema[c].dataType for c in cols]
     ansi_off = (
         df.sparkSession.conf.get("spark.sql.ansi.enabled", "true") == "false"

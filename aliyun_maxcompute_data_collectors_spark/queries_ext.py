@@ -657,11 +657,21 @@ def higher_order_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_list(F.col("l_quantity"))).alias("qtys"))
     )
+    # The driver's pandas canonicalizer cannot sort/hash list-valued cells
+    # (same constraint complex_types documents), so the two array-valued
+    # results are rendered to deterministic CSV strings via a DECIMAL(12,2)
+    # element cast (identical text form in Spark and DuckDB); the lambda
+    # surface (transform/filter/exists/forall) is still fully exercised.
+    as_str = lambda x: x.cast("decimal(12,2)").cast("string")
     return (
         per.select(
             "l_orderkey",
-            F.transform("qtys", lambda x: F.round(x * 2, 2)).alias("doubled"),
-            F.filter("qtys", lambda x: x > 25).alias("big"),
+            F.array_join(
+                F.transform("qtys", lambda x: as_str(F.round(x * 2, 2))), ","
+            ).alias("doubled"),
+            F.array_join(
+                F.transform(F.filter("qtys", lambda x: x > 25), as_str), ","
+            ).alias("big"),
             F.exists("qtys", lambda x: x > 45).alias("any_huge"),
             F.forall("qtys", lambda x: x > 1).alias("all_nontrivial"),
             F.size(F.filter("qtys", lambda x: x > 25)).alias("n_big"),
@@ -674,8 +684,10 @@ WITH per AS (
   SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys
   FROM lineitem WHERE l_orderkey % 100 = 42 GROUP BY l_orderkey)
 SELECT l_orderkey,
-  list_transform(qtys, x -> ROUND(x * 2, 2)) AS doubled,
-  list_filter(qtys, x -> x > 25) AS big,
+  array_to_string(list_transform(qtys,
+      x -> CAST(CAST(ROUND(x * 2, 2) AS DECIMAL(12,2)) AS VARCHAR)), ',') AS doubled,
+  array_to_string(list_transform(list_filter(qtys, x -> x > 25),
+      x -> CAST(CAST(x AS DECIMAL(12,2)) AS VARCHAR)), ',') AS big,
   length(list_filter(qtys, x -> x > 45)) > 0 AS any_huge,
   length(list_filter(qtys, x -> NOT (x > 1))) = 0 AS all_nontrivial,
   CAST(length(list_filter(qtys, x -> x > 25)) AS INT) AS n_big

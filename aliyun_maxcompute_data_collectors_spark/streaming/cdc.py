@@ -216,9 +216,11 @@ def ivf_assign_ingest_writer(catalog, table: str, centers_table: str,
     ``(id, vec, cell, dist)``.  Create ``table`` partitioned or bucketed
     by ``cell`` so downstream probes prune to the probed cells.
 
-    Idempotent under micro-batch replay: survivors are anti-joined against
-    the target's ids before appending, so re-invoking with an
-    already-committed batch appends nothing.
+    Idempotent under micro-batch replay AND at row granularity (ADVICE r4
+    #2): the batch is first deduplicated on ``id_col`` (deterministic
+    min-by-vec tiebreak, so replays of a reordered batch keep the same
+    row), then anti-joined against the target's committed ids — a
+    duplicate id arriving twice within one micro-batch appends once.
     """
     from pyspark.sql import functions as F
 
@@ -236,8 +238,17 @@ def ivf_assign_ingest_writer(catalog, table: str, centers_table: str,
         if [c for c, _v in centers_rows] != list(range(len(centers_rows))):
             raise ValueError(f"{centers_table} cells must be 0..k-1 dense")
         centers = [v for _c, v in centers_rows]
+        # row-granular idempotency: one row per id within the batch, chosen
+        # deterministically (min by vector text form) rather than
+        # dropDuplicates' arbitrary-first, so a replayed batch with shuffled
+        # row order commits the identical row.
+        batch_one = (batch_df
+                     .withColumn("_vkey", F.col(vec_col).cast("string"))
+                     .withColumn("_rn", F.row_number().over(
+                         Window.partitionBy(id_col).orderBy("_vkey")))
+                     .where(F.col("_rn") == 1).drop("_rn", "_vkey"))
         best = det_assign_fast(F.col(vec_col), centers)
-        assigned = batch_df.select(
+        assigned = batch_one.select(
             F.col(id_col), F.col(vec_col), best["c"].alias("cell"),
             F.round(best["d"], 6).alias("dist"))
         existing = catalog.read_table(table).select(id_col)

@@ -13,23 +13,11 @@ SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 python -m pytest tests/test_correc
 
 if [ "${1:-}" != "quick" ]; then
   echo "== 3/4 vanilla-session driver simulation (no engine configs) =="
-  python - <<'EOF'
-import sys, importlib.util; sys.path.insert(0, ".")
-from pyspark.sql import SparkSession
-spark = SparkSession.builder.master("local[8]").appName("vanilla").getOrCreate()
-spark.sparkContext.setLogLevel("ERROR")
-spec = importlib.util.spec_from_file_location("__spark_entry__", "__spark_entry__.py")
-mod = importlib.util.module_from_spec(spec); spec.loader.exec_module(mod)
-assert len(mod.entry(spark).collect()) > 0, "entry smoke failed"
-bad = []
-for name, fn in sorted(mod.queries().items()):
-    try:
-        fn(spark, "/root/testdata/sf0.01").count()
-    except Exception as e:
-        bad.append((name, str(e)[:80]))
-assert not bad, f"vanilla-session failures: {bad}"
-print(f"vanilla session OK: entry + {len(mod.queries())} queries")
-EOF
+  # Rotation gate (VERDICT r4 ask #8): a query cannot hold a first-50 slot
+  # without a green vanilla-session rows+schema+hash pass — driver_sim.py
+  # hash-checks exactly the first 50 queries() entries and exits non-zero
+  # on any red, so an ungated rotation physically fails the gate.
+  python scripts/driver_sim.py /root/testdata/sf0.01
 
   echo "== 4/5 bench at sf0.1 =="
   python bench.py 2>/dev/null

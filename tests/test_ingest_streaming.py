@@ -434,3 +434,73 @@ def test_ivf_assign_ingest_writer(stream_env):
              .select("vec_id", best["c"].alias("cell2")))
     assert idx.join(batch, "vec_id") \
               .where(F.col("cell") != F.col("cell2")).count() == 0
+
+
+def test_ivf_assign_writer_within_batch_dups(stream_env):
+    """Row-granular idempotency (ADVICE r4 #2): a duplicate id arriving
+    twice WITHIN one micro-batch appends exactly once, and the surviving
+    row is chosen deterministically (min by vector text form) so a replay
+    of the same batch with shuffled row order commits the identical row."""
+    from aliyun_maxcompute_data_collectors_spark.streaming.cdc import (
+        ivf_assign_ingest_writer)
+
+    spark, _src, cat, _tmp = stream_env
+    centers = [[0.0, 0.0], [10.0, 10.0]]
+    cat.create_table("centers2", [("cell", "INT"), ("center", "ARRAY<DOUBLE>")])
+    cat.insert("centers2", spark.createDataFrame(
+        list(enumerate(centers)), "cell int, center array<double>"))
+    cat.create_table("vidx2", [("vec_id", "BIGINT"),
+                               ("embedding", "ARRAY<FLOAT>"),
+                               ("cell", "INT"), ("dist", "DOUBLE")])
+    hook = ivf_assign_ingest_writer(cat, "vidx2", "centers2",
+                                    "vec_id", "embedding")
+
+    rows = [(1, [9.0, 9.0]), (1, [1.0, 1.0]), (2, [0.5, 0.5])]
+    hook(spark.createDataFrame(rows, "vec_id long, embedding array<float>"), 0)
+    got = {r["vec_id"]: r["cell"] for r in cat.read_table("vidx2").collect()}
+    assert got == {1: 0, 2: 0}  # id 1 kept [1.0,1.0] (min text form) -> cell 0
+
+    # reordered replay of the same batch: same surviving row, no appends
+    hook(spark.createDataFrame(list(reversed(rows)),
+                               "vec_id long, embedding array<float>"), 0)
+    assert cat.read_table("vidx2").count() == 2
+    again = {r["vec_id"]: r["cell"] for r in cat.read_table("vidx2").collect()}
+    assert again == got
+
+
+def test_ivf_assign_writer_crash_restart(stream_env):
+    """Crash-between-batches restart for the ANN store (VERDICT r4 ask #5,
+    mirroring the dedup store test): all state lives in the persisted
+    centers + index tables, so a FRESH writer instance built after a
+    'crash' - replaying the last at-least-once batch and then continuing -
+    converges to the same index with no duplicates and bit-equal cells.
+    Reference parity: checkpointed sink recovery, OdpsSinkFunction.java:140-146."""
+    from aliyun_maxcompute_data_collectors_spark.streaming.cdc import (
+        ivf_assign_ingest_writer)
+
+    spark, _src, cat, _tmp = stream_env
+    centers = [[0.0, 0.0], [10.0, 10.0]]
+    cat.create_table("centers3", [("cell", "INT"), ("center", "ARRAY<DOUBLE>")])
+    cat.insert("centers3", spark.createDataFrame(
+        list(enumerate(centers)), "cell int, center array<double>"))
+    cat.create_table("vidx3", [("vec_id", "BIGINT"),
+                               ("embedding", "ARRAY<FLOAT>"),
+                               ("cell", "INT"), ("dist", "DOUBLE")])
+
+    df = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    b1 = [(1, [1.0, 1.0]), (2, [9.0, 9.0])]
+    b2 = [(2, [9.0, 9.0]), (3, [0.0, 1.0])]  # overlaps b1 (source at-least-once)
+
+    hook = ivf_assign_ingest_writer(cat, "vidx3", "centers3",
+                                    "vec_id", "embedding")
+    hook(df(b1), 0)
+    # crash: the writer object (and any in-memory state) is lost; recovery
+    # constructs a new one from the persisted tables and replays batch 0
+    hook2 = ivf_assign_ingest_writer(cat, "vidx3", "centers3",
+                                     "vec_id", "embedding")
+    hook2(df(b1), 0)   # replay after commit: no-op
+    hook2(df(b2), 1)   # continue
+    got = sorted((r["vec_id"], r["cell"])
+                 for r in cat.read_table("vidx3").collect())
+    assert got == [(1, 0), (2, 1), (3, 0)]

@@ -145,6 +145,19 @@ def test_mixture_rebalance_plan_math(spark):
     pw = {r["source"]: r for r in planw.collect()}
     assert pw["b"]["keep_frac"] == 1.0
     assert abs(pw["a"]["keep_frac"] - 0.125) < 1e-12
+    # ADVICE r4 #1: a source PRESENT in the corpus whose weight mass is
+    # NULL (all-NULL weights) is a zero/undefined-mass error, not the
+    # 'have no rows in the corpus' one - SUM(NULL)=NULL must not be
+    # conflated with absent-after-left-join
+    dfn = df.withColumn(
+        "n_tok", F.when(F.col("source") == "a", 4).otherwise(F.lit(None)))
+    with _pytest.raises(ValueError, match="zero or undefined weight mass"):
+        mixture_rebalance(dfn, "doc_id", "source",
+                          {"a": 0.5, "b": 0.5}, weight_col="n_tok")
+    # ...while a truly absent source still reports the missing-rows error
+    with _pytest.raises(ValueError, match="no rows in the corpus"):
+        mixture_rebalance(dfn, "doc_id", "source",
+                          {"a": 0.5, "ghost": 0.5}, weight_col="n_tok")
 
 
 def test_distribution_drift_bounds(spark):
@@ -844,10 +857,14 @@ def test_filter_pipeline_modes(spark):
         filter_pipeline(df, [])
 
 
-def test_minhash_lsh_max_bucket_cap(spark):
+def test_minhash_lsh_max_bucket_cap(spark, caplog):
     """A planted 30-member identical family must not emit its ~435 pairs
     when every band bucket it occupies is over the cap; unrelated pairs
-    under the cap are unaffected."""
+    under the cap are unaffected.  When buckets ARE dropped, the library
+    logs a recall-loss warning with the over-cap bucket count (ADVICE r4
+    #4) so pipelines can detect the degradation instead of inferring it."""
+    import logging as _logging
+
     from aliyun_maxcompute_data_collectors_spark.operators.dedup import minhash_lsh_pairs
 
     fam = " ".join(f"f{i}" for i in range(60))
@@ -857,11 +874,17 @@ def test_minhash_lsh_max_bucket_cap(spark):
     rows += [(200, " ".join(f"z{i}" for i in range(60)))]
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
-    raw = minhash_lsh_pairs(df, "doc_id", "text").count()
-    assert raw == 30 * 29 // 2 + 1                  # family pairs + (100,101)
-    capped = minhash_lsh_pairs(df, "doc_id", "text", max_bucket=10)
-    got = {(r["id1"], r["id2"]) for r in capped.collect()}
-    assert got == {(100, 101)}                      # family suppressed, pair kept
+    with caplog.at_level(_logging.WARNING,
+                         logger="aliyun_maxcompute_data_collectors_spark.operators.dedup"):
+        raw = minhash_lsh_pairs(df, "doc_id", "text").count()
+        assert raw == 30 * 29 // 2 + 1              # family pairs + (100,101)
+        assert not caplog.records                   # under cap: silent
+        capped = minhash_lsh_pairs(df, "doc_id", "text", max_bucket=10)
+        got = {(r["id1"], r["id2"]) for r in capped.collect()}
+        assert got == {(100, 101)}                  # family suppressed, pair kept
+        dropped_warnings = [r for r in caplog.records
+                            if "max_bucket" in r.getMessage()]
+        assert dropped_warnings, "dropping buckets must emit a recall-loss warning"
 
 
 def test_pretrain_pipeline_example(spark, tmp_path):
