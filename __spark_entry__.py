@@ -5,15 +5,20 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash -> CORRECTNESS_r{N}.json).
 
-Rotation note (round 4): the driver verifies the first 50 entries of
-``queries()`` in iteration order.  Rounds 1-3 covered 100 distinct queries;
-round 4 fronts the 37 still-unchecked ones, the two r3 hash-red rows whose
-oracle SUM typing was fixed this round, and the queries whose
-implementation or oracle changed in round 4.  Every query stays
-registered; only iteration order changes.  All remain covered by the
-local DuckDB-oracle harness (tests/test_correctness.py), which since
-round 4 canonicalizes the DuckDB side through pandas/Arrow exactly like
-the driver (so HUGEINT-vs-BIGINT class artifacts are caught locally).
+Rotation note (round 5): the driver verifies the first 50 entries of
+``queries()`` in iteration order.  After round 4, 143/148 queries are
+driver-green at least once; round 5 fronts (a) ``higher_order_fns`` -
+the one run-but-never-green row, its array outputs now stringified -
+(b) the four late-r4 queries with no driver row yet, (c) every query
+whose implementation changed in round 5 (det-kmeans family: narrow
+posexplode centroid stats; minhash_lsh: recall-loss warning;
+mixture_rebalance: NULL-weight-mass routing), then (d) fills the window
+oldest-driver-evidence-first (r2-green queries not re-checked since).
+Every query stays registered; only iteration order changes.  All 148
+remain covered by the local harness (tests/test_correctness.py), which
+since round 5 sorts raw pandas frames exactly like the driver (list
+cells throw) and asserts scalar-only output schemas registry-wide;
+scripts/driver_sim.py gates rotation slots on a vanilla-session pass.
 """
 
 from __future__ import annotations
@@ -28,43 +33,35 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from aliyun_maxcompute_data_collectors_spark.queries import REGISTRY  # noqa: E402
 
-# Round-4 driver-verification priority (VERDICT r3 "Next round" items 1-2):
-# the driver checks the first 50 entries of queries(), so the front block is
-# the 37 queries with NO driver CORRECTNESS row after rounds 1-3 (green in
-# the local oracle harness, never driver-verified), followed by the two
-# round-3 hash-red rows whose oracle SUM types were fixed this round
-# (dedup_exact / corpus_stats), then re-verify candidates whose query or
-# oracle changed in round 4 (ivf_topk / semantic_dedup upgraded from
-# rows-only to exact seeded-Lloyd's oracles; minhash_lsh cap default;
-# weighted_sample ln(0) clamp) and round-4 additions.  Everything already
-# driver-green in r1-r3 follows in registry order.
+# Round-5 driver-verification priority (VERDICT r4 "Next round" item 1):
+# tier 1 = the one run-but-red r4 row (array outputs now stringified) plus
+# the four late-r4 queries with no driver row; tier 2 = queries whose
+# implementation changed in round 5 and must re-verify; tier 3 fills the
+# 50-slot window with the queries whose last driver-green evidence is
+# OLDEST (r2) so cumulative evidence stays fresh.  Everything else follows
+# in registry order.  All tiers passed scripts/driver_sim.py (the
+# vanilla-session rows+schema+hash gate) before taking a slot.
 _PRIORITY = [
-    # tier 1: driver-unchecked after r1-r3 (35 from the r3 tier-2 list ...)
-    "interp_gapfill", "pareto_parts", "cdc_snapshot_at", "ewma_user_value",
-    "fuzzy_customer_names", "regr_value_trend", "zscore_anomalies",
-    "funnel_steps", "cohort_retention",
-    "asof_join_events", "range_join_sessions", "rollup_hypertable",
-    "zorder_cluster", "sketch_suite", "pivot_priority", "unpivot_measures",
-    "agg_extras", "bitwise_agg", "interval_math", "width_bucket_hist",
-    "constraint_check", "window_value_suite", "conditional_exprs",
-    "resample_gapfill", "rolling_hourly_stats", "string_agg_nations",
-    "higher_order_fns", "from_json_typed", "udtf_tokens", "corr_stats",
-    "union_by_name", "median_stats", "mad_outliers", "variant_extract",
-    "recursive_chain",
-    # ... plus the two late-r3 additions that missed the r3 window
-    "q12_shipmode_priority", "corpus_drift",
-    # tier 2: r3 hash-red on the oracle HUGEINT-vs-BIGINT artifact; oracle
-    # SUMs now CAST ... AS BIGINT — keep in the first 50 to prove the fix
-    "dedup_exact", "corpus_stats",
-    # tier 3: round-4 re-verify (query/oracle changed this round)
-    "ivf_topk", "semantic_dedup", "minhash_lsh", "weighted_sample",
-    # tier 4: round-4 additions (registered as implemented this round)
-    "ccnet_buckets", "source_overlap", "zipf_profile", "ngram_novelty",
-    "ivf_assign_incremental", "embedding_quality", "dup_rate_by_source",
-    # position 51+: misses the 50-query driver window this round - front of
-    # the round-5 rotation (local-harness green at sf0.001/0.01)
-    "decontaminate_bloom", "ngram_containment", "pmi_collocations",
-    "char_entropy_gate",
+    # tier 1: red-or-unproven after r4 -> cumulative 148/148 when green
+    "higher_order_fns", "decontaminate_bloom", "ngram_containment",
+    "pmi_collocations", "char_entropy_gate",
+    # tier 2: round-5 implementation changes (det-kmeans narrow centroid
+    # stats; LSH over-cap warning; mixture NULL-weight routing)
+    "semantic_dedup", "ivf_topk", "ivf_assign_incremental",
+    "minhash_lsh", "mixture_rebalance",
+    # tier 3: oldest driver evidence (green r2, never re-checked since)
+    "cast_matrix", "cdc_apply", "complex_types", "count_star", "cube_agg",
+    "date_parts", "date_trunc_extract", "datetime_diff", "distinct_agg",
+    "filter_pushdown_ext", "grouping_sets", "json_get", "lookup_join",
+    "merge_into_apply", "merge_newest_wins", "percentile_quantity",
+    "q11_important_parts", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_count", "q17_small_quantity", "q18_large_orders",
+    "q1_pricing_summary", "q20_excess_volume", "q2_min_cost_supply",
+    "q3_shipping_priority", "q4_order_priority", "q5_region_revenue",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "regexp_extract", "rollup_orders", "salted_agg",
+    "scan_filter_project", "semi_anti_join", "sessionize_events",
+    "set_ops", "stddev_variance",
 ]
 
 

@@ -71,8 +71,10 @@ def main() -> None:
         ratio = round(t10 / t1, 2) if t1 else None
         flag = "SUPERLINEAR" if t10 > 10 * t1 + 2.0 else "ok"
         entry = {"sf1": t1, "sf10": t10, "ratio": ratio, "flag": flag}
-        if name in out and "r4_proof" in out[name]:
-            entry["r4_proof"] = out[name]["r4_proof"]
+        # carry forward every recorded proof note (r4_proof, r5_proof, ...)
+        for key, val in (out.get(name) or {}).items():
+            if key.endswith("_proof"):
+                entry[key] = val
         out[name] = entry
         rtxt = f"{ratio:<7}" if ratio is not None else "n/a    "
         print(f"{name:28s} sf1={t1:8.3f} sf10={t10:8.3f} x{rtxt} {flag}",
