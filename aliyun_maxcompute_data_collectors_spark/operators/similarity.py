@@ -414,20 +414,35 @@ def det_kmeans(
         a = src.select(vec.alias("__v"),
                        det_assign_fast(vec, centers)["c"].alias("cell"))
         # per-dimension decimal sums via posexplode + ONE decimal sum keyed
-        # by (cell, pos) rather than `dim` wide aggregate columns: the sums
-        # are bit-identical (decimal addition is exact and order-free either
-        # way) but the narrow form measured 2.7x faster at sf0.1 (0.69s vs
-        # 1.87s warm) - `dim` compiled decimal agg expressions cost more in
-        # codegen than one generic loop.  Scale shape is unchanged: the
-        # explode pipelines into the hash aggregate's map-side combine, so
-        # only k*dim partial rows per partition reach the shuffle.
-        ex = a.select("cell", F.posexplode("__v").alias("pos", "x"))
+        # by (cell, pos) rather than `dim` wide aggregate columns: on clean
+        # fixed-dim input the sums are bit-identical (decimal addition is
+        # exact and order-free either way) and the narrow form measured
+        # 2.7x faster at sf0.1 (0.69s vs 1.87s warm) - `dim` compiled
+        # decimal agg expressions cost more in codegen than one generic
+        # loop.  Scale shape is unchanged: the explode pipelines into the
+        # hash aggregate's map-side combine, so only k*dim partial rows
+        # per partition reach the shuffle.
+        # Input contract (ADVICE r5): every vector must be non-NULL with
+        # exactly `dim` elements - anything else raises ValueError rather
+        # than silently skewing centroids.  posexplode_OUTER keeps NULL /
+        # empty vectors visible as a (pos=NULL) aggregate row, so the
+        # validation rides the same job as the centroid sums (no extra
+        # pre-scan pass at 100 TB).
+        ex = a.select("cell", F.posexplode_outer("__v").alias("pos", "x"))
         g = (ex.groupBy("cell", "pos")
              .agg(F.sum(F.col("x").cast("double").cast(_KM_DEC)).alias("s"),
                   F.count(F.lit(1)).alias("n"))
              .collect())
         stats: dict[int, dict] = {}
         for r in g:
+            if r["pos"] is None:
+                # posexplode_outer emits (pos NULL, x NULL) for NULL and
+                # empty arrays - those rows have no per-dimension value and
+                # the old wide form silently counted them in the denominator
+                raise ValueError(
+                    f"det_kmeans: {r['n']} NULL or empty vector(s) "
+                    f"(cell {r['cell']}); fixed dim={dim} input is "
+                    "required - audit with embedding_quality first")
             d = stats.setdefault(r["cell"], {"n": r["n"], "s": {}})
             d["s"][r["pos"]] = r["s"]
             if r["n"] != d["n"] or r["pos"] >= dim:
@@ -439,6 +454,17 @@ def det_kmeans(
                     f"det_kmeans: ragged vectors in cell {r['cell']} "
                     f"(pos {r['pos']}: {r['n']} vs {d['n']} rows); fixed "
                     f"dim={dim} input is required")
+        for ci, d in stats.items():
+            # uniformly-short vectors pass the per-row checks (equal counts,
+            # every pos < dim) but leave positions missing - verify each
+            # cell saw exactly positions 0..dim-1 (ADVICE r5: this used to
+            # escape as a raw KeyError below)
+            if len(d["s"]) != dim:
+                missing = sorted(set(range(dim)) - set(d["s"]))[:3]
+                raise ValueError(
+                    f"det_kmeans: ragged vectors in cell {ci} (positions "
+                    f"{missing}... absent, got {len(d['s'])} of dim={dim}); "
+                    "fixed-dim input is required")
         centers = [
             [float(stats[ci]["s"][i]) / stats[ci]["n"] for i in range(dim)]
             if ci in stats else centers[ci]

@@ -680,14 +680,17 @@ def higher_order_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HOF_SQL = """
+-- COALESCE on the stringified arrays: DuckDB array_to_string over an empty
+-- list returns NULL, Spark's array_join over an empty array returns '' --
+-- '' is the engine answer, so the oracle normalizes NULL -> ''.
 WITH per AS (
   SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys
   FROM lineitem WHERE l_orderkey % 100 = 42 GROUP BY l_orderkey)
 SELECT l_orderkey,
-  array_to_string(list_transform(qtys,
-      x -> CAST(CAST(ROUND(x * 2, 2) AS DECIMAL(12,2)) AS VARCHAR)), ',') AS doubled,
-  array_to_string(list_transform(list_filter(qtys, x -> x > 25),
-      x -> CAST(CAST(x AS DECIMAL(12,2)) AS VARCHAR)), ',') AS big,
+  COALESCE(array_to_string(list_transform(qtys,
+      x -> CAST(CAST(ROUND(x * 2, 2) AS DECIMAL(12,2)) AS VARCHAR)), ','), '') AS doubled,
+  COALESCE(array_to_string(list_transform(list_filter(qtys, x -> x > 25),
+      x -> CAST(CAST(x AS DECIMAL(12,2)) AS VARCHAR)), ','), '') AS big,
   length(list_filter(qtys, x -> x > 45)) > 0 AS any_huge,
   length(list_filter(qtys, x -> NOT (x > 1))) = 0 AS all_nontrivial,
   CAST(length(list_filter(qtys, x -> x > 25)) AS INT) AS n_big

@@ -67,8 +67,10 @@ def main() -> int:
                 raise TypeError(f"non-scalar output columns {nonscalar}")
             spdf = sdf.toPandas()
             if name not in oracles:
-                if len(spdf) < 0:  # rows-only contract: executable, >=0 rows
-                    raise AssertionError("negative row count")
+                # rows-only contract: the scalar-schema guard above plus
+                # successful execution through toPandas IS the entire check
+                # the driver applies to oracle-less queries (ADVICE r5 #3:
+                # the old `len < 0` assertion was vacuous dead code)
                 print(f"  rows-only OK  {name} ({len(spdf)} rows)")
                 continue
             cur = con.execute(oracles[name])

@@ -45,6 +45,21 @@ import pytest
 
 from aliyun_maxcompute_data_collectors_spark.queries import REGISTRY
 
+# This module defaults to sf0.01 - THE DRIVER'S SCALE - regardless of the
+# sf0.001 default the rest of the suite uses (VERDICT r5 ask #2b: the
+# higher_order_fns empty-group divergence only manifests at sf0.01, and
+# "plain pytest tests/" is what actually gets run under time pressure, so
+# plain pytest must check the driver's scale).  SPARK_GRAFT_TEST_SF_DIR
+# still overrides for quick sf0.001 iteration.
+SF_CORRECTNESS = os.environ.get(
+    "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return SF_CORRECTNESS
+
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
