@@ -5,20 +5,20 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash -> CORRECTNESS_r{N}.json).
 
-Rotation note (round 5): the driver verifies the first 50 entries of
-``queries()`` in iteration order.  After round 4, 143/148 queries are
-driver-green at least once; round 5 fronts (a) ``higher_order_fns`` -
-the one run-but-never-green row, its array outputs now stringified -
-(b) the four late-r4 queries with no driver row yet, (c) every query
-whose implementation changed in round 5 (det-kmeans family: narrow
-posexplode centroid stats; minhash_lsh: recall-loss warning;
-mixture_rebalance: NULL-weight-mass routing), then (d) fills the window
-oldest-driver-evidence-first (r2-green queries not re-checked since).
-Every query stays registered; only iteration order changes.  All 148
-remain covered by the local harness (tests/test_correctness.py), which
-since round 5 sorts raw pandas frames exactly like the driver (list
-cells throw) and asserts scalar-only output schemas registry-wide;
-scripts/driver_sim.py gates rotation slots on a vanilla-session pass.
+Rotation note (round 6): the driver verifies the first 50 entries of
+``queries()`` in iteration order.  After round 5, 147/148 queries are
+driver-green at least once; round 6 fronts (a) ``higher_order_fns`` -
+the one never-green row, its DuckDB oracle now COALESCEs the empty-list
+NULL that Spark's ``array_join`` renders as ``''`` - (b) every query
+whose implementation changed in round 6 (arrow_udf cosine/assign
+kernels, connected-components distinct removal, persisted LSH bucket-cap
+aggregate), then (c) fills the window oldest-driver-evidence-first (the
+10 remaining r2 rows, then 33 r3 rows).  Every query stays registered;
+only iteration order changes.  All 148 remain covered by the local
+harness (tests/test_correctness.py, which since round 6 defaults to the
+driver's sf0.01); scripts/driver_sim.py gates rotation slots on a
+vanilla-session pass, run via scripts/gate.sh as the round's last act
+and committed as GATE_r6.log.
 """
 
 from __future__ import annotations
@@ -33,35 +33,40 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from aliyun_maxcompute_data_collectors_spark.queries import REGISTRY  # noqa: E402
 
-# Round-5 driver-verification priority (VERDICT r4 "Next round" item 1):
-# tier 1 = the one run-but-red r4 row (array outputs now stringified) plus
-# the four late-r4 queries with no driver row; tier 2 = queries whose
-# implementation changed in round 5 and must re-verify; tier 3 fills the
-# 50-slot window with the queries whose last driver-green evidence is
-# OLDEST (r2) so cumulative evidence stays fresh.  Everything else follows
-# in registry order.  All tiers passed scripts/driver_sim.py (the
-# vanilla-session rows+schema+hash gate) before taking a slot.
+# Round-6 driver-verification priority (VERDICT r5 asks #1/#8): tier 1 =
+# ``higher_order_fns``, red r1-r5 (the oracle now COALESCEs DuckDB's
+# empty-list NULL to match Spark's array_join '' - root cause in VERDICT
+# r5 "What's wrong" #1); tier 2 = queries over round-6 implementation
+# changes (arrow_udf cosine/assign kernels in similarity.py, the
+# connected-components distinct removal in graph.py, the persisted LSH
+# bucket-cap aggregate in dedup.py); tier 3 fills the 50-slot window
+# oldest-driver-evidence-first (all 10 remaining r2 rows, then 33 of the
+# 43 r3 rows alphabetically; the 8 r3 leftovers rotate in r7).
+# Everything else follows in registry order.  Gate discipline (VERDICT r5
+# ask #2): this window holds slots only if scripts/driver_sim.py - run at
+# sf0.01 by scripts/gate.sh, whose stdout is committed as GATE_r6.log -
+# exits green as the round's LAST act.
 _PRIORITY = [
-    # tier 1: red-or-unproven after r4 -> cumulative 148/148 when green
-    "higher_order_fns", "decontaminate_bloom", "ngram_containment",
-    "pmi_collocations", "char_entropy_gate",
-    # tier 2: round-5 implementation changes (det-kmeans narrow centroid
-    # stats; LSH over-cap warning; mixture NULL-weight routing)
-    "semantic_dedup", "ivf_topk", "ivf_assign_incremental",
-    "minhash_lsh", "mixture_rebalance",
-    # tier 3: oldest driver evidence (green r2, never re-checked since)
-    "cast_matrix", "cdc_apply", "complex_types", "count_star", "cube_agg",
-    "date_parts", "date_trunc_extract", "datetime_diff", "distinct_agg",
-    "filter_pushdown_ext", "grouping_sets", "json_get", "lookup_join",
-    "merge_into_apply", "merge_newest_wins", "percentile_quantity",
-    "q11_important_parts", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_count", "q17_small_quantity", "q18_large_orders",
-    "q1_pricing_summary", "q20_excess_volume", "q2_min_cost_supply",
-    "q3_shipping_priority", "q4_order_priority", "q5_region_revenue",
-    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-    "q9_product_profit", "regexp_extract", "rollup_orders", "salted_agg",
-    "scan_filter_project", "semi_anti_join", "sessionize_events",
-    "set_ops", "stddev_variance",
+    # tier 1: the only never-green row -> cumulative 148/148 when green
+    "higher_order_fns",
+    # tier 2: round-6 implementation changes (arrow kernels, CC, LSH cap)
+    "semantic_dedup", "semantic_dedup_exact", "ivf_topk",
+    "ivf_assign_incremental", "minhash_lsh", "dedup_transitive",
+    # tier 3a: last green in r2
+    "string_functions", "template_routing", "time_partition_assign",
+    "topk_orders", "topk_per_group", "unix_epoch", "window_cumulative",
+    "window_lag_lead", "window_range_frame", "window_rank_suite",
+    # tier 3b: last green in r3 (first 33 alphabetically)
+    "ann_lsh_topk", "blob_meta", "boilerplate_frac", "chunk_documents",
+    "decontaminate", "dedup_incremental", "det_sample", "doc_fingerprint",
+    "doc_logprob", "doc_rolling_fp", "embedding_dups", "embedding_topk",
+    "filter_pipeline", "frame_sample", "heavy_hitter_tokens",
+    "heavy_hitters_by_lang", "lang_id", "lang_quality_calibrated",
+    "minhash_incremental", "minhash_signature", "ngram_jaccard",
+    "pack_sequences", "pii_redact", "profile_documents",
+    "q10_returned_items", "q13_customer_distribution",
+    "q19_discounted_parts", "q21_waiting_supplier", "q22_dormant_customers",
+    "repetition_profile", "scd2_users", "shard_assign", "simhash32_sig",
 ]
 
 

@@ -29,10 +29,15 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component =
     min node id reachable.  Raises if not converged in max_iterations."""
+    # no .distinct() on the symmetrized edges (round 6): min-label
+    # propagation is duplicate-insensitive - a repeated (a,b) row only adds
+    # input to the min() aggregate, whose map-side combiner absorbs it -
+    # so deduplicating here pays a full extra shuffle of the edge set for
+    # nothing.  Callers emitting candidate pairs already dedupe when their
+    # generator can produce repeats (minhash bands -> .distinct()).
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
         .localCheckpoint(eager=True)
     )
     labels = (

@@ -621,6 +621,22 @@ def _row_groups(vals: list) -> dict[int, tuple[list[int], np.ndarray]]:
             for ln, idx in by_len.items()}
 
 
+def _arrow_list_parts(arr):
+    """(null_mask, starts, lens, flat_float64) views of an arrow list array
+    - the zero-Python-object decomposition the arrow_udf kernels gather
+    from.  Element nulls surface as NaN in ``flat`` (the same artifact the
+    pandas path had: Arrow -> float64 materializes a null element as NaN,
+    documented on cosine_fast)."""
+    n = len(arr)
+    offs = (arr.offsets.to_numpy(zero_copy_only=False)
+            [arr.offset: arr.offset + n + 1].astype(np.int64))
+    flat = np.asarray(
+        arr.values.to_numpy(zero_copy_only=False), dtype=np.float64)
+    null = arr.is_null().to_numpy(zero_copy_only=False)
+    lens = offs[1:] - offs[:-1]
+    return null, offs[:-1], lens, flat
+
+
 def cosine_fast(a: Column, b: Column) -> Column:
     """Vectorized cosine, bit-equal to cosine_expr (unrounded) INCLUDING
     the fold's null semantics: a NULL vector, a length-mismatched pair,
@@ -628,38 +644,46 @@ def cosine_fast(a: Column, b: Column) -> Column:
     Known divergence: a NULL *element* inside a vector arrives through
     Arrow as NaN, so such rows yield NaN here where the fold yields NULL
     - per-element nulls in an embedding column are data corruption
-    (embedding_quality counts whole-vector defects; fix upstream)."""
-    from pyspark.sql.functions import pandas_udf
+    (embedding_quality counts whole-vector defects; fix upstream).
 
-    @pandas_udf("double")
-    def _cos(sa: _pd.Series, sb: _pd.Series) -> _pd.Series:
-        n = len(sa)
-        out: list = [None] * n
-        valid: list[int] = []
-        av: list[np.ndarray] = []
-        bv: list[np.ndarray] = []
-        for i, (x, y) in enumerate(zip(sa, sb)):
-            if x is None or y is None or len(x) != len(y):
-                continue
-            valid.append(i)
-            av.append(np.asarray(x, dtype=np.float64))
-            bv.append(np.asarray(y, dtype=np.float64))
-        if valid:
-            for ln, (pos, A) in _row_groups(av).items():
-                B = np.stack([bv[p] for p in pos])
-                m = len(pos)
-                dot = np.zeros(m)
-                na = np.zeros(m)
-                nb = np.zeros(m)
-                for i in range(ln):  # sequential over dims == the fold
-                    dot += A[:, i] * B[:, i]
-                    na += A[:, i] * A[:, i]
-                    nb += B[:, i] * B[:, i]
-                den = np.sqrt(na) * np.sqrt(nb)
-                for j, p in enumerate(pos):
-                    # x/0.0 is NULL in Spark doubles - mirror it
-                    out[valid[p]] = float(dot[j] / den[j]) if den[j] != 0.0 else None
-        return _pd.Series(out, dtype=object)
+    Round 6: arrow_udf - rows never materialize as Python objects.  Both
+    list columns decompose into (offsets, flat float64) buffers and each
+    same-length row group gathers into an (m, len) matrix with ONE fancy
+    index; the per-dimension accumulation loop is unchanged, so every IEEE
+    rounding step still matches the JVM fold bit-for-bit.  The pair-join
+    consumers (semantic_dedup, cosine top-k) spend their time here - at
+    sf0.1 semantic_dedup evaluates ~2M candidate pairs per run."""
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("double")
+    def _cos(aa, bb):
+        import pyarrow as pa
+
+        n = len(aa)
+        nula, sa, la, fa = _arrow_list_parts(aa)
+        nulb, sb, lb, fb = _arrow_list_parts(bb)
+        out = np.zeros(n, dtype=np.float64)
+        isnull = np.ones(n, dtype=bool)  # NULL vec / len mismatch / den==0
+        ok = (~nula) & (~nulb) & (la == lb) & (la > 0)
+        for ln in np.unique(la[ok]):
+            idxs = np.nonzero(ok & (la == ln))[0]
+            span = np.arange(ln)
+            A = fa[sa[idxs][:, None] + span]
+            B = fb[sb[idxs][:, None] + span]
+            m = len(idxs)
+            dot = np.zeros(m)
+            na = np.zeros(m)
+            nb = np.zeros(m)
+            for i in range(ln):  # sequential over dims == the fold
+                dot += A[:, i] * B[:, i]
+                na += A[:, i] * A[:, i]
+                nb += B[:, i] * B[:, i]
+            den = np.sqrt(na) * np.sqrt(nb)
+            nz = den != 0.0  # x/0.0 is NULL in Spark doubles - mirror it
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out[idxs[nz]] = dot[nz] / den[nz]
+            isnull[idxs[nz]] = False
+        return pa.array(out, type=pa.float64(), mask=isnull)
 
     return _cos(a, b)
 
@@ -669,23 +693,30 @@ def det_assign_fast(vec: Column, centers: list[list[float]]) -> Column:
     det_kmeans_assign_best: returns struct (d: squared distance of the
     winner, c: cell id), ties to the lower cell (strict < keeps the
     earlier center, exactly the struct-sort order).  NULL vectors and
-    dimension mismatches reproduce the fold's outcome: (d NULL, c 0)."""
-    from pyspark.sql.functions import pandas_udf
+    dimension mismatches reproduce the fold's outcome: (d NULL, c 0).
+
+    Round 6: arrow_udf - the batch gathers into an (m, dim) float64 matrix
+    straight from the arrow buffers (no per-row Python objects); the
+    center/dimension accumulation loops are unchanged, so the winning
+    distances stay bit-identical to the fold."""
+    from pyspark.sql.functions import arrow_udf
 
     C = np.asarray(centers, dtype=np.float64)
     dim = C.shape[1]
 
-    @pandas_udf("d double, c int")
-    def _assign(sv: _pd.Series) -> _pd.DataFrame:
-        n = len(sv)
-        out_d: list = [None] * n
+    @arrow_udf("d double, c int")
+    def _assign(arr):
+        import pyarrow as pa
+
+        n = len(arr)
+        null, starts, lens, flat = _arrow_list_parts(arr)
+        out_d = np.zeros(n, dtype=np.float64)
+        d_null = np.ones(n, dtype=bool)
         out_c = np.zeros(n, dtype=np.int32)
-        rows = [(i, np.asarray(v, dtype=np.float64)) for i, v in enumerate(sv)
-                if v is not None and len(v) == dim]
-        if rows:
-            idx = [i for i, _v in rows]
-            X = np.stack([v for _i, v in rows])
-            m = len(idx)
+        idx = np.nonzero((~null) & (lens == dim))[0]
+        if idx.size:
+            X = flat[starts[idx][:, None] + np.arange(dim)]
+            m = idx.size
             best_d = None
             best_c = np.zeros(m, dtype=np.int32)
             for ci in range(C.shape[0]):
@@ -699,9 +730,11 @@ def det_assign_fast(vec: Column, centers: list[list[float]]) -> Column:
                     better = acc < best_d
                     best_d = np.where(better, acc, best_d)
                     best_c = np.where(better, np.int32(ci), best_c)
-            for j, i in enumerate(idx):
-                out_d[i] = float(best_d[j])
-                out_c[i] = best_c[j]
-        return _pd.DataFrame({"d": _pd.Series(out_d, dtype=object), "c": out_c})
+            out_d[idx] = best_d
+            d_null[idx] = False
+            out_c[idx] = best_c
+        return pa.StructArray.from_arrays(
+            [pa.array(out_d, type=pa.float64(), mask=d_null),
+             pa.array(out_c, type=pa.int32())], ["d", "c"])
 
     return _assign(vec)

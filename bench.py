@@ -172,10 +172,21 @@ def _bench_writes(spark, sf_dir: str, cold: bool) -> dict[str, float]:
     return out
 
 
+def _load1() -> float:
+    """1-minute load average - recorded in the output so a drifted bench
+    number can be attributed to machine load instead of a plan regression
+    (VERDICT r5 ask #3: two rounds of unconfirmed 'probably load' theory)."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - getloadavg unavailable
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     cold = os.environ.get("BENCH_COLD") == "1"
+    load_before = _load1()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -198,6 +209,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "load1_before": load_before,
+        "load1_after": _load1(),
     }))
     spark.stop()
 
