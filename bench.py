@@ -156,7 +156,11 @@ def _bench_writes(spark, sf_dir: str, cold: bool) -> dict[str, float]:
         cat.create_table("w_bucketed_str", cols_str,
                          bucket=BucketSpec("hash", 16, ["l_linekey"],
                                            [("l_linekey", "ASC")]))
-        iters = 1 if cold else _iters()
+        # writes get two extra warm iterations: the write_bucketed_str /
+        # write_bucketed ratio is judged against a 1.5x bar and single-run
+        # jitter on ~1s writes is +-0.1s, enough to flip the verdict; a
+        # min over 5 warm runs is stable where 3 was not (round 6)
+        iters = 1 if cold else _iters() + 2
         for name, table, src in [("write_append", "w_plain", li),
                                  ("write_bucketed", "w_bucketed", li),
                                  ("write_bucketed_str", "w_bucketed_str", li_str)]:

@@ -1331,3 +1331,44 @@ def test_char_entropy_exact_values(spark):
     assert abs(got[1]["entropy"] - round(math.log(2), 6)) < 1e-9
     assert got[1]["ok_entropy"] is True
     assert got[2]["entropy"] == 0.0 and got[2]["ok_entropy"] is False
+
+
+def test_det_kmeans_rejects_dirty_vectors(spark):
+    """ADVICE r5: det_kmeans's input contract is uniform - every vector
+    non-NULL with exactly dim elements.  NULL/empty vectors raise (the old
+    wide form silently counted them in the centroid denominator and the
+    posexplode form silently dropped them), and uniformly-SHORT vectors -
+    which pass the per-row checks because their per-pos counts agree -
+    raise the ragged ValueError instead of escaping as a KeyError."""
+    import pytest as _pytest
+
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import det_kmeans
+
+    clean = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "id long, v array<double>")
+    cells, centers = det_kmeans(clean, "id", "v", dim=2, n_clusters=2,
+                                n_iter=1)
+    assert cells.count() == 2 and len(centers) == 2
+
+    with_null = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "id long, v array<double>")
+    with _pytest.raises(ValueError, match="NULL or empty"):
+        det_kmeans(with_null, "id", "v", dim=2, n_clusters=2, n_iter=1)
+
+    with_empty = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [])], "id long, v array<double>")
+    with _pytest.raises(ValueError, match="NULL or empty"):
+        det_kmeans(with_empty, "id", "v", dim=2, n_clusters=2, n_iter=1)
+
+    # ragged mix: caught by the per-row count check
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0])], "id long, v array<double>")
+    with _pytest.raises(ValueError, match="ragged"):
+        det_kmeans(ragged, "id", "v", dim=2, n_clusters=2, n_iter=1)
+
+    # uniformly short: equal per-pos counts, every pos < dim - the
+    # completeness check must still flag it as ragged
+    short = spark.createDataFrame(
+        [(1, [1.0]), (2, [3.0])], "id long, v array<double>")
+    with _pytest.raises(ValueError, match="ragged"):
+        det_kmeans(short, "id", "v", dim=2, n_clusters=2, n_iter=1)
