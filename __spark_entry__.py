@@ -50,6 +50,8 @@ _PRIORITY = [
     # tier 1: the only never-green row -> cumulative 148/148 when green
     "higher_order_fns",
     # tier 2: round-6 implementation changes (arrow kernels, CC, LSH cap)
+    # and the two new PQ queries (never driver-checked before)
+    "pq_topk", "pq_code_hist",
     "semantic_dedup", "semantic_dedup_exact", "ivf_topk",
     "ivf_assign_incremental", "minhash_lsh", "dedup_transitive",
     # tier 3a: last green in r2

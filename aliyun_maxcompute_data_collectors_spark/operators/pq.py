@@ -1,0 +1,286 @@
+"""Product quantization (PQ) for embedding columns - the compressed-scan
+ANN path.
+
+Why this exists at 100 TB: a float32 embedding column is the dominant byte
+cost of a vector corpus (64 dims = 256 bytes/row; 1e9 rows = 256 GB per
+table scan).  PQ splits each vector into ``m`` subvectors and replaces each
+with the id of its nearest per-subspace centroid: ``m`` uint8-scale codes =
+8 bytes/row at m=8, a 32x scan-size reduction.  Top-k then runs over the
+CODES via asymmetric distance computation (ADC): per query, a distance
+table of m x ksub exact subspace distances is built once, and each
+candidate's approximate distance is the sum of m table lookups - no float
+vector is ever read at scan time.  (Jegou, Douze, Schmid, "Product
+Quantization for Nearest Neighbor Search", IEEE TPAMI 2011 - the design
+IVF-PQ systems like Faiss build on.)
+
+Spark-first shapes:
+
+- **Training** is a fused deterministic Lloyd's over ALL subspaces at once:
+  one arrow-UDF assignment pass + ONE narrow (subspace, cell, pos) decimal
+  aggregate per iteration, regardless of m.  The shuffle carries only
+  map-side-combined partial rows (m * ksub * dsub per partition); driver
+  state is the m x ksub x dsub codebook - metadata-scale.  Training runs
+  deterministically (seeded literal init, decimal-exact sums, argmin ties
+  to the lower cell), so a DuckDB oracle reproduces every code and distance
+  bit-for-bit - the same contract as similarity.det_kmeans.
+- **Encoding** is one arrow-UDF map pass (no shuffle): each batch gathers
+  into an (n, dim) float64 matrix straight off the arrow list buffers and
+  the per-subspace argmin runs vectorized with the same sequential
+  per-dimension accumulation as similarity.det_assign_fast, so distances
+  (and therefore codes) are bit-identical to the expression fold.
+- **ADC top-k** stays entirely JVM-side: the per-query distance table
+  (n_queries * m * ksub rows - tiny) is built with the fold expressions of
+  similarity._sq_dist_expr, broadcast, and joined to long-format codes;
+  per-(query, candidate) sums accumulate in DECIMAL(38,15) so the total is
+  shuffle-order-independent (a double sum over m rows would depend on
+  partition order and never hash-match a second engine).
+
+Scale caveat (documented, not hidden): brute-force ADC scores every
+(query, candidate) pair - n_docs * m * n_queries intermediate rows before
+the map-side-combined aggregate.  That is the intended shape for re-rank
+sets and bounded query batches; unbounded query sets should prefilter
+candidates with the IVF coarse quantizer first (``candidates=``), exactly
+how IVF-PQ composes.
+
+Reference parity: the reference engine has no ANN surface; this module is
+part of the beyond-reference LLM-pipeline operator set (SURVEY.md "training
+data pipeline" family, next to similarity.det_ivf_topk).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import _KM_DEC, _arrow_list_parts, det_kmeans_init
+
+__all__ = ["pq_train", "pq_assign_fast", "pq_encode", "pq_topk",
+           "pq_code_hist"]
+
+
+def _subspace_codebooks_init(dim: int, m: int, ksub: int,
+                             seed: int = 42) -> list[list[list[float]]]:
+    """Seeded init per subspace: subspace j uses seed+j so codebooks differ
+    across subspaces the way independent fits would.  Returns
+    codebooks[j][c] = list of dsub floats (6-decimal rounded - embeds as
+    short SQL literals bit-identically, like det_kmeans_init)."""
+    if dim % m:
+        raise ValueError(f"pq: dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    return [det_kmeans_init(dsub, ksub, seed + j) for j in range(m)]
+
+
+def pq_assign_fast(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Vectorized per-subspace argmin: array<int> of m codes, ties to the
+    lower code id (strict <), bit-identical distances to the sequential
+    per-dimension fold (the same accumulation order as
+    similarity.det_assign_fast, run per subspace).
+
+    NULL vectors and dimension mismatches return NULL (the caller's
+    training loop rejects them via the posexplode_outer guard; encode
+    passes them through as NULL codes for an upstream audit to catch)."""
+    from pyspark.sql.functions import arrow_udf
+
+    C = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = C.shape
+    dim = m * dsub
+
+    @arrow_udf("array<int>")
+    def _codes(arr):
+        import pyarrow as pa
+
+        n = len(arr)
+        null, starts, lens, flat = _arrow_list_parts(arr)
+        idx = np.nonzero((~null) & (lens == dim))[0]
+        codes = np.zeros((n, m), dtype=np.int32)
+        if idx.size:
+            X = flat[starts[idx][:, None] + np.arange(dim)]
+            nr = idx.size
+            for j in range(m):
+                best_d = None
+                best_c = np.zeros(nr, dtype=np.int32)
+                for ci in range(ksub):
+                    acc = np.zeros(nr)
+                    for i in range(dsub):
+                        t = X[:, j * dsub + i] - C[j, ci, i]
+                        acc += t * t
+                    if best_d is None:
+                        best_d = acc
+                    else:
+                        better = acc < best_d
+                        best_d = np.where(better, acc, best_d)
+                        best_c = np.where(better, np.int32(ci), best_c)
+                codes[idx, j] = best_c
+        mask = np.ones(n, dtype=bool)
+        mask[idx] = False
+        return pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32)),
+            pa.array(codes.reshape(-1), type=pa.int32()),
+            mask=pa.array(mask))
+
+    return _codes(vec)
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 2,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Deterministic fused Lloyd's over all m subspaces: returns
+    codebooks[j][c] (m x ksub x dsub floats - driver metadata).
+
+    One Spark job per iteration for ALL subspaces: assignment is a single
+    arrow-UDF pass producing the m-code array, and the centroid update is
+    ONE decimal aggregate keyed (subspace, cell, pos) - the same narrow
+    posexplode shape det_kmeans uses, so only m*ksub*dsub map-combined
+    partial rows per partition reach the shuffle.  Input contract matches
+    det_kmeans: every vector non-NULL with exactly ``dim`` elements, else
+    ValueError (NULL/empty surfaces as a pos=NULL aggregate row, ragged as
+    unequal per-pos counts)."""
+    dsub = dim // m
+    books = _subspace_codebooks_init(dim, m, ksub, seed)
+    src = df.select(F.col(vec_col).alias("__v"))
+    for _ in range(n_iter):
+        a = src.select("__v", pq_assign_fast(F.col("__v"), books).alias("__c"))
+        ex = a.select(
+            "__c", F.posexplode_outer("__v").alias("pos", "x"),
+        ).select(
+            (F.col("pos") / dsub).cast("int").alias("j"),
+            F.element_at("__c", (F.col("pos") / dsub).cast("int") + 1)
+             .alias("cell"),
+            F.pmod("pos", F.lit(dsub)).alias("i"),
+            F.col("x").cast("double").cast(_KM_DEC).alias("xd"),
+        )
+        g = (ex.groupBy("j", "cell", "i")
+             .agg(F.sum("xd").alias("s"), F.count(F.lit(1)).alias("n"))
+             .collect())
+        stats: dict[tuple[int, int], dict] = {}
+        for r in g:
+            if r["j"] is None or r["cell"] is None:
+                # pos=NULL rows are NULL/empty vectors; cell=NULL rows are
+                # vectors whose length != dim (the kernel refuses a code)
+                raise ValueError(
+                    "pq_train: NULL, empty, or non-dim-length vector(s); "
+                    f"fixed dim={dim} input is required - audit with "
+                    "embedding_quality first")
+            d = stats.setdefault((r["j"], r["cell"]), {"n": r["n"], "s": {}})
+            d["s"][r["i"]] = r["s"]
+            if r["n"] != d["n"]:
+                raise ValueError(
+                    f"pq_train: ragged vectors (subspace {r['j']} cell "
+                    f"{r['cell']} pos {r['i']}: {r['n']} vs {d['n']} rows); "
+                    f"fixed dim={dim} input is required")
+        for (j, ci), d in stats.items():
+            if len(d["s"]) != dsub:
+                raise ValueError(
+                    f"pq_train: ragged vectors (subspace {j} cell {ci} has "
+                    f"{len(d['s'])} of dsub={dsub} positions)")
+        books = [
+            [
+                [float(stats[(j, ci)]["s"][i]) / stats[(j, ci)]["n"]
+                 for i in range(dsub)]
+                if (j, ci) in stats else books[j][ci]
+                for ci in range(ksub)
+            ]
+            for j in range(m)
+        ]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """(id, codes array<int>) - one arrow-UDF map pass, no shuffle."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        pq_assign_fast(F.col(vec_col), codebooks).alias("codes"))
+
+
+def _codes_long(codes: DataFrame) -> DataFrame:
+    """(id, j, code) long form - the join-able shape for ADC lookups."""
+    return codes.select(
+        "id", F.posexplode("codes").alias("j", "code"))
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """ADC top-k: (query_id, neighbor_id, adc_dist, rank), rank 1..k per
+    query by ascending approximate squared L2 (ties to the lower
+    neighbor_id), self-matches excluded.
+
+    ``codes`` is pq_encode output.  ``candidates`` (optional, (id) rows)
+    prefilters the candidate set - the IVF-PQ composition for unbounded
+    corpora; without it every code row is scored (the re-rank /
+    bounded-query-batch shape).
+
+    Plan: distance table = queries x (j, code) centroid literals
+    (n_queries * m * ksub rows) built from fold expressions, broadcast;
+    joined to long-format codes (map-side).  The per-(query, candidate)
+    total is NOT a SUM over the m joined rows - float addition order would
+    depend on partition order - but a conditional-MAX pivot to m fixed
+    columns added left-to-right: ((d0 + d1) + d2)..., the same IEEE
+    association the oracle writes, so totals are bit-identical without a
+    double->decimal cast (whose tie behavior differs between engines)."""
+    C = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = C.shape
+    spark = queries.sparkSession
+    cb_rows = [
+        (j, c, [float(x) for x in C[j, c]])
+        for j in range(m) for c in range(ksub)
+    ]
+    cb = spark.createDataFrame(cb_rows, "j int, code int, center array<double>")
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    # subspace slice of the query vector vs the centroid: the same
+    # sequential fold _sq_dist_expr runs (zip_with + aggregate from 0.0),
+    # mirrored by the oracle's list_reduce - IEEE-identical
+    sub = F.slice("qv", F.col("j") * dsub + 1, dsub)
+    d = F.aggregate(
+        F.zip_with(sub, F.col("center"),
+                   lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    dt = q.crossJoin(F.broadcast(cb)).select(
+        "query_id", "j", "code", d.alias("dd"))
+    lc = _codes_long(codes)
+    if candidates is not None:
+        lc = lc.join(candidates.select(F.col("id")), "id", "left_semi")
+    pivot = (
+        lc.join(F.broadcast(dt), ["j", "code"])
+        .where(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(*[F.max(F.when(F.col("j") == j, F.col("dd"))).alias(f"d{j}")
+               for j in range(m)])
+    )
+    adc = F.col("d0")
+    for j in range(1, m):
+        adc = adc + F.col(f"d{j}")
+    scored = pivot.select("query_id", "neighbor_id",
+                          F.round(adc, 6).alias("adc_dist"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def pq_code_hist(codes: DataFrame) -> DataFrame:
+    """(j, code, n) - per-subspace code occupancy.  The index-health audit:
+    a subspace whose mass concentrates in few codes quantizes poorly
+    (raise ksub or re-train); also the cheapest end-to-end check that two
+    engines agree on every assigned code."""
+    return (_codes_long(codes)
+            .groupBy("j", "code").agg(F.count(F.lit(1)).alias("n")))

@@ -571,6 +571,137 @@ SELECT vec_id, cell, ROUND(dist, 6) AS dist FROM a ORDER BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (operators/pq.py) - compressed-scan ANN
+# ---------------------------------------------------------------------------
+
+_PQ_DIM, _PQ_M, _PQ_KSUB, _PQ_ITER = 64, 8, 16, 2
+
+
+def _pq_books(spark: SparkSession, sf_dir: str):
+    from aliyun_maxcompute_data_collectors_spark.operators.pq import pq_encode, pq_train
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = t["embeddings"]
+    books = pq_train(e, "embedding", dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB,
+                     n_iter=_PQ_ITER)
+    return e, pq_encode(e, "vec_id", "embedding", books), books
+
+
+def pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-5: codebooks trained by the fused
+    deterministic per-subspace Lloyd's (operators/pq.pq_train), corpus
+    compressed to m=8 codes/vector, queries scored by m distance-table
+    lookups added in fixed order - every code and total reproducible in
+    DuckDB, so this is a full hash-checked oracle, not rows-only."""
+    from aliyun_maxcompute_data_collectors_spark.operators.pq import pq_topk
+    e, codes, books = _pq_books(spark, sf_dir)
+    return pq_topk(e.where(F.col("vec_id") < 8), codes, books, k=5) \
+        .orderBy("query_id", "rank")
+
+
+def pq_code_hist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ code occupancy - the index-health audit and the
+    cheapest end-to-end proof that both engines assign every code
+    identically."""
+    from aliyun_maxcompute_data_collectors_spark.operators.pq import pq_code_hist
+    _, codes, _ = _pq_books(spark, sf_dir)
+    return pq_code_hist(codes).orderBy("j", "code")
+
+
+def _pq_cte(dim: int = _PQ_DIM, m: int = _PQ_M, ksub: int = _PQ_KSUB,
+            n_iter: int = _PQ_ITER, seed: int = 42) -> str:
+    """Per-subspace deterministic-Lloyd's CTE chains mirroring pq_train:
+    subspace j fits on embedding[j*dsub+1:(j+1)*dsub] with seeded init
+    det_kmeans_init(dsub, ksub, seed+j); ends with p{j}kf (centers) and
+    p{j}af (final assignments) per subspace."""
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import det_kmeans_init
+    dsub = dim // m
+    parts = ["e AS (SELECT vec_id, embedding FROM embeddings)"]
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        init = det_kmeans_init(dsub, ksub, seed + j)
+        vals = ", ".join(
+            f"({ci}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+            for ci, c in enumerate(init))
+        parts.append(
+            f"e{j} AS (SELECT vec_id, embedding[{lo}:{hi}] AS sv FROM e)")
+        parts.append(f"p{j}k0 AS (SELECT * FROM (VALUES {vals}) AS t(cell, c))")
+        for it in range(n_iter):
+            dist = _km_dist_sql("e.sv", f"k.c")
+            parts.append(f"""p{j}a{it} AS (
+  SELECT vec_id, sv, cell FROM (
+    SELECT e.vec_id, e.sv, k.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {dist}, k.cell) AS rn
+    FROM e{j} e CROSS JOIN p{j}k{it} k) WHERE rn = 1)""")
+            sums = ", ".join(
+                f"SUM(CAST(CAST(sv[{i + 1}] AS DOUBLE) AS DECIMAL(38,15))) AS s{i}"
+                for i in range(dsub))
+            parts.append(
+                f"p{j}s{it} AS (SELECT cell, COUNT(*) AS n, {sums} "
+                f"FROM p{j}a{it} GROUP BY cell)")
+            means = ", ".join(f"CAST(s.s{i} AS DOUBLE) / s.n"
+                              for i in range(dsub))
+            parts.append(f"""p{j}k{it + 1} AS (
+  SELECT k.cell, CASE WHEN s.n IS NULL THEN k.c ELSE [{means}] END AS c
+  FROM p{j}k{it} k LEFT JOIN p{j}s{it} s USING (cell))""")
+        parts.append(f"p{j}kf AS (SELECT * FROM p{j}k{n_iter})")
+        distf = _km_dist_sql("e.sv", "k.c")
+        parts.append(f"""p{j}af AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, k.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {distf}, k.cell) AS rn
+    FROM e{j} e CROSS JOIN p{j}kf k) WHERE rn = 1)""")
+    return ",\n".join(parts)
+
+
+def _pq_hist_sql(m: int = _PQ_M) -> str:
+    union = "\n  UNION ALL ".join(
+        f"SELECT {j} AS j, cell AS code, COUNT(*) AS n FROM p{j}af GROUP BY cell"
+        for j in range(m))
+    return f"""
+WITH {_pq_cte()}
+SELECT j, code, n FROM ({union}) ORDER BY j, code
+"""
+
+
+def _pq_topk_sql(dim: int = _PQ_DIM, m: int = _PQ_M, topk: int = 5,
+                 n_query: int = 8) -> str:
+    dsub = dim // m
+    dts, scs = [], []
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        dist = _km_dist_sql(f"q.qv[{lo}:{hi}]", "k.c")
+        dts.append(f"""dt{j} AS (
+  SELECT q.query_id, k.cell AS code, {dist} AS dd
+  FROM q CROSS JOIN p{j}kf k)""")
+        scs.append(f"SELECT a.vec_id AS neighbor_id, d.query_id, {j} AS j, d.dd"
+                   f" FROM p{j}af a JOIN dt{j} d ON d.code = a.cell")
+    union = "\n  UNION ALL ".join(scs)
+    pivots = ", ".join(
+        f"MAX(CASE WHEN j = {j} THEN dd END) AS d{j}" for j in range(m))
+    adc = "d0"
+    for j in range(1, m):
+        adc = f"({adc} + d{j})"
+    return f"""
+WITH {_pq_cte()},
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < {n_query}),
+{", ".join(dts)},
+su AS ({union}),
+piv AS (
+  SELECT query_id, neighbor_id, {pivots}
+  FROM su WHERE neighbor_id <> query_id
+  GROUP BY query_id, neighbor_id),
+sc AS (SELECT query_id, neighbor_id, ROUND({adc}, 6) AS adc_dist FROM piv),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM sc)
+SELECT query_id, neighbor_id, adc_dist, rank FROM ranked WHERE rank <= {topk}
+ORDER BY query_id, rank
+"""
+
+
 def embedding_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding-column health report (similarity.embedding_quality)."""
     from aliyun_maxcompute_data_collectors_spark.operators.similarity import embedding_quality
@@ -1830,4 +1961,6 @@ REGISTRY: dict[str, tuple] = {
     "dedup_incremental": (dedup_incremental_q, _DEDUP_INCR_SQL),
     "minhash_incremental": (minhash_incr_q, _minhash_incr_sql()),
     "filter_pipeline": (filter_pipeline_q, _FILTER_PIPE_SQL),
+    "pq_topk": (pq_topk_q, _pq_topk_sql()),  # deterministic fused Lloyd's -> exact
+    "pq_code_hist": (pq_code_hist_q, _pq_hist_sql()),
 }

@@ -103,6 +103,9 @@ BENCH_QUERIES = [
     "ngram_containment",
     "pmi_collocations",
     "char_entropy_gate",
+    # round-6 additions: the product-quantization ANN path
+    "pq_topk",
+    "pq_code_hist",
 ]
 
 
