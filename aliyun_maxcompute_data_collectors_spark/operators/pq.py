@@ -56,7 +56,7 @@ from pyspark.sql import functions as F
 from .similarity import _KM_DEC, _arrow_list_parts, det_kmeans_init
 
 __all__ = ["pq_train", "pq_assign_fast", "pq_encode", "pq_topk",
-           "pq_code_hist"]
+           "ivfpq_topk", "pq_code_hist"]
 
 
 def _subspace_codebooks_init(dim: int, m: int, ksub: int,
@@ -259,10 +259,20 @@ def pq_topk(
     lc = _codes_long(codes)
     if candidates is not None:
         lc = lc.join(candidates.select(F.col("id")), "id", "left_semi")
+    return _adc_rank(lc.withColumnRenamed("id", "neighbor_id"), dt, m, k,
+                     ["j", "code"], exclude_self=True)
+
+
+def _adc_rank(lc_pairs: DataFrame, dt: DataFrame, m: int, k: int,
+              join_keys: list[str], exclude_self: bool = False) -> DataFrame:
+    """Shared ADC scoring tail: join the (…, j, code) rows to the broadcast
+    distance table, pivot to m fixed columns, add left-to-right (the
+    deterministic association both engines write), rank per query."""
+    joined = lc_pairs.join(F.broadcast(dt), join_keys)
+    if exclude_self:
+        joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
     pivot = (
-        lc.join(F.broadcast(dt), ["j", "code"])
-        .where(F.col("id") != F.col("query_id"))
-        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        joined.groupBy("query_id", "neighbor_id")
         .agg(*[F.max(F.when(F.col("j") == j, F.col("dd"))).alias(f"d{j}")
                for j in range(m)])
     )
@@ -275,6 +285,71 @@ def pq_topk(
         F.asc("adc_dist"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    cells: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    centers: list[list[float]],
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: each query probes its ``n_probe`` nearest coarse cells
+    (centroid scoring over broadcast literals - the similarity.ivf_query
+    probe rule), and PQ-ADC scores ONLY the docs in probed cells.  This is
+    the unbounded-corpus composition: candidate count per query is
+    ~n_probe/n_clusters of the corpus, and the scan reads codes (8
+    bytes/vec), never float vectors.
+
+    ``cells`` is det_kmeans/ivf_build output (neighbor_id, …, cell);
+    ``codes`` is pq_encode output; both are built once and reused across
+    query batches (write them out bucketed by cell / id at scale)."""
+    from .similarity import dot_expr
+
+    C = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = C.shape
+    spark = queries.sparkSession
+    center_lits = [(ci, F.array(*[F.lit(float(x)) for x in c]))
+                   for ci, c in enumerate(centers)]
+
+    def probe_cells(vec: Column) -> Column:
+        scored = F.array(*[
+            F.struct((-dot_expr(vec, arr)).alias("negdot"),
+                     F.lit(ci).alias("cell"))
+            for ci, arr in center_lits
+        ])
+        return F.slice(F.array_sort(scored), 1, n_probe).getField("cell")
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    probes = q.select("query_id", "qv",
+                      F.explode(probe_cells(F.col("qv"))).alias("cell"))
+    # candidate pairs: docs living in a probed cell (each doc has exactly
+    # one cell, so pairs are unique without a distinct)
+    pairs = (
+        cells.select(F.col("neighbor_id").alias("id"), "cell")
+        .join(F.broadcast(probes.select("query_id", "cell")), "cell")
+        .where(F.col("id") != F.col("query_id"))
+        .select("query_id", "id")
+    )
+    cb_rows = [(j, c, [float(x) for x in C[j, c]])
+               for j in range(m) for c in range(ksub)]
+    cb = spark.createDataFrame(cb_rows,
+                               "j int, code int, center array<double>")
+    sub = F.slice("qv", F.col("j") * dsub + 1, dsub)
+    d = F.aggregate(
+        F.zip_with(sub, F.col("center"),
+                   lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    dt = q.crossJoin(F.broadcast(cb)).select(
+        "query_id", "j", "code", d.alias("dd"))
+    lc_pairs = (_codes_long(codes).join(pairs, "id")
+                .withColumnRenamed("id", "neighbor_id"))
+    return _adc_rank(lc_pairs, dt, m, k, ["query_id", "j", "code"])
 
 
 def pq_code_hist(codes: DataFrame) -> DataFrame:

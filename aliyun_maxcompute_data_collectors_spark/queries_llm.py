@@ -609,14 +609,18 @@ def pq_code_hist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_cte(dim: int = _PQ_DIM, m: int = _PQ_M, ksub: int = _PQ_KSUB,
-            n_iter: int = _PQ_ITER, seed: int = 42) -> str:
+            n_iter: int = _PQ_ITER, seed: int = 42,
+            emit_base: bool = True) -> str:
     """Per-subspace deterministic-Lloyd's CTE chains mirroring pq_train:
     subspace j fits on embedding[j*dsub+1:(j+1)*dsub] with seeded init
-    det_kmeans_init(dsub, ksub, seed+j); ends with p{j}kf (centers) and
-    p{j}af (final assignments) per subspace."""
+    det_kmeans_init(dsub, ksub, seed + j); ends with p{j}kf (centers) and
+    p{j}af (final assignments) per subspace.  ``emit_base=False`` skips
+    the leading ``e`` CTE when the caller already defined it (the IVF-PQ
+    oracle composes this after _det_kmeans_cte, which emits its own)."""
     from aliyun_maxcompute_data_collectors_spark.operators.similarity import det_kmeans_init
     dsub = dim // m
-    parts = ["e AS (SELECT vec_id, embedding FROM embeddings)"]
+    parts = (["e AS (SELECT vec_id, embedding FROM embeddings)"]
+             if emit_base else [])
     for j in range(m):
         lo, hi = j * dsub + 1, (j + 1) * dsub
         init = det_kmeans_init(dsub, ksub, seed + j)
@@ -691,6 +695,74 @@ piv AS (
   SELECT query_id, neighbor_id, {pivots}
   FROM su WHERE neighbor_id <> query_id
   GROUP BY query_id, neighbor_id),
+sc AS (SELECT query_id, neighbor_id, ROUND({adc}, 6) AS adc_dist FROM piv),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM sc)
+SELECT query_id, neighbor_id, adc_dist, rank FROM ranked WHERE rank <= {topk}
+ORDER BY query_id, rank
+"""
+
+
+def ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5: coarse deterministic-Lloyd's cells prefilter
+    candidates (n_probe=4 of 8 cells per query), PQ-ADC scores only the
+    survivors - the unbounded-corpus composition, fully hash-checked
+    because every stage (coarse fit, PQ fit, probe ranking, ADC sum) is
+    deterministic in both engines."""
+    from aliyun_maxcompute_data_collectors_spark.operators.pq import ivfpq_topk
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import det_kmeans
+    e, codes, books = _pq_books(spark, sf_dir)
+    cells, centers = det_kmeans(e, "vec_id", "embedding", dim=_PQ_DIM,
+                                n_clusters=8, n_iter=2)
+    return ivfpq_topk(e.where(F.col("vec_id") < 8),
+                      cells.select("neighbor_id", "cell"), codes, books,
+                      centers, k=5, n_probe=4) \
+        .orderBy("query_id", "rank")
+
+
+def _ivfpq_topk_sql(dim: int = _PQ_DIM, m: int = _PQ_M, topk: int = 5,
+                    n_query: int = 8, n_coarse: int = 8, n_probe: int = 4,
+                    coarse_iter: int = 2) -> str:
+    dsub = dim // m
+    negdot = f"-({_km_dot_sql('q.qv', 'k.c')})"
+    dts, scs = [], []
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        dist = _km_dist_sql(f"q.qv[{lo}:{hi}]", "k.c")
+        dts.append(f"""dt{j} AS (
+  SELECT q.query_id, k.cell AS code, {dist} AS dd
+  FROM q CROSS JOIN p{j}kf k)""")
+        scs.append(
+            f"SELECT c.query_id, c.neighbor_id, {j} AS j, d.dd"
+            f" FROM cand c JOIN p{j}af a ON a.vec_id = c.neighbor_id"
+            f" JOIN dt{j} d ON d.query_id = c.query_id AND d.code = a.cell")
+    union = "\n  UNION ALL ".join(scs)
+    pivots = ", ".join(
+        f"MAX(CASE WHEN j = {j} THEN dd END) AS d{j}" for j in range(m))
+    adc = "d0"
+    for j in range(1, m):
+        adc = f"({adc} + d{j})"
+    return f"""
+WITH {_det_kmeans_cte(dim, n_coarse, coarse_iter)},
+{_pq_cte(emit_base=False)},
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < {n_query}),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, k.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY {negdot}, k.cell) AS rn
+    FROM q CROSS JOIN kf k) WHERE rn <= {n_probe}),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN af a USING (cell)
+  WHERE a.vec_id <> p.query_id),
+{", ".join(dts)},
+su AS ({union}),
+piv AS (
+  SELECT query_id, neighbor_id, {pivots}
+  FROM su GROUP BY query_id, neighbor_id),
 sc AS (SELECT query_id, neighbor_id, ROUND({adc}, 6) AS adc_dist FROM piv),
 ranked AS (
   SELECT query_id, neighbor_id, adc_dist,
@@ -1963,4 +2035,5 @@ REGISTRY: dict[str, tuple] = {
     "filter_pipeline": (filter_pipeline_q, _FILTER_PIPE_SQL),
     "pq_topk": (pq_topk_q, _pq_topk_sql()),  # deterministic fused Lloyd's -> exact
     "pq_code_hist": (pq_code_hist_q, _pq_hist_sql()),
+    "ivfpq_topk": (ivfpq_topk_q, _ivfpq_topk_sql()),  # coarse probe + ADC -> exact
 }

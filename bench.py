@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     # round-6 additions: the product-quantization ANN path
     "pq_topk",
     "pq_code_hist",
+    "ivfpq_topk",
 ]
 
 

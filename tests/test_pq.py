@@ -134,6 +134,43 @@ def test_encode_nulls_dirty_rows(spark):
     assert rows[1] is None and rows[2] is None
 
 
+def test_ivfpq_equals_pq_restricted_to_probed_cells(spark):
+    """ivfpq_topk == pq_topk with candidates pinned to the probed cells -
+    the composition adds a prefilter, never changes a surviving score."""
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import det_kmeans
+    from aliyun_maxcompute_data_collectors_spark.operators.pq import ivfpq_topk
+
+    X = _vecs(200)
+    df = _df(spark, X)
+    books = pq_train(df, "embedding", dim=DIM, m=M, ksub=KSUB, n_iter=2)
+    codes = pq_encode(df, "vec_id", "embedding", books)
+    cells, centers = det_kmeans(df, "vec_id", "embedding", dim=DIM,
+                                n_clusters=4, n_iter=2)
+    got = ivfpq_topk(df.where(F.col("vec_id") < 2),
+                     cells.select("neighbor_id", "cell"), codes, books,
+                     centers, k=5, n_probe=2).collect()
+    assert got, "ivfpq returned no rows"
+    cell_of = {r["neighbor_id"]: r["cell"] for r in cells.collect()}
+    C = np.asarray(centers)
+    for qid in range(2):
+        q = np.asarray(X[qid], dtype=np.float64)
+        # probe rule: top n_probe cells by centroid dot (ties to lower id)
+        dots = C @ q
+        probed = set(sorted(range(4), key=lambda c: (-dots[c], c))[:2])
+        per_cell = [r for r in got if r["query_id"] == qid]
+        assert per_cell, f"query {qid} empty"
+        for r in per_cell:
+            assert cell_of[r["neighbor_id"]] in probed
+        # restricted pq_topk over the same candidate set agrees
+        cand = spark.createDataFrame(
+            [(i,) for i, c in cell_of.items() if c in probed], "id long")
+        ref = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_dist"])
+               for r in pq_topk(df.where(F.col("vec_id") == qid), codes,
+                                books, k=5, candidates=cand).collect()}
+        for r in per_cell:
+            assert ref[(qid, r["rank"])] == (r["neighbor_id"], r["adc_dist"])
+
+
 def test_dim_not_divisible_raises(spark):
     df = _df(spark, _vecs(10))
     with pytest.raises(ValueError, match="not divisible"):
