@@ -60,7 +60,11 @@ def merge_cdc_into(
     """Apply an ops batch onto an existing target snapshot and return the new
     snapshot (pure-DataFrame MERGE: anti-join out touched keys, append
     survivors).  With a Delta-style lakehouse this becomes ``MERGE INTO``; on
-    plain parquet the caller overwrites the target with the result."""
+    plain parquet the caller overwrites the target with the result - or
+    better, commits it to a ``snapshots.SnapshotTable``, which gives the
+    overwrite atomic publish + snapshot isolation + time travel and drops
+    the eager localCheckpoint this file's plain-parquet writer needs
+    (see cdc_foreach_batch_writer_versioned there)."""
     last = latest_ops(ops, key_cols, order_cols, op_col)
     value_cols = [c for c in target.columns if c not in key_cols]
     upserts = last.where(F.col(op_col) != OP_DELETE).select(*key_cols, *value_cols)

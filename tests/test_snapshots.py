@@ -1,0 +1,127 @@
+"""Snapshot-versioned tables (snapshots.py): atomic publish, snapshot
+isolation, time travel, rollback, optimistic concurrency, vacuum, and the
+no-localCheckpoint CDC merge path."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aliyun_maxcompute_data_collectors_spark.snapshots import (
+    SnapshotConflict,
+    SnapshotError,
+    SnapshotTable,
+    cdc_foreach_batch_writer_versioned,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return SnapshotTable.init(spark, str(tmp_path / "t"))
+
+
+def test_append_accumulates_and_keeps_history(spark, table):
+    table.append(_df(spark, [(1, "a"), (2, "b")]))
+    v2 = table.current_version()
+    table.append(_df(spark, [(3, "c")]))
+    assert sorted(r["id"] for r in table.read().collect()) == [1, 2, 3]
+    # time travel: the earlier snapshot still reads exactly its rows
+    assert sorted(r["id"] for r in table.read(version=v2).collect()) == [1, 2]
+    ops = [m["operation"] for m in table.versions()]
+    assert ops == ["init", "append", "append"]
+
+
+def test_overwrite_is_atomic_for_pinned_readers(spark, table):
+    table.append(_df(spark, [(1, "a"), (2, "b")]))
+    pinned = table.read()  # resolves the manifest NOW
+    table.overwrite(_df(spark, [(9, "z")]))
+    # the pinned plan still scans the old immutable files
+    assert sorted(r["id"] for r in pinned.collect()) == [1, 2]
+    assert [r["id"] for r in table.read().collect()] == [9]
+
+
+def test_crash_before_commit_is_invisible(spark, table):
+    table.append(_df(spark, [(1, "a")]))
+    # simulate a writer that produced files but died before the manifest
+    stage = os.path.join(table._root, "files", "deadbeef")
+    _df(spark, [(666, "crash")]).write.parquet(stage)
+    assert [r["id"] for r in table.read().collect()] == [1]
+    # vacuum collects the orphaned staging dir
+    removed = table.vacuum(keep_last=10)
+    assert stage in removed
+
+
+def test_rollback_restores_old_file_list(spark, table):
+    table.append(_df(spark, [(1, "a")]))
+    v_good = table.current_version()
+    table.overwrite(_df(spark, [(2, "oops")]))
+    table.rollback(v_good)
+    assert [r["id"] for r in table.read().collect()] == [1]
+    # history is append-only: the bad version is still inspectable
+    assert any(m["operation"] == "overwrite" for m in table.versions())
+
+
+def test_conflicting_commit_raises(spark, table):
+    table.append(_df(spark, [(1, "a")]))
+    files, n = table._write_files(_df(spark, [(2, "b")]))
+    stale_parent = table.current_version()
+    table.append(_df(spark, [(3, "c")]))  # someone else commits first
+    with pytest.raises(SnapshotConflict, match="no longer HEAD"):
+        table._commit_manifest(stale_parent, files, n, "append")
+
+
+def test_read_merge_overwrite_without_checkpoint(spark, table):
+    """The merged plan lazily reads the current snapshot while overwrite
+    writes new files - correct without any localCheckpoint because the
+    source files are immutable."""
+    table.append(_df(spark, [(1, "a"), (2, "b")]))
+    cur = table.read()
+    merged = cur.withColumn("v", F.upper("v"))  # lazy, references cur files
+    table.overwrite(merged)
+    assert sorted((r["id"], r["v"]) for r in table.read().collect()) == \
+        [(1, "A"), (2, "B")]
+
+
+def test_cdc_writer_applies_batches(spark, table):
+    from aliyun_maxcompute_data_collectors_spark.streaming.cdc import (
+        OP_DELETE, OP_INSERT, OP_UPDATE)
+    table.append(spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0)], "id long, v string, ts long"))
+    apply_ = cdc_foreach_batch_writer_versioned(table, ["id"], ["ts"])
+    batch = spark.createDataFrame(
+        [(1, "a2", 1, OP_UPDATE), (2, None, 1, OP_DELETE),
+         (3, "c", 1, OP_INSERT)],
+        "id long, v string, ts long, op string")
+    apply_(batch, 0)
+    got = sorted((r["id"], r["v"]) for r in table.read().collect())
+    assert got == [(1, "a2"), (3, "c")]
+    # and the pre-merge snapshot is still readable (time travel)
+    pre = [m for m in table.versions() if m["operation"] == "append"][-1]
+    old = sorted(r["id"] for r in table.read(version=pre["version"]).collect())
+    assert old == [1, 2]
+
+
+def test_vacuum_keeps_recent_and_head(spark, table):
+    table.append(_df(spark, [(1, "a")]))
+    table.overwrite(_df(spark, [(2, "b")]))
+    table.overwrite(_df(spark, [(3, "c")]))
+    old_versions = [m["version"] for m in table.versions()]
+    table.vacuum(keep_last=1)
+    assert [r["id"] for r in table.read().collect()] == [3]
+    # dropped manifests are gone, current still reads
+    kept = [m["version"] for m in table.versions()]
+    assert len(kept) < len(old_versions)
+    with pytest.raises(SnapshotError, match="no snapshot"):
+        table.manifest(old_versions[0])
+
+
+def test_init_twice_raises(spark, tmp_path):
+    SnapshotTable.init(spark, str(tmp_path / "x"))
+    with pytest.raises(SnapshotError, match="already"):
+        SnapshotTable.init(spark, str(tmp_path / "x"))
