@@ -238,6 +238,25 @@ class SnapshotTable:
         return removed
 
 
+def scd2_foreach_batch_writer_versioned(table: SnapshotTable,
+                                        keys: list[str], time_col: str,
+                                        attr_cols: list[str] | None = None):
+    """foreachBatch hook: streaming SCD2 maintenance onto a snapshot table
+    - the versioned twin of streaming/cdc.scd2_foreach_batch_writer, with
+    the same no-localCheckpoint property as the CDC writer here (the
+    rebuilt dimension lazily reads immutable snapshot files)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.scd import scd2_apply_batch
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dim = table.read()
+        table.overwrite(scd2_apply_batch(dim, batch_df, keys, time_col,
+                                         attr_cols))
+
+    return _apply
+
+
 def cdc_foreach_batch_writer_versioned(table: SnapshotTable,
                                        key_cols: list[str],
                                        order_cols: list[str],

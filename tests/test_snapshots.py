@@ -107,6 +107,21 @@ def test_cdc_writer_applies_batches(spark, table):
     assert old == [1, 2]
 
 
+def test_scd2_writer_maintains_history(spark, table):
+    from aliyun_maxcompute_data_collectors_spark.operators.scd import scd2_build
+    from aliyun_maxcompute_data_collectors_spark.snapshots import (
+        scd2_foreach_batch_writer_versioned)
+
+    src = spark.createDataFrame([(1, "a", 10)], "id long, v string, ts long")
+    table.overwrite(scd2_build(src, "id", "ts"))
+    apply_ = scd2_foreach_batch_writer_versioned(table, ["id"], "ts")
+    apply_(spark.createDataFrame([(1, "b", 20)],
+                                 "id long, v string, ts long"), 0)
+    rows = sorted((r["v"], r["is_current"])
+                  for r in table.read().collect())
+    assert rows == [("a", False), ("b", True)]
+
+
 def test_vacuum_keeps_recent_and_head(spark, table):
     table.append(_df(spark, [(1, "a")]))
     table.overwrite(_df(spark, [(2, "b")]))
