@@ -876,12 +876,20 @@ def test_minhash_lsh_max_bucket_cap(spark, caplog):
 
     with caplog.at_level(_logging.WARNING,
                          logger="aliyun_maxcompute_data_collectors_spark.operators.dedup"):
-        raw = minhash_lsh_pairs(df, "doc_id", "text").count()
+        raw = minhash_lsh_pairs(df, "doc_id", "text",
+                                warn_recall=True).count()
         assert raw == 30 * 29 // 2 + 1              # family pairs + (100,101)
         assert not caplog.records                   # under cap: silent
-        capped = minhash_lsh_pairs(df, "doc_id", "text", max_bucket=10)
-        got = {(r["id1"], r["id2"]) for r in capped.collect()}
+        # default (lazy) path: same output, no diagnostic job, no warning
+        capped_lazy = minhash_lsh_pairs(df, "doc_id", "text", max_bucket=10)
+        got = {(r["id1"], r["id2"]) for r in capped_lazy.collect()}
         assert got == {(100, 101)}                  # family suppressed, pair kept
+        assert not caplog.records                   # lazy path never warns
+        # warn_recall=True: identical output plus the recall-loss warning
+        capped = minhash_lsh_pairs(df, "doc_id", "text", max_bucket=10,
+                                   warn_recall=True)
+        got = {(r["id1"], r["id2"]) for r in capped.collect()}
+        assert got == {(100, 101)}
         dropped_warnings = [r for r in caplog.records
                             if "max_bucket" in r.getMessage()]
         assert dropped_warnings, "dropping buckets must emit a recall-loss warning"
