@@ -214,6 +214,53 @@ class SnapshotTable:
         return self._commit_manifest(parent, m["files"], m["rows"],
                                      f"rollback->v{version}")
 
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024,
+                small_file_bytes: int | None = None) -> int:
+        """Bin-pack small files into ~``target_file_bytes`` files and
+        publish the result as a new snapshot (operation ``compact``).
+
+        The small-file problem is what streaming sinks create at scale:
+        a foreachBatch CDC/SCD2 writer committing every trigger leaves one
+        tiny file per batch per partition, and a 100 TB table scanned
+        through a million 100 KB files spends its time in open() calls,
+        not IO.  Lakehouse OPTIMIZE is this exact operation; here it is:
+
+        - files >= ``small_file_bytes`` (default target/2) are carried
+          into the new manifest UNTOUCHED - compaction cost is
+          proportional to the small-file backlog, never the table;
+        - the small files are read once and rewritten as
+          ceil(bytes/target) files (driver-side greedy planning over
+          O(files) manifest metadata only);
+        - the commit is the usual atomic manifest swap: concurrent
+          readers keep their snapshot, a crash changes nothing, and the
+          pre-compaction version stays time-travelable until vacuum;
+        - a row-count check (parquet metadata count, no data IO) verifies
+          the rewrite preserved every row before the commit publishes it.
+
+        Returns the new version, or the CURRENT version unchanged when
+        there is nothing worth compacting (fewer than two small files)."""
+        if small_file_bytes is None:
+            small_file_bytes = target_file_bytes // 2
+        parent = self.current_version()
+        m = self.manifest(parent)
+        sizes = {f: os.path.getsize(f) for f in m["files"]}
+        small = [f for f in m["files"] if sizes[f] < small_file_bytes]
+        if len(small) < 2:
+            return parent
+        keep = [f for f in m["files"] if sizes[f] >= small_file_bytes]
+        small_bytes = sum(sizes[f] for f in small)
+        n_out = max(1, -(-small_bytes // target_file_bytes))
+        small_df = self.spark.read.parquet(*small)
+        n_small = small_df.count()
+        files, n_new = self._write_files(small_df.coalesce(n_out))
+        if n_new != n_small:
+            raise SnapshotError(
+                f"{self.path}: compaction row-count mismatch "
+                f"({n_small} in, {n_new} out) - aborting before commit; "
+                "staged files are unreferenced garbage for vacuum")
+        return self._commit_manifest(parent, keep + files, m["rows"],
+                                     "compact")
+
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Drop staging dirs unreferenced by the ``keep_last`` most recent
         snapshots (plus HEAD), and their manifests.  Returns removed dirs.

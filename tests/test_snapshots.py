@@ -122,6 +122,44 @@ def test_scd2_writer_maintains_history(spark, table):
     assert rows == [("a", False), ("b", True)]
 
 
+def test_compact_binpacks_small_files(spark, table):
+    # 6 tiny appends -> many small files; compact must shrink the file
+    # count, preserve every row, keep history time-travelable, and be a
+    # no-op when nothing is small enough to matter
+    for i in range(6):
+        table.append(_df(spark, [(i, f"v{i}")]).coalesce(1))
+    pre = table.current_version()
+    n_files_pre = len(table.manifest()["files"])
+    v = table.compact(target_file_bytes=1 << 20)
+    assert v == pre + 1
+    m = table.manifest()
+    assert m["operation"] == "compact"
+    assert len(m["files"]) < n_files_pre
+    assert (sorted((r["id"], r["v"]) for r in table.read().collect())
+            == [(i, f"v{i}") for i in range(6)])
+    # time travel: the pre-compaction snapshot still reads its file list
+    assert len(table.read(version=pre).collect()) == 6
+    # idempotent: one compacted file left -> nothing to do, version held
+    assert table.compact(target_file_bytes=1 << 20) == v
+
+
+def test_compact_leaves_large_files_untouched(spark, table):
+    table.append(_df(spark, [(i, "x" * 200) for i in range(2000)])
+                 .coalesce(1))
+    big = [f for f in table.manifest()["files"]]
+    assert len(big) == 1
+    for i in range(3):
+        table.append(_df(spark, [(10_000 + i, "s")]).coalesce(1))
+    v = table.compact(target_file_bytes=1 << 30,
+                      small_file_bytes=os.path.getsize(big[0]))
+    m = table.manifest()
+    assert m["version"] == v
+    # the large file is carried by PATH - no rewrite
+    assert big[0] in m["files"]
+    assert len(m["files"]) == 2  # big + one compacted file
+    assert table.read().count() == 2003
+
+
 def test_vacuum_keeps_recent_and_head(spark, table):
     table.append(_df(spark, [(1, "a")]))
     table.overwrite(_df(spark, [(2, "b")]))
