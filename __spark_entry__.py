@@ -51,7 +51,7 @@ _PRIORITY = [
     "higher_order_fns",
     # tier 2: round-6 implementation changes (arrow kernels, CC, LSH cap)
     # and the two new PQ queries (never driver-checked before)
-    "pq_topk", "pq_code_hist", "ivfpq_topk",
+    "pq_topk", "pq_code_hist", "ivfpq_topk", "ann_recall",
     "semantic_dedup", "semantic_dedup_exact", "ivf_topk",
     "ivf_assign_incremental", "minhash_lsh", "dedup_transitive",
     # tier 3a: last green in r2

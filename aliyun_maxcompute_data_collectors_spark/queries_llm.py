@@ -865,6 +865,44 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF ANN path against the brute-force exact top-5 -
+    the audit every approximate index needs before it replaces the exact
+    scan.  Pure composition: both sides are the already-oracled queries
+    (ivf_topk / embedding_topk), so the metric itself is hash-checked
+    end-to-end.  Scale shape: both inputs are top-k-per-query frames
+    (queries x k rows, corpus-independent), so the semi-join and the
+    per-query count are metadata-sized no matter the corpus."""
+    ivf = ivf_topk_q(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = embedding_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (exact.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("h")))
+    return (exact.select("query_id").distinct()
+            .join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("h", F.lit(0)).cast("int").alias("hits"),
+                    F.round(F.coalesce("h", F.lit(0)) / 5.0, 4)
+                    .alias("recall_at_5"))
+            .orderBy("query_id"))
+
+
+def _ann_recall_sql() -> str:
+    # both component oracles carry their own WITH chains, so they compose
+    # as parenthesized subqueries rather than CTEs
+    return f"""
+SELECT q.query_id,
+       CAST(COALESCE(h.h, 0) AS INT) AS hits,
+       ROUND(COALESCE(h.h, 0) / 5.0, 4) AS recall_at_5
+FROM (SELECT DISTINCT query_id FROM ({_TOPK_EMB_SQL}) x) q
+LEFT JOIN (
+  SELECT e.query_id, COUNT(*) AS h
+  FROM ({_TOPK_EMB_SQL}) e
+  JOIN ({_ivf_topk_sql()}) i USING (query_id, neighbor_id)
+  GROUP BY e.query_id) h USING (query_id)
+ORDER BY query_id
+"""
+
+
 _TOPK_EMB_SQL = f"""
 WITH scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -2036,4 +2074,5 @@ REGISTRY: dict[str, tuple] = {
     "pq_topk": (pq_topk_q, _pq_topk_sql()),  # deterministic fused Lloyd's -> exact
     "pq_code_hist": (pq_code_hist_q, _pq_hist_sql()),
     "ivfpq_topk": (ivfpq_topk_q, _ivfpq_topk_sql()),  # coarse probe + ADC -> exact
+    "ann_recall": (ann_recall_q, _ann_recall_sql()),  # IVF vs exact recall@5
 }

@@ -45,6 +45,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class SnapshotError(RuntimeError):
@@ -213,6 +214,66 @@ class SnapshotTable:
         m = self.manifest(version)
         return self._commit_manifest(parent, m["files"], m["rows"],
                                      f"rollback->v{version}")
+
+    def changes(self, since: int, until: int | None = None) -> DataFrame:
+        """Row-level changes between two snapshots as a DataFrame with a
+        ``_change_type`` column (``insert`` / ``delete``; an update is a
+        delete+insert pair) - the incremental-consumption read that lets a
+        downstream job process only what moved instead of rescanning the
+        table (Iceberg's incremental scan / Delta CDF, manifest-only here).
+
+        Two execution shapes, picked from manifest METADATA alone:
+
+        - every step ``since``->``until`` is an append (file lists only
+          grow): the changes ARE the files added after ``since`` - read
+          just those, zero diff compute, no shuffle.  This is the 100 TB
+          path: appends are the streaming-sink common case and its cost is
+          proportional to the new data, never the table.
+        - anything else (overwrite / merge / compact / rollback in the
+          range): exact multiset diff of the two snapshots via exceptAll
+          both ways.  Full-table compute, intended for dimension-sized
+          tables (the CDC/SCD2 targets) - documented, not hidden.
+
+        Compaction note: ``compact`` rewrites bytes without changing rows,
+        so the diff path correctly reports nothing for it; it only forgoes
+        the append fast path for ranges that cross it."""
+        head = self.current_version()
+        until = head if until is None else until
+        if not 1 <= since <= until <= head:
+            raise SnapshotError(
+                f"{self.path}: bad change range v{since}..v{until} "
+                f"(HEAD is v{head})")
+        sfiles = set(self.manifest(since)["files"])
+        ufiles = self.manifest(until)["files"]
+        append_only = True
+        prev = sfiles
+        for v in range(since + 1, until + 1):
+            cur = set(self.manifest(v)["files"])
+            if not prev <= cur:
+                append_only = False
+                break
+            prev = cur
+        ctype = "_change_type"
+        if append_only:
+            new = [f for f in ufiles if f not in sfiles]
+            if not new:
+                base = self.read(until if ufiles else since)
+                return base.where(F.lit(False)) \
+                    .withColumn(ctype, F.lit("insert"))
+            return (self.spark.read.parquet(*new)
+                    .withColumn(ctype, F.lit("insert")))
+        old_df = self.read(since) if sfiles else None
+        new_df = self.read(until) if ufiles else None
+        if new_df is None and old_df is None:
+            raise SnapshotError(
+                f"{self.path}: both v{since} and v{until} are empty")
+        if old_df is None:
+            return new_df.withColumn(ctype, F.lit("insert"))
+        if new_df is None:
+            return old_df.withColumn(ctype, F.lit("delete"))
+        ins = new_df.exceptAll(old_df).withColumn(ctype, F.lit("insert"))
+        dels = old_df.exceptAll(new_df).withColumn(ctype, F.lit("delete"))
+        return ins.unionByName(dels)
 
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024,
                 small_file_bytes: int | None = None) -> int:

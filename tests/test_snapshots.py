@@ -122,6 +122,46 @@ def test_scd2_writer_maintains_history(spark, table):
     assert rows == [("a", False), ("b", True)]
 
 
+def test_changes_append_fast_path(spark, table):
+    table.append(_df(spark, [(1, "a"), (2, "b")]))
+    v2 = table.current_version()
+    table.append(_df(spark, [(3, "c")]))
+    table.append(_df(spark, [(4, "d")]))
+    ch = table.changes(v2)
+    assert sorted((r["id"], r["_change_type"]) for r in ch.collect()) \
+        == [(3, "insert"), (4, "insert")]
+    # append-only range reads ONLY the added files - no diff in the plan
+    assert "Except" not in ch._jdf.queryExecution().executedPlan().toString()
+    # empty range
+    assert table.changes(table.current_version()).count() == 0
+
+
+def test_changes_overwrite_diff(spark, table):
+    table.append(_df(spark, [(1, "a"), (2, "b")]))
+    v2 = table.current_version()
+    # update row 2, delete nothing else, add row 3
+    table.overwrite(_df(spark, [(1, "a"), (2, "B"), (3, "c")]))
+    got = sorted((r["id"], r["v"], r["_change_type"])
+                 for r in table.changes(v2).collect())
+    assert got == [(2, "B", "insert"), (2, "b", "delete"),
+                   (3, "c", "insert")]
+    with pytest.raises(SnapshotError):
+        table.changes(0)
+
+
+def test_changes_skips_compaction_noise(spark, table):
+    for i in range(4):
+        table.append(_df(spark, [(i, f"v{i}")]).coalesce(1))
+    v = table.current_version()
+    table.compact(target_file_bytes=1 << 20)
+    table.append(_df(spark, [(99, "z")]))
+    # range crosses a compaction -> diff path; rewritten bytes are NOT
+    # changes, only the real append is
+    got = sorted((r["id"], r["_change_type"])
+                 for r in table.changes(v).collect())
+    assert got == [(99, "insert")]
+
+
 def test_compact_binpacks_small_files(spark, table):
     # 6 tiny appends -> many small files; compact must shrink the file
     # count, preserve every row, keep history time-travelable, and be a
