@@ -1,0 +1,367 @@
+"""Pure-stdlib media codecs: REAL metadata parsing for PNG/GIF/BMP/JPEG/WAV
+and real payload decode for PNG (zlib inflate + per-scanline filter
+reconstruction) and WAV PCM - no PIL/ffmpeg required.
+
+These upgrade the multimodal stubs (operators/multimodal.py): format
+sniffing and header parsing are byte-level and dependency-free, so the
+``decode_media`` mapInPandas path can run an honest decoder in this
+container instead of a deterministic fake.  Anything beyond these formats
+(JPEG pixel decode, video) still needs a real media library and stays
+behind the documented stubs.
+
+Execution shape: every function here is per-blob Python work invoked from
+Arrow-batched ``mapInPandas`` workers - the cluster parallelism is the
+DataFrame partitioning, exactly the contract multimodal.py documents.  The
+PNG scanline filters (Sub/Paeth) are sequential per pixel by definition,
+so rows decode in plain loops over numpy row vectors; throughput scales
+with partitions, not with per-image vectorization.
+
+Encoders (PNG / WAV) are included because a training-data pipeline writes
+derived media too (resized images, resampled audio) - and they make the
+decoders testable by round-trip without fixture binaries.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+_EMPTY_META = {
+    "media_type": None, "format": None, "width": None, "height": None,
+    "n_frames": None, "sample_rate": None, "duration_ms": None,
+}
+
+
+def _meta(**kw) -> dict:
+    out = dict(_EMPTY_META)
+    out.update(kw)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# metadata parsers (header-only: O(1) bytes touched except the JPEG marker
+# walk, which stops at the first frame header)
+# ---------------------------------------------------------------------------
+
+def parse_png_meta(payload: bytes) -> dict:
+    """IHDR fields of a PNG (spec: 8-byte signature, IHDR is the first
+    chunk: width/height u32be, bit depth, color type, interlace)."""
+    if len(payload) < 33 or not payload.startswith(PNG_SIG):
+        raise ValueError("not a PNG (bad signature or truncated)")
+    length, ctype = struct.unpack(">I4s", payload[8:16])
+    if ctype != b"IHDR" or length != 13:
+        raise ValueError("PNG without leading IHDR chunk")
+    w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", payload[16:29])
+    if not w or not h:
+        raise ValueError("PNG with zero dimension")
+    return _meta(media_type="image", format="png", width=int(w),
+                 height=int(h), n_frames=1)
+
+
+def parse_gif_meta(payload: bytes) -> dict:
+    """GIF87a/89a logical screen descriptor (width/height u16le at 6..10)."""
+    if len(payload) < 10 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack("<HH", payload[6:10])
+    if not w or not h:
+        raise ValueError("GIF with zero dimension")
+    return _meta(media_type="image", format="gif", width=int(w),
+                 height=int(h), n_frames=1)
+
+
+def parse_bmp_meta(payload: bytes) -> dict:
+    """BMP BITMAPINFOHEADER (width i32le at 18, height i32le at 22 -
+    negative height means top-down rows, dimensions are abs())."""
+    if len(payload) < 26 or payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    w, h = struct.unpack("<ii", payload[18:26])
+    if not w or not h:
+        raise ValueError("BMP with zero dimension")
+    return _meta(media_type="image", format="bmp", width=abs(int(w)),
+                 height=abs(int(h)), n_frames=1)
+
+
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def parse_jpeg_meta(payload: bytes) -> dict:
+    """Walk JPEG segment markers to the first SOFn frame header
+    (height u16be, width u16be at offsets 5/7 inside the segment)."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI before any frame header
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone markers
+            i += 2
+            continue
+        (seglen,) = struct.unpack(">H", payload[i + 2:i + 4])
+        if marker in _JPEG_SOF:
+            if i + 9 > n:
+                raise ValueError("JPEG SOF truncated")
+            h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+            if not w or not h:
+                raise ValueError("JPEG with zero dimension")
+            return _meta(media_type="image", format="jpeg", width=int(w),
+                         height=int(h), n_frames=1)
+        i += 2 + seglen
+    raise ValueError("JPEG without SOF frame header")
+
+
+def parse_wav_meta(payload: bytes) -> dict:
+    """RIFF/WAVE chunk walk: 'fmt ' gives channels/sample_rate/bits,
+    'data' size gives duration."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV (RIFF/WAVE header missing)")
+    i, n = 12, len(payload)
+    fmt = None
+    data_len = None
+    while i + 8 <= n:
+        cid, clen = struct.unpack("<4sI", payload[i:i + 8])
+        if cid == b"fmt " and clen >= 16:
+            fmt = struct.unpack("<HHIIHH", payload[i + 8:i + 24])
+        elif cid == b"data":
+            data_len = clen
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data_len is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    _audio_fmt, channels, rate, _bps, block_align, bits = fmt
+    if not rate or not channels or not bits:
+        raise ValueError("WAV with zero rate/channels/bits")
+    frame_bytes = block_align or channels * (bits // 8)
+    n_samples = data_len // frame_bytes if frame_bytes else 0
+    return _meta(media_type="audio", format="wav", sample_rate=int(rate),
+                 duration_ms=int(n_samples * 1000 // rate),
+                 n_frames=int(n_samples))
+
+
+def sniff_media_meta(payload: bytes) -> dict:
+    """Magic-byte dispatch to the right parser; unparseable payloads come
+    back as ``format='unknown'`` instead of raising, so one corrupt blob
+    cannot kill a 100 TB decode pass (route unknowns to the dirty-record
+    side channel downstream)."""
+    try:
+        if payload is None or len(payload) < 4:
+            raise ValueError("empty payload")
+        if payload.startswith(PNG_SIG):
+            return parse_png_meta(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return parse_gif_meta(payload)
+        if payload[:2] == b"BM":
+            return parse_bmp_meta(payload)
+        if payload[:2] == b"\xff\xd8":
+            return parse_jpeg_meta(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return parse_wav_meta(payload)
+        raise ValueError("unrecognized magic bytes")
+    except (ValueError, struct.error):
+        return _meta(media_type="unknown", format="unknown")
+
+
+# ---------------------------------------------------------------------------
+# PNG pixel decode / encode (8-bit gray / gray+alpha / RGB / RGBA,
+# non-interlaced - the shapes a data pipeline actually materializes)
+# ---------------------------------------------------------------------------
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png_pixels(payload: bytes) -> np.ndarray:
+    """Full PNG decode to a (height, width, channels) uint8 array: chunk
+    walk, zlib inflate of the IDAT stream, then per-scanline reconstruction
+    of filters 0-4 (None/Sub/Up/Average/Paeth, PNG spec 4.5.2)."""
+    meta = parse_png_meta(payload)
+    w, h = meta["width"], meta["height"]
+    depth, color, interlace = payload[24], payload[25], payload[28]
+    if depth != 8:
+        raise ValueError(f"decode_png_pixels: only 8-bit PNGs (got {depth})")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"decode_png_pixels: unsupported color type {color}")
+    if interlace:
+        raise ValueError("decode_png_pixels: interlaced PNGs unsupported")
+    ch = _PNG_CHANNELS[color]
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(payload):
+        length, ctype = struct.unpack(">I4s", payload[i:i + 8])
+        if ctype == b"IDAT":
+            idat += payload[i + 8:i + 8 + length]
+        if ctype == b"IEND":
+            break
+        i += 12 + length  # len + type + data + crc
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raw stream length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row = raw[y * (stride + 1):(y + 1) * (stride + 1)]
+        ftype, line = row[0], np.frombuffer(row[1:], dtype=np.uint8).copy()
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub: + left (per-pixel sequential)
+            cur = line
+            for x in range(ch, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - ch])) & 0xFF
+        elif ftype == 2:  # Up: + above (vectorized)
+            cur = (line.astype(np.int16) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - ch]) if x >= ch else 0
+                cur[x] = (int(cur[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                c = int(prev[x - ch]) if x >= ch else 0
+                cur[x] = (int(cur[x]) + _paeth(a, int(prev[x]), c)) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out[y] = cur
+        prev = out[y]
+    return out.reshape(h, w, ch)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer for (h, w[, ch]) uint8 arrays.  ``filter_type``
+    applies one filter to EVERY scanline - 0 for production writes, 1-4 so
+    tests can round-trip each reconstruction branch of the decoder."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    arr = arr.astype(np.uint8)
+    stride = w * ch
+    lines = []
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        cur = arr[y].reshape(stride)
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(ch, np.uint8), cur[:-ch]])
+            filt = (cur.astype(np.int16) - left).astype(np.uint8)
+        elif filter_type == 2:
+            filt = (cur.astype(np.int16) - prev).astype(np.uint8)
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(ch, np.uint8), cur[:-ch]])
+            filt = (cur.astype(np.int16)
+                    - (left.astype(np.int16) + prev) // 2).astype(np.uint8)
+        elif filter_type == 4:
+            filt = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                c = int(prev[x - ch]) if x >= ch else 0
+                filt[x] = (int(cur[x]) - _paeth(a, int(prev[x]), c)) & 0xFF
+        else:
+            raise ValueError(f"filter_type {filter_type} invalid")
+        lines.append(bytes([filter_type]) + filt.tobytes())
+        prev = cur
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+def resize_png(payload: bytes, target_w: int, target_h: int,
+               method: str = "nearest") -> bytes:
+    """REAL PNG resize: decode -> numpy resample -> re-encode.  A drop-in
+    ``resize_fn`` for multimodal.resize_images that needs no imaging
+    library.  ``nearest`` is exactly reproducible (integer index gather);
+    ``bilinear`` uses the standard half-pixel-center convention."""
+    arr = decode_png_pixels(payload)
+    h, w, ch = arr.shape
+    if method == "nearest":
+        ys = np.minimum((np.arange(target_h) * h) // target_h, h - 1)
+        xs = np.minimum((np.arange(target_w) * w) // target_w, w - 1)
+        out = arr[ys][:, xs]
+    elif method == "bilinear":
+        ys = (np.arange(target_h) + 0.5) * h / target_h - 0.5
+        xs = (np.arange(target_w) + 0.5) * w / target_w - 0.5
+        y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+        x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+        y1 = np.minimum(y0 + 1, h - 1)
+        x1 = np.minimum(x0 + 1, w - 1)
+        wy = np.clip(ys - y0, 0, 1)[:, None, None]
+        wx = np.clip(xs - x0, 0, 1)[None, :, None]
+        a = arr[y0][:, x0].astype(np.float64)
+        b = arr[y0][:, x1].astype(np.float64)
+        c = arr[y1][:, x0].astype(np.float64)
+        d = arr[y1][:, x1].astype(np.float64)
+        out = np.rint((a * (1 - wx) + b * wx) * (1 - wy)
+                      + (c * (1 - wx) + d * wx) * wy).astype(np.uint8)
+    else:
+        raise ValueError(f"resize method {method!r} not in nearest|bilinear")
+    return encode_png(out)
+
+
+# ---------------------------------------------------------------------------
+# WAV PCM decode / encode (8/16-bit integer PCM)
+# ---------------------------------------------------------------------------
+
+def decode_wav_samples(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM samples as a (n_samples, channels) int array plus the sample
+    rate.  16-bit -> int16, 8-bit (stored unsigned per spec) -> int16
+    centered at 0."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    i, n = 12, len(payload)
+    fmt = None
+    data = None
+    while i + 8 <= n:
+        cid, clen = struct.unpack("<4sI", payload[i:i + 8])
+        if cid == b"fmt " and clen >= 16:
+            fmt = struct.unpack("<HHIIHH", payload[i + 8:i + 24])
+        elif cid == b"data":
+            data = payload[i + 8:i + 8 + clen]
+        i += 8 + clen + (clen & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate, _bps, _ba, bits = fmt
+    if audio_fmt != 1:
+        raise ValueError(f"only PCM WAV supported (format tag {audio_fmt})")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2")
+    elif bits == 8:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
+    else:
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    usable = (len(samples) // channels) * channels
+    return samples[:usable].reshape(-1, channels), int(rate)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Minimal 16-bit PCM WAV writer for (n, channels) int16 arrays."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    data = samples.astype("<i2").tobytes()
+    channels = samples.shape[1]
+    block = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block, block, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body

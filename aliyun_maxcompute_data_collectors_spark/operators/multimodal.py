@@ -2,9 +2,13 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side contract (schemas, partitioning, batch shapes, UDF signatures)
-is real and tested; the actual media decode is STUBBED - the container has no
-image/audio libraries - behind ``decode_fn`` hooks.  Swap in PIL/ffmpeg
-decoders on a real cluster without touching the plumbing.
+is real and tested.  Decoding (round 6): format sniffing + header metadata
+for PNG/GIF/BMP/JPEG/WAV, PNG pixel decode, and WAV PCM decode are REAL and
+pure-stdlib (operators/media_codecs.py - zlib/struct/numpy only); pass
+``decode_fn=real_media_meta`` to run them through this module's mapInPandas
+path.  JPEG pixel decode and video remain STUBBED behind ``decode_fn``
+hooks - the container has no image/video libraries - and the deterministic
+fakes stay for oracle-checked pipeline tests.
 
 Scale notes: binary payloads ride the shuffle - avoid repartitioning blobs;
 ``mapInPandas`` streams Arrow batches so one task never materializes a whole
@@ -109,10 +113,21 @@ def audio_resample_plan(
     )
 
 
+def real_media_meta(payload: bytes) -> dict:
+    """REAL metadata decoder (round 6): magic-byte sniff + header parse for
+    PNG/GIF/BMP/JPEG/WAV via the pure-stdlib codecs - a drop-in
+    ``decode_fn`` for :func:`decode_media` that needs no media library.
+    Unparseable blobs come back ``format='unknown'`` rather than raising."""
+    from aliyun_maxcompute_data_collectors_spark.operators.media_codecs import sniff_media_meta
+    return sniff_media_meta(payload)
+
+
 def real_decode_image(payload: bytes) -> dict:  # pragma: no cover - no PIL here
     raise NotImplementedError(
-        "media decoding requires an image library (PIL/opencv) not present "
-        "in this container; use fake_decode_image for plumbing tests"
+        "full image PIXEL decode beyond PNG requires an image library "
+        "(PIL/opencv) not present in this container; media_codecs."
+        "decode_png_pixels handles PNG, real_media_meta handles metadata, "
+        "fake_decode_image remains for oracle-checked plumbing tests"
     )
 
 

@@ -38,8 +38,9 @@ SPOT = [
     "boilerplate_frac", "minhash_incremental", "dedup_incremental",
     "filter_pipeline", "shard_assign", "corpus_drift", "ngram_jaccard",
     "pack_sequences", "doc_logprob", "ivf_topk", "semantic_dedup",
-    # round-6 additions: the PQ compressed-scan ANN family
-    "pq_topk", "pq_code_hist", "ivfpq_topk",
+    # round-6 additions: the PQ compressed-scan ANN family + the recall
+    # audit composition
+    "pq_topk", "pq_code_hist", "ivfpq_topk", "ann_recall",
 ]
 
 SMOKE_PATH = os.path.join(os.path.dirname(os.path.dirname(
