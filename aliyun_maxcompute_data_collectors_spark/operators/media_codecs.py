@@ -365,3 +365,98 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def resample_wav(payload: bytes, target_rate: int) -> bytes:
+    """REAL audio resample via linear interpolation on the PCM samples - a
+    drop-in for the mapInPandas stage audio_resample_plan stages work for.
+    Linear interp is the honest dependency-free baseline (no windowed-sinc
+    filter bank; document as such).  Output duration is preserved to the
+    sample: n_out = round(n_in * target/source)."""
+    samples, rate = decode_wav_samples(payload)
+    if rate == target_rate:
+        return payload
+    n_in, channels = samples.shape
+    n_out = max(1, round(n_in * target_rate / rate))
+    # sample positions in source time; endpoints clamp (no extrapolation)
+    pos = np.arange(n_out) * (n_in - 1) / max(n_out - 1, 1)
+    i0 = np.floor(pos).astype(int)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    frac = (pos - i0)[:, None]
+    out = np.rint(samples[i0] * (1 - frac)
+                  + samples[i1] * frac).astype(np.int16)
+    return encode_wav(out.reshape(n_out, channels), target_rate)
+
+
+# ---------------------------------------------------------------------------
+# real feature extractors (numpy DSP / image statistics) - drop-in
+# ``feature_fn`` hooks for multimodal.extract_features
+# ---------------------------------------------------------------------------
+
+def wav_features(payload: bytes) -> list[float]:
+    """8 honest audio features from the decoded PCM signal (channel-mean):
+    [rms, zero_crossing_rate, spectral_centroid_hz, spectral_rolloff_hz,
+     peak_amplitude, duration_s, sample_rate, silence_fraction].
+    Pure numpy (rFFT); deterministic for a given payload."""
+    samples, rate = decode_wav_samples(payload)
+    x = samples.astype(np.float64).mean(axis=1) / 32768.0
+    n = x.size
+    if n == 0:
+        return [0.0] * 8
+    rms = float(np.sqrt(np.mean(x * x)))
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+    mag = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    power = mag * mag
+    tot = power.sum()
+    centroid = float((freqs * power).sum() / tot) if tot > 0 else 0.0
+    if tot > 0:
+        rolloff = float(freqs[np.searchsorted(np.cumsum(power),
+                                              0.85 * tot)])
+    else:
+        rolloff = 0.0
+    peak = float(np.abs(x).max())
+    silence = float(np.mean(np.abs(x) < 1e-3))
+    return [round(v, 6) for v in
+            (rms, zcr, centroid, rolloff, peak, n / rate, float(rate),
+             silence)]
+
+
+def png_features(payload: bytes) -> list[float]:
+    """8 honest image features from decoded PNG pixels:
+    [mean_brightness, contrast_std, edge_density, entropy_bits,
+     aspect_ratio, mean_r, mean_g, mean_b] (gray images replicate the
+    luma into the channel means).  Edge density = mean absolute gradient
+    (numpy diffs), entropy over the 256-bin luma histogram."""
+    arr = decode_png_pixels(payload).astype(np.float64)
+    h, w, ch = arr.shape
+    rgb = arr[:, :, :3] if ch >= 3 else np.repeat(arr[:, :, :1], 3, axis=2)
+    luma = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    gx = np.abs(np.diff(luma, axis=1)).mean() if w > 1 else 0.0
+    gy = np.abs(np.diff(luma, axis=0)).mean() if h > 1 else 0.0
+    hist = np.bincount(np.clip(luma, 0, 255).astype(np.intp).ravel(),
+                       minlength=256)
+    p = hist / hist.sum()
+    nz = p[p > 0]
+    entropy = float(-(nz * np.log2(nz)).sum())
+    return [round(v, 6) for v in
+            (float(luma.mean()) / 255.0, float(luma.std()) / 255.0,
+             float((gx + gy) / 2) / 255.0, entropy, w / h,
+             float(rgb[:, :, 0].mean()) / 255.0,
+             float(rgb[:, :, 1].mean()) / 255.0,
+             float(rgb[:, :, 2].mean()) / 255.0)]
+
+
+def media_features(payload: bytes) -> list[float] | None:
+    """Format-sniffing feature hook: PNG -> png_features, WAV ->
+    wav_features, anything else -> None (route to the dirty channel).
+    Both branches emit 8 floats, so the output column is fixed-width."""
+    meta = sniff_media_meta(payload)
+    try:
+        if meta["format"] == "png":
+            return png_features(payload)
+        if meta["format"] == "wav":
+            return wav_features(payload)
+    except (ValueError, struct.error):
+        return None
+    return None

@@ -101,8 +101,10 @@ def audio_resample_plan(
 ) -> DataFrame:
     """Plan-side audio resample: marks rows whose sample_rate differs from
     ``target_rate`` and computes the resampled frame count - the cheap
-    arithmetic stays JVM-side; the actual DSP (librosa/torchaudio) plugs
-    into a mapInPandas stage exactly like :func:`resize_images`."""
+    arithmetic stays JVM-side; the DSP plugs into a mapInPandas stage
+    exactly like :func:`resize_images` (``media_codecs.resample_wav`` is
+    the dependency-free linear-interp implementation for WAV; swap in
+    librosa/torchaudio for filtered resampling of other formats)."""
     sr = F.col(f"{meta_col}.sample_rate")
     dur = F.col(f"{meta_col}.duration_ms")
     return df.where(F.col(f"{meta_col}.media_type") == "audio").select(
@@ -111,6 +113,59 @@ def audio_resample_plan(
         F.lit(target_rate).alias("target_rate"),
         (dur * target_rate / 1000).cast("long").alias("target_n_samples"),
     )
+
+
+def resample_audio(
+    df: DataFrame,
+    target_rate: int,
+    blob_col: str = "blob",
+    meta_col: str = "meta",
+    resample_fn: Callable[[bytes, int], bytes] | None = None,
+) -> DataFrame:
+    """Resample audio blobs to ``target_rate`` via mapInPandas - the audio
+    twin of :func:`resize_images`.  Non-audio rows pass through untouched;
+    audio rows get the transformed payload and a meta struct updated to the
+    new rate (n_frames rescales, duration is preserved).  Default
+    ``resample_fn`` is the real dependency-free linear-interp WAV resampler
+    (media_codecs.resample_wav); windowed-sinc libraries plug in the same
+    way."""
+    if resample_fn is None:
+        from aliyun_maxcompute_data_collectors_spark.operators.media_codecs import resample_wav
+        resample_fn = resample_wav
+
+    out_schema = df.schema
+    cols = [f.name for f in df.schema.fields]
+    is_meta = meta_col in cols
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+
+            def one(payload, meta):
+                if payload is None:
+                    return payload, meta
+                if is_meta and meta is not None \
+                        and meta.get("media_type") != "audio":
+                    return payload, meta
+                new_payload = resample_fn(bytes(payload), target_rate)
+                if meta is not None:
+                    meta = dict(meta)
+                    old_rate = meta.get("sample_rate")
+                    if old_rate and meta.get("n_frames"):
+                        meta["n_frames"] = round(
+                            meta["n_frames"] * target_rate / old_rate)
+                    meta["sample_rate"] = target_rate
+                return new_payload, meta
+
+            pairs = [one(p, m) for p, m in
+                     zip(pdf[blob_col],
+                         pdf[meta_col] if is_meta else [None] * len(pdf))]
+            pdf[blob_col] = [p for p, _ in pairs]
+            if is_meta:
+                pdf[meta_col] = [m for _, m in pairs]
+            yield pdf[cols]
+
+    return df.mapInPandas(gen, schema=out_schema)
 
 
 def real_media_meta(payload: bytes) -> dict:
@@ -187,8 +242,9 @@ def extract_features(
     dim: int = 8,
 ) -> DataFrame:
     """Feature extraction as mapInPandas -> array<float>.  Default is a
-    deterministic byte-histogram fake (plumbing-testable); real models plug
-    into ``feature_fn``."""
+    deterministic byte-histogram fake (plumbing-testable); real extractors
+    plug into ``feature_fn`` - ``media_codecs.media_features`` gives honest
+    numpy DSP/image statistics for PNG/WAV with no extra libraries."""
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("features", T.ArrayType(T.FloatType()))]
     )

@@ -5,6 +5,7 @@ mapInPandas path."""
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -141,6 +142,120 @@ def test_real_resize_through_spark(spark):
         assert r["meta"]["width"] == 4 and r["meta"]["height"] == 3
         decoded = decode_png_pixels(bytes(r["blob"]))
         assert decoded.shape == (3, 4, 3)
+
+
+def test_resample_wav_linear():
+    from aliyun_maxcompute_data_collectors_spark.operators.media_codecs import resample_wav
+
+    # a 100 Hz sine resampled 16k -> 8k keeps its duration and frequency
+    t = np.arange(16000) / 16000.0
+    sine = (np.sin(2 * np.pi * 100 * t) * 20000).astype(np.int16)
+    payload = encode_wav(sine, 16000)
+    out = resample_wav(payload, 8000)
+    meta = parse_wav_meta(out)
+    assert meta["sample_rate"] == 8000
+    assert meta["duration_ms"] == 1000
+    samples, rate = decode_wav_samples(out)
+    # the resampled sine still crosses zero ~200 times/second
+    x = samples.ravel().astype(np.int64)
+    zc = int(np.sum(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    assert 195 <= zc <= 205
+    # same-rate input passes through byte-identical
+    assert resample_wav(payload, 16000) == payload
+
+
+def test_wav_features_sine():
+    from aliyun_maxcompute_data_collectors_spark.operators.media_codecs import wav_features
+
+    t = np.arange(16000) / 16000.0
+    sine = (np.sin(2 * np.pi * 440 * t) * 16384).astype(np.int16)
+    rms, zcr, centroid, rolloff, peak, dur, rate, silence = \
+        wav_features(encode_wav(sine, 16000))
+    assert abs(rms - 0.5 / np.sqrt(2)) < 0.01   # amplitude 0.5 sine
+    assert abs(zcr - 880 / 16000) < 0.005       # 2 crossings per cycle
+    assert abs(centroid - 440) < 5              # pure tone centroid
+    assert 430 <= rolloff <= 460
+    assert dur == 1.0 and rate == 16000.0 and silence < 0.01
+    # silence is silent
+    silent = wav_features(encode_wav(np.zeros(1000, np.int16), 8000))
+    assert silent[0] == 0.0 and silent[7] == 1.0
+
+
+def test_png_features_statistics():
+    from aliyun_maxcompute_data_collectors_spark.operators.media_codecs import (
+        media_features, png_features)
+
+    flat = np.full((10, 20, 3), 128, dtype=np.uint8)
+    f = png_features(encode_png(flat))
+    assert abs(f[0] - 128 / 255) < 0.01  # brightness
+    assert f[1] == 0.0 and f[2] == 0.0   # no contrast, no edges
+    assert f[3] == 0.0                   # single-bin entropy
+    assert f[4] == 2.0                   # aspect 20/10
+    # checkerboard maximizes edge density, noise maximizes entropy
+    cb = (np.indices((8, 8)).sum(axis=0) % 2 * 255).astype(np.uint8)
+    fcb = png_features(encode_png(cb))
+    assert fcb[2] > 0.9 and abs(fcb[3] - 1.0) < 0.05
+    # dispatch: PNG vs WAV vs garbage
+    assert media_features(encode_png(flat)) == f
+    assert len(media_features(encode_wav(np.zeros(100, np.int16), 8000))) == 8
+    assert media_features(b"garbage bytes") is None
+
+
+def test_real_features_through_spark(spark):
+    """extract_features with the real DSP/image hook: fixed-width vectors
+    for decodable blobs, NULL for garbage."""
+    from aliyun_maxcompute_data_collectors_spark.operators.media_codecs import media_features
+    from aliyun_maxcompute_data_collectors_spark.operators.multimodal import extract_features
+
+    t = np.arange(8000) / 8000.0
+    rows = [
+        (1, bytearray(encode_png(RNG.integers(0, 256, (8, 8, 3),
+                                              dtype=np.uint8)))),
+        (2, bytearray(encode_wav((np.sin(2 * np.pi * 200 * t) * 10000)
+                                 .astype(np.int16), 8000))),
+        (3, bytearray(b"junk")),
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    out = {r["id"]: r["features"]
+           for r in extract_features(df, feature_fn=media_features).collect()}
+    assert len(out[1]) == 8 and len(out[2]) == 8
+    assert abs(out[2][2] - 200) < 5  # spectral centroid of the 200 Hz tone
+    assert out[3] is None
+
+
+def test_resample_audio_through_spark(spark):
+    """resample_audio: audio rows transform with meta updated, non-audio
+    rows pass through byte-identical."""
+    from aliyun_maxcompute_data_collectors_spark.operators.media_codecs import decode_wav_samples
+    from aliyun_maxcompute_data_collectors_spark.operators.multimodal import (
+        decode_media, real_media_meta, resample_audio)
+
+    wav = encode_wav(np.zeros(22050, dtype=np.int16), 22050)
+    png = encode_png(np.zeros((4, 4), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(png))], "id long, blob binary")
+    out = {r["id"]: r for r in
+           resample_audio(decode_media(df, decode_fn=real_media_meta),
+                          16000).collect()}
+    assert out[1]["meta"]["sample_rate"] == 16000
+    assert out[1]["meta"]["n_frames"] == 16000
+    samples, rate = decode_wav_samples(bytes(out[1]["blob"]))
+    assert rate == 16000 and len(samples) == 16000
+    assert bytes(out[2]["blob"]) == png  # image untouched
+
+
+def test_media_pipeline_example(spark):
+    """The end-to-end multimodal example runs green with the real codecs."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "media_pipeline",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "examples", "media_pipeline.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rows = mod.synth_blobs(30)
+    assert len(rows) == 30  # the example's main() asserts its own counts
 
 
 def test_real_decoder_through_spark(spark):
