@@ -1,0 +1,145 @@
+"""Dependency-free Avro container source/sink (sources/avrofile.py):
+binary-encoding primitives, schema mapping both ways, container round-trips
+through Spark, codec handling, and corruption detection."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aliyun_maxcompute_data_collectors_spark.sources.avrofile import (
+    _read_long,
+    _write_long,
+    avro_schema_of,
+    build_container,
+    parse_container,
+    read_avro,
+    spark_type_of,
+    write_avro,
+)
+
+
+def test_zigzag_varint_roundtrip():
+    for n in (0, 1, -1, 63, 64, -64, -65, 2**31 - 1, -2**31, 2**62, -2**62):
+        buf = _write_long(n)
+        v, pos = _read_long(buf, 0)
+        assert (v, pos) == (n, len(buf))
+    # spec examples: 0->00, -1->01, 1->02, -2->03, 2->04
+    assert [_write_long(n) for n in (0, -1, 1, -2, 2)] == [
+        b"\x00", b"\x01", b"\x02", b"\x03", b"\x04"]
+
+
+def test_container_roundtrip_all_types():
+    schema = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "b", "type": "boolean"},
+            {"name": "raw", "type": "bytes"},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "kv", "type": {"type": "map", "values": "long"}},
+            {"name": "col", "type": {"type": "enum", "name": "c",
+                                     "symbols": ["red", "blue"]}},
+        ]}
+    recs = [
+        {"i": 1, "l": -(2**40), "d": 2.5, "s": "x", "b": True,
+         "raw": bytearray(b"\x00\xff"), "tags": ["a", "b"],
+         "kv": {"k1": 7}, "col": "blue"},
+        {"i": -2, "l": 0, "d": -0.5, "s": None, "b": False,
+         "raw": bytearray(b""), "tags": [], "kv": {}, "col": "red"},
+    ]
+    for codec in ("null", "deflate"):
+        schema_out, got = parse_container(
+            build_container(schema, recs, codec=codec))
+        assert schema_out == schema
+        assert got == recs
+
+
+def test_container_detects_corruption():
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "i", "type": "int"}]}
+    payload = bytearray(build_container(schema, [{"i": 5}], codec="null"))
+    with pytest.raises(ValueError, match="magic"):
+        parse_container(b"NOPE" + bytes(payload[4:]))
+    payload[-3] ^= 0xFF  # flip a sync byte
+    with pytest.raises(ValueError, match="sync"):
+        parse_container(bytes(payload))
+
+
+def test_schema_mapping_both_ways():
+    sdt = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("day", T.DateType(), True),
+        T.StructField("vec", T.ArrayType(T.DoubleType(), False), True),
+        T.StructField("attrs", T.MapType(T.StringType(), T.StringType(),
+                                         True), True),
+    ])
+    avro = avro_schema_of(sdt)
+    assert avro["fields"][0]["type"] == "long"
+    assert avro["fields"][1]["type"] == ["null", "string"]
+    assert avro["fields"][2]["type"][1]["logicalType"] == "timestamp-micros"
+    back = spark_type_of(avro)
+    assert [f.dataType for f in back.fields] == [f.dataType for f in sdt.fields]
+    with pytest.raises(ValueError, match="union"):
+        spark_type_of(["int", "string"])
+
+
+def test_spark_roundtrip(spark, tmp_path):
+    """write_avro -> read_avro preserves rows across partitions, types,
+    nulls, timestamps and dates; and the files are real container files."""
+    rows = [
+        (1, "alpha", 1.5, True, datetime.datetime(2024, 5, 1, 12, 30, 0),
+         datetime.date(2024, 5, 1), ["x", "y"]),
+        (2, None, -2.25, False, None, None, []),
+        (3, "gamma", 0.0, None, datetime.datetime(1999, 12, 31, 23, 59, 59),
+         datetime.date(1970, 1, 2), ["z"]),
+    ]
+    sdt = ("id long, name string, score double, ok boolean, "
+           "ts timestamp, day date, tags array<string>")
+    df = spark.createDataFrame(rows, sdt).repartition(2)
+    out = str(tmp_path / "avro")
+    files = write_avro(df, out)
+    assert files and all(f.endswith(".avro") for f in files)
+    back = read_avro(spark, out)
+    assert back.schema == spark.createDataFrame(rows, sdt).schema
+    got = sorted(back.collect(), key=lambda r: r["id"])
+    want = sorted(df.collect(), key=lambda r: r["id"])
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_read_avro_explicit_schema_and_empty(spark, tmp_path):
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "string"}, {"name": "v", "type": "long"}]}
+    p = tmp_path / "one.avro"
+    p.write_bytes(build_container(schema, [{"k": "a", "v": 1},
+                                           {"k": "b", "v": 2}]))
+    df = read_avro(spark, str(tmp_path), avro_schema=schema)
+    assert df.where(F.col("v") > 1).collect()[0]["k"] == "b"
+    with pytest.raises(Exception, match="no files|PATH_NOT_FOUND"):
+        read_avro(spark, str(tmp_path / "missing"))
+
+
+def test_sqoop_shape_export_import(spark, tmp_path):
+    """The Sqoop cycle the reference runs: table -> avro files -> read back
+    -> insert into a catalog table."""
+    from aliyun_maxcompute_data_collectors_spark.catalog import OdpsCatalog
+    from aliyun_maxcompute_data_collectors_spark.session import load_tables
+
+    nation = load_tables(spark, "/root/testdata/sf0.001", ["nation"])["nation"]
+    out = str(tmp_path / "nation_avro")
+    write_avro(nation, out)
+    back = read_avro(spark, out)
+    cat = OdpsCatalog(spark, str(tmp_path / "wh"))
+    from aliyun_maxcompute_data_collectors_spark.types import to_odps_type
+    cat.create_table("nation_import",
+                     [(f.name, to_odps_type(f.dataType))
+                      for f in back.schema.fields])
+    cat.insert("nation_import", back)
+    assert cat.read_table("nation_import").count() == nation.count()
