@@ -20,6 +20,11 @@ does NOT have - and this module adds - is:
 Split-boundary math is re-derived from the observable splitter behavior:
 equal-width ranges over [lo, hi], first/last split open-ended, text splits
 walk a base-N alphabet between min/max prefixes.
+
+Live e2e (round 6): embedded Apache Derby is on Spark's default classpath,
+so tests/test_jdbc_live.py drives this module through the REAL JVM JDBC
+stack - partitioned import, text-split import, $CONDITIONS splits, the
+incremental append/lastmodified-merge cycle, and df.write.jdbc export.
 """
 
 from __future__ import annotations
@@ -265,7 +270,11 @@ def incremental_predicate(
     if isinstance(last_value, str):
         lit = _s(last_value)
     elif isinstance(last_value, dt.datetime):
-        lit = _ts_lit(last_value, "TIMESTAMP")
+        # JDBC escape form, not the ANSI literal: this predicate is only
+        # ever embedded in a spark.read.jdbc subquery, and the escape is
+        # translated by EVERY JDBC driver while the ANSI TIMESTAMP'..'
+        # literal is not (embedded Derby rejects it - live e2e, round 6)
+        lit = "{ts '" + last_value.strftime("%Y-%m-%d %H:%M:%S") + "'}"
     else:
         lit = repr(last_value)
     op = ">" if mode == "append" else ">="
@@ -298,6 +307,13 @@ def incremental_import(
     pred = incremental_predicate(mode, check_col, last)
     fresh = spark.read.jdbc(
         url, f"(SELECT * FROM {table} WHERE {pred}) q", properties=properties or {})
+    # JDBC metadata case-folds identifiers per engine (Derby/Oracle report
+    # UPPERCASE, Postgres lower) - align to the target's column case so the
+    # insert matches, the same mapping Sqoop's ClassWriter applies.  Found
+    # by the live embedded-Derby e2e, round 6.
+    by_lower = {c.lower(): c for c in existing.columns}
+    fresh = fresh.select(*[
+        F.col(c).alias(by_lower.get(c.lower(), c)) for c in fresh.columns])
     if fresh.isEmpty():
         return
     if mode == "append" or not merge_key:
