@@ -9,12 +9,14 @@ SQL-level function DDL, which routes to the same built-in wrappers:
 
     CREATE [TEMPORARY] FUNCTION name AS 'com.example.MyUDF' USING JAR 'path'
 
-This module is the thin, typed surface over that DDL.  It is env-gated:
-registering a function needs (a) the jar reachable by every executor and
-(b) a Hive-enabled session; neither exists in this repo's test container,
-so the tests validate statement generation and the error contract, and
-skip live registration when no jar is present (same honesty rule as the
-multimodal decoder stubs).
+This module is the thin, typed surface over that DDL.  Registration needs
+(a) the UDF class reachable by every executor and (b) a Hive-enabled
+session (`spark.sql.catalogImplementation=hive`; the in-memory catalog
+rejects Hive classes with NO_HANDLER_FOR_UDAF).  Both exist in-container:
+hive-exec ships on Spark's classpath, so tests/test_hive_udf_live.py
+registers and EVALUATES real GenericUDF / simple-UDF / GenericUDTF classes
+end to end in a hive-catalog subprocess session (round 6); user jars ride
+the same DDL via USING JAR.
 """
 
 from __future__ import annotations
