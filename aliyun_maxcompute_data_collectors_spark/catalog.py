@@ -688,6 +688,15 @@ class OdpsCatalog:
             # (write-side Sort injection, OdpsExtensions.scala:99-119)
             out = out.repartition(b.num_buckets, F.col(BUCKET_COL)).sortWithinPartitions(*sort_cols)
             part_by = pcols + [BUCKET_COL]
+            # string/binary/decimal bucket keys hash through an Arrow UDF;
+            # the default 10k-row Arrow batches spend ~25% of the hash step
+            # on per-batch roundtrip overhead (measured sf0.1: 0.42s ->
+            # 0.29s at 256k batches for 600k string keys).  The key column
+            # is narrow, so big batches are safe HERE - but the conf is
+            # session-global and mapInPandas over blob columns would blow
+            # up at 256k rows/batch, so it is raised only for the duration
+            # of this write job and always restored.
+            self._arrow_batch_override = "262144"
         elif meta.bucket and meta.bucket.cluster_type == "range":
             b = meta.bucket
             # range clustering: distributed range partitioning (sampled
@@ -728,9 +737,18 @@ class OdpsCatalog:
             writer = (writer
                       .option("delimiter", meta.properties.get("serde.delimiter", ","))
                       .option("header", meta.properties.get("serde.header", "false")))
+        batch_override = getattr(self, "_arrow_batch_override", None)
+        self._arrow_batch_override = None
+        batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        old_batch = None
         try:
+            if batch_override is not None:
+                old_batch = self.spark.conf.get(batch_key)  # has a default
+                self.spark.conf.set(batch_key, batch_override)
             writer.save(self.data_dir(name))
         finally:
+            if batch_override is not None and old_batch is not None:
+                self.spark.conf.set(batch_key, old_batch)
             if persisted:
                 out.unpersist()
         self.refresh(name)

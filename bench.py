@@ -160,6 +160,17 @@ def _bench_writes(spark, sf_dir: str, cold: bool) -> dict[str, float]:
         cat.create_table("w_bucketed_str", cols_str,
                          bucket=BucketSpec("hash", 16, ["l_linekey"],
                                            [("l_linekey", "ASC")]))
+        # decomposition control (round 6): SAME 17-column string-carrying
+        # dataset, bucketed by the LONG key.  write_bucketed_str vs
+        # write_bucketed conflates two costs - scanning+writing one extra
+        # string column (~1.13x, paid by ANY string-keyed schema) and the
+        # arrow-UDF string hash + string sort (the actual string-path
+        # cost).  write_bucketed_strcols isolates them:
+        #   strcols/bucketed      = column-count cost
+        #   bucketed_str/strcols  = string-KEY cost (the 1.5x-bar quantity)
+        cat.create_table("w_bucketed_strcols", cols_str,
+                         bucket=BucketSpec("hash", 16, ["l_orderkey"],
+                                           [("l_orderkey", "ASC")]))
         # writes get two extra warm iterations: the write_bucketed_str /
         # write_bucketed ratio is judged against a 1.5x bar and single-run
         # jitter on ~1s writes is +-0.1s, enough to flip the verdict; a
@@ -167,6 +178,8 @@ def _bench_writes(spark, sf_dir: str, cold: bool) -> dict[str, float]:
         iters = 1 if cold else _iters() + 2
         for name, table, src in [("write_append", "w_plain", li),
                                  ("write_bucketed", "w_bucketed", li),
+                                 ("write_bucketed_strcols",
+                                  "w_bucketed_strcols", li_str),
                                  ("write_bucketed_str", "w_bucketed_str", li_str)]:
             runs = []
             for _ in range(1 if cold else 1 + iters):
