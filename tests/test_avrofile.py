@@ -114,6 +114,20 @@ def test_spark_roundtrip(spark, tmp_path):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def test_spark_roundtrip_map_and_struct(spark, tmp_path):
+    """map and nested-record columns survive both directions (pandas dicts
+    / Row structs across the Arrow boundary)."""
+    src = spark.createDataFrame(
+        [(1, {"x": 1, "y": 2}, ("hi", 2.5)), (2, {}, ("yo", None))],
+        "id long, kv map<string,long>, nested struct<a:string,b:double>")
+    out = str(tmp_path / "avro")
+    write_avro(src, out)
+    rows = {r["id"]: r for r in read_avro(spark, out).collect()}
+    assert dict(rows[1]["kv"]) == {"x": 1, "y": 2} and dict(rows[2]["kv"]) == {}
+    assert rows[1]["nested"]["a"] == "hi" and rows[1]["nested"]["b"] == 2.5
+    assert rows[2]["nested"]["b"] is None
+
+
 def test_read_avro_explicit_schema_and_empty(spark, tmp_path):
     schema = {"type": "record", "name": "r", "fields": [
         {"name": "k", "type": "string"}, {"name": "v", "type": "long"}]}
