@@ -140,6 +140,51 @@ def test_read_avro_explicit_schema_and_empty(spark, tmp_path):
         read_avro(spark, str(tmp_path / "missing"))
 
 
+# ---------------------------------------------------------------------------
+# property tests: random values through the binary codec (pure Python, no
+# Spark) - the varint/union/array/map encoders must round-trip ANY input
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SCHEMA = {
+    "type": "record", "name": "p", "fields": [
+        {"name": "i", "type": ["null", "long"]},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "d", "type": "double"},
+        {"name": "tags", "type": {"type": "array",
+                                  "items": ["null", "string"]}},
+        {"name": "kv", "type": {"type": "map", "values": "long"}},
+    ]}
+
+_ROW = st.fixed_dictionaries({
+    "i": st.none() | st.integers(min_value=-2**63, max_value=2**63 - 1),
+    "s": st.none() | st.text(max_size=40),
+    "d": st.floats(allow_nan=False, width=64),
+    "tags": st.lists(st.none() | st.text(max_size=10), max_size=5),
+    "kv": st.dictionaries(st.text(min_size=1, max_size=8),
+                          st.integers(min_value=-2**40, max_value=2**40),
+                          max_size=5),
+})
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_ROW, max_size=8), st.sampled_from(["null", "deflate"]))
+def test_property_container_roundtrip(rows, codec):
+    schema, got = parse_container(build_container(_SCHEMA, rows, codec))
+    assert schema == _SCHEMA
+    assert got == rows
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-2**63, max_value=2**63 - 1))
+def test_property_zigzag_is_bijective(n):
+    buf = _write_long(n)
+    v, pos = _read_long(buf, 0)
+    assert v == n and pos == len(buf) <= 10
+
+
 def test_sqoop_shape_export_import(spark, tmp_path):
     """The Sqoop cycle the reference runs: table -> avro files -> read back
     -> insert into a catalog table."""

@@ -108,6 +108,22 @@ def test_header_parsers_and_sniff():
     assert sniff_media_meta(None)["format"] == "unknown"
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12), st.sampled_from([1, 2, 3, 4]),
+       st.sampled_from([0, 1, 2, 3, 4]), st.integers(0, 2**32 - 1))
+def test_property_png_roundtrip(h, w, ch, filter_type, seed):
+    """ANY 8-bit image round-trips through every filter type, including
+    1-pixel edges where the left/up neighbors are all zero."""
+    arr = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, ch), dtype=np.uint8)
+    assert np.array_equal(
+        decode_png_pixels(encode_png(arr, filter_type)), arr)
+
+
 def test_resize_png_nearest_and_bilinear():
     from aliyun_maxcompute_data_collectors_spark.operators.media_codecs import resize_png
 
