@@ -41,6 +41,9 @@ SPOT = [
     # round-6 additions: the PQ compressed-scan ANN family + the recall
     # audit composition
     "pq_topk", "pq_code_hist", "ivfpq_topk", "ann_recall",
+    # round-6 breadth extension: window/join/UDTF/semi-structured families
+    "cohort_retention", "temporal_join_pit", "window_rank_suite",
+    "udtf_tokens", "pivot_priority", "variant_extract",
 ]
 
 SMOKE_PATH = os.path.join(os.path.dirname(os.path.dirname(
