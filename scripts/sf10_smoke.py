@@ -44,6 +44,8 @@ SPOT = [
     # round-6 breadth extension: window/join/UDTF/semi-structured families
     "cohort_retention", "temporal_join_pit", "window_rank_suite",
     "udtf_tokens", "pivot_priority", "variant_extract",
+    "q3_shipping_priority", "topk_per_group", "asof_join_events",
+    "zscore_anomalies", "scd2_users", "pareto_parts",
 ]
 
 SMOKE_PATH = os.path.join(os.path.dirname(os.path.dirname(
