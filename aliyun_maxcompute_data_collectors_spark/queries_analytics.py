@@ -559,7 +559,17 @@ def recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by log2(max key), so UNION ALL recursion terminates.  Iterative
     set computation stays inside the engine (each step is a distributed
     join), the same execution shape as the hand-built label-propagation in
-    operators/graph.py but declared declaratively."""
+    operators/graph.py but declared declaratively.
+
+    Scale note (found at sf10, round 6): Spark guards runaway recursion
+    with `spark.sql.cteRecursionRowLimit` (default 1M ROWS TOTAL) - at
+    sf10 the base alone is ~1M rows and the engine aborts with
+    RECURSION_ROW_LIMIT_EXCEEDED even though the recursion is provably
+    finite.  Output here is ~linear in |part| (one chain of length
+    <= log2(maxkey) per odd key), so the row valve is raised to 2^31-1
+    while the LEVEL limit (100, the actual runaway guard for this shape:
+    depth is log2-bounded) stays at its default."""
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
     t = load_tables(spark, sf_dir, ["part"])
     t["part"].createOrReplaceTempView("part")
     return spark.sql(_RECURSIVE_SQL)
