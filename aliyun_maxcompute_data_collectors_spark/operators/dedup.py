@@ -845,6 +845,7 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     block_col: str | None = None,
     allow_quadratic: bool = False,
+    max_block: int | None = None,
 ) -> DataFrame:
     """(id1, id2, cos) for pairs with cosine >= threshold.  ``block_col``
     (e.g. a cluster/label/LSH-bucket column) bounds the pair space - use
@@ -853,7 +854,17 @@ def embedding_dup_pairs(
     Without blocking this is an all-pairs O(n^2) join, which no cluster
     survives at corpus scale - so it RAISES unless the caller passes
     ``allow_quadratic=True`` explicitly (small, already-bounded inputs
-    only).  A silent quadratic default is how 100-TB jobs die."""
+    only).  A silent quadratic default is how 100-TB jobs die.
+
+    ``max_block`` guards the SUBTLER failure (measured at sf10, round 6):
+    blocking only bounds the pair space while blocks stay small, and a
+    coarse block column whose groups grow WITH the corpus reintroduces
+    the quadratic inside each block - a 50k-member label is 1.25e9
+    comparisons.  With ``max_block`` set, over-cap blocks are dropped
+    before the self-join by a lazy broadcast anti-join (the hot side is
+    rare by construction - same design as minhash_lsh_pairs' bucket cap);
+    pairs inside a dropped block should come from a FINER blocking (IVF
+    cells, LSH buckets) instead."""
     from aliyun_maxcompute_data_collectors_spark.operators.similarity import cosine_expr
     if block_col is None and not allow_quadratic:
         raise ValueError(
@@ -865,6 +876,10 @@ def embedding_dup_pairs(
     if block_col:
         sel.append(F.col(block_col).alias("blk"))
     s = df.select(*sel)
+    if block_col and max_block is not None:
+        hot = (s.groupBy("blk").agg(F.count(F.lit(1)).alias("__n"))
+               .where(F.col("__n") > max_block).select("blk"))
+        s = s.join(F.broadcast(hot), ["blk"], "left_anti")
     a, b = s.alias("a"), s.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col:

@@ -919,20 +919,32 @@ ORDER BY query_id, rank
 """
 
 
+_EMB_DUPS_MAX_BLOCK = 5000
+
+
 def embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-blocked cosine near-dup pairs (blocking bounds the pair space -
-    the same role an IVF/LSH bucket plays at scale)."""
+    the same role an IVF/LSH bucket plays at scale).  Blocks larger than
+    max_block are dropped before the pair join (the oracle mirrors the
+    cap): at correctness SFs every label is far under the cap so results
+    are identical, while at sf10 a label holds ~50k vectors and an
+    uncapped run is 1.25e9 comparisons per label (measured hang, round 6
+    - see embedding_dup_pairs docstring)."""
     t = load_tables(spark, sf_dir, ["embeddings"])
     return (
         D.embedding_dup_pairs(t["embeddings"], "vec_id", "embedding",
-                              threshold=0.35, block_col="label")
+                              threshold=0.35, block_col="label",
+                              max_block=_EMB_DUPS_MAX_BLOCK)
     )
 
 
 _EMB_DUPS_SQL = f"""
+WITH ok AS (
+  SELECT label FROM embeddings GROUP BY label
+  HAVING COUNT(*) <= {_EMB_DUPS_MAX_BLOCK})
 SELECT a.vec_id AS id1, b.vec_id AS id2, ROUND({_COS}, 6) AS cos
 FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE ROUND({_COS}, 6) >= 0.35
+WHERE a.label IN (SELECT label FROM ok) AND ROUND({_COS}, 6) >= 0.35
 ORDER BY id1, id2
 """
 

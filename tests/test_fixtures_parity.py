@@ -282,6 +282,16 @@ def test_embedding_dup_pairs_guards_quadratic(spark):
     optin = embedding_dup_pairs(df, "id", "v", threshold=0.9,
                                 allow_quadratic=True)
     assert [(r.id1, r.id2) for r in optin.collect()] == [(1, 2)]
+    # max_block drops coarse blocks before the pair join (the within-block
+    # quadratic measured at sf10): a 5-member block over cap=4 emits no
+    # pairs, the 2-member block still does
+    big = spark.createDataFrame(
+        [(i, [1.0, 0.0], "hot") for i in range(10, 15)]
+        + [(1, [1.0, 0.0], "cool"), (2, [1.0, 0.01], "cool")],
+        "id int, v array<double>, blk string")
+    capped = embedding_dup_pairs(big, "id", "v", threshold=0.9,
+                                 block_col="blk", max_block=4)
+    assert [(r.id1, r.id2) for r in capped.collect()] == [(1, 2)]
 
 
 def test_packing_invariants(spark):
