@@ -664,6 +664,12 @@ class OdpsCatalog:
 
         dynamic_cols = [c for c in pcols if c not in static_partition]
         persisted = False
+        # Arrow batch-size override for this ONE write job, carried as a
+        # local so an exception between the branch below and the save
+        # site can never leak it into a later insert (ADVICE r6 - an
+        # instance attribute here would persist a 262144-row batch size
+        # into a subsequent blob-heavy mapInPandas write).
+        batch_override = None
         if dynamic_cols:
             # the guard's count and the write would otherwise recompute the
             # full upstream pipeline twice
@@ -696,7 +702,7 @@ class OdpsCatalog:
             # session-global and mapInPandas over blob columns would blow
             # up at 256k rows/batch, so it is raised only for the duration
             # of this write job and always restored.
-            self._arrow_batch_override = "262144"
+            batch_override = "262144"
         elif meta.bucket and meta.bucket.cluster_type == "range":
             b = meta.bucket
             # range clustering: distributed range partitioning (sampled
@@ -737,8 +743,6 @@ class OdpsCatalog:
             writer = (writer
                       .option("delimiter", meta.properties.get("serde.delimiter", ","))
                       .option("header", meta.properties.get("serde.header", "false")))
-        batch_override = getattr(self, "_arrow_batch_override", None)
-        self._arrow_batch_override = None
         batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
         old_batch = None
         try:

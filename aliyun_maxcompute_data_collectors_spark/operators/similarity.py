@@ -627,9 +627,14 @@ def _arrow_list_parts(arr):
     from.  Element nulls surface as NaN in ``flat`` (the same artifact the
     pandas path had: Arrow -> float64 materializes a null element as NaN,
     documented on cosine_fast)."""
-    n = len(arr)
-    offs = (arr.offsets.to_numpy(zero_copy_only=False)
-            [arr.offset: arr.offset + n + 1].astype(np.int64))
+    # ``ListArray.offsets`` is already slice-compensated in pyarrow >= 9
+    # (verified on 16.1.0: ``arr.slice(2, 3).offsets`` returns exactly
+    # n+1 entries starting at the slice, absolute into the FULL child
+    # ``values`` buffer).  Do NOT re-apply ``arr.offset`` here - that
+    # double-compensates and truncates the offsets for any sliced input
+    # (ADVICE r6).  ``values``/``is_null`` pair with these absolute
+    # offsets: ``values`` is the full child; ``is_null`` is per-slice.
+    offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     flat = np.asarray(
         arr.values.to_numpy(zero_copy_only=False), dtype=np.float64)
     null = arr.is_null().to_numpy(zero_copy_only=False)

@@ -568,11 +568,27 @@ def recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     finite.  Output here is ~linear in |part| (one chain of length
     <= log2(maxkey) per odd key), so the row valve is raised to 2^31-1
     while the LEVEL limit (100, the actual runaway guard for this shape:
-    depth is log2-bounded) stays at its default."""
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
-    t = load_tables(spark, sf_dir, ["part"])
-    t["part"].createOrReplaceTempView("part")
-    return spark.sql(_RECURSIVE_SQL)
+    depth is log2-bounded) stays at its default.
+
+    Conf scoping (VERDICT/ADVICE r6): the raised valve must not leak
+    into the shared driver/bench session (it would silently disable the
+    row guard for every OTHER recursive query), but the limit is read at
+    EXECUTION time, so restoring it before the caller collects would
+    re-arm the abort.  Resolution: materialize the recursion eagerly
+    under the raised valve (``localCheckpoint(eager=True)`` - the
+    recursion runs exactly once and its result is pinned), then restore
+    the prior value in ``finally``.  The returned DataFrame reads the
+    checkpointed partitions; later session queries see the default
+    valve again."""
+    key = "spark.sql.cteRecursionRowLimit"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, str(2**31 - 1))
+    try:
+        t = load_tables(spark, sf_dir, ["part"])
+        t["part"].createOrReplaceTempView("part")
+        return spark.sql(_RECURSIVE_SQL).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(key, prior)
 
 
 # ---------------------------------------------------------------------------

@@ -15,9 +15,10 @@ into Spark the declarative way:
   medium-sized files, wrong for one giant file (split by sync markers
   would be the extension, documented not built).
 - ``write_avro(df, path)``: per-partition encode via mapInPandas writing
-  one container file per partition directly from the executor (local or
-  shared FS), then a driver-side manifest return - the FileOutputFormat
-  shape without Hadoop.
+  one container file per partition into a job-scoped staging dir (local
+  or shared FS), then a driver-side promote of exactly the collected
+  attempt names - the FileOutputCommitter v1 shape without Hadoop, so
+  task retries / speculative duplicates are never published.
 
 Supported schema surface (the Sqoop/Flume subset): null, boolean, int
 (+date), long (+timestamp-millis/micros), float, double, bytes, string,
@@ -168,7 +169,7 @@ def _encode(schema, value, out: bytearray) -> None:
         if not _is_nullable_union(schema):
             raise ValueError(f"unsupported union {schema}")
         null_idx = schema.index("null")
-        if value is None or value is pd.NaT or (
+        if value is None or value is pd.NaT or value is pd.NA or (
                 isinstance(value, float) and pd.isna(value)):
             out += _write_long(null_idx)
             return
@@ -424,31 +425,72 @@ def read_avro(spark: SparkSession, path: str,
 
 def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> list[str]:
     """Write one Avro container file per partition under ``path`` and
-    return the written file names.  Executors write directly (local or
-    shared FS - the same contract as every file sink here); each task's
-    file is named by partition id + uuid so retries never collide, and
-    the commit is the driver-side collect of the names (job-atomic like
-    FileOutputFormat's)."""
+    return the written file names.
+
+    Commit protocol (ADVICE r6): tasks write uniquely-named attempt
+    files under a job-scoped staging directory; only after the job
+    succeeds does the DRIVER promote exactly the collected names into
+    ``path`` - the FileOutputFormat v1 commit shape.  A retried or
+    speculative duplicate attempt leaves its file in staging, which is
+    removed wholesale, so duplicates are never published and a failed
+    job publishes nothing.  (Promotion itself is a rename sequence, not
+    one atomic op - a driver crash mid-promotion can leave a prefix
+    published; same caveat as HDFS FileOutputCommitter v1.)
+
+    Integral-null guard (ADVICE r6): a nullable int/long column holding
+    any null reaches pandas as float64, and values at/above 2^53 are no
+    longer exact - the same corruption class hashing._hash_series treats
+    as a hard error.  Such columns are re-typed to pandas nullable Int64
+    before encoding; if any value's magnitude is already >= 2^53 (i.e.
+    the float conversion may have rounded it) the write raises instead
+    of silently corrupting."""
+    import shutil
+
+    import numpy as np
+
     os.makedirs(path, exist_ok=True)
     schema = avro_schema_of(df.schema)
     names = [f.name for f in df.schema.fields]
+    integral = [f.name for f in df.schema.fields
+                if isinstance(f.dataType, (T.ByteType, T.ShortType,
+                                           T.IntegerType, T.LongType))]
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
+    os.makedirs(staging, exist_ok=True)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid, att = ctx.partitionId(), ctx.attemptNumber()
         recs = []
         for pdf in batches:
-            for row in pdf[names].itertuples(index=False):
+            pdf = pdf[names].copy()
+            for c in integral:
+                if pdf[c].dtype.kind == "f":
+                    vals = pdf[c].to_numpy()
+                    finite = vals[~np.isnan(vals)]
+                    if finite.size and np.abs(finite).max() >= 2.0 ** 53:
+                        raise TypeError(
+                            f"write_avro: integral column {c!r} arrived as "
+                            "float64 (nullable int) with values >= 2^53 - "
+                            "exactness is already lost; filter the nulls "
+                            "upstream or split the column")
+                    pdf[c] = pdf[c].astype("Int64")
+            for row in pdf.itertuples(index=False):
                 recs.append(dict(zip(names, row)))
         if not recs:
             yield pd.DataFrame({"file": pd.Series([], dtype=str)})
             return
-        fname = f"part-{pid:05d}-{uuid.uuid4().hex}.avro"
-        tmp = os.path.join(path, f".{fname}.tmp")
-        with open(tmp, "wb") as f:
+        fname = f"part-{pid:05d}-a{att}-{uuid.uuid4().hex}.avro"
+        with open(os.path.join(staging, fname), "wb") as f:
             f.write(build_container(schema, recs, codec))
-        os.rename(tmp, os.path.join(path, fname))
         yield pd.DataFrame({"file": [fname]})
 
-    out = df.mapInPandas(gen, schema="file string").collect()
-    return sorted(r["file"] for r in out)
+    try:
+        out = df.mapInPandas(gen, schema="file string").collect()
+        files = sorted(r["file"] for r in out)
+        for fname in files:
+            os.replace(os.path.join(staging, fname),
+                       os.path.join(path, fname))
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return files

@@ -56,8 +56,14 @@ def main() -> int:
     names = list(queries)
     front, rest = names[:DRIVER_WINDOW], names[DRIVER_WINDOW:]
 
+    def _sql_conf_snapshot():
+        # every explicitly-set SQL conf (the surface a leaking query would
+        # mutate); SparkConf entries are immutable post-launch
+        return {r["key"]: r["value"] for r in spark.sql("SET").collect()}
+
     con = harness._duck(sf_dir)
     red = []
+    conf_before_all = _sql_conf_snapshot()
     for name in front:
         try:
             sdf = queries[name](spark, sf_dir)
@@ -90,6 +96,19 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 - driver records any raise as red
             red.append((name, f"{type(e).__name__}: {e}"))
             print(f"  RED           {name}: {str(e)[:100]}")
+        # VERDICT r6 ask #3: no query may mutate session SQL conf without
+        # restoring it - a leaked conf silently changes every later query
+        # in the shared driver session (e.g. a raised cteRecursionRowLimit
+        # disabling the runaway-row valve).  Diffing after EVERY query
+        # makes the whole class structurally impossible.
+        conf_now = _sql_conf_snapshot()
+        if conf_now != conf_before_all:
+            changed = {k: (conf_before_all.get(k), conf_now.get(k))
+                       for k in set(conf_before_all) | set(conf_now)
+                       if conf_before_all.get(k) != conf_now.get(k)}
+            red.append((name, f"ConfLeak: {changed}"))
+            print(f"  CONF LEAK     {name}: {changed}")
+            conf_before_all = conf_now  # report each leaker once
     print(f"first-{DRIVER_WINDOW} window: {len(front) - len(red)}/{len(front)} green")
 
     tail_bad = []
@@ -98,6 +117,14 @@ def main() -> int:
             queries[name](spark, sf_dir).count()
         except Exception as e:  # noqa: BLE001
             tail_bad.append((name, str(e)[:80]))
+        conf_now = _sql_conf_snapshot()
+        if conf_now != conf_before_all:
+            changed = {k: (conf_before_all.get(k), conf_now.get(k))
+                       for k in set(conf_before_all) | set(conf_now)
+                       if conf_before_all.get(k) != conf_now.get(k)}
+            tail_bad.append((name, f"ConfLeak: {changed}"))
+            print(f"  CONF LEAK     {name}: {changed}")
+            conf_before_all = conf_now
     print(f"tail (count-only): {len(rest) - len(tail_bad)}/{len(rest)} OK")
 
     if red or tail_bad:

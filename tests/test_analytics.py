@@ -530,3 +530,20 @@ def test_resample_fill_fused_semantics(spark):
     assert out[b0 + 2 * 3600]["bucket_sum"] is None
     assert out[b0 + 2 * 3600]["filled_sum"] == 2.0
     assert out[b0 + 4 * 3600]["filled_sum"] == 8.0
+
+
+def test_recursive_chain_scopes_row_valve(spark, sf_dir):
+    """ADVICE/VERDICT r6: recursive_chain raises cteRecursionRowLimit for
+    its own (provably finite) recursion but must restore the session value
+    - a leaked valve would silently disable the runaway-row guard for
+    every later recursive query in the shared driver session.  The result
+    must stay collectable AFTER the restore (materialized eagerly)."""
+    from aliyun_maxcompute_data_collectors_spark.queries_analytics import (
+        recursive_chain)
+
+    key = "spark.sql.cteRecursionRowLimit"
+    before = spark.conf.get(key)
+    df = recursive_chain(spark, sf_dir)
+    assert spark.conf.get(key) == before
+    assert df.count() > 0
+    assert spark.conf.get(key) == before

@@ -202,3 +202,38 @@ def test_sqoop_shape_export_import(spark, tmp_path):
                       for f in back.schema.fields])
     cat.insert("nation_import", back)
     assert cat.read_table("nation_import").count() == nation.count()
+
+
+def test_write_avro_nullable_long_exact(spark, tmp_path):
+    """ADVICE r6: a nullable long column (arrives in pandas as float64)
+    must round-trip exactly for values inside the float-exact range, and
+    the write must RAISE (not silently corrupt) when a value at/above
+    2^53 has already lost exactness in the float conversion."""
+    big_ok = (1 << 53) - 1          # largest exactly-representable odd value
+    rows = [(1, big_ok), (2, None), (3, -big_ok), (4, 42)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = str(tmp_path / "nullable_long")
+    write_avro(df.repartition(1), out)
+    got = {r["id"]: r["v"] for r in read_avro(spark, out).collect()}
+    assert got == {1: big_ok, 2: None, 3: -big_ok, 4: 42}
+
+    bad = spark.createDataFrame(
+        [(1, (1 << 53) + 1), (2, None)], "id long, v long")
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="2\\^53"):
+        write_avro(bad.repartition(1), str(tmp_path / "bad"))
+
+
+def test_write_avro_driver_side_commit(spark, tmp_path):
+    """ADVICE r6: only driver-promoted files are visible under the output
+    dir - no staging dir or attempt stragglers survive the write, and the
+    returned manifest matches the directory listing exactly."""
+    import os as _os
+
+    df = spark.range(0, 100, 1, 4).selectExpr("id", "id * 2 as v")
+    out = str(tmp_path / "commit")
+    files = write_avro(df, out)
+    listed = sorted(_os.listdir(out))
+    assert listed == files                      # nothing extra, nothing missing
+    assert not any(f.startswith("_staging") for f in listed)
+    assert read_avro(spark, out).count() == 100

@@ -1150,6 +1150,63 @@ def test_vectorized_fold_kernels_bit_equal(spark):
     assert cmp2.where(F.col("f") == 6).count() == 0  # tie never picks the copy
 
 
+def test_arrow_list_parts_sliced_array():
+    """ADVICE r6: pyarrow's ``ListArray.offsets`` is already
+    slice-compensated (n+1 entries, absolute into the full child values
+    buffer), so ``_arrow_list_parts`` must NOT re-apply ``arr.offset``.
+    A sliced batch - which arrow_udf can hand the kernel when Spark
+    splits record batches - must decompose identically to an equivalent
+    freshly-built array."""
+    import numpy as np
+    import pyarrow as pa
+
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import (
+        _arrow_list_parts)
+
+    data = [[1.0, 2.0], [3.0], None, [4.0, 5.0, 6.0], [], [7.0, 8.0]]
+    arr = pa.array(data, type=pa.list_(pa.float32()))
+    for off, n in [(0, 6), (2, 4), (3, 3), (5, 1)]:
+        s = arr.slice(off, n)
+        null, starts, lens, flat = _arrow_list_parts(s)
+        assert len(null) == len(starts) == len(lens) == n
+        for i, row in enumerate(data[off:off + n]):
+            if row is None:
+                assert null[i]
+                continue
+            assert not null[i]
+            assert lens[i] == len(row)
+            got = flat[starts[i]: starts[i] + lens[i]]
+            assert np.allclose(got, row), (off, i, got, row)
+
+
+def test_cosine_fast_on_sliced_batches(spark):
+    """cosine_fast must stay bit-equal to the fold even when the arrow
+    batch reaching the kernel is a slice (offset > 0) - exercised by
+    shrinking the arrow batch size so Spark chunks the input."""
+    import random as _r
+
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import (
+        cosine_expr, cosine_fast)
+
+    rng = _r.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)],
+             [rng.uniform(-1, 1) for _ in range(8)]) for i in range(257)]
+    df = spark.createDataFrame(rows, "id long, a array<float>, b array<float>")
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        cmp = df.select(
+            cosine_expr(F.col("a"), F.col("b")).alias("c1"),
+            cosine_fast(F.col("a"), F.col("b")).alias("c2"))
+        assert cmp.where(F.col("c1") != F.col("c2")).count() == 0
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
 def test_bloom_decontaminate_superset_of_exact(spark, sf_dir):
     """Bloom probing can only over-flag (false positives), never miss: every
     doc/count the exact decontaminate finds appears with >= count, and with
