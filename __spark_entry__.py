@@ -5,20 +5,24 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash -> CORRECTNESS_r{N}.json).
 
-Rotation note (round 6): the driver verifies the first 50 entries of
-``queries()`` in iteration order.  After round 5, 147/148 queries are
-driver-green at least once; round 6 fronts (a) ``higher_order_fns`` -
-the one never-green row, its DuckDB oracle now COALESCEs the empty-list
-NULL that Spark's ``array_join`` renders as ``''`` - (b) every query
-whose implementation changed in round 6 (arrow_udf cosine/assign
-kernels, connected-components distinct removal, persisted LSH bucket-cap
-aggregate), then (c) fills the window oldest-driver-evidence-first (the
-10 remaining r2 rows, then 33 r3 rows).  Every query stays registered;
-only iteration order changes.  All 148 remain covered by the local
-harness (tests/test_correctness.py, which since round 6 defaults to the
-driver's sf0.01); scripts/driver_sim.py gates rotation slots on a
-vanilla-session pass, run via scripts/gate.sh as the round's last act
-and committed as GATE_r6.log.
+Rotation note (round 7): the driver verifies the first 50 entries of
+``queries()`` in iteration order.  After round 6, all 152 pre-existing
+queries are driver-green at least once; round 7 fronts (a) the THREE
+new snapshot-layer queries (time travel / CDF changes / compaction -
+VERDICT r6 ask #1: snapshots.py had pytest-only evidence), (b) ALL 12
+rows whose newest driver evidence is r3 (the four that spilled from the
+r6 window plus the eight leftovers - closes VERDICT r6 ask #2: after
+this round no row's evidence is older than r4), (c) every query whose
+implementation changed in round 7 (the _arrow_list_parts sliced-offset
+fix feeding cosine/assign/PQ kernels; the eagerly-materialized
+recursive_chain; the minhash_lsh persist; the ivfpq_topk prefilter
+reorder), then (d) fills the window with r4-evidence rows
+alphabetically.  Every query stays registered; only iteration order
+changes.  All queries remain covered by the local harness
+(tests/test_correctness.py at the driver's sf0.01);
+scripts/driver_sim.py gates rotation slots on a vanilla-session pass -
+including a per-query SQL-conf leak diff since round 7 - run via
+scripts/gate.sh as the round's last act and committed as GATE_r7.log.
 """
 
 from __future__ import annotations
@@ -33,42 +37,42 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from aliyun_maxcompute_data_collectors_spark.queries import REGISTRY  # noqa: E402
 
-# Round-6 driver-verification priority (VERDICT r5 asks #1/#8): tier 1 =
-# ``higher_order_fns``, red r1-r5 (the oracle now COALESCEs DuckDB's
-# empty-list NULL to match Spark's array_join '' - root cause in VERDICT
-# r5 "What's wrong" #1); tier 2 = queries over round-6 implementation
-# changes (arrow_udf cosine/assign kernels in similarity.py, the
-# connected-components distinct removal in graph.py, the persisted LSH
-# bucket-cap aggregate in dedup.py); tier 3 fills the 50-slot window
-# oldest-driver-evidence-first (all 10 remaining r2 rows, then 33 of the
-# 43 r3 rows alphabetically; the 8 r3 leftovers rotate in r7).
-# Everything else follows in registry order.  Gate discipline (VERDICT r5
-# ask #2): this window holds slots only if scripts/driver_sim.py - run at
-# sf0.01 by scripts/gate.sh, whose stdout is committed as GATE_r6.log -
-# exits green as the round's LAST act.
+# Round-7 driver-verification priority (VERDICT r6 asks #1/#2): tier 1 =
+# the three NEW snapshot-layer queries (zero driver evidence - the r6
+# flagship component goes under the hash oracle first); tier 2 = every
+# row whose newest green evidence is r3 (the 4 that spilled from the r6
+# window + the 8 leftovers - closes the evidence-age rotation: after r7
+# nothing is older than r4); tier 3 = queries over round-7
+# implementation changes (_arrow_list_parts sliced-offset fix -> all
+# cosine/assign/PQ-ADC consumers; recursive_chain now materializes
+# eagerly under a scoped row valve; minhash_lsh persisted banding
+# aggregate; ivfpq_topk candidate-prefilter reorder); tier 4 fills the
+# 50-slot window with r4-evidence rows alphabetically.  Everything else
+# follows in registry order.  Gate discipline: this window holds slots
+# only if scripts/driver_sim.py - run at sf0.01 by scripts/gate.sh,
+# whose stdout is committed as GATE_r7.log - exits green (now including
+# the per-query SQL-conf leak diff) as the round's LAST act.
 _PRIORITY = [
-    # tier 1: the only never-green row -> cumulative 148/148 when green
-    "higher_order_fns",
-    # tier 2: round-6 implementation changes (arrow kernels, CC, LSH cap)
-    # and the two new PQ queries (never driver-checked before)
-    "pq_topk", "pq_code_hist", "ivfpq_topk", "ann_recall",
-    "semantic_dedup", "semantic_dedup_exact", "ivf_topk",
-    "ivf_assign_incremental", "minhash_lsh", "dedup_transitive",
-    # tier 3a: last green in r2
-    "string_functions", "template_routing", "time_partition_assign",
-    "topk_orders", "topk_per_group", "unix_epoch", "window_cumulative",
-    "window_lag_lead", "window_range_frame", "window_rank_suite",
-    # tier 3b: last green in r3 (first 33 alphabetically)
-    "ann_lsh_topk", "blob_meta", "boilerplate_frac", "chunk_documents",
-    "decontaminate", "dedup_incremental", "det_sample", "doc_fingerprint",
-    "doc_logprob", "doc_rolling_fp", "embedding_dups", "embedding_topk",
-    "filter_pipeline", "frame_sample", "heavy_hitter_tokens",
-    "heavy_hitters_by_lang", "lang_id", "lang_quality_calibrated",
-    "minhash_incremental", "minhash_signature", "ngram_jaccard",
-    "pack_sequences", "pii_redact", "profile_documents",
-    "q10_returned_items", "q13_customer_distribution",
-    "q19_discounted_parts", "q21_waiting_supplier", "q22_dormant_customers",
+    # tier 1: never driver-checked (new in r7)
+    "snapshot_time_travel", "snapshot_changes", "snapshot_compact",
+    # tier 2: newest evidence r3 (4 spilled + 8 leftovers)
     "repetition_profile", "scd2_users", "shard_assign", "simhash32_sig",
+    "simhash_pairs", "span_dedup", "split_assignment", "split_leakage",
+    "stratified_sample", "temporal_join_pit", "text_profile",
+    "tfidf_keywords",
+    # tier 3: round-7 implementation changes (arrow offset fix consumers,
+    # scoped recursion valve, LSH persist, IVF-PQ reorder)
+    "recursive_chain", "semantic_dedup", "semantic_dedup_exact",
+    "ivf_topk", "ivf_assign_incremental", "pq_topk", "ivfpq_topk",
+    "ann_recall", "embedding_dups", "embedding_topk", "minhash_lsh",
+    # tier 4: r4-evidence rows, alphabetical fill to 50
+    "agg_extras", "asof_join_events", "bitwise_agg", "ccnet_buckets",
+    "cdc_snapshot_at", "cohort_retention", "conditional_exprs",
+    "constraint_check", "corpus_drift", "corpus_stats", "corr_stats",
+    "dedup_exact", "dup_rate_by_source", "embedding_quality",
+    "ewma_user_value", "from_json_typed", "funnel_steps",
+    "fuzzy_customer_names", "interp_gapfill", "interval_math",
+    "mad_outliers", "median_stats", "ngram_novelty", "pareto_parts",
 ]
 
 

@@ -218,6 +218,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     candidates: DataFrame | None = None,
+    max_query_rows: int | None = 4096,
 ) -> DataFrame:
     """ADC top-k: (query_id, neighbor_id, adc_dist, rank), rank 1..k per
     query by ascending approximate squared L2 (ties to the lower
@@ -228,6 +229,16 @@ def pq_topk(
     corpora; without it every code row is scored (the re-rank /
     bounded-query-batch shape).
 
+    Unbounded-shape guard (VERDICT r6 #2): without ``candidates`` the
+    cost is |queries| x |codes| - the same silent-quadratic death
+    embedding_dup_pairs refuses (dedup.py ``allow_quadratic``).  When
+    ``candidates is None`` the query side is probed with a LIMIT
+    ``max_query_rows + 1`` count (work bounded by the threshold, never
+    the corpus) and the call RAISES if it exceeds ``max_query_rows``:
+    pass ``candidates=`` (IVF cells / any prefilter) for large query
+    frames, or ``max_query_rows=None`` to opt into the full scan
+    explicitly.
+
     Plan: distance table = queries x (j, code) centroid literals
     (n_queries * m * ksub rows) built from fold expressions, broadcast;
     joined to long-format codes (map-side).  The per-(query, candidate)
@@ -236,6 +247,14 @@ def pq_topk(
     columns added left-to-right: ((d0 + d1) + d2)..., the same IEEE
     association the oracle writes, so totals are bit-identical without a
     double->decimal cast (whose tie behavior differs between engines)."""
+    if candidates is None and max_query_rows is not None:
+        probe = queries.limit(max_query_rows + 1).count()
+        if probe > max_query_rows:
+            raise ValueError(
+                f"pq_topk without candidates= scores every (query, code) "
+                f"pair and the query side exceeds {max_query_rows} rows - "
+                "an unbounded corpus dies here; pass candidates= (e.g. an "
+                "IVF-cell prefilter) or opt in with max_query_rows=None")
     C = np.asarray(codebooks, dtype=np.float64)
     m, ksub, dsub = C.shape
     spark = queries.sparkSession

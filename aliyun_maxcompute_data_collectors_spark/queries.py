@@ -2115,6 +2115,14 @@ def register_analytics_ops():
     REGISTRY.update(queries_analytics.REGISTRY)
 
 
+def register_snapshot_ops():
+    """Extend REGISTRY with the snapshot/transaction-layer queries (time
+    travel, CDF changes, compaction - VERDICT r6 ask #1), same lazy-import
+    convention."""
+    from aliyun_maxcompute_data_collectors_spark import queries_snapshots
+    REGISTRY.update(queries_snapshots.REGISTRY)
+
+
 try:
     register_llm_ops()
 except ImportError:
@@ -2127,5 +2135,10 @@ except ImportError:
 
 try:
     register_analytics_ops()
+except ImportError:
+    pass
+
+try:
+    register_snapshot_ops()
 except ImportError:
     pass

@@ -1,0 +1,186 @@
+"""Driver-oracle registry queries for the snapshot/transaction layer.
+
+VERDICT r6 ask #1: ``snapshots.py`` (atomic manifest commit, time travel,
+rollback, CDF-style ``changes()``, OPTIMIZE-style compaction - reference
+parity anchor: spark-connector OdpsBatchWrite.scala:42-95 atomic commit
+semantics) shipped in round 6 with pytest-only evidence.  These queries
+put every headline capability under the strongest instrument available -
+the driver's DuckDB row/schema/hash oracle:
+
+- ``snapshot_time_travel``: three committed versions (append, append,
+  rollback), each version read back and aggregated.  The oracle
+  recomputes the same deterministic fixture slices straight from the
+  ``orders`` view - if snapshot isolation, the manifest file lists, or
+  rollback republishing were wrong, the per-version sums diverge.
+- ``snapshot_changes``: one append step (exercises the metadata-only
+  "new files" fast path) and one overwrite step (exercises the exceptAll
+  multiset-diff path), both aggregated per (step, change_type).
+- ``snapshot_compact``: three small-file appends, then OPTIMIZE-style
+  bin-packing; HEAD after compaction must preserve every row bit-for-bit
+  and the version count pins that compaction COMMITS (history grows,
+  nothing is rewritten in place).
+
+Each query builds its snapshot table in a throwaway temp dir from
+deterministic modulo slices of ``orders``, materializes the (tiny,
+aggregate-sized) result eagerly, and removes the dir - the returned
+DataFrame reads checkpointed partitions, so the driver's later collect
+never touches the deleted files.  At 100 TB the same operations run
+against a durable table root; the temp dir is test scaffolding, not the
+design (see snapshots.py for the object-store caveats).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aliyun_maxcompute_data_collectors_spark.session import load_tables
+from aliyun_maxcompute_data_collectors_spark.snapshots import SnapshotTable
+
+_DEC = "decimal(18,6)"
+
+
+def _slices(spark: SparkSession, sf_dir: str):
+    """Deterministic fixture slices of orders: a = keys ending 0-4,
+    b = keys ending 5-7, c = keys ending 8 (keys are unique, so every
+    multiset below is a set and exceptAll diffs are exact)."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"].select(
+        "o_orderkey", "o_totalprice")
+    m = F.col("o_orderkey") % 10
+    return (o.where(m < 5), o.where((m >= 5) & (m < 8)), o.where(m == 8))
+
+
+def _ver_agg(df: DataFrame, version: int) -> DataFrame:
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+        .cast("double").alias("sum_price"),
+    ).select(F.lit(version).alias("version"), "n_rows", "sum_key",
+             "sum_price")
+
+
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``init`` commits v1 (empty), then v2 = append(a), v3 = append(b),
+    v4 = rollback(v2).  Reading each version must reproduce exactly the
+    slice algebra the oracle computes from the raw table: v2 = a,
+    v3 = a+b, v4 (HEAD) = a again."""
+    root = tempfile.mkdtemp(prefix="snap_tt_")
+    try:
+        a, b, _ = _slices(spark, sf_dir)
+        tab = SnapshotTable.init(spark, root)     # v1 (empty init)
+        va = tab.append(a)                        # v2
+        vb = tab.append(b)                        # v3
+        vr = tab.rollback(va)                     # v4 republishes v2's files
+        out = (_ver_agg(tab.read(va), va)
+               .unionByName(_ver_agg(tab.read(vb), vb))
+               .unionByName(_ver_agg(tab.read(), vr)))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_TIME_TRAVEL_SQL = """
+WITH a AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 < 5),
+     b AS (SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey % 10 BETWEEN 5 AND 7),
+     v2 AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+SELECT 2 AS version, COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
+FROM a
+UNION ALL
+SELECT 3, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+FROM v2
+UNION ALL
+SELECT 4, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+FROM a
+"""
+
+
+def snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF over two commit shapes: v1->v2 is an append, so ``changes``
+    takes the metadata-only fast path (reads ONLY the new files - the
+    100 TB incremental-consumption shape); v2->v3 is an overwrite back
+    to slice a, so it takes the exceptAll diff path and must report
+    exactly slice b as deletes."""
+    root = tempfile.mkdtemp(prefix="snap_cdf_")
+    try:
+        a, b, _ = _slices(spark, sf_dir)
+        tab = SnapshotTable.init(spark, root)  # v1 (empty init)
+        va = tab.append(a)   # v2
+        vb = tab.append(b)   # v3  (fast path: only b's files are new)
+        vo = tab.overwrite(a)  # v4  (diff path: b disappears)
+
+        def _step(df: DataFrame, step: str) -> DataFrame:
+            return (df.groupBy(F.col("_change_type").alias("change_type"))
+                    .agg(F.count(F.lit(1)).alias("n_rows"),
+                         F.sum("o_orderkey").cast("long").alias("sum_key"))
+                    .select(F.lit(step).alias("step"), "change_type",
+                            "n_rows", "sum_key"))
+
+        out = (_step(tab.changes(va, vb), "v1_v2")
+               .unionByName(_step(tab.changes(vb, vo), "v2_v3")))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_CHANGES_SQL = """
+WITH b AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 BETWEEN 5 AND 7)
+SELECT 'v1_v2' AS step, 'insert' AS change_type, COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+FROM b
+UNION ALL
+SELECT 'v2_v3', 'delete', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+FROM b
+"""
+
+
+def snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three small-file appends then OPTIMIZE-style compaction.  HEAD
+    after compacting must hold exactly a+b+c (row preservation is the
+    whole point of the pre-commit row-count check), and the version
+    count pins that compaction COMMITS a new snapshot (v5) rather than
+    rewriting history in place."""
+    root = tempfile.mkdtemp(prefix="snap_opt_")
+    try:
+        a, b, c = _slices(spark, sf_dir)
+        tab = SnapshotTable.init(spark, root)  # v1 (empty init)
+        tab.append(a)   # v2
+        tab.append(b)   # v3
+        tab.append(c)   # v4 - three commits of parquet files far below
+        tab.compact()   # the 64MB small-file bar -> all bin-packed, v5
+        n_versions = len(tab.versions())
+        out = tab.read().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+            .cast("double").alias("sum_price"),
+        ).select("n_rows", "sum_key", "sum_price",
+                 F.lit(n_versions).alias("n_versions"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_COMPACT_SQL = """
+WITH u AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <= 8)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price,
+       5 AS n_versions
+FROM u
+"""
+
+
+REGISTRY: dict[str, tuple] = {
+    "snapshot_time_travel": (snapshot_time_travel, _TIME_TRAVEL_SQL),
+    "snapshot_changes": (snapshot_changes, _CHANGES_SQL),
+    "snapshot_compact": (snapshot_compact, _COMPACT_SQL),
+}

@@ -175,3 +175,28 @@ def test_dim_not_divisible_raises(spark):
     df = _df(spark, _vecs(10))
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(df, "embedding", dim=DIM, m=3, ksub=KSUB, n_iter=1)
+
+
+def test_pq_topk_unbounded_query_guard(spark):
+    """VERDICT r6 #2: pq_topk without candidates= must refuse a query side
+    larger than max_query_rows (the silent |Q| x |codes| quadratic), accept
+    it with an explicit max_query_rows=None opt-in, and leave small
+    bounded batches untouched."""
+    import pytest as _pytest
+
+    from aliyun_maxcompute_data_collectors_spark.operators.pq import (
+        pq_encode, pq_topk, pq_train)
+
+    rng = __import__("random").Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_train(df, "embedding", dim=8, m=2, ksub=4, n_iter=1)
+    codes = pq_encode(df, "vec_id", "embedding", books)
+
+    with _pytest.raises(ValueError, match="candidates"):
+        pq_topk(df, codes, books, k=3, max_query_rows=10)
+    # explicit opt-in runs
+    assert pq_topk(df.where("vec_id < 12"), codes, books, k=3,
+                   max_query_rows=None).count() > 0
+    # bounded batch under the threshold runs without opt-in
+    assert pq_topk(df.where("vec_id < 3"), codes, books, k=3).count() > 0
