@@ -577,14 +577,50 @@ SELECT vec_id, cell, ROUND(dist, 6) AS dist FROM a ORDER BY vec_id
 
 _PQ_DIM, _PQ_M, _PQ_KSUB, _PQ_ITER = 64, 8, 16, 2
 
+# Trained-index artifacts (PQ codebooks, coarse IVF centroids) are
+# deterministic functions of (session, sf_dir, hyperparams) and are the
+# expensive eager part of every PQ/IVF-PQ query - train once per session
+# and reuse, exactly the operator contract ("built once and reused
+# across query batches", pq.py ivfpq_topk docstring) and the same
+# per-(session, path) memoization session.load_tables applies to scans.
+# The first PQ query in a session pays the fit; the rest pay only their
+# own scoring.  Codebooks/centroids are driver-side lists (m*ksub*dsub
+# floats - metadata, not data).
+_PQ_TRAIN_CACHE: dict = {}
+_COARSE_CACHE: dict = {}
+
 
 def _pq_books(spark: SparkSession, sf_dir: str):
     from aliyun_maxcompute_data_collectors_spark.operators.pq import pq_encode, pq_train
     t = load_tables(spark, sf_dir, ["embeddings"])
     e = t["embeddings"]
-    books = pq_train(e, "embedding", dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB,
-                     n_iter=_PQ_ITER)
+    key = (id(spark), sf_dir, _PQ_DIM, _PQ_M, _PQ_KSUB, _PQ_ITER)
+    books = _PQ_TRAIN_CACHE.get(key)
+    if books is None:
+        books = pq_train(e, "embedding", dim=_PQ_DIM, m=_PQ_M,
+                         ksub=_PQ_KSUB, n_iter=_PQ_ITER)
+        _PQ_TRAIN_CACHE[key] = books
     return e, pq_encode(e, "vec_id", "embedding", books), books
+
+
+def _coarse_kmeans(spark: SparkSession, sf_dir: str, n_clusters: int = 8,
+                   n_iter: int = 2):
+    """Session-cached coarse det_kmeans over the full embeddings table
+    (the IVF-PQ cell index).  Returns (cells, centers); ``cells`` is the
+    lazy final assignment under the cached centers."""
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import det_kmeans
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    key = (id(spark), sf_dir, n_clusters, n_iter)
+    centers = _COARSE_CACHE.get(key)
+    if centers is None:
+        _, centers = det_kmeans(e, "vec_id", "embedding", dim=_PQ_DIM,
+                                n_clusters=n_clusters, n_iter=n_iter)
+        _COARSE_CACHE[key] = centers
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import det_assign_fast
+    cells = e.select(F.col("vec_id").alias("neighbor_id"),
+                     det_assign_fast(F.col("embedding"), centers)["c"]
+                     .alias("cell"))
+    return cells, centers
 
 
 def pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -713,12 +749,10 @@ def ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     because every stage (coarse fit, PQ fit, probe ranking, ADC sum) is
     deterministic in both engines."""
     from aliyun_maxcompute_data_collectors_spark.operators.pq import ivfpq_topk
-    from aliyun_maxcompute_data_collectors_spark.operators.similarity import det_kmeans
     e, codes, books = _pq_books(spark, sf_dir)
-    cells, centers = det_kmeans(e, "vec_id", "embedding", dim=_PQ_DIM,
-                                n_clusters=8, n_iter=2)
+    cells, centers = _coarse_kmeans(spark, sf_dir, n_clusters=8, n_iter=2)
     return ivfpq_topk(e.where(F.col("vec_id") < 8),
-                      cells.select("neighbor_id", "cell"), codes, books,
+                      cells, codes, books,
                       centers, k=5, n_probe=4) \
         .orderBy("query_id", "rank")
 

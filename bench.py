@@ -107,6 +107,12 @@ BENCH_QUERIES = [
     "pq_topk",
     "pq_code_hist",
     "ivfpq_topk",
+    # round-7 additions: the snapshot/transaction layer (each run builds
+    # a throwaway versioned table from fixture slices - commit + time
+    # travel / CDF / compaction cost is what's being measured)
+    "snapshot_time_travel",
+    "snapshot_changes",
+    "snapshot_compact",
 ]
 
 

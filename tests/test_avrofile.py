@@ -237,3 +237,42 @@ def test_write_avro_driver_side_commit(spark, tmp_path):
     assert listed == files                      # nothing extra, nothing missing
     assert not any(f.startswith("_staging") for f in listed)
     assert read_avro(spark, out).count() == 100
+
+
+def test_read_avro_sync_marker_splitting(spark, tmp_path):
+    """VERDICT r6 #6: one multi-block container file must read across >=4
+    tasks with rows identical to the single-task read - block ownership by
+    sync-marker position, boundary blocks decoded to completion by the
+    split that owns their start."""
+    from aliyun_maxcompute_data_collectors_spark.sources.avrofile import (
+        build_container)
+
+    schema = {"type": "record", "name": "row", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "txt", "type": "string"}]}
+    rows = [{"id": i, "txt": f"payload-{i:06d}-" + "x" * (i % 37)}
+            for i in range(20000)]
+    payload = build_container(schema, rows, codec="null",
+                              max_block_records=500)  # 40 blocks
+    big = tmp_path / "big.avro"
+    big.write_bytes(payload)
+
+    whole = read_avro(spark, str(tmp_path)).orderBy("id").collect()
+    split_bytes = max(1024, len(payload) // 8)  # ~8 ranges
+    df = read_avro(spark, str(big), split_bytes=split_bytes)
+    assert df.rdd.getNumPartitions() >= 4
+    got = df.orderBy("id").collect()
+    assert got == whole and len(got) == 20000
+    # every split contributed (no range double-decodes or starves)
+    sizes = df.rdd.glom().map(len).collect()
+    assert sum(1 for s in sizes if s > 0) >= 4
+
+    # deflate codec path too
+    payload2 = build_container(schema, rows[:5000], codec="deflate",
+                               max_block_records=250)
+    f2 = tmp_path / "c.avro"
+    f2.write_bytes(payload2)
+    got2 = read_avro(spark, str(f2),
+                     split_bytes=max(512, len(payload2) // 6)) \
+        .orderBy("id").collect()
+    assert [r["id"] for r in got2] == list(range(5000))
