@@ -19,6 +19,10 @@ the driver's DuckDB row/schema/hash oracle:
   bin-packing; HEAD after compaction must preserve every row bit-for-bit
   and the version count pins that compaction COMMITS (history grows,
   nothing is rewritten in place).
+- ``snapshot_pruned_read``: manifest-based data skipping - a range read
+  over disjoint key-range files must prune to one file from [min, max]
+  stats alone, with the scanned-file count AND the row aggregate both
+  under the hash oracle.
 
 Each query builds its snapshot table in a throwaway temp dir from
 deterministic modulo slices of ``orders``, materializes the (tiny,
@@ -179,8 +183,55 @@ FROM u
 """
 
 
+def snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-based data skipping (r7): three appends of disjoint
+    key-range slices (one file each), then a range read that must prune
+    to exactly ONE file from manifest [min, max] stats alone -
+    ``n_files_scanned`` pins the prune in the hash oracle, and the row
+    aggregate pins that pruning never changed the answer.  The
+    Iceberg-manifest-stats shape: planning is O(files) driver metadata,
+    zero data IO."""
+    root = tempfile.mkdtemp(prefix="snap_prune_")
+    try:
+        o = load_tables(spark, sf_dir, ["orders"])["orders"].select(
+            "o_orderkey", "o_totalprice")
+        mx = o.agg(F.max("o_orderkey")).collect()[0][0]
+        b1, b2 = mx // 3, (2 * mx) // 3
+        lo, hi = b1 // 2, b1 - 1
+        tab = SnapshotTable.init(spark, root)
+        k = F.col("o_orderkey")
+        tab.append(o.where(k <= b1).coalesce(1))
+        tab.append(o.where((k > b1) & (k <= b2)).coalesce(1))
+        tab.append(o.where(k > b2).coalesce(1))
+        conj = [("o_orderkey", "between", (lo, hi))]
+        n_scanned = len(tab.prune_files(tab.manifest(), conj))
+        out = tab.read(where=conj[0]).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+            .cast("double").alias("sum_price"),
+        ).select("n_rows", "sum_key", "sum_price",
+                 F.lit(n_scanned).alias("n_files_scanned"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_PRUNED_READ_SQL = """
+WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+     pred AS (SELECT (m // 3) // 2 AS lo, (m // 3) - 1 AS hi FROM mx)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price,
+       1 AS n_files_scanned
+FROM orders, pred
+WHERE o_orderkey BETWEEN pred.lo AND pred.hi
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "snapshot_time_travel": (snapshot_time_travel, _TIME_TRAVEL_SQL),
     "snapshot_changes": (snapshot_changes, _CHANGES_SQL),
     "snapshot_compact": (snapshot_compact, _COMPACT_SQL),
+    "snapshot_pruned_read": (snapshot_pruned_read, _PRUNED_READ_SQL),
 }

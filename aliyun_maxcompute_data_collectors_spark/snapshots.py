@@ -66,6 +66,106 @@ def _fsync_write(path: str, payload: str) -> None:
     os.rename(tmp, path)
 
 
+# ---------------------------------------------------------------------------
+# per-file column statistics (manifest-based data skipping, r7)
+# ---------------------------------------------------------------------------
+# Commit-time capture reads parquet FOOTERS only (row-group min/max the
+# writer already computed - no data IO, no extra Spark job), and
+# ``read(where=...)`` prunes whole files from manifest metadata alone
+# before Spark ever lists them: the Iceberg manifest-stats / Delta
+# data-skipping design.  Only exactness-safe types are recorded (ints,
+# floats, bool, date, timestamp): parquet string stats may be truncated
+# by writers, so string predicates scan every file rather than risk a
+# wrong prune.  A file with no usable stats for a column is NEVER pruned
+# on that column (all-null chunks, legacy manifests) - skipping is an IO
+# optimization, not a correctness gate, and the residual filter is always
+# applied to the returned DataFrame.
+
+import datetime as _dt  # noqa: E402
+
+
+def _stat_to_json(v):
+    if isinstance(v, bool) or isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, _dt.datetime):
+        return {"t": "ts", "v": v.isoformat()}
+    if isinstance(v, _dt.date):
+        return {"t": "d", "v": v.isoformat()}
+    return None  # unsupported -> column not statable in this file
+
+
+def _stat_from_json(v):
+    if isinstance(v, dict):
+        if v.get("t") == "ts":
+            return _dt.datetime.fromisoformat(v["v"])
+        if v.get("t") == "d":
+            return _dt.date.fromisoformat(v["v"])
+        return None
+    return v
+
+
+def _collect_file_stats(path: str) -> dict[str, list]:
+    """{col: [min_json, max_json]} from one parquet file's footer; a column
+    appears only if EVERY row group has exact min/max of a safe type."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    acc: dict[str, list | None] = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaf - not a top-level scalar
+                acc[name.split(".")[0]] = None
+                continue
+            st = col.statistics
+            if (st is None or not st.has_min_max
+                    or isinstance(st.min, (bytes, str))):
+                acc[name] = None
+                continue
+            lo, hi = _stat_to_json(st.min), _stat_to_json(st.max)
+            if lo is None or hi is None:
+                acc[name] = None
+                continue
+            cur = acc.get(name)
+            if cur is None and name in acc:
+                continue  # earlier row group disqualified it
+            if cur is None:
+                acc[name] = [lo, hi]
+            else:
+                a0, a1 = _stat_from_json(cur[0]), _stat_from_json(cur[1])
+                acc[name] = [
+                    _stat_to_json(min(a0, _stat_from_json(lo))),
+                    _stat_to_json(max(a1, _stat_from_json(hi)))]
+    return {k: v for k, v in acc.items() if v is not None}
+
+
+_PRUNE_OPS = ("==", "=", "<", "<=", ">", ">=", "between")
+
+
+def _interval_may_match(lo, hi, op: str, value) -> bool:
+    """Can any row with col in [lo, hi] satisfy ``col <op> value``?
+    NULL rows never satisfy a comparison, so value-interval logic is
+    null-safe."""
+    try:
+        if op in ("==", "="):
+            return lo <= value <= hi
+        if op == "<":
+            return lo < value
+        if op == "<=":
+            return lo <= value
+        if op == ">":
+            return hi > value
+        if op == ">=":
+            return hi >= value
+        if op == "between":
+            a, b = value
+            return not (hi < a or lo > b)
+    except TypeError:
+        return True  # incomparable literal type - never prune on it
+    raise SnapshotError(f"unsupported prune op {op!r}")
+
+
 class SnapshotTable:
     """A versioned parquet table rooted at ``path``.
 
@@ -128,7 +228,8 @@ class SnapshotTable:
         return out
 
     def _commit_manifest(self, parent: int | None, files: list[str],
-                         rows: int, operation: str) -> int:
+                         rows: int, operation: str,
+                         stats: dict | None = None) -> int:
         """Publish a new snapshot.  Commit lock + parent check = optimistic
         concurrency; the HEAD swap itself is one atomic rename."""
         lock = os.path.join(self._root, "COMMIT_LOCK")
@@ -152,6 +253,8 @@ class SnapshotTable:
                 "operation": operation,
                 "files": files,
                 "rows": rows,
+                "stats": {f: s for f, s in (stats or {}).items()
+                          if f in set(files)},
                 "timestamp_ms": int(time.time() * 1000),
             }
             _fsync_write(self._manifest_path(version),
@@ -163,10 +266,12 @@ class SnapshotTable:
             os.remove(lock)
 
     # -- IO ----------------------------------------------------------------
-    def _write_files(self, df: DataFrame) -> tuple[list[str], int]:
+    def _write_files(self, df: DataFrame) -> tuple[list[str], int, dict]:
         """Materialize ``df`` as immutable files in a fresh staging dir.
         Nothing references them until a manifest commits - a crash here
-        leaves only invisible garbage for vacuum."""
+        leaves only invisible garbage for vacuum.  Returns
+        (files, row_count, per-file column stats) - stats come from the
+        parquet footers the writer just produced (metadata-only IO)."""
         stage = os.path.join(self._root, "files", uuid.uuid4().hex)
         df.write.mode("errorifexists").parquet(stage)
         files = sorted(
@@ -175,28 +280,86 @@ class SnapshotTable:
         n = 0
         if files:
             n = self.spark.read.parquet(*files).count()
-        return files, n
+        stats = {f: _collect_file_stats(f) for f in files}
+        return files, n, stats
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None,
+             where: tuple | list | None = None) -> DataFrame:
         """Snapshot-isolated scan: resolves the manifest ONCE; later
-        commits never disturb this DataFrame (its files are immutable)."""
+        commits never disturb this DataFrame (its files are immutable).
+
+        ``where`` enables MANIFEST-BASED DATA SKIPPING (r7): one
+        ``(col, op, value)`` conjunct or a list of them, op in
+        {==, <, <=, >, >=, between}.  Files whose recorded [min, max]
+        interval cannot satisfy every conjunct are dropped from the scan
+        BEFORE Spark lists them - planning cost is O(files) driver
+        metadata, zero data IO, the Iceberg manifest-stats shape.  The
+        predicate is ALWAYS also applied to the returned rows, so
+        results are exact whether or not stats exist (legacy manifests,
+        all-null chunks, string columns prune nothing and just scan)."""
         m = self.manifest(version)
         if not m["files"]:
             raise SnapshotError(
                 f"{self.path} v{m['version']} is empty with no schema; "
                 "append first")
-        return self.spark.read.parquet(*m["files"])
+        files = m["files"]
+        conjuncts = []
+        if where is not None:
+            conjuncts = [where] if isinstance(where, tuple) else list(where)
+            for col, op, value in conjuncts:
+                if op not in _PRUNE_OPS:
+                    raise SnapshotError(f"unsupported prune op {op!r}")
+            files = self.prune_files(m, conjuncts)
+        if not files:
+            # every file pruned: preserve the schema with an empty scan
+            # of one manifest file plus an always-false filter
+            df = self.spark.read.parquet(m["files"][0]).where(F.lit(False))
+        else:
+            df = self.spark.read.parquet(*files)
+        for col, op, value in conjuncts:
+            if op in ("==", "="):
+                df = df.where(F.col(col) == F.lit(value))
+            elif op == "between":
+                df = df.where(F.col(col).between(F.lit(value[0]),
+                                                 F.lit(value[1])))
+            else:
+                expr = {"<": F.col(col) < F.lit(value),
+                        "<=": F.col(col) <= F.lit(value),
+                        ">": F.col(col) > F.lit(value),
+                        ">=": F.col(col) >= F.lit(value)}[op]
+                df = df.where(expr)
+        return df
+
+    def prune_files(self, manifest: dict, conjuncts: list) -> list[str]:
+        """Manifest-stats file pruning: keep a file unless SOME conjunct
+        provably excludes it.  Missing stats keep the file (safe)."""
+        stats = manifest.get("stats") or {}
+        kept = []
+        for f in manifest["files"]:
+            fstats = stats.get(f) or {}
+            keep = True
+            for col, op, value in conjuncts:
+                iv = fstats.get(col)
+                if iv is None:
+                    continue  # no usable stats -> cannot exclude
+                lo, hi = _stat_from_json(iv[0]), _stat_from_json(iv[1])
+                if not _interval_may_match(lo, hi, op, value):
+                    keep = False
+                    break
+            if keep:
+                kept.append(f)
+        return kept
 
     def append(self, df: DataFrame) -> int:
         """New snapshot = parent's files + newly written files.  No data
         is rewritten - commit cost is one manifest, like W1's atomic
         append (OdpsBatchWrite.scala commit) with history kept."""
         parent = self.current_version()
-        pfiles = self.manifest(parent)["files"]
-        files, n = self._write_files(df)
+        pm = self.manifest(parent)
+        files, n, stats = self._write_files(df)
         return self._commit_manifest(
-            parent, pfiles + files, self.manifest(parent)["rows"] + n,
-            "append")
+            parent, pm["files"] + files, pm["rows"] + n, "append",
+            stats={**(pm.get("stats") or {}), **stats})
 
     def overwrite(self, df: DataFrame) -> int:
         """New snapshot from a fresh file list.  The input may lazily read
@@ -204,8 +367,9 @@ class SnapshotTable:
         never deleted by this commit, so no eager localCheckpoint is
         needed - the exact hazard the plain-parquet CDC path pays for."""
         parent = self.current_version()
-        files, n = self._write_files(df)
-        return self._commit_manifest(parent, files, n, "overwrite")
+        files, n, stats = self._write_files(df)
+        return self._commit_manifest(parent, files, n, "overwrite",
+                                     stats=stats)
 
     def rollback(self, version: int) -> int:
         """Publish a NEW snapshot that restores ``version``'s file list
@@ -213,7 +377,8 @@ class SnapshotTable:
         parent = self.current_version()
         m = self.manifest(version)
         return self._commit_manifest(parent, m["files"], m["rows"],
-                                     f"rollback->v{version}")
+                                     f"rollback->v{version}",
+                                     stats=m.get("stats"))
 
     def changes(self, since: int, until: int | None = None) -> DataFrame:
         """Row-level changes between two snapshots as a DataFrame with a
@@ -313,14 +478,16 @@ class SnapshotTable:
         n_out = max(1, -(-small_bytes // target_file_bytes))
         small_df = self.spark.read.parquet(*small)
         n_small = small_df.count()
-        files, n_new = self._write_files(small_df.coalesce(n_out))
+        files, n_new, stats = self._write_files(small_df.coalesce(n_out))
         if n_new != n_small:
             raise SnapshotError(
                 f"{self.path}: compaction row-count mismatch "
                 f"({n_small} in, {n_new} out) - aborting before commit; "
                 "staged files are unreferenced garbage for vacuum")
+        kept_stats = {f: s for f, s in (m.get("stats") or {}).items()
+                      if f in set(keep)}
         return self._commit_manifest(parent, keep + files, m["rows"],
-                                     "compact")
+                                     "compact", stats={**kept_stats, **stats})
 
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Drop staging dirs unreferenced by the ``keep_last`` most recent

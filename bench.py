@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "snapshot_time_travel",
     "snapshot_changes",
     "snapshot_compact",
+    "snapshot_pruned_read",
 ]
 
 

@@ -46,7 +46,41 @@ SPOT = [
     "udtf_tokens", "pivot_priority", "variant_extract",
     "q3_shipping_priority", "topk_per_group", "asof_join_events",
     "zscore_anomalies", "scd2_users", "pareto_parts",
+    # round-7 additions (VERDICT r6 ask #7): the snapshot/transaction
+    # layer and an Avro write->split-read cycle get the same superlinear
+    # screening as the query families
+    "snapshot_time_travel", "snapshot_changes", "snapshot_compact",
+    "avro_cycle",
 ]
+
+
+def _avro_cycle(spark, sf_dir: str):
+    """write_avro of a bounded orders slice (3% of keys - linear in the
+    corpus via the scan, bounded per-row Python encode) then read it back
+    through sync-marker splitting; returns the verified row count."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aliyun_maxcompute_data_collectors_spark.session import load_tables
+    from aliyun_maxcompute_data_collectors_spark.sources.avrofile import (
+        read_avro, write_avro)
+
+    o = (load_tables(spark, sf_dir, ["orders"])["orders"]
+         .where(F.col("o_orderkey") % 100 < 3)
+         .select("o_orderkey", "o_custkey", "o_totalprice"))
+    d = tempfile.mkdtemp(prefix="avro_smoke_")
+    try:
+        write_avro(o, d)
+        n = read_avro(spark, d, split_bytes=8 << 20).count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.range(1).select(F.lit(n).alias("n_rows"))
+
+
+# non-registry smoke subjects (source/sink layers exercised end-to-end)
+EXTRAS = {"avro_cycle": _avro_cycle}
 
 SMOKE_PATH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "SCALE_SMOKE10.json")
@@ -71,9 +105,12 @@ def main() -> None:
     spark = get_spark("sf10-smoke")
     spark.sparkContext.setLogLevel("ERROR")
     for name in names:
-        if name not in REGISTRY:
+        if name in REGISTRY:
+            fn = REGISTRY[name][0]
+        elif name in EXTRAS:
+            fn = EXTRAS[name]
+        else:
             continue
-        fn = REGISTRY[name][0]
         t1 = _time(spark, fn, sf1)
         t10 = _time(spark, fn, sf10)
         ratio = round(t10 / t1, 2) if t1 else None

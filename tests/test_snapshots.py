@@ -69,7 +69,7 @@ def test_rollback_restores_old_file_list(spark, table):
 
 def test_conflicting_commit_raises(spark, table):
     table.append(_df(spark, [(1, "a")]))
-    files, n = table._write_files(_df(spark, [(2, "b")]))
+    files, n, _stats = table._write_files(_df(spark, [(2, "b")]))
     stale_parent = table.current_version()
     table.append(_df(spark, [(3, "c")]))  # someone else commits first
     with pytest.raises(SnapshotConflict, match="no longer HEAD"):
@@ -218,3 +218,77 @@ def test_init_twice_raises(spark, tmp_path):
     SnapshotTable.init(spark, str(tmp_path / "x"))
     with pytest.raises(SnapshotError, match="already"):
         SnapshotTable.init(spark, str(tmp_path / "x"))
+
+
+def test_manifest_stats_recorded_at_commit(spark, table):
+    """r7 data skipping: every commit records per-file [min, max] for
+    exactness-safe columns straight from the parquet footers."""
+    table.append(_df(spark, [(1, "a"), (5, "b")]).coalesce(1))
+    m = table.manifest()
+    stats = m["stats"]
+    assert len(stats) == 1
+    (fstats,) = stats.values()
+    assert fstats["id"] == [1, 5]
+    assert "v" not in fstats  # string stats may be truncated -> not recorded
+
+
+def test_read_where_prunes_files_and_filters_rows(spark, table):
+    """Disjoint-range appends: a point/range predicate must drop every
+    non-overlapping file from the scan (manifest metadata only) and still
+    return exactly the filtered rows."""
+    for lo in (0, 100, 200, 300):
+        table.append(
+            spark.createDataFrame([(lo + i, f"r{lo+i}") for i in range(10)],
+                                  "id long, v string").coalesce(1))
+    m = table.manifest()
+    assert len(m["files"]) == 4
+
+    pruned = table.prune_files(m, [("id", "between", (105, 108))])
+    assert len(pruned) == 1
+    got = table.read(where=("id", "between", (105, 108))).collect()
+    assert sorted(r["id"] for r in got) == [105, 106, 107, 108]
+
+    # id >= 250: only the [300, 309] file can overlap ([200, 209] cannot)
+    assert len(table.prune_files(m, [("id", ">=", 250)])) == 1
+    got2 = table.read(where=("id", ">=", 250)).collect()
+    assert sorted(r["id"] for r in got2) == list(range(300, 310))
+
+    # conjunction: each conjunct prunes independently
+    got3 = table.read(where=[("id", ">=", 100), ("id", "<", 105)]).collect()
+    assert sorted(r["id"] for r in got3) == [100, 101, 102, 103, 104]
+    assert len(table.prune_files(
+        m, [("id", ">=", 100), ("id", "<", 105)])) == 1
+
+    # fully pruned range: empty result, schema preserved
+    empty = table.read(where=("id", "between", (1000, 2000)))
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id", "v"]
+
+
+def test_read_where_never_wrong_without_stats(spark, table):
+    """Predicates on columns without usable stats (strings) scan all files
+    - pruning is an optimization, never a correctness gate."""
+    table.append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    table.append(_df(spark, [(3, "c"), (4, "d")]).coalesce(1))
+    m = table.manifest()
+    assert len(table.prune_files(m, [("v", "==", "c")])) == len(m["files"])
+    got = table.read(where=("v", "==", "c")).collect()
+    assert [(r["id"], r["v"]) for r in got] == [(3, "c")]
+
+
+def test_stats_follow_rollback_and_compact(spark, table):
+    """Rollback republches the target's stats; compaction carries kept
+    files' stats and records fresh footer stats for the packed files."""
+    table.append(_df(spark, [(i, "x") for i in range(5)]).coalesce(1))
+    va = table.current_version()
+    table.append(_df(spark, [(i, "y") for i in range(100, 105)]).coalesce(1))
+    table.compact()
+    m = table.manifest()
+    assert m["operation"] == "compact"
+    # compacted file's footer stats span both inputs
+    assert len(table.prune_files(m, [("id", ">=", 1000)])) == 0
+    assert len(table.prune_files(m, [("id", "==", 102)])) == len(m["files"])
+    table.rollback(va)
+    mr = table.manifest()
+    assert mr["stats"] and set(mr["stats"]) == set(mr["files"])
+    assert len(table.prune_files(mr, [("id", ">=", 100)])) == 0
