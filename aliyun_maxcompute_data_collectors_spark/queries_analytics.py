@@ -581,6 +581,11 @@ def recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed partitions; later session queries see the default
     valve again."""
     key = "spark.sql.cteRecursionRowLimit"
+    # restore must distinguish "explicitly set" from "engine default":
+    # conf.get returns the default either way, and re-SETting the default
+    # would leave the key explicitly set - a diff the driver harness's
+    # conf-leak check (driver_sim.py) rightly flags
+    explicit = any(r["key"] == key for r in spark.sql("SET").collect())
     prior = spark.conf.get(key)
     spark.conf.set(key, str(2**31 - 1))
     try:
@@ -588,7 +593,10 @@ def recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["part"].createOrReplaceTempView("part")
         return spark.sql(_RECURSIVE_SQL).localCheckpoint(eager=True)
     finally:
-        spark.conf.set(key, prior)
+        if explicit:
+            spark.conf.set(key, prior)
+        else:
+            spark.conf.unset(key)
 
 
 # ---------------------------------------------------------------------------

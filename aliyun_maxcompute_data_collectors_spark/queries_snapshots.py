@@ -229,9 +229,58 @@ WHERE o_orderkey BETWEEN pred.lo AND pred.hi
 """
 
 
+def snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional ANSI MERGE on a snapshot table (r7): target = keys
+    ending 0-4, source = keys ending 3-6 at doubled price; WHEN MATCHED
+    deletes key%10==4, otherwise updates the price; WHEN NOT MATCHED
+    inserts (keys ending 5-6).  HEAD after the one-commit merge must hold
+    exactly the clause algebra the oracle recomputes per key bucket."""
+    root = tempfile.mkdtemp(prefix="snap_merge_")
+    try:
+        o = load_tables(spark, sf_dir, ["orders"])["orders"].select(
+            "o_orderkey", "o_totalprice")
+        m = F.col("o_orderkey") % 10
+        tab = SnapshotTable.init(spark, root)
+        tab.append(o.where(m < 5))
+        src = (o.where((m >= 3) & (m <= 6))
+               .select("o_orderkey",
+                       (F.col("o_totalprice") * 2).alias("o_totalprice")))
+        tab.merge(
+            src, "t.o_orderkey = s.o_orderkey",
+            matched=[("s.o_orderkey % 10 = 4", "delete"),
+                     (None, {"o_totalprice": "s.o_totalprice"})],
+            not_matched=(None, "*"))
+        out = (tab.read()
+               .groupBy(m.cast("int").alias("bucket"))
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("o_orderkey").cast("long").alias("sum_key"),
+                    F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+                    .cast("double").alias("sum_price")))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_MERGE_SQL = """
+WITH res AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 IN (0, 1, 2)
+  UNION ALL
+  SELECT o_orderkey, o_totalprice * 2 FROM orders WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey, o_totalprice * 2 FROM orders WHERE o_orderkey % 10 IN (5, 6)
+)
+SELECT CAST(o_orderkey % 10 AS INT) AS bucket, COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
+FROM res
+GROUP BY bucket
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "snapshot_time_travel": (snapshot_time_travel, _TIME_TRAVEL_SQL),
     "snapshot_changes": (snapshot_changes, _CHANGES_SQL),
     "snapshot_compact": (snapshot_compact, _COMPACT_SQL),
     "snapshot_pruned_read": (snapshot_pruned_read, _PRUNED_READ_SQL),
+    "snapshot_merge": (snapshot_merge, _MERGE_SQL),
 }

@@ -380,6 +380,36 @@ class SnapshotTable:
                                      f"rollback->v{version}",
                                      stats=m.get("stats"))
 
+    def merge(self, source: DataFrame, on: str, *,
+              matched=None, not_matched=None, not_matched_by_source=None,
+              target_alias: str = "t", source_alias: str = "s",
+              validate_cardinality: bool = True) -> int:
+        """Transactional ANSI MERGE INTO this table (r7): read one pinned
+        snapshot, apply ``operators.merge.merge_into`` (same clause
+        surface - WHEN MATCHED update/delete, WHEN NOT MATCHED insert,
+        WHEN NOT MATCHED BY SOURCE), publish the result as ONE commit.
+
+        The parent version is pinned BEFORE the merge plan reads the
+        table, so a concurrent commit between read and publish fails the
+        parent-is-still-HEAD check and raises SnapshotConflict with
+        nothing published - re-calling re-reads the new HEAD (optimistic
+        retry).  Pinned readers of older snapshots are undisturbed; this
+        is the lakehouse MERGE the plain-parquet path can't make atomic
+        (reference parity: Sqoop MergeJob / OGG CDC apply composed with
+        OdpsBatchWrite's publish-on-commit, J2 + W1)."""
+        from aliyun_maxcompute_data_collectors_spark.operators.merge import merge_into
+
+        parent = self.current_version()
+        merged = merge_into(
+            self.read(parent), source, on, matched=matched,
+            not_matched=not_matched,
+            not_matched_by_source=not_matched_by_source,
+            target_alias=target_alias, source_alias=source_alias,
+            validate_cardinality=validate_cardinality)
+        files, n, stats = self._write_files(merged)
+        return self._commit_manifest(parent, files, n, "merge",
+                                     stats=stats)
+
     def changes(self, since: int, until: int | None = None) -> DataFrame:
         """Row-level changes between two snapshots as a DataFrame with a
         ``_change_type`` column (``insert`` / ``delete``; an update is a

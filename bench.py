@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "snapshot_changes",
     "snapshot_compact",
     "snapshot_pruned_read",
+    "snapshot_merge",
 ]
 
 

@@ -292,3 +292,47 @@ def test_stats_follow_rollback_and_compact(spark, table):
     mr = table.manifest()
     assert mr["stats"] and set(mr["stats"]) == set(mr["files"])
     assert len(table.prune_files(mr, [("id", ">=", 100)])) == 0
+
+
+def test_merge_commits_one_transactional_snapshot(spark, table):
+    """r7: ANSI MERGE (update + delete + insert) publishes as ONE commit;
+    pinned readers of the pre-merge snapshot are undisturbed."""
+    table.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    v0 = table.current_version()
+    pinned = table.read(v0)
+    src = spark.createDataFrame(
+        [(2, "B2"), (3, "del"), (4, "d")], "id long, v string")
+    table.merge(
+        src, "t.id = s.id",
+        matched=[("s.v = 'del'", "delete"), (None, {"v": "s.v"})],
+        not_matched=(None, "*"))
+    got = {r["id"]: r["v"] for r in table.read().collect()}
+    assert got == {1: "a", 2: "B2", 4: "d"}
+    assert table.manifest()["operation"] == "merge"
+    assert sorted(r["id"] for r in pinned.collect()) == [1, 2, 3]
+
+
+def test_merge_detects_concurrent_commit(spark, table, tmp_path):
+    """A commit landing between the merge's pinned read and its publish
+    must raise SnapshotConflict with nothing published."""
+    from aliyun_maxcompute_data_collectors_spark.snapshots import SnapshotTable
+
+    table.append(_df(spark, [(1, "a")]))
+    # simulate the race: another handle commits after we capture parent
+    other = SnapshotTable(spark, table.path)
+
+    orig = table._write_files
+
+    def race_then_write(df):
+        other.append(_df(spark, [(99, "z")]))
+        return orig(df)
+
+    table._write_files = race_then_write
+    try:
+        with pytest.raises(SnapshotConflict, match="no longer HEAD"):
+            table.merge(spark.createDataFrame([(1, "A")], "id long, v string"),
+                        "t.id = s.id", matched=[(None, {"v": "s.v"})])
+    finally:
+        table._write_files = orig
+    # the interloper's commit is HEAD; the failed merge published nothing
+    assert sorted(r["id"] for r in table.read().collect()) == [1, 99]
