@@ -398,9 +398,23 @@ def det_kmeans(
     n_clusters: int,
     n_iter: int = 2,
     seed: int = 42,
+    centers: list[list[float]] | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Deterministic Lloyd's: returns (cells, centers) like ivf_build, with
-    cells = (neighbor_id, cv, cell) under the final centers."""
+    cells = (neighbor_id, cv, cell) under the final centers.
+
+    ``centers`` (r7) skips the fit entirely and assigns under the given
+    centroids - the train-once/assign-many reuse path (a session-cached
+    or persisted index).  The fit's dirty-input validation ran when those
+    centers were produced; assignment alone tolerates what the fold
+    tolerates (NULL/ragged -> cell 0 with NULL distance)."""
+    if centers is not None:
+        src = df.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).alias("cv"))
+        cells = src.select(
+            "neighbor_id", "cv",
+            det_assign_fast(F.col("cv"), centers)["c"].alias("cell"))
+        return cells, centers
     centers = det_kmeans_init(dim, n_clusters, seed)
     # (id, vec) projection shared by every Lloyd's iteration and the final
     # assignment; kept lazy - measured at sf0.1, an eager localCheckpoint
@@ -485,12 +499,14 @@ def det_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centers: list[list[float]] | None = None,
 ) -> DataFrame:
     """ivf_topk on the deterministic quantizer - identical plan shape
     (probe n_probe cells by centroid dot, exact re-rank within cells), but
-    every number is reproducible in a second engine."""
+    every number is reproducible in a second engine.  ``centers`` reuses a
+    trained quantizer (skips the fit - the production index shape)."""
     cells, centers = det_kmeans(corpus, id_col, vec_col, dim, n_clusters,
-                                n_iter, seed)
+                                n_iter, seed, centers=centers)
     return ivf_query(cells, centers, queries, k, n_probe, id_col, vec_col)
 
 
@@ -503,12 +519,15 @@ def det_semantic_dedup(
     n_clusters: int = 8,
     n_iter: int = 2,
     seed: int = 42,
+    centers: list[list[float]] | None = None,
 ) -> DataFrame:
     """semantic_dedup (SemDeDup: cluster-blocked cosine pairs -> transitive
-    closure -> keep min-id representative) on the deterministic quantizer."""
+    closure -> keep min-id representative) on the deterministic quantizer.
+    ``centers`` reuses a trained quantizer (skips the fit)."""
     from aliyun_maxcompute_data_collectors_spark.operators.graph import connected_components
 
-    cells, _ = det_kmeans(df, id_col, vec_col, dim, n_clusters, n_iter, seed)
+    cells, _ = det_kmeans(df, id_col, vec_col, dim, n_clusters, n_iter, seed,
+                          centers=centers)
     # both sides of the within-cell self-join reference cells; without a
     # lineage cut each side re-runs the full assignment pass (the dominant
     # cost) - identical to the signature checkpoint in minhash_lsh_pairs

@@ -513,11 +513,15 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only; similarity.semantic_dedup keeps the Spark-ML fit for
     production convergence)."""
     from aliyun_maxcompute_data_collectors_spark.operators.similarity import det_semantic_dedup
+    from aliyun_maxcompute_data_collectors_spark.queries_llm import _coarse_centers
     t = load_tables(spark, sf_dir, ["embeddings"])
     # the synthetic embeddings have no 0.9+ twins (max off-diagonal cosine is
     # ~0.51); 0.40 exercises real drops while staying "nearest neighbors only"
+    # r7: the coarse quantizer is the session-cached shared one (identical
+    # dim/k/iters/seed to ivf_topk/ivfpq_topk - train once, assign many)
     kept = det_semantic_dedup(t["embeddings"], dim=64, threshold=0.40,
-                              n_clusters=8, n_iter=2)
+                              n_clusters=8, n_iter=2,
+                              centers=_coarse_centers(spark, sf_dir))
     return kept.select("vec_id")
 
 

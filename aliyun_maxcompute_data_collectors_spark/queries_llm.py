@@ -433,7 +433,8 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
     e = t["embeddings"]
     return det_ivf_topk(e.where(F.col("vec_id") < 8), e, dim=64, k=5,
-                        n_clusters=8, n_probe=4, n_iter=2) \
+                        n_clusters=8, n_probe=4, n_iter=2,
+                        centers=_coarse_centers(spark, sf_dir)) \
         .orderBy("query_id", "rank")
 
 
@@ -603,11 +604,11 @@ def _pq_books(spark: SparkSession, sf_dir: str):
     return e, pq_encode(e, "vec_id", "embedding", books), books
 
 
-def _coarse_kmeans(spark: SparkSession, sf_dir: str, n_clusters: int = 8,
-                   n_iter: int = 2):
-    """Session-cached coarse det_kmeans over the full embeddings table
-    (the IVF-PQ cell index).  Returns (cells, centers); ``cells`` is the
-    lazy final assignment under the cached centers."""
+def _coarse_centers(spark: SparkSession, sf_dir: str, n_clusters: int = 8,
+                    n_iter: int = 2) -> list[list[float]]:
+    """Session-cached coarse det_kmeans centroids over the full embeddings
+    table - the shared quantizer behind ivf_topk / ivfpq_topk /
+    semantic_dedup (same dim/k/iters/seed)."""
     from aliyun_maxcompute_data_collectors_spark.operators.similarity import det_kmeans
     e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     key = (id(spark), sf_dir, n_clusters, n_iter)
@@ -616,11 +617,20 @@ def _coarse_kmeans(spark: SparkSession, sf_dir: str, n_clusters: int = 8,
         _, centers = det_kmeans(e, "vec_id", "embedding", dim=_PQ_DIM,
                                 n_clusters=n_clusters, n_iter=n_iter)
         _COARSE_CACHE[key] = centers
-    from aliyun_maxcompute_data_collectors_spark.operators.similarity import det_assign_fast
-    cells = e.select(F.col("vec_id").alias("neighbor_id"),
-                     det_assign_fast(F.col("embedding"), centers)["c"]
-                     .alias("cell"))
-    return cells, centers
+    return centers
+
+
+def _coarse_kmeans(spark: SparkSession, sf_dir: str, n_clusters: int = 8,
+                   n_iter: int = 2):
+    """(cells, centers) under the session-cached centroids; ``cells`` is
+    the lazy assignment pass (train-once/assign-many)."""
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import det_kmeans
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    centers = _coarse_centers(spark, sf_dir, n_clusters, n_iter)
+    cells, _ = det_kmeans(e, "vec_id", "embedding", dim=_PQ_DIM,
+                          n_clusters=n_clusters, n_iter=n_iter,
+                          centers=centers)
+    return cells.select("neighbor_id", "cell"), centers
 
 
 def pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:

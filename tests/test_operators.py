@@ -1437,3 +1437,26 @@ def test_det_kmeans_rejects_dirty_vectors(spark):
         [(1, [1.0]), (2, [3.0])], "id long, v array<double>")
     with _pytest.raises(ValueError, match="ragged"):
         det_kmeans(short, "id", "v", dim=2, n_clusters=2, n_iter=1)
+
+
+def test_det_kmeans_centers_reuse_matches_fit(spark):
+    """r7 train-once/assign-many: det_kmeans(centers=fit_centers) must
+    produce exactly the fit's assignment (same fold arithmetic), with no
+    fit jobs run."""
+    import random as _r
+
+    from aliyun_maxcompute_data_collectors_spark.operators.similarity import (
+        det_kmeans)
+
+    rng = _r.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cells_fit, centers = det_kmeans(df, "vec_id", "embedding", dim=8,
+                                    n_clusters=4, n_iter=2)
+    cells_reuse, centers2 = det_kmeans(df, "vec_id", "embedding", dim=8,
+                                       n_clusters=4, n_iter=2,
+                                       centers=centers)
+    assert centers2 == centers
+    a = {r["neighbor_id"]: r["cell"] for r in cells_fit.collect()}
+    b = {r["neighbor_id"]: r["cell"] for r in cells_reuse.collect()}
+    assert a == b
