@@ -844,6 +844,115 @@ def span_dedup(
 
 
 # ---------------------------------------------------------------------------
+# stride-1 exact substring dedup (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Exact substring deduplication at stride 1 (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): remove
+    from each document every word position covered by a ``k``-word
+    window whose text occurs at a lexicographically earlier
+    (doc, position) anywhere in the corpus.  Unlike :func:`span_dedup`
+    (aligned windows only - C4's cheaper rule), this catches duplicated
+    passages at ANY offset, the common case for boilerplate shifted by a
+    prefix.  The paper builds a corpus suffix array on one machine; the
+    Spark-first equivalent materializes stride-1 k-gram fingerprints and
+    resolves first-occurrence by hash aggregation - the standard
+    distributed reformulation (each duplicated substring of length
+    >= k is fully covered by its duplicated k-windows, so coverage
+    removal is equivalent on word boundaries).
+
+    Reference parity: the reference engines dedup whole rows only; this
+    is a training-data-pipeline extension (SURVEY beyond-reference
+    scope).
+
+    Plan shape (scale notes):
+      1. stride-1 explode: one row per word position (~total token
+         count; narrow, no shuffle);
+      2. hash-groupBy fingerprint -> (min (id,pos) winner, count) -
+         partial-aggregable, so a boilerplate window repeated in 10^6
+         docs costs one combiner row per input partition, never a
+         hot-key sort (this is why it is NOT a row_number window);
+      3. fp-equi join back (1 winner row per fp, no fanout) keeps only
+         non-first occurrences ("dup windows");
+      4. everything downstream is restricted to AFFECTED docs by a
+         semi-join, so the word-level explode + coverage anti-join cost
+         scales with the duplicated subset, not the corpus.
+    Four key-partitioned shuffles; nothing quadratic, no hot-key sorts.
+
+    Returns one row per AFFECTED doc (docs with zero duplicated windows
+    pass through unchanged and are not emitted):
+    ``(id, n_words, n_removed, text_dedup)`` - ``text_dedup`` is the
+    document with covered words removed ('' if fully covered).
+    """
+    if k < 2:
+        raise ValueError("substring_dedup needs k >= 2")
+    base = (
+        df.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(F.col(id_col).alias("id"),
+                F.split(F.trim(F.col(text_col)), r"\s+").alias("words"))
+        .withColumn("n_words", F.size("words"))
+    )
+    grams = (
+        base.where(F.col("n_words") >= k)
+        .select("id",
+                F.explode(F.sequence(F.lit(0), F.col("n_words") - k)).alias("pos"),
+                "words")
+        .select("id", "pos",
+                F.md5(F.array_join(
+                    F.slice("words", F.col("pos") + 1, k), " ")).alias("fp"))
+    )
+    winners = grams.groupBy("fp").agg(
+        F.min(F.struct(F.col("id").alias("d"), F.col("pos").alias("p"))).alias("w"),
+        F.count(F.lit(1)).alias("c"))
+    # persist() is LAZY and pays for itself immediately: ``dup`` feeds four
+    # downstream consumers (affected x2, cover x2), and without the cache
+    # the whole gram-explode + winner-agg + join subtree - the dominant
+    # cost - re-executes once per consumer.  ``dup`` itself is only the
+    # duplicated occurrences (small by construction on a mostly-unique
+    # corpus), so the cached footprint is bounded by the dup rate, not the
+    # corpus.  Falls out of scope with the returned DataFrame.
+    dup = (
+        grams.join(winners.where(F.col("c") >= 2), "fp")
+        .where(~((F.col("id") == F.col("w.d")) & (F.col("pos") == F.col("w.p"))))
+        .select("id", "pos")
+        .persist()
+    )
+    affected = dup.select("id").distinct()
+    cover = (
+        dup.select("id", F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("wpos"))
+        .distinct()
+    )
+    words_pos = (
+        base.join(affected, "id")
+        .select("id", "n_words", F.posexplode("words").alias("wpos", "word"))
+    )
+    kept = words_pos.join(cover, ["id", "wpos"], "left_anti")
+    kept_text = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("wpos", "word"))),
+                lambda s: s["word"]),
+            " ").alias("text_dedup"))
+    removed = cover.groupBy("id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_removed"))
+    return (
+        base.join(affected, "id")
+        .select("id", "n_words")
+        .join(removed, "id")
+        .join(kept_text, "id", "left")
+        .select("id", "n_words", "n_removed",
+                F.coalesce("text_dedup", F.lit("")).alias("text_dedup"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -1930,6 +1930,68 @@ FROM kept GROUP BY doc_id
 """
 
 
+def substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-1 exact substring dedup (dedup.substring_dedup, Lee et al.
+    2022): remove every word covered by a 20-word window whose text was
+    already seen at a lexicographically earlier (doc, position) at ANY
+    offset; emit per-affected-doc removal counts + md5 of the rebuilt
+    text so the driver compare stays narrow."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    out = D.substring_dedup(t["documents"], "doc_id", "text", k=20)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_words", "n_removed",
+        F.md5("text_dedup").alias("text_md5"))
+
+
+_SUBSTRING_DEDUP_SQL = """
+WITH b AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS words,
+         len(string_split_regex(trim(text), '\\s+')) AS n_words
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+g AS (
+  SELECT id, words,
+         unnest(range(0, n_words - 19)) AS pos
+  FROM b WHERE n_words >= 20
+),
+f AS (
+  SELECT id, pos,
+         md5(array_to_string(words[pos + 1 : pos + 20], ' ')) AS fp
+  FROM g
+),
+win AS (
+  SELECT fp, MIN({'d': id, 'p': pos}) AS w, COUNT(*) AS c
+  FROM f GROUP BY 1
+),
+dup AS (
+  SELECT f.id, f.pos FROM f JOIN win USING (fp)
+  WHERE win.c >= 2 AND NOT (f.id = win.w.d AND f.pos = win.w.p)
+),
+affected AS (SELECT DISTINCT id FROM dup),
+cover AS (
+  SELECT DISTINCT id, wpos
+  FROM (SELECT id, unnest(range(pos, pos + 20)) AS wpos FROM dup)
+),
+wp AS (
+  SELECT b.id, unnest(range(0, b.n_words)) AS wpos, unnest(b.words) AS word
+  FROM b JOIN affected USING (id)
+),
+keptw AS (
+  SELECT wp.id, wp.wpos, wp.word
+  FROM wp LEFT JOIN cover c ON c.id = wp.id AND c.wpos = wp.wpos
+  WHERE c.id IS NULL
+),
+rem AS (SELECT id, CAST(COUNT(*) AS INT) AS n_removed FROM cover GROUP BY id),
+txt AS (SELECT id, string_agg(word, ' ' ORDER BY wpos) AS t FROM keptw GROUP BY id)
+SELECT a.id AS doc_id, CAST(b.n_words AS INT) AS n_words, rem.n_removed,
+       md5(COALESCE(txt.t, '')) AS text_md5
+FROM affected a
+JOIN b USING (id)
+JOIN rem USING (id)
+LEFT JOIN txt USING (id)
+"""
+
+
 def boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc boilerplate fraction: word 3-gram shingles shared by >=2 docs
     of the same source (corpus.boilerplate_scores - the C4 repeated-span
@@ -2123,6 +2185,7 @@ REGISTRY: dict[str, tuple] = {
     "frame_sample": (frame_sample, _FRAME_SAMPLE_SQL),
     "boilerplate_frac": (boilerplate_q, _BOILER_SQL),
     "span_dedup": (span_dedup_q, _SPAN_DEDUP_SQL),
+    "substring_dedup": (substring_dedup_q, _SUBSTRING_DEDUP_SQL),
     "shard_assign": (shard_assign_q, _SHARD_SQL),
     "dedup_incremental": (dedup_incremental_q, _DEDUP_INCR_SQL),
     "minhash_incremental": (minhash_incr_q, _minhash_incr_sql()),

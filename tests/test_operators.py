@@ -96,6 +96,42 @@ def test_span_dedup_first_occurrence_wins(spark):
     assert out[3]["n_kept"] == 1 and out[3]["text_dedup"] == "g h"
 
 
+def test_substring_dedup_catches_shifted_passages(spark):
+    # the case span_dedup cannot see: doc 1 repeats doc 0's 4-word passage
+    # at a DIFFERENT offset (one word of prefix).  With k=3 every stride-1
+    # 3-gram of the passage is duplicated, so all four words are covered.
+    df = spark.createDataFrame(
+        [
+            (0, "w x y z a b"),      # first occurrence of "w x y z" -> kept
+            (1, "p w x y z q r"),    # shifted repeat: "w x y z" removed
+            (2, "u v"),              # shorter than k: no windows, unaffected
+        ],
+        "doc_id int, text string")
+    out = {r["id"]: r for r in
+           D.substring_dedup(df, "doc_id", "text", k=3).collect()}
+    # only the affected doc is emitted; doc 0 (winner) and doc 2 pass through
+    assert set(out) == {1}
+    assert out[1]["n_words"] == 7 and out[1]["n_removed"] == 4
+    assert out[1]["text_dedup"] == "p q r"
+
+
+def test_substring_dedup_full_cover_and_within_doc(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d"),      # winner
+            (1, "a b c d"),      # fully covered -> text_dedup == ''
+            (2, "e f g e f g"),  # within-doc repeat: second "e f g" removed
+        ],
+        "doc_id int, text string")
+    out = {r["id"]: r for r in
+           D.substring_dedup(df, "doc_id", "text", k=3).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_removed"] == 4 and out[1]["text_dedup"] == ""
+    assert out[2]["n_removed"] == 3 and out[2]["text_dedup"] == "e f g"
+    with pytest.raises(ValueError):
+        D.substring_dedup(df, "doc_id", "text", k=1)
+
+
 def test_span_dedup_idempotent_on_corpus(spark, sf_dir):
     # corpus-level invariant: every surviving span fingerprint is globally
     # unique.  Dropping a span shifts later spans by whole window multiples
