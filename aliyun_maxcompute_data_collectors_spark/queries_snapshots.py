@@ -277,10 +277,133 @@ GROUP BY bucket
 """
 
 
+def pyds_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python Data Source front-end (sources/pyds.py) under the hash
+    oracle, covering BOTH directions of the DSv2 surface on a plain
+    ``format("graft_snapshot")`` path:
+
+    - WRITE: three disjoint key-range slices committed through Spark's
+      DSv2 commit protocol (``df.write.format(...).mode("append")`` -
+      task files invisible until the driver's commit publishes a
+      manifest; one file per append via coalesce(1));
+    - READ with FILTER PUSHDOWN: a range predicate on the DataFrame must
+      produce exact rows, and the reader-level ``pushFilters`` planning
+      must prune the scan to ONE file from manifest [min, max] stats
+      alone - ``n_files_scanned`` pins the prune inside the hash.
+
+    The pushdown conf is scoped (set + unset-aware restore) so the
+    shared driver session sees no conf diff."""
+    import tempfile as _tf
+
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    from aliyun_maxcompute_data_collectors_spark.session import scoped_sql_conf
+    from aliyun_maxcompute_data_collectors_spark.sources.pyds import (
+        GraftSnapshotDataSource,
+        register_python_datasources,
+    )
+
+    root = _tf.mkdtemp(prefix="snap_pyds_")
+    try:
+        o = load_tables(spark, sf_dir, ["orders"])["orders"].select(
+            "o_orderkey", "o_totalprice")
+        mx = o.agg(F.max("o_orderkey")).collect()[0][0]
+        b1, b2 = mx // 3, (2 * mx) // 3
+        lo, hi = b1 // 2, b1 - 1
+        SnapshotTable.init(spark, root)
+        register_python_datasources(spark)
+        k = F.col("o_orderkey")
+        with scoped_sql_conf(
+                spark, "spark.sql.python.filterPushdown.enabled", "true"):
+            for sl in (o.where(k <= b1), o.where((k > b1) & (k <= b2)),
+                       o.where(k > b2)):
+                (sl.coalesce(1).write.format("graft_snapshot")
+                 .option("path", root).mode("append").save())
+            ds = GraftSnapshotDataSource({"path": root})
+            rdr = ds.reader(ds.schema())
+            rdr.pushFilters([GreaterThanOrEqual(("o_orderkey",), int(lo)),
+                             LessThanOrEqual(("o_orderkey",), int(hi))])
+            n_scanned = len(rdr._files)
+            out = (spark.read.format("graft_snapshot").option("path", root)
+                   .load().where(k.between(int(lo), int(hi)))
+                   .agg(F.count(F.lit(1)).alias("n_rows"),
+                        F.sum("o_orderkey").cast("long").alias("sum_key"),
+                        F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+                        .cast("double").alias("sum_price"))
+                   .select("n_rows", "sum_key", "sum_price",
+                           F.lit(n_scanned).alias("n_files_scanned")))
+            return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_PYDS_SNAPSHOT_SQL = """
+WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+     pred AS (SELECT (m // 3) // 2 AS lo, (m // 3) - 1 AS hi FROM mx)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price,
+       1 AS n_files_scanned
+FROM orders, pred
+WHERE o_orderkey BETWEEN pred.lo AND pred.hi
+"""
+
+
+def pyds_avro_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``format("graft_avro")`` under the hash oracle: one container file
+    written by write_avro, then read back through the Python Data Source
+    with sync-marker SPLITTING (>= 4 byte-range tasks over the single
+    file).  Exact row count and decimal-exact sums pin that range
+    ownership neither drops nor duplicates any block; the split count is
+    asserted (not emitted - file size varies with sf)."""
+    import glob as _glob
+    import os as _os
+    import tempfile as _tf
+
+    from aliyun_maxcompute_data_collectors_spark.sources.avrofile import write_avro
+
+    adir = _tf.mkdtemp(prefix="avro_pyds_")
+    try:
+        o = load_tables(spark, sf_dir, ["orders"])["orders"].select(
+            "o_orderkey", "o_totalprice")
+        write_avro(o.coalesce(1), adir)
+        f = _glob.glob(_os.path.join(adir, "*.avro"))[0]
+        split = max(1, _os.path.getsize(f) // 4)
+        from aliyun_maxcompute_data_collectors_spark.sources.pyds import (
+            GraftAvroDataSource,
+            register_python_datasources,
+        )
+        register_python_datasources(spark)
+        _, _, ranges = GraftAvroDataSource(
+            {"path": f, "split_bytes": str(split)})._plan()
+        if len(ranges) < 4:
+            raise AssertionError("graft_avro split planning produced <4 tasks")
+        av = (spark.read.format("graft_avro").option("path", f)
+              .option("split_bytes", str(split)).load())
+        out = av.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+            .cast("double").alias("sum_price"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(adir, ignore_errors=True)
+
+
+_PYDS_AVRO_SQL = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
+FROM orders
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "snapshot_time_travel": (snapshot_time_travel, _TIME_TRAVEL_SQL),
     "snapshot_changes": (snapshot_changes, _CHANGES_SQL),
     "snapshot_compact": (snapshot_compact, _COMPACT_SQL),
     "snapshot_pruned_read": (snapshot_pruned_read, _PRUNED_READ_SQL),
     "snapshot_merge": (snapshot_merge, _MERGE_SQL),
+    "pyds_snapshot_read": (pyds_snapshot_read, _PYDS_SNAPSHOT_SQL),
+    "pyds_avro_read": (pyds_avro_read, _PYDS_AVRO_SQL),
 }

@@ -17,6 +17,7 @@ with N cores.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -72,6 +73,10 @@ def get_spark(
         .config("spark.sql.parquet.columnarReaderBatchSize", "4096")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # filter pushdown into Python Data Sources (sources/pyds.py's
+        # graft_snapshot manifest-stats file skipping needs it; a reader
+        # implementing pushFilters is an ERROR while this is false)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # --- partitioned writes (reference W2 dynamic overwrite) ----------
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # --- quality of life ---------------------------------------------
@@ -98,6 +103,28 @@ _REQUIRED_RUNTIME_CONFS = {
     # semantics the engine's own sessions run with (get_spark above).
     "spark.sql.ansi.enabled": "false",
 }
+
+
+@contextmanager
+def scoped_sql_conf(spark: SparkSession, key: str, value: str):
+    """Set a runtime SQL conf for the duration of a block, restoring the
+    EXPLICIT-SET state on exit: a key the user had explicitly set is
+    re-set to its prior value; a key at engine default is unset again
+    (re-setting the default would leave it explicitly set - a diff the
+    driver harness's conf-leak check rightly flags).  Callers that
+    return lazy DataFrames must materialize INSIDE the block
+    (localCheckpoint(eager=True)) - Spark reads most confs at plan or
+    execution time, not closure time."""
+    explicit = any(r["key"] == key for r in spark.sql("SET").collect())
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if explicit:
+            spark.conf.set(key, prior)
+        else:
+            spark.conf.unset(key)
 
 
 def ensure_runtime_confs(spark: SparkSession) -> None:

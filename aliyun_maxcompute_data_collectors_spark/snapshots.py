@@ -166,6 +166,28 @@ def _interval_may_match(lo, hi, op: str, value) -> bool:
     raise SnapshotError(f"unsupported prune op {op!r}")
 
 
+def prune_manifest_files(manifest: dict, conjuncts: list) -> list[str]:
+    """Manifest-stats file pruning, session-free (also used by the
+    Python Data Source planner in sources/pyds.py): keep a file unless
+    SOME conjunct provably excludes it.  Missing stats keep the file."""
+    stats = manifest.get("stats") or {}
+    kept = []
+    for f in manifest["files"]:
+        fstats = stats.get(f) or {}
+        keep = True
+        for col, op, value in conjuncts:
+            iv = fstats.get(col)
+            if iv is None:
+                continue  # no usable stats -> cannot exclude
+            lo, hi = _stat_from_json(iv[0]), _stat_from_json(iv[1])
+            if not _interval_may_match(lo, hi, op, value):
+                keep = False
+                break
+        if keep:
+            kept.append(f)
+    return kept
+
+
 class SnapshotTable:
     """A versioned parquet table rooted at ``path``.
 
@@ -333,22 +355,7 @@ class SnapshotTable:
     def prune_files(self, manifest: dict, conjuncts: list) -> list[str]:
         """Manifest-stats file pruning: keep a file unless SOME conjunct
         provably excludes it.  Missing stats keep the file (safe)."""
-        stats = manifest.get("stats") or {}
-        kept = []
-        for f in manifest["files"]:
-            fstats = stats.get(f) or {}
-            keep = True
-            for col, op, value in conjuncts:
-                iv = fstats.get(col)
-                if iv is None:
-                    continue  # no usable stats -> cannot exclude
-                lo, hi = _stat_from_json(iv[0]), _stat_from_json(iv[1])
-                if not _interval_may_match(lo, hi, op, value):
-                    keep = False
-                    break
-            if keep:
-                kept.append(f)
-        return kept
+        return prune_manifest_files(manifest, conjuncts)
 
     def append(self, df: DataFrame) -> int:
         """New snapshot = parent's files + newly written files.  No data

@@ -540,68 +540,79 @@ def _read_avro_split(spark: SparkSession, path: str,
         schema = json.loads(schema_json)
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                sync = bytes.fromhex(row.sync)
-                recs: list[dict] = []
-                with open(row.file, "rb") as fh:
-                    fsize = os.fstat(fh.fileno()).st_size
-                    # candidate first block start in [s, e): either the
-                    # first block of the file (at hlen) or a sync end
-                    scan_from = max(row.start - 16, row.hlen - 16)
-                    fh.seek(scan_from)
-                    # +15 lookahead so a marker STRADDLING e-16 is seen;
-                    # blocks starting >= e belong to the next split
-                    window = fh.read((row.end - scan_from) + 15)
-                    pos = 0  # scan cursor within window
-                    while True:
-                        if row.start == row.hlen and pos == 0:
-                            cand = row.hlen  # first block: no leading scan
-                        else:
-                            hit = window.find(sync, pos)
-                            if hit < 0:
-                                break
-                            cand = scan_from + hit + 16
-                            pos = hit + 1
-                        if cand >= row.end:
-                            break
-                        # walk blocks sequentially from the candidate; a
-                        # false sync (pattern inside data) fails the
-                        # trailing-marker check on its FIRST block and the
-                        # scan resumes - no rows from it are kept
-                        got, ok = [], True
-                        b = cand
-                        while row.start <= b < row.end and b < fsize:
-                            fh.seek(b)
-                            # varints are <=10 bytes each; block header fits in 20
-                            head = fh.read(20)
-                            try:
-                                count, p1 = _read_long(head, 0)
-                                bsize, p2 = _read_long(head, p1)
-                            except IndexError:
-                                ok = False
-                                break
-                            if count < 0 or bsize < 0 or b + p2 + bsize + 16 > fsize:
-                                ok = False
-                                break
-                            fh.seek(b + p2)
-                            block = fh.read(bsize)
-                            if fh.read(16) != sync:
-                                ok = False
-                                break
-                            got.append((count, block))
-                            b = b + p2 + bsize + 16
-                        if ok and got:
-                            for count, block in got:
-                                recs.extend(_decode_block_records(
-                                    schema, row.codec, block, count))
-                            break  # sequential walk covered the range
-                        if row.start == row.hlen and pos == 0:
-                            raise ValueError(
-                                f"read_avro: corrupt first block in {row.file}")
+                recs = scan_block_range(
+                    row.file, row.start, row.end, row.hlen, row.codec,
+                    bytes.fromhex(row.sync), schema)
                 yield pd.DataFrame(
                     {n: [r.get(n) for r in recs] for n in names},
                     columns=names)
 
     return rdf.mapInPandas(gen, schema=sdt)
+
+
+def scan_block_range(file: str, start: int, end: int, hlen: int,
+                     codec: str, sync: bytes, schema) -> list[dict]:
+    """Decode the data blocks of one byte-range split of ``file``
+    (block-ownership rule documented on :func:`_read_avro_split`); shared
+    by the mapInPandas split reader above and the Python Data Source
+    (sources/pyds.py)."""
+    recs: list[dict] = []
+    with open(file, "rb") as fh:
+        fsize = os.fstat(fh.fileno()).st_size
+        # candidate first block start in [s, e): either the
+        # first block of the file (at hlen) or a sync end
+        scan_from = max(start - 16, hlen - 16)
+        fh.seek(scan_from)
+        # +15 lookahead so a marker STRADDLING e-16 is seen;
+        # blocks starting >= e belong to the next split
+        window = fh.read((end - scan_from) + 15)
+        pos = 0  # scan cursor within window
+        while True:
+            if start == hlen and pos == 0:
+                cand = hlen  # first block: no leading scan
+            else:
+                hit = window.find(sync, pos)
+                if hit < 0:
+                    break
+                cand = scan_from + hit + 16
+                pos = hit + 1
+            if cand >= end:
+                break
+            # walk blocks sequentially from the candidate; a
+            # false sync (pattern inside data) fails the
+            # trailing-marker check on its FIRST block and the
+            # scan resumes - no rows from it are kept
+            got, ok = [], True
+            b = cand
+            while start <= b < end and b < fsize:
+                fh.seek(b)
+                # varints are <=10 bytes each; block header fits in 20
+                head = fh.read(20)
+                try:
+                    count, p1 = _read_long(head, 0)
+                    bsize, p2 = _read_long(head, p1)
+                except IndexError:
+                    ok = False
+                    break
+                if count < 0 or bsize < 0 or b + p2 + bsize + 16 > fsize:
+                    ok = False
+                    break
+                fh.seek(b + p2)
+                block = fh.read(bsize)
+                if fh.read(16) != sync:
+                    ok = False
+                    break
+                got.append((count, block))
+                b = b + p2 + bsize + 16
+            if ok and got:
+                for count, block in got:
+                    recs.extend(_decode_block_records(
+                        schema, codec, block, count))
+                break  # sequential walk covered the range
+            if start == hlen and pos == 0:
+                raise ValueError(
+                    f"read_avro: corrupt first block in {file}")
+    return recs
 
 
 def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> list[str]:

@@ -1,0 +1,500 @@
+"""Spark Python Data Sources (``pyspark.sql.datasource``, Spark 4) for the
+engine's own formats: snapshot tables and Avro container files.
+
+Why this module exists: the reference exposes its tables to ANY tool
+holding a SparkSession through a DSv2 catalog plugin (spark-connector
+``OdpsTableCatalog.scala:91-96,427-445``) - third-party code never
+imports the connector's Python-side helpers.  A JVM catalog plugin is
+not buildable from pure PySpark, but Spark 4's Python Data Source API is
+the same DSv2 plumbing one level down: after
+
+    register_python_datasources(spark)
+
+any code - including code that has never heard of this package - can
+
+    spark.read.format("graft_snapshot").option("path", root)
+         .option("version", "3").load().where("o_orderkey < 100")
+    df.write.format("graft_snapshot").option("path", root)
+      .mode("append").save()
+    spark.readStream.format("graft_snapshot").option("path", root).load()
+    df.writeStream.format("graft_snapshot").option("path", root)...
+    spark.read.format("graft_avro").option("path", f).load()
+
+with snapshot isolation, time travel, manifest-stats FILE PRUNING wired
+into Spark's own filter pushdown, and transactional publish-on-commit
+writes running through Spark's DSv2 commit protocol (task files are
+invisible until the driver's ``commit()`` publishes a manifest - the
+``OdpsBatchWrite.scala:42-95`` contract, now enforced by Spark itself:
+retried/speculative task attempts return no commit message, so their
+files are never published).  Structured Streaming rides the same
+manifest log: the STREAM SOURCE uses the snapshot version as its offset
+and each micro-batch reads exactly the files the append commits in
+(start, end] added (the Delta/Iceberg streaming-source design); the
+STREAM SINK publishes one ``stream-append:batch=<id>``-tagged commit
+per epoch and recognizes replayed epochs by their batch id - per-batch
+exactly-once with the table's own commit log as the transaction record.
+
+Scale notes:
+- Planning is O(files) driver metadata (one manifest JSON / one Avro
+  header per file); no data IO before tasks run.
+- ``pushFilters`` prunes whole files from manifest [min, max] stats and
+  reports every filter back as UNHANDLED, so Spark re-applies exact row
+  filtering - pruning can only remove provably-dead files, never change
+  results.
+- Read partitions bin-pack files to ``partition_bytes`` (default 128MB,
+  mirroring ``spark.sql.files.maxPartitionBytes``); Avro ranges split
+  one giant container file across tasks by sync markers.
+- Executors read/write paths directly: the same local/shared-FS contract
+  as every source in this package (object stores need the caveats
+  documented in snapshots.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from aliyun_maxcompute_data_collectors_spark.snapshots import (
+    SnapshotError,
+    SnapshotTable,
+    _collect_file_stats,
+    prune_manifest_files,
+)
+
+_DEFAULT_PARTITION_BYTES = 128 * 1024 * 1024
+
+# Filter class -> manifest prune op.  Only single-segment column paths
+# prune (nested fields are never statted); everything else scans.
+_FILTER_OPS = {
+    EqualTo: "==",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+}
+
+
+def _pack_files(files: list[str], target_bytes: int) -> list[list[str]]:
+    """First-fit bin-pack by on-disk size so one task reads ~target
+    bytes; a file larger than the target gets its own partition (parquet
+    row-group splitting below file level is not worth the complexity
+    here - snapshot writers already target bounded file sizes)."""
+    sized = [(f, os.path.getsize(f)) for f in files]
+    bins: list[list[str]] = []
+    fill: list[int] = []
+    for f, sz in sorted(sized, key=lambda t: -t[1]):
+        for i, used in enumerate(fill):
+            if used + sz <= target_bytes:
+                bins[i].append(f)
+                fill[i] += sz
+                break
+        else:
+            bins.append([f])
+            fill.append(sz)
+    return bins or [[]]
+
+
+@dataclass
+class _FilesPartition(InputPartition):
+    files: list
+
+
+class _SnapshotReader(DataSourceReader):
+    """Reads one pinned manifest (snapshot isolation: the file list is
+    resolved at plan time; later commits never disturb this scan)."""
+
+    def __init__(self, manifest: dict, options):
+        self._manifest = manifest
+        self._files = list(manifest["files"])
+        self._partition_bytes = int(
+            options.get("partition_bytes", _DEFAULT_PARTITION_BYTES))
+
+    def pushFilters(self, filters):
+        """Manifest-stats file skipping: translate supported comparisons
+        into prune conjuncts and drop files whose [min, max] interval
+        cannot match.  EVERY filter is reported back as unhandled -
+        pruning is an IO optimization, Spark keeps exact row filtering."""
+        conjuncts = []
+        for f in filters:
+            op = _FILTER_OPS.get(type(f))
+            if op is not None and len(f.attribute) == 1:
+                conjuncts.append((f.attribute[0], op, f.value))
+        if conjuncts:
+            self._files = prune_manifest_files(
+                {**self._manifest, "files": self._files}, conjuncts)
+        return filters
+
+    def partitions(self):
+        return [_FilesPartition(b)
+                for b in _pack_files(self._files, self._partition_bytes)]
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+
+        for f in partition.files:
+            yield from pq.ParquetFile(f).iter_batches()
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    file: str
+    rows: int
+
+
+class _SnapshotWriter(DataSourceArrowWriter):
+    """Transactional DSv2 write: tasks land immutable files in a fresh
+    staging dir; ONLY the driver's ``commit`` publishes a manifest, with
+    the parent version pinned at writer construction so a concurrent
+    commit raises SnapshotConflict with nothing published.  Task files
+    that never reach a commit message (failed/retried/speculative
+    attempts) stay invisible garbage for ``vacuum`` - the atomicity the
+    plain ``write_avro``-style executor rename cannot give."""
+
+    def __init__(self, path: str, overwrite: bool):
+        tab = SnapshotTable(None, path)  # layout check; no session needed
+        self._path = path
+        self._overwrite = overwrite
+        self._parent = tab.current_version()
+        self._stage = os.path.join(path, "_snapshots", "files",
+                                   uuid.uuid4().hex)
+        os.makedirs(self._stage)
+
+    def write(self, iterator):
+        import pyarrow.parquet as pq
+
+        out = os.path.join(self._stage, f"part-{uuid.uuid4().hex}.parquet")
+        writer = None
+        rows = 0
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(out, batch.schema)
+                writer.write_batch(batch)
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return _FileCommit(file="", rows=0)  # empty task: no file
+        return _FileCommit(file=out, rows=rows)
+
+    def commit(self, messages):
+        tab = SnapshotTable(None, self._path)
+        files = sorted(m.file for m in messages if m is not None and m.file)
+        rows = sum(m.rows for m in messages if m is not None)
+        stats = {f: _collect_file_stats(f) for f in files}
+        if self._overwrite:
+            tab._commit_manifest(self._parent, files, rows, "overwrite",
+                                 stats=stats)
+        else:
+            pm = tab.manifest(self._parent)
+            tab._commit_manifest(
+                self._parent, pm["files"] + files, pm["rows"] + rows,
+                "append", stats={**(pm.get("stats") or {}), **stats})
+
+    def abort(self, messages):
+        shutil.rmtree(self._stage, ignore_errors=True)
+
+
+class _SnapshotStreamReader(DataSourceStreamReader):
+    """Snapshot table as a STRUCTURED STREAMING SOURCE: the offset is the
+    snapshot VERSION, a micro-batch is the set of files ADDED by the
+    append commits in (start, end] - the Delta/Iceberg streaming-source
+    design.  Exactly-once falls out of the storage model: files are
+    immutable and a (start, end] version range always resolves to the
+    same file set, so replaying a batch after a crash reads identical
+    rows.  Planning is O(versions x files) manifest metadata; no data IO
+    until tasks run.
+
+    Non-append commits (overwrite / merge / rollback / compact) are not
+    row-level inserts; ``on_overwrite``:
+      - 'fail' (default): stop the stream with an error (the Delta
+        default - silent wrong answers are worse than a dead stream);
+      - 'skip': produce no rows for that commit and continue (compaction
+        rewrites, for instance, carry no new data).
+    """
+
+    def __init__(self, path: str, options):
+        self._path = path
+        self._on_overwrite = options.get("on_overwrite", "fail")
+        if self._on_overwrite not in ("fail", "skip"):
+            raise SnapshotError(
+                "graft_snapshot stream: on_overwrite must be fail|skip")
+        self._partition_bytes = int(
+            options.get("partition_bytes", _DEFAULT_PARTITION_BYTES))
+        start = options.get("starting_version")
+        if start is not None:
+            self._start = int(start)
+        else:
+            # default: only commits AFTER stream start (the Kafka
+            # `latest` shape); starting_version=1 replays the full table
+            self._start = SnapshotTable(None, path).current_version()
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        return {"version": SnapshotTable(None, self._path).current_version()}
+
+    def partitions(self, start: dict, end: dict):
+        tab = SnapshotTable(None, self._path)
+        new_files: list[str] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            m = tab.manifest(v)
+            op = m["operation"]
+            if op == "init":
+                continue
+            if not (op == "append" or op.startswith("stream-append")):
+                if self._on_overwrite == "fail":
+                    raise SnapshotError(
+                        f"graft_snapshot stream: v{v} is a non-append "
+                        f"commit ({op}); restart from a later "
+                        "starting_version or set on_overwrite=skip")
+                continue
+            parent_files = (set(tab.manifest(m["parent"])["files"])
+                            if m["parent"] is not None else set())
+            new_files.extend(f for f in m["files"] if f not in parent_files)
+        return [_FilesPartition(b)
+                for b in _pack_files(new_files, self._partition_bytes)
+                if b]
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+
+        for f in partition.files:
+            yield from pq.ParquetFile(f).iter_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # manifests stay readable until vacuum; nothing to release
+
+
+class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
+    """Snapshot table as a STRUCTURED STREAMING SINK: every micro-batch
+    is ONE atomic manifest commit tagged ``stream-append:batch=<id>``.
+    Replaying a batch after a crash (Spark re-runs the last epoch when
+    the sink commit is not recorded) finds its batch id already tagged
+    in the version history and publishes NOTHING - per-batch
+    exactly-once on top of at-least-once delivery, the same contract
+    streaming/sink.py documents for the foreachBatch writers, enforced
+    here by the table's own commit log instead of a checkpoint file."""
+
+    def __init__(self, path: str):
+        tab = SnapshotTable(None, path)  # layout check
+        self._path = path
+        self._stage = os.path.join(path, "_snapshots", "files",
+                                   uuid.uuid4().hex)
+        os.makedirs(self._stage)
+
+    def write(self, iterator):
+        import pyarrow.parquet as pq
+
+        out = os.path.join(self._stage, f"part-{uuid.uuid4().hex}.parquet")
+        writer = None
+        rows = 0
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(out, batch.schema)
+                writer.write_batch(batch)
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return _FileCommit(file="", rows=0)
+        return _FileCommit(file=out, rows=rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        tab = SnapshotTable(None, self._path)
+        op = f"stream-append:batch={batchId}"
+        if any(v["operation"] == op for v in tab.versions()):
+            return  # replayed epoch: already published, drop the rewrite
+        files = sorted(m.file for m in messages if m is not None and m.file)
+        rows = sum(m.rows for m in messages if m is not None)
+        parent = tab.current_version()
+        pm = tab.manifest(parent)
+        stats = {f: _collect_file_stats(f) for f in files}
+        tab._commit_manifest(
+            parent, pm["files"] + files, pm["rows"] + rows, op,
+            stats={**(pm.get("stats") or {}), **stats})
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages or []:
+            if m is not None and m.file:
+                try:
+                    os.remove(m.file)
+                except OSError:
+                    pass
+
+
+class GraftSnapshotDataSource(DataSource):
+    """``format("graft_snapshot")`` - snapshot tables on a plain session.
+
+    Read options: ``path`` (table root, required); ``version`` (time
+    travel to an exact snapshot); ``timestamp_ms`` (time travel to the
+    newest snapshot committed at or before the epoch-millis instant);
+    ``partition_bytes`` (per-task scan target).  Write modes: ``append``
+    and ``overwrite``, both one atomic manifest commit."""
+
+    @classmethod
+    def name(cls):
+        return "graft_snapshot"
+
+    def _table_path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise SnapshotError(
+                "graft_snapshot requires .option('path', <table root>)")
+        return path
+
+    def _resolve_manifest(self) -> dict:
+        tab = SnapshotTable(None, self._table_path())
+        version = self.options.get("version")
+        ts = self.options.get("timestamp_ms")
+        if version is not None and ts is not None:
+            raise SnapshotError(
+                "graft_snapshot: pass version OR timestamp_ms, not both")
+        if ts is not None:
+            cands = [v["version"] for v in tab.versions()
+                     if v["timestamp_ms"] <= int(ts)]
+            if not cands:
+                raise SnapshotError(
+                    f"graft_snapshot: no snapshot at or before {ts}")
+            version = max(cands)
+        m = tab.manifest(None if version is None else int(version))
+        if not m["files"]:
+            raise SnapshotError(
+                f"{self._table_path()} v{m['version']} is empty with no "
+                "schema; append first")
+        return m
+
+    def schema(self) -> StructType:
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        m = self._resolve_manifest()
+        return from_arrow_schema(pq.read_schema(m["files"][0]))
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _SnapshotReader(self._resolve_manifest(), self.options)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return _SnapshotWriter(self._table_path(), overwrite)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _SnapshotStreamReader(self._table_path(), self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise SnapshotError(
+                "graft_snapshot stream sink supports append mode only "
+                "(complete-mode overwrite per epoch would rewrite the "
+                "table every trigger)")
+        return _SnapshotStreamWriter(self._table_path())
+
+
+class _AvroReader(DataSourceReader):
+    def __init__(self, planned: list, schema_json: str):
+        self._planned = planned  # (file, start, end, hlen, codec, sync_hex)
+        self._schema_json = schema_json
+
+    def partitions(self):
+        return [InputPartition(r) for r in self._planned]
+
+    def read(self, partition):
+        from aliyun_maxcompute_data_collectors_spark.sources.avrofile import scan_block_range
+
+        file, start, end, hlen, codec, sync_hex = partition.value
+        schema = json.loads(self._schema_json)
+        names = [f["name"] for f in schema["fields"]]
+        for rec in scan_block_range(file, start, end, hlen, codec,
+                                    bytes.fromhex(sync_hex), schema):
+            yield tuple(rec.get(n) for n in names)
+
+
+class GraftAvroDataSource(DataSource):
+    """``format("graft_avro")`` - Avro object-container files on a plain
+    session, no spark-avro jar.  Options: ``path`` (file, dir, or glob,
+    required); ``split_bytes`` (sync-marker range splitting, so ONE
+    giant container file scans across many tasks - the Hadoop
+    AvroRecordReader granularity; default: one split per file).  Headers
+    are parsed driver-side (header bytes only); schema is the first
+    file's writer schema."""
+
+    @classmethod
+    def name(cls):
+        return "graft_avro"
+
+    def _plan(self):
+        import glob as _glob
+
+        from aliyun_maxcompute_data_collectors_spark.sources.avrofile import (
+            _read_header_driver,
+            spark_type_of,
+        )
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("graft_avro requires .option('path', ...)")
+        if os.path.isdir(path):
+            files = sorted(_glob.glob(os.path.join(path, "*.avro")))
+        else:
+            files = sorted(f for f in _glob.glob(path) if os.path.isfile(f))
+        if not files:
+            raise ValueError(f"graft_avro: no files under {path}")
+        avro_schema = None
+        ranges = []
+        for f in files:
+            schema_f, codec, sync, hlen = _read_header_driver(f)
+            if avro_schema is None:
+                avro_schema = schema_f
+            elif json.dumps(schema_f, sort_keys=True) != json.dumps(
+                    avro_schema, sort_keys=True):
+                raise ValueError(
+                    f"graft_avro: {f} schema differs from {files[0]}")
+            size = os.path.getsize(f)
+            split = int(self.options.get("split_bytes", 0)) or (size - hlen)
+            s = hlen
+            while s < size:
+                e = min(s + split, size)
+                ranges.append((f, s, e, hlen, codec, sync.hex()))
+                s = e
+        return avro_schema, spark_type_of(avro_schema), ranges
+
+    def schema(self) -> StructType:
+        _, sdt, _ = self._plan()
+        if not isinstance(sdt, StructType):
+            raise ValueError(
+                "graft_avro: top-level avro schema must be a record")
+        return sdt
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        avro_schema, _, ranges = self._plan()
+        return _AvroReader(ranges, json.dumps(avro_schema))
+
+
+def register_python_datasources(spark) -> None:
+    """Register both formats on ``spark`` (idempotent; latest wins).
+    After this, plain ``spark.read.format(...)`` / ``df.write.format(...)``
+    work with no further imports anywhere in the session."""
+    spark.dataSource.register(GraftSnapshotDataSource)
+    spark.dataSource.register(GraftAvroDataSource)

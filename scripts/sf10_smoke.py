@@ -51,6 +51,10 @@ SPOT = [
     # screening as the query families
     "snapshot_time_travel", "snapshot_changes", "snapshot_compact",
     "avro_cycle",
+    # round-7 late additions: stride-1 substring dedup and the Python
+    # Data Source front-ends (DSv2 write commit + pushdown-pruned read;
+    # avro sync-split read through format("graft_avro"))
+    "substring_dedup", "pyds_snapshot_read", "pyds_avro_read",
 ]
 
 

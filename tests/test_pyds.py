@@ -1,0 +1,266 @@
+"""Python Data Source front-ends (sources/pyds.py): graft_snapshot and
+graft_avro on a plain ``spark.read.format(...)`` / ``df.write.format(...)``
+path - the DSv2 surface the reference exposes through its JVM catalog
+plugin (OdpsTableCatalog.scala), here in pure Python."""
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import GreaterThan, LessThanOrEqual, StringStartsWith
+
+from aliyun_maxcompute_data_collectors_spark.session import load_tables, scoped_sql_conf
+from aliyun_maxcompute_data_collectors_spark.snapshots import SnapshotConflict, SnapshotTable
+from aliyun_maxcompute_data_collectors_spark.sources.pyds import (
+    GraftAvroDataSource,
+    GraftSnapshotDataSource,
+    _pack_files,
+    _SnapshotWriter,
+    register_python_datasources,
+)
+
+
+@pytest.fixture()
+def pushdown(spark):
+    register_python_datasources(spark)
+    register_python_datasources(spark)  # idempotent: latest wins
+    with scoped_sql_conf(spark, "spark.sql.python.filterPushdown.enabled",
+                         "true"):
+        yield
+
+
+@pytest.fixture()
+def orders(spark, sf_dir):
+    return load_tables(spark, sf_dir, ["orders"])["orders"].select(
+        "o_orderkey", "o_totalprice")
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="pyds_t_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _ranged_table(spark, orders, root):
+    """Three disjoint key-range files -> prunable by manifest stats."""
+    tab = SnapshotTable.init(spark, root)
+    k = F.col("o_orderkey")
+    mx = orders.agg(F.max(k)).collect()[0][0]
+    b1, b2 = mx // 3, (2 * mx) // 3
+    tab.append(orders.where(k <= b1).coalesce(1))
+    tab.append(orders.where((k > b1) & (k <= b2)).coalesce(1))
+    tab.append(orders.where(k > b2).coalesce(1))
+    return tab, b1, b2
+
+
+def test_snapshot_ds_read_and_time_travel(spark, orders, root, pushdown):
+    tab, _, _ = _ranged_table(spark, orders, root)
+    df = spark.read.format("graft_snapshot").option("path", root).load()
+    assert df.count() == tab.read().count() == orders.count()
+    assert [f.name for f in df.schema.fields] == ["o_orderkey", "o_totalprice"]
+    # version time travel (v2 = first append)
+    v2 = spark.read.format("graft_snapshot").option("path", root) \
+        .option("version", "2").load()
+    assert v2.count() == tab.read(2).count()
+    # timestamp time travel: the instant of v3's commit resolves to v3
+    ts3 = tab.manifest(3)["timestamp_ms"]
+    v3 = spark.read.format("graft_snapshot").option("path", root) \
+        .option("timestamp_ms", str(ts3)).load()
+    assert v3.count() == tab.read(3).count()
+
+
+def test_snapshot_ds_filter_pushdown_prunes_files(spark, orders, root,
+                                                  pushdown):
+    tab, b1, _ = _ranged_table(spark, orders, root)
+    ds = GraftSnapshotDataSource({"path": root})
+    rdr = ds.reader(ds.schema())
+    filters = [LessThanOrEqual(("o_orderkey",), int(b1 // 2))]
+    unhandled = list(rdr.pushFilters(filters))
+    assert unhandled == filters  # everything reported back: Spark re-filters
+    assert len(rdr._files) == 1 and len(tab.manifest()["files"]) == 3
+    # unsupported filter shapes prune nothing and are returned unhandled
+    rdr2 = ds.reader(ds.schema())
+    weird = [StringStartsWith(("o_orderkey",), "1"),
+             GreaterThan(("a", "b"), 1)]
+    assert list(rdr2.pushFilters(weird)) == weird
+    assert len(rdr2._files) == 3
+    # end-to-end: pruned read returns exact rows
+    k = F.col("o_orderkey")
+    got = (spark.read.format("graft_snapshot").option("path", root).load()
+           .where(k <= b1 // 2).count())
+    assert got == orders.where(k <= b1 // 2).count()
+
+
+def test_snapshot_ds_write_append_overwrite(spark, orders, root, pushdown):
+    tab = SnapshotTable.init(spark, root)
+    m = F.col("o_orderkey") % 10
+    a, b = orders.where(m < 5), orders.where((m >= 5) & (m < 8))
+    a.write.format("graft_snapshot").option("path", root) \
+        .mode("append").save()
+    b.write.format("graft_snapshot").option("path", root) \
+        .mode("append").save()
+    assert tab.read().count() == a.count() + b.count()
+    # DSv2-written files carry manifest stats (prunable like native writes)
+    stats = tab.manifest()["stats"]
+    assert stats and all("o_orderkey" in s for s in stats.values())
+    v_before = tab.current_version()
+    a.write.format("graft_snapshot").option("path", root) \
+        .mode("overwrite").save()
+    assert tab.read().count() == a.count()
+    assert [v["operation"] for v in tab.versions()][-1] == "overwrite"
+    # snapshot isolation: the pre-overwrite version is still intact
+    assert tab.read(v_before).count() == a.count() + b.count()
+
+
+def test_snapshot_ds_writer_conflict_publishes_nothing(spark, orders, root):
+    tab = SnapshotTable.init(spark, root)
+    tab.append(orders.limit(10))
+    w = _SnapshotWriter(root, overwrite=False)  # pins parent = v2
+    tab.append(orders.limit(5))                 # concurrent commit -> v3
+    with pytest.raises(SnapshotConflict):
+        w.commit([])
+    assert tab.current_version() == 3           # nothing published
+    w.abort([])
+
+
+def test_snapshot_ds_empty_task_writes_no_file(spark, orders, root, pushdown):
+    tab = SnapshotTable.init(spark, root)
+    # 8 partitions, 5 rows: most tasks see zero batches -> no files for them
+    orders.limit(5).repartition(8).write.format("graft_snapshot") \
+        .option("path", root).mode("append").save()
+    assert tab.read().count() == 5
+    assert all(os.path.getsize(f) > 0 for f in tab.manifest()["files"])
+
+
+def test_pack_files_binpacks_by_size(tmp_path):
+    files = []
+    for i, kb in enumerate([700, 300, 600, 400, 900]):
+        p = tmp_path / f"f{i}"
+        p.write_bytes(b"x" * (kb * 1024))
+        files.append(str(p))
+    bins = _pack_files(files, 1024 * 1024)
+    assert sorted(f for b in bins for f in b) == sorted(files)
+    assert all(sum(os.path.getsize(f) for f in b) <= 1024 * 1024
+               for b in bins)
+    # 700+300 and 600+400 pack; 900 alone -> 3 bins
+    assert len(bins) == 3
+    # oversize file gets its own partition
+    big = tmp_path / "big"
+    big.write_bytes(b"x" * (2 * 1024 * 1024))
+    assert [str(big)] in _pack_files([str(big), files[1]], 1024 * 1024)
+
+
+def _drain(sdf, out, ck):
+    q = (sdf.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+
+def test_snapshot_stream_source_incremental_exactly_once(spark, orders,
+                                                         root, pushdown):
+    tab = SnapshotTable.init(spark, root)
+    m = F.col("o_orderkey") % 10
+    tab.append(orders.where(m < 3))
+    tab.append(orders.where(m == 3))
+    out = os.path.join(root, "out")
+    ck = os.path.join(root, "ck")
+    sdf = (spark.readStream.format("graft_snapshot").option("path", root)
+           .option("starting_version", "1").load())
+    _drain(sdf, out, ck)  # full replay from v1
+    assert spark.read.parquet(out).count() == orders.where(m <= 3).count()
+    tab.append(orders.where(m == 4))
+    _drain(sdf, out, ck)  # restart from checkpoint: ONLY the new commit
+    assert spark.read.parquet(out).count() == orders.where(m <= 4).count()
+    _drain(sdf, out, ck)  # no new commits: a no-op batch, no duplicates
+    assert spark.read.parquet(out).count() == orders.where(m <= 4).count()
+
+
+def test_snapshot_stream_source_overwrite_fail_and_skip(spark, orders,
+                                                        root, pushdown):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    tab = SnapshotTable.init(spark, root)
+    m = F.col("o_orderkey") % 10
+    tab.append(orders.where(m == 0))
+    v_pre = tab.current_version()
+    tab.overwrite(orders.where(m == 1))
+    tab.append(orders.where(m == 2))
+    sdf = (spark.readStream.format("graft_snapshot").option("path", root)
+           .option("starting_version", str(v_pre)).load())
+    with pytest.raises(StreamingQueryException):
+        _drain(sdf, os.path.join(root, "o1"), os.path.join(root, "c1"))
+    skip = (spark.readStream.format("graft_snapshot").option("path", root)
+            .option("starting_version", str(v_pre))
+            .option("on_overwrite", "skip").load())
+    out = os.path.join(root, "o2")
+    _drain(skip, out, os.path.join(root, "c2"))
+    # the overwrite commit yields no rows; the append after it streams
+    assert spark.read.parquet(out).count() == orders.where(m == 2).count()
+
+
+def test_snapshot_stream_sink_commits_per_batch(spark, orders, root,
+                                                pushdown):
+    tab = SnapshotTable.init(spark, root)
+    m = F.col("o_orderkey") % 10
+    indir = os.path.join(root, "in")
+    ck = os.path.join(root, "ck")
+    orders.where(m == 0).coalesce(1).write.parquet(
+        os.path.join(indir, "b1"))
+    src = spark.readStream.schema(orders.schema).parquet(
+        os.path.join(indir, "*"))
+
+    def run():
+        q = (src.writeStream.format("graft_snapshot").option("path", root)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    assert tab.read().count() == orders.where(m == 0).count()
+    ops = [v["operation"] for v in tab.versions()]
+    assert ops[-1].startswith("stream-append:batch=")
+    # second input file -> second epoch appends only the new rows
+    orders.where(m == 1).coalesce(1).write.parquet(
+        os.path.join(indir, "b2"))
+    run()
+    assert tab.read().count() == orders.where(m <= 1).count()
+    # replaying an already-tagged batch id publishes nothing
+    w = tab.current_version()
+    from aliyun_maxcompute_data_collectors_spark.sources.pyds import _SnapshotStreamWriter
+    sw = _SnapshotStreamWriter(root)
+    done_batch = int(
+        [v["operation"] for v in tab.versions()][-1].split("=")[1])
+    sw.commit([], done_batch)
+    assert tab.current_version() == w
+
+
+def test_avro_ds_matches_mapinpandas_reader(spark, orders, root, pushdown):
+    from aliyun_maxcompute_data_collectors_spark.sources.avrofile import read_avro, write_avro
+
+    write_avro(orders.repartition(3), root)
+    via_ds = spark.read.format("graft_avro").option("path", root).load()
+    via_fn = read_avro(spark, root)
+    assert via_ds.schema == via_fn.schema
+    assert via_ds.exceptAll(via_fn).count() == 0
+    assert via_fn.exceptAll(via_ds).count() == 0
+
+
+def test_avro_ds_split_one_file_many_tasks(spark, orders, root, pushdown):
+    from aliyun_maxcompute_data_collectors_spark.sources.avrofile import write_avro
+
+    write_avro(orders.coalesce(1), root)
+    f = glob.glob(os.path.join(root, "*.avro"))[0]
+    split = max(1, os.path.getsize(f) // 5)
+    _, _, ranges = GraftAvroDataSource(
+        {"path": f, "split_bytes": str(split)})._plan()
+    assert len(ranges) >= 4
+    df = (spark.read.format("graft_avro").option("path", f)
+          .option("split_bytes", str(split)).load())
+    assert df.count() == orders.count()
+    assert (df.agg(F.sum("o_orderkey")).collect()[0][0]
+            == orders.agg(F.sum("o_orderkey")).collect()[0][0])
