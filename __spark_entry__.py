@@ -38,25 +38,31 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from aliyun_maxcompute_data_collectors_spark.queries import REGISTRY  # noqa: E402
 
 # Round-7 driver-verification priority (VERDICT r6 asks #1/#2): tier 1 =
-# the three NEW snapshot-layer queries (zero driver evidence - the r6
-# flagship component goes under the hash oracle first); tier 2 = every
-# row whose newest green evidence is r3 (the 4 that spilled from the r6
-# window + the 8 leftovers - closes the evidence-age rotation: after r7
-# nothing is older than r4); tier 3 = queries over round-7
-# implementation changes (_arrow_list_parts sliced-offset fix -> all
-# cosine/assign/PQ-ADC consumers; recursive_chain now materializes
-# eagerly under a scoped row valve; minhash_lsh persisted banding
-# aggregate; ivfpq_topk candidate-prefilter reorder); tier 4 fills the
-# 50-slot window with r4-evidence rows alphabetically.  Everything else
-# follows in registry order.  Gate discipline: this window holds slots
-# only if scripts/driver_sim.py - run at sf0.01 by scripts/gate.sh,
-# whose stdout is committed as GATE_r7.log - exits green (now including
-# the per-query SQL-conf leak diff) as the round's LAST act.
+# rows with ZERO driver evidence, all new in r7 (the five snapshot-layer
+# queries - the r6 flagship component goes under the hash oracle first -
+# plus substring_dedup, the two Python-Data-Source queries, bm25_topk,
+# and bpe_merges [rows-only: iterative merge learning is not
+# SQL-expressible]); tier 2 = every row whose newest green evidence is
+# r3 (the 4 that spilled from the r6 window + the 8 leftovers - closes
+# the evidence-age rotation: after r7 nothing is older than r4); tier 3
+# = queries over round-7 implementation changes (_arrow_list_parts
+# sliced-offset fix -> all cosine/assign/PQ-ADC consumers;
+# recursive_chain now materializes eagerly under a scoped row valve;
+# minhash_lsh persisted banding aggregate; ivfpq_topk candidate-
+# prefilter reorder); tier 4 fills the 50-slot window with r4-evidence
+# rows alphabetically (the tier list is 55 deep, so its alphabetical
+# tail - fuzzy_customer_names through median_stats - rides positions
+# 51-55 as count-only rows this round; their evidence stays r4, which
+# still satisfies the ask).  Everything else follows in registry order.
+# Gate discipline: this window holds slots only if
+# scripts/driver_sim.py - run at sf0.01 by scripts/gate.sh, whose
+# stdout is committed as GATE_r7.log - exits green (now including the
+# per-query SQL-conf leak diff) as the round's LAST act.
 _PRIORITY = [
     # tier 1: never driver-checked (new in r7)
     "snapshot_time_travel", "snapshot_changes", "snapshot_compact",
     "snapshot_pruned_read", "snapshot_merge", "substring_dedup",
-    "pyds_snapshot_read", "pyds_avro_read",
+    "pyds_snapshot_read", "pyds_avro_read", "bm25_topk", "bpe_merges",
     # tier 2: newest evidence r3 (4 spilled + 8 leftovers)
     "repetition_profile", "scd2_users", "shard_assign", "simhash32_sig",
     "simhash_pairs", "span_dedup", "split_assignment", "split_leakage",

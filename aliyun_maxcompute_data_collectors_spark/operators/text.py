@@ -596,3 +596,56 @@ def char_entropy(
                  F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
                  ent.alias("entropy"),
                  (ent >= F.lit(float(min_entropy))).alias("ok_entropy")))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag-of-words
+    query (Robertson et al.) - the ranking function behind keyword
+    retrieval over a training corpus, pure built-in expressions.
+
+    Plan at scale: document length comes straight from the token ARRAY
+    (``size``; no explode), so the only exploded relation is immediately
+    filtered to the query terms - the shuffled (doc, term) tf frame is
+    bounded by |query| x |matching docs|, never the corpus token count.
+    Term doc-frequencies re-aggregate from tf (|query| rows) and join
+    back broadcast; corpus stats (N, avgdl) are one broadcast row.
+    One corpus-wide agg + two query-bounded shuffles total.
+
+    Cross-engine determinism: per-(doc, term) partials are computed in
+    one fixed expression-tree order, rounded to 6 decimals, and summed
+    as DECIMAL(18,6) (order-free exact sum) - the zipf/entropy
+    discipline; ``avgdl`` divides two exact integers, so every input to
+    the float expression is bit-identical across engines.
+
+    Output: ``(id_col, score double)`` for documents matching >=1 term.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                    lambda t: t != "")
+    base = (docs.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col), toks.alias("toks"))
+            .withColumn("dl", F.size("toks")))
+    corpus = base.agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.avg("dl").alias("avgdl"))
+    tf = (base.select(id_col, "dl", F.explode("toks").alias("term"))
+          .where(F.col("term").isin(list(query_terms)))
+          .groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    denom = (F.col("tf") + F.lit(k1)
+             * (F.lit(1.0) - F.lit(b)
+                + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    part = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(corpus))
+              .select(F.col(id_col),
+                      F.round(part, 6).cast("decimal(18,6)").alias("s")))
+    return (scored.groupBy(id_col)
+            .agg(F.sum("s").cast("double").alias("score")))

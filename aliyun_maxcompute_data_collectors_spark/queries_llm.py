@@ -1930,6 +1930,76 @@ FROM kept GROUP BY doc_id
 """
 
 
+def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary training (bpe.bpe_train, Sennrich et al. 2016):
+    first 30 merges learned from the corpus word-frequency table with
+    the deterministic (count DESC, left, right) tie-break.  The greedy
+    merge loop is not SQL-expressible, so this row registers WITHOUT a
+    DuckDB oracle (rows-only driver check); path equivalence (driver
+    loop == distributed loop) and the reference algorithm are pinned by
+    tests/test_operators.py instead."""
+    from aliyun_maxcompute_data_collectors_spark.operators import bpe
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return bpe.bpe_train(t["documents"], n_merges=30).orderBy("rank")
+
+
+_BM25_TERMS = ("vector", "hash", "join", "stream")
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword retrieval (text.bm25_scores): rank the corpus
+    against a fixed 4-term query, top-15 with a deterministic (score
+    DESC, doc_id) tie-break.  Per-term partials are rounded then summed
+    as decimals so ranking never depends on float accumulation order."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    s = X.bm25_scores(t["documents"], list(_BM25_TERMS))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (s.select("doc_id", "score",
+                     F.row_number().over(w).cast("int").alias("rk"))
+            .where(F.col("rk") <= 15).orderBy("rk"))
+
+
+_BM25_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(LOWER(text), '[^a-z]+'),
+                     t -> t <> '') AS toks
+  FROM documents WHERE text IS NOT NULL),
+b2 AS (SELECT doc_id, toks, len(toks) AS dl FROM b),
+corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM b2),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, UNNEST(toks) AS term FROM b2)
+  WHERE term IN ('vector', 'hash', 'join', 'stream')
+  GROUP BY doc_id, dl, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  -- every fractional literal is cast to DOUBLE: DuckDB parses bare
+  -- decimal-point literals as DECIMAL, whose exact arithmetic would
+  -- diverge from Spark's double expression tree
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           LN(1.0::DOUBLE + (corpus.n_docs - dfreq.df + 0.5::DOUBLE)
+                            / (dfreq.df + 0.5::DOUBLE))
+           * (tf.tf * 2.2::DOUBLE)
+           / (tf.tf + 1.2::DOUBLE
+              * (1.0::DOUBLE - 0.75::DOUBLE
+                 + 0.75::DOUBLE * tf.dl / corpus.avgdl)),
+           6) AS DECIMAL(18,6)) AS s
+  FROM tf JOIN dfreq USING (term) CROSS JOIN corpus),
+agg AS (SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score
+        FROM scored GROUP BY doc_id)
+SELECT doc_id, score, rk FROM (
+  SELECT doc_id, score,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rk
+  FROM agg)
+WHERE rk <= 15 ORDER BY rk
+"""
+
+
 def substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stride-1 exact substring dedup (dedup.substring_dedup, Lee et al.
     2022): remove every word covered by a 20-word window whose text was
@@ -2186,6 +2256,8 @@ REGISTRY: dict[str, tuple] = {
     "boilerplate_frac": (boilerplate_q, _BOILER_SQL),
     "span_dedup": (span_dedup_q, _SPAN_DEDUP_SQL),
     "substring_dedup": (substring_dedup_q, _SUBSTRING_DEDUP_SQL),
+    "bm25_topk": (bm25_topk, _BM25_SQL),
+    "bpe_merges": (bpe_merges_q, None),  # rows-only: iterative, non-SQL
     "shard_assign": (shard_assign_q, _SHARD_SQL),
     "dedup_incremental": (dedup_incremental_q, _DEDUP_INCR_SQL),
     "minhash_incremental": (minhash_incr_q, _minhash_incr_sql()),

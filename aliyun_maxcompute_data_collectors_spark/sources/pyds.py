@@ -491,6 +491,76 @@ class GraftAvroDataSource(DataSource):
         avro_schema, _, ranges = self._plan()
         return _AvroReader(ranges, json.dumps(avro_schema))
 
+    def writer(self, schema: StructType, overwrite: bool):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("graft_avro requires .option('path', ...)")
+        return _AvroWriter(
+            path,
+            self.options.get("codec", "deflate"),
+            overwrite,
+            schema,
+            int(self.options.get("block_records", 4096)),
+        )
+
+
+class _AvroWriter(DataSourceArrowWriter):
+    """``df.write.format("graft_avro")`` - one container file per
+    non-empty task, published by the DSv2 commit protocol (write_avro's
+    staging-promote shape, with Spark itself guaranteeing that
+    retried/speculative attempts never publish).  The Arrow path also
+    sidesteps write_avro's nullable-int hazard structurally: values
+    arrive as exact Python ints from the arrow batches, never as
+    pandas float64.  Blocks are capped at ``block_records`` rows so the
+    written files stay sync-marker SPLITTABLE for the range reader.
+    ``overwrite`` clears pre-existing ``*.avro`` at commit time before
+    promoting (a rename sequence, not one atomic op - the
+    FileOutputCommitter v1 caveat, same as write_avro)."""
+
+    def __init__(self, path: str, codec: str, overwrite: bool,
+                 spark_schema: StructType, block_records: int):
+        from aliyun_maxcompute_data_collectors_spark.sources.avrofile import avro_schema_of
+
+        os.makedirs(path, exist_ok=True)
+        self._path = path
+        self._codec = codec
+        self._overwrite = overwrite
+        self._schema = avro_schema_of(spark_schema)  # fails fast on driver
+        self._block_records = block_records
+        self._stage = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
+        os.makedirs(self._stage)
+
+    def write(self, iterator):
+        from aliyun_maxcompute_data_collectors_spark.sources.avrofile import build_container
+
+        recs: list[dict] = []
+        for batch in iterator:
+            recs.extend(batch.to_pylist())
+        if not recs:
+            return _FileCommit(file="", rows=0)
+        fname = f"part-{uuid.uuid4().hex}.avro"
+        with open(os.path.join(self._stage, fname), "wb") as f:
+            f.write(build_container(self._schema, recs, self._codec,
+                                    max_block_records=self._block_records))
+        return _FileCommit(file=fname, rows=len(recs))
+
+    def commit(self, messages):
+        import glob as _glob
+
+        files = sorted(m.file for m in messages if m is not None and m.file)
+        try:
+            if self._overwrite:
+                for old in _glob.glob(os.path.join(self._path, "*.avro")):
+                    os.remove(old)
+            for fname in files:
+                os.replace(os.path.join(self._stage, fname),
+                           os.path.join(self._path, fname))
+        finally:
+            shutil.rmtree(self._stage, ignore_errors=True)
+
+    def abort(self, messages):
+        shutil.rmtree(self._stage, ignore_errors=True)
+
 
 def register_python_datasources(spark) -> None:
     """Register both formats on ``spark`` (idempotent; latest wins).

@@ -132,6 +132,76 @@ def test_substring_dedup_full_cover_and_within_doc(spark):
         D.substring_dedup(df, "doc_id", "text", k=1)
 
 
+def test_bm25_scores_match_reference_formula(spark):
+    import math
+
+    from aliyun_maxcompute_data_collectors_spark.operators.text import bm25_scores
+
+    corpus = {1: "cat dog cat", 2: "dog bird", 3: "fish fish fish bird"}
+    df = spark.createDataFrame(list(corpus.items()), "doc_id int, text string")
+    got = {r["doc_id"]: r["score"]
+           for r in bm25_scores(df, ["cat", "bird"], k1=1.2, b=0.75).collect()}
+
+    # straight from Robertson et al.: idf = ln(1 + (N - df + .5)/(df + .5))
+    toks = {d: t.split() for d, t in corpus.items()}
+    n, avgdl = len(toks), sum(map(len, toks.values())) / len(toks)
+    exp = {}
+    for d, ts in toks.items():
+        s = 0.0
+        for q in ("cat", "bird"):
+            tf = ts.count(q)
+            if not tf:
+                continue
+            dfq = sum(q in t for t in toks.values())
+            idf = math.log(1 + (n - dfq + 0.5) / (dfq + 0.5))
+            s += round(idf * (tf * 2.2)
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * len(ts) / avgdl)), 6)
+        if s:
+            exp[d] = round(s, 6)
+    assert set(got) == set(exp) == {1, 2, 3}
+    for d in exp:
+        assert abs(got[d] - exp[d]) < 1e-9, (d, got[d], exp[d])
+    # doc 3 mentions only 'bird'; doc 1 only 'cat' (twice, but shorter)
+    assert got[1] > got[2]
+
+
+def test_bpe_train_reference_and_path_equivalence(spark, sf_dir):
+    from aliyun_maxcompute_data_collectors_spark.operators import bpe
+    from aliyun_maxcompute_data_collectors_spark.session import load_tables
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new"),
+         (3, "wide wider low")], "doc_id int, text string")
+    got = [tuple(r) for r in bpe.bpe_train(df, n_merges=4).collect()]
+    # hand-checked Sennrich trace: 'lo' (6 = 4x low + lower + lowest),
+    # then 'lo'+'w', then 'ew' / 'n'+'ew' (4 each, 'ew' wins the a-asc tie)
+    assert got == [(1, "l", "o", "lo", 6), (2, "lo", "w", "low", 6),
+                   (3, "e", "w", "ew", 4), (4, "n", "ew", "new", 4)]
+    # the distributed vocab-table loop must produce identical merges -
+    # on the real corpus, not just the toy (threshold 0 forces it)
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"] \
+        .where(F.col("doc_id") % 10 == 0)
+    a = [tuple(r) for r in bpe.bpe_train(docs, n_merges=12).collect()]
+    b = [tuple(r) for r in bpe.bpe_train(
+        docs, n_merges=12, driver_vocab_threshold=0).collect()]
+    assert a == b and len(a) == 12
+
+
+def test_bpe_segment_lossless_and_greedy(spark):
+    from aliyun_maxcompute_data_collectors_spark.operators import bpe
+
+    merges = [("l", "o"), ("lo", "w"), ("e", "r")]
+    words = spark.createDataFrame(
+        [("lowest",), ("lower",), ("slow",), ("a",)], "word string")
+    out = {r["word"]: r["pieces"]
+           for r in bpe.bpe_segment(words, merges).collect()}
+    # pieces always reconcatenate to the word (BPE is lossless)
+    assert all("".join(p) == w for w, p in out.items())
+    assert out["lower"] == ["low", "er"]
+    assert out["slow"] == ["s", "low"]
+    assert out["a"] == ["a"]
+
+
 def test_span_dedup_idempotent_on_corpus(spark, sf_dir):
     # corpus-level invariant: every surviving span fingerprint is globally
     # unique.  Dropping a span shifts later spans by whole window multiples

@@ -250,6 +250,41 @@ def test_avro_ds_matches_mapinpandas_reader(spark, orders, root, pushdown):
     assert via_fn.exceptAll(via_ds).count() == 0
 
 
+def test_avro_ds_write_roundtrip_modes(spark, orders, root, pushdown):
+    tgt = os.path.join(root, "avro_out")
+    sub = orders.limit(200)
+    sub.repartition(3).write.format("graft_avro").option("path", tgt) \
+        .mode("overwrite").save()
+    back = spark.read.format("graft_avro").option("path", tgt).load()
+    assert back.count() == 200
+    assert back.exceptAll(sub).count() == 0 and sub.exceptAll(back).count() == 0
+    # append accumulates; overwrite replaces
+    sub.write.format("graft_avro").option("path", tgt).mode("append").save()
+    assert spark.read.format("graft_avro").option("path", tgt) \
+        .load().count() == 400
+    sub.write.format("graft_avro").option("path", tgt) \
+        .mode("overwrite").save()
+    assert spark.read.format("graft_avro").option("path", tgt) \
+        .load().count() == 200
+    assert not glob.glob(os.path.join(tgt, "_staging-*"))
+    # empty tasks publish no files (5 rows over 8 partitions)
+    tgt2 = os.path.join(root, "avro_out2")
+    orders.limit(5).repartition(8).write.format("graft_avro") \
+        .option("path", tgt2).mode("append").save()
+    assert len(glob.glob(os.path.join(tgt2, "*.avro"))) <= 5
+    assert spark.read.format("graft_avro").option("path", tgt2) \
+        .load().count() == 5
+    # DS-written files are block-capped -> sync-split readable
+    tgt3 = os.path.join(root, "avro_out3")
+    orders.coalesce(1).write.format("graft_avro").option("path", tgt3) \
+        .option("block_records", "100").mode("append").save()
+    f = glob.glob(os.path.join(tgt3, "*.avro"))[0]
+    split = max(1, os.path.getsize(f) // 5)
+    df = (spark.read.format("graft_avro").option("path", f)
+          .option("split_bytes", str(split)).load())
+    assert df.count() == orders.count()
+
+
 def test_avro_ds_split_one_file_many_tasks(spark, orders, root, pushdown):
     from aliyun_maxcompute_data_collectors_spark.sources.avrofile import write_avro
 
