@@ -1948,18 +1948,17 @@ _BM25_TERMS = ("vector", "hash", "join", "stream")
 
 
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 keyword retrieval (text.bm25_scores): rank the corpus
-    against a fixed 4-term query, top-15 with a deterministic (score
-    DESC, doc_id) tie-break.  Per-term partials are rounded then summed
-    as decimals so ranking never depends on float accumulation order."""
-    from pyspark.sql.window import Window
-
+    """Okapi BM25 keyword retrieval (text.bm25_scores): top-15 corpus
+    documents for a fixed 4-term query with a deterministic (score DESC,
+    doc_id) tie-break, via orderBy+limit so Spark plans a DISTRIBUTED
+    TakeOrderedAndProject - per-partition top-15 then a 15-row merge,
+    never a single-partition global window (at corpus scale the scored
+    frame is millions of matching docs).  Per-term partials are rounded
+    then summed as decimals so ranking never depends on float
+    accumulation order."""
     t = load_tables(spark, sf_dir, ["documents"])
     s = X.bm25_scores(t["documents"], list(_BM25_TERMS))
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (s.select("doc_id", "score",
-                     F.row_number().over(w).cast("int").alias("rk"))
-            .where(F.col("rk") <= 15).orderBy("rk"))
+    return s.orderBy(F.desc("score"), F.asc("doc_id")).limit(15)
 
 
 _BM25_SQL = """
@@ -1992,11 +1991,8 @@ scored AS (
   FROM tf JOIN dfreq USING (term) CROSS JOIN corpus),
 agg AS (SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score
         FROM scored GROUP BY doc_id)
-SELECT doc_id, score, rk FROM (
-  SELECT doc_id, score,
-         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rk
-  FROM agg)
-WHERE rk <= 15 ORDER BY rk
+SELECT doc_id, score FROM agg
+ORDER BY score DESC, doc_id LIMIT 15
 """
 
 

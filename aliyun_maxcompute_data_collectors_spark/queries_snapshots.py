@@ -398,6 +398,77 @@ FROM orders
 """
 
 
+def pyds_stream_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING under the hash oracle - both directions of
+    the snapshot streaming surface in one deterministic cycle:
+
+    1. SOURCE: a snapshot table receives two append commits (slices a,
+       b); ``readStream.format("graft_snapshot")`` replays from v1 with
+       availableNow and lands in a parquet sink - every appended row
+       must stream exactly once (version offsets + immutable file sets).
+    2. SINK: the parquet output is file-streamed BACK through
+       ``writeStream.format("graft_snapshot")`` into a second snapshot
+       table - one batch-id-tagged atomic commit.
+
+    The final read of table 2's HEAD must equal a+b exactly; the oracle
+    recomputes the slices from ``orders``.  A dropped or duplicated
+    micro-batch, a mis-planned version range, or a broken epoch commit
+    all change the count/sum hash.  Output also pins the sink table's
+    commit history shape (init + one stream-append epoch)."""
+    import os as _os
+    import tempfile as _tf
+
+    from aliyun_maxcompute_data_collectors_spark.sources.pyds import (
+        register_python_datasources,
+    )
+
+    root = _tf.mkdtemp(prefix="snap_stream_")
+    try:
+        a, b, _ = _slices(spark, sf_dir)
+        src_tab = SnapshotTable.init(spark, _os.path.join(root, "src"))
+        src_tab.append(a)
+        src_tab.append(b)
+        register_python_datasources(spark)
+        mid = _os.path.join(root, "mid")
+        sdf = (spark.readStream.format("graft_snapshot")
+               .option("path", src_tab.path)
+               .option("starting_version", "1").load())
+        q1 = (sdf.writeStream.format("parquet").option("path", mid)
+              .option("checkpointLocation", _os.path.join(root, "ck1"))
+              .trigger(availableNow=True).start())
+        q1.awaitTermination(120)
+        dst_tab = SnapshotTable.init(spark, _os.path.join(root, "dst"))
+        fstream = spark.readStream.schema(a.schema).parquet(mid)
+        q2 = (fstream.writeStream.format("graft_snapshot")
+              .option("path", dst_tab.path)
+              .option("checkpointLocation", _os.path.join(root, "ck2"))
+              .trigger(availableNow=True).start())
+        q2.awaitTermination(120)
+        ops = [v["operation"] for v in dst_tab.versions()]
+        n_epochs = sum(op.startswith("stream-append") for op in ops)
+        out = dst_tab.read().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+            .cast("double").alias("sum_price"),
+        ).select("n_rows", "sum_key", "sum_price",
+                 F.lit(int(n_epochs)).alias("n_stream_epochs"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_PYDS_STREAM_SQL = """
+WITH ab AS (SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey % 10 < 8)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price,
+       1 AS n_stream_epochs
+FROM ab
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "snapshot_time_travel": (snapshot_time_travel, _TIME_TRAVEL_SQL),
     "snapshot_changes": (snapshot_changes, _CHANGES_SQL),
@@ -406,4 +477,5 @@ REGISTRY: dict[str, tuple] = {
     "snapshot_merge": (snapshot_merge, _MERGE_SQL),
     "pyds_snapshot_read": (pyds_snapshot_read, _PYDS_SNAPSHOT_SQL),
     "pyds_avro_read": (pyds_avro_read, _PYDS_AVRO_SQL),
+    "pyds_stream_cycle": (pyds_stream_cycle, _PYDS_STREAM_SQL),
 }

@@ -115,6 +115,14 @@ BENCH_QUERIES = [
     "snapshot_compact",
     "snapshot_pruned_read",
     "snapshot_merge",
+    # round-7 late additions: stride-1 substring dedup, BM25 retrieval,
+    # BPE merge learning, and the Python Data Source front-ends (each
+    # pyds run measures the full DSv2 write-commit + read cycle)
+    "substring_dedup",
+    "bm25_topk",
+    "bpe_merges",
+    "pyds_snapshot_read",
+    "pyds_avro_read",
 ]
 
 

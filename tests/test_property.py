@@ -569,3 +569,46 @@ def test_ngram_containment_matches_python_reference(spark, docs):
            for r in ngram_containment_pairs(df, "doc_id", "text", n=n,
                                             threshold=0.3).collect()}
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# substring_dedup vs a pure-Python reference of the same algorithm
+# ---------------------------------------------------------------------------
+
+def _ref_substring_dedup(corpus: list[tuple[int, str]], k: int) -> dict:
+    """Sequential reference: stride-1 k-gram first-occurrence coverage
+    removal (the semantics dedup.substring_dedup distributes)."""
+    toks = {i: t.split() for i, t in corpus if t and t.strip()}
+    occ: dict[tuple, list] = {}
+    for i in sorted(toks):
+        w = toks[i]
+        for p in range(len(w) - k + 1):
+            occ.setdefault(tuple(w[p:p + k]), []).append((i, p))
+    cover: dict[int, set] = {}
+    for sites in occ.values():
+        if len(sites) < 2:
+            continue
+        for (i, p) in sorted(sites)[1:]:
+            cover.setdefault(i, set()).update(range(p, p + k))
+    out = {}
+    for i, pos in cover.items():
+        w = toks[i]
+        kept = [w[j] for j in range(len(w)) if j not in pos]
+        out[i] = (len(w), len(pos), " ".join(kept))
+    return out
+
+
+@given(st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+    min_size=1, max_size=8))
+@settings(max_examples=12, deadline=None)
+def test_substring_dedup_matches_reference(spark, docs):
+    import aliyun_maxcompute_data_collectors_spark.operators.dedup as D
+
+    corpus = [(i, " ".join(w)) for i, w in enumerate(docs)]
+    k = 3
+    exp = _ref_substring_dedup(corpus, k)
+    df = spark.createDataFrame(corpus, "doc_id int, text string")
+    got = {r["id"]: (r["n_words"], r["n_removed"], r["text_dedup"])
+           for r in D.substring_dedup(df, "doc_id", "text", k=k).collect()}
+    assert got == exp
