@@ -50,10 +50,10 @@ from aliyun_maxcompute_data_collectors_spark.queries import REGISTRY  # noqa: E4
 # recursive_chain now materializes eagerly under a scoped row valve;
 # minhash_lsh persisted banding aggregate; ivfpq_topk candidate-
 # prefilter reorder); tier 4 fills the 50-slot window with r4-evidence
-# rows alphabetically (the tier list is 55 deep, so its alphabetical
-# tail - fuzzy_customer_names through median_stats - rides positions
-# 51-55 as count-only rows this round; their evidence stays r4, which
-# still satisfies the ask).  Everything else follows in registry order.
+# rows alphabetically (the tier list is 56 deep, so its alphabetical
+# tail - funnel_steps through median_stats - rides positions 51-56 as
+# count-only rows this round; their evidence stays r4, which still
+# satisfies the ask).  Everything else follows in registry order.
 # Gate discipline: this window holds slots only if
 # scripts/driver_sim.py - run at sf0.01 by scripts/gate.sh, whose
 # stdout is committed as GATE_r7.log - exits green (now including the

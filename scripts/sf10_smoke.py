@@ -55,6 +55,7 @@ SPOT = [
     # Data Source front-ends (DSv2 write commit + pushdown-pruned read;
     # avro sync-split read through format("graft_avro"))
     "substring_dedup", "pyds_snapshot_read", "pyds_avro_read",
+    "bm25_topk", "bpe_merges", "pyds_stream_cycle",
 ]
 
 
