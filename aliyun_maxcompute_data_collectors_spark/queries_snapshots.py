@@ -469,6 +469,66 @@ FROM ab
 """
 
 
+def mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (mv.py) under the hash
+    oracle: a per-bucket count/sum view over a snapshot table is
+    refreshed through THREE commit shapes - append (CDF fast path),
+    another append, then an overwrite that deletes bucket 0 and half of
+    bucket 1 (signed-merge delete handling + group-liveness drop).  The
+    final view must equal a direct aggregate of the final table state,
+    which is exactly what the oracle computes; a wrong signed fold, a
+    lingering dead group, or a missed delta all break the hash.
+    ``n_merge_refreshes`` pins that every refresh took the incremental
+    merge path (never a silent full recompute)."""
+    import os as _os
+    import tempfile as _tf
+
+    from aliyun_maxcompute_data_collectors_spark.mv import MaterializedAggView
+
+    root = _tf.mkdtemp(prefix="mv_q_")
+    try:
+        o = load_tables(spark, sf_dir, ["orders"])["orders"].select(
+            "o_orderkey", "o_totalprice",
+            (F.col("o_orderkey") % 10).cast("int").alias("bucket"))
+        b = F.col("bucket")
+        src = SnapshotTable.init(spark, _os.path.join(root, "src"))
+        mv = MaterializedAggView.init(
+            spark, src, _os.path.join(root, "state"), keys=["bucket"],
+            aggs={"n": ("count", ""),
+                  "total": ("sum", f"CAST(o_totalprice AS {_DEC})")})
+        strategies = []
+        src.append(o.where(b < 4))
+        strategies.append(mv.refresh()[0])
+        src.append(o.where((b >= 4) & (b < 7)))
+        strategies.append(mv.refresh()[0])
+        src.overwrite(src.read().where(
+            (b != 0) & ~((b == 1) & (F.col("o_orderkey") % 20 == 1))))
+        strategies.append(mv.refresh()[0])
+        n_merge = sum(s == "merge" for s in strategies)
+        out = mv.read().select(
+            "bucket", "n",
+            F.round("total", 2).cast("double").alias("total"),
+            F.lit(int(n_merge)).alias("n_merge_refreshes"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_MV_REFRESH_SQL = """
+WITH final AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(o_orderkey % 10 AS INT) AS bucket
+  FROM orders
+  WHERE o_orderkey % 10 BETWEEN 1 AND 6
+    AND NOT (o_orderkey % 10 = 1 AND o_orderkey % 20 = 1)
+)
+SELECT bucket, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total,
+       3 AS n_merge_refreshes
+FROM final GROUP BY bucket
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "snapshot_time_travel": (snapshot_time_travel, _TIME_TRAVEL_SQL),
     "snapshot_changes": (snapshot_changes, _CHANGES_SQL),
@@ -478,4 +538,5 @@ REGISTRY: dict[str, tuple] = {
     "pyds_snapshot_read": (pyds_snapshot_read, _PYDS_SNAPSHOT_SQL),
     "pyds_avro_read": (pyds_avro_read, _PYDS_AVRO_SQL),
     "pyds_stream_cycle": (pyds_stream_cycle, _PYDS_STREAM_SQL),
+    "mv_refresh": (mv_refresh, _MV_REFRESH_SQL),
 }

@@ -368,14 +368,18 @@ class SnapshotTable:
             parent, pm["files"] + files, pm["rows"] + n, "append",
             stats={**(pm.get("stats") or {}), **stats})
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, operation: str = "overwrite") -> int:
         """New snapshot from a fresh file list.  The input may lazily read
         the CURRENT snapshot (read-merge-overwrite): its source files are
         never deleted by this commit, so no eager localCheckpoint is
-        needed - the exact hazard the plain-parquet CDC path pays for."""
+        needed - the exact hazard the plain-parquet CDC path pays for.
+
+        ``operation`` customizes the manifest's operation tag (e.g.
+        mv.py's ``mv-refresh:base=<v>`` watermark) so a caller's own
+        metadata rides the SAME atomic commit as the data."""
         parent = self.current_version()
         files, n, stats = self._write_files(df)
-        return self._commit_manifest(parent, files, n, "overwrite",
+        return self._commit_manifest(parent, files, n, operation,
                                      stats=stats)
 
     def rollback(self, version: int) -> int:

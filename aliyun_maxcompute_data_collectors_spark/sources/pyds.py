@@ -231,6 +231,21 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         default - silent wrong answers are worse than a dead stream);
       - 'skip': produce no rows for that commit and continue (compaction
         rewrites, for instance, carry no new data).
+
+    ADMISSION CONTROL: ``max_files_per_trigger`` caps each micro-batch
+    at N newly-added files (Delta's maxFilesPerTrigger) - without it a
+    10k-file backfill lands in ONE epoch.  Offsets carry a sub-version
+    file cursor ({version, file: consumed-count}) so one large commit
+    drains across several batches.  Scope - a Python-API limitation,
+    pinned by test: ``latestOffset`` is never handed the committed
+    offset, so planning calls that arrive before the runner's cursor
+    exists (the availableNow prepare call; the first call after a query
+    restart) return the UNCAPPED head - capping those from
+    ``starting_version`` instead would regress offsets behind the
+    checkpoint on restart (re-planned or lost batches).  Net behavior:
+    continuous (processingTime) triggers - the long-running ingestion
+    shape admission control exists for - are capped from the second
+    batch on; availableNow catch-up drains uncapped.
     """
 
     def __init__(self, path: str, options):
@@ -241,6 +256,16 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 "graft_snapshot stream: on_overwrite must be fail|skip")
         self._partition_bytes = int(
             options.get("partition_bytes", _DEFAULT_PARTITION_BYTES))
+        mft = options.get("max_files_per_trigger")
+        self._max_files = int(mft) if mft is not None else None
+        if self._max_files is not None and self._max_files < 1:
+            raise SnapshotError(
+                "graft_snapshot stream: max_files_per_trigger must be >= 1")
+        # driver-side admission cursor: the last offset this reader
+        # instance planned or committed.  Offsets are
+        # {version, file: consumed-count-of-that-version's-added-files};
+        # a checkpointed pre-cap offset {version} means fully consumed.
+        self._cursor: dict | None = None
         start = options.get("starting_version")
         if start is not None:
             self._start = int(start)
@@ -249,30 +274,102 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             # `latest` shape); starting_version=1 replays the full table
             self._start = SnapshotTable(None, path).current_version()
 
+    # -- offset plumbing ----------------------------------------------------
+    def _added_files(self, tab: SnapshotTable, v: int,
+                     enforce_policy: bool = True) -> list[str]:
+        """Files version ``v`` ADDED over its parent.  Non-append commits
+        (overwrite/merge/rollback/compact) are not row-level inserts:
+        under ``enforce_policy`` the fail/skip option decides (fail
+        raises, skip yields no files); policy is NOT enforced for offset
+        bookkeeping of versions the stream never consumes (the starting
+        version, checkpointed boundaries)."""
+        m = tab.manifest(v)
+        op = m["operation"]
+        if op == "init":
+            return []
+        if not (op == "append" or op.startswith("stream-append")):
+            if enforce_policy and self._on_overwrite == "fail":
+                raise SnapshotError(
+                    f"graft_snapshot stream: v{v} is a non-append "
+                    f"commit ({op}); restart from a later "
+                    "starting_version or set on_overwrite=skip")
+            return []  # no row-level inserts to stream from this commit
+        parent_files = (set(tab.manifest(m["parent"])["files"])
+                        if m["parent"] is not None else set())
+        return [f for f in m["files"] if f not in parent_files]
+
+    def _consumed(self, tab: SnapshotTable, off: dict) -> tuple[int, int]:
+        """(version, files-of-that-version-consumed) from an offset dict;
+        a missing ``file`` key (pre-cap checkpoints) means fully
+        consumed."""
+        v = off["version"]
+        if "file" in off:
+            return v, off["file"]
+        return v, len(self._added_files(tab, v, enforce_policy=False))
+
+    def _trace(self, msg: str) -> None:
+        p = os.environ.get("GRAFT_PYDS_TRACE")
+        if p:
+            with open(p, "a") as fh:
+                fh.write(f"pid={os.getpid()} id={id(self) % 100000} {msg}\n")
+
     def initialOffset(self) -> dict:
-        return {"version": self._start}
+        self._trace("initialOffset")
+        # starting_version semantics are "replay commits AFTER v", so v
+        # itself counts as fully consumed (policy never applies to it)
+        tab = SnapshotTable(None, self._path)
+        self._cursor = {
+            "version": self._start,
+            "file": len(self._added_files(tab, self._start,
+                                          enforce_policy=False))}
+        return dict(self._cursor)
 
     def latestOffset(self) -> dict:
-        return {"version": SnapshotTable(None, self._path).current_version()}
+        self._trace(f"latestOffset cursor={self._cursor}")
+        tab = SnapshotTable(None, self._path)
+        head = tab.current_version()
+        if self._max_files is None or self._cursor is None:
+            # uncapped, or first call after a RESTART (the Python stream
+            # API never hands latestOffset the committed offset, so the
+            # cap is best-effort: the first post-restart batch takes the
+            # whole backlog; every later batch is capped again once
+            # partitions() re-establishes the cursor)
+            return {"version": head,
+                    "file": len(self._added_files(
+                        tab, head, enforce_policy=False))}
+        v, consumed = self._consumed(tab, self._cursor)
+        budget = self._max_files
+        while budget > 0:
+            # the starting version is consumed by definition - the
+            # fail/skip policy only governs versions the stream reads
+            added = len(self._added_files(tab, v,
+                                          enforce_policy=v != self._start))
+            if consumed < added:
+                take = min(budget, added - consumed)
+                consumed += take
+                budget -= take
+                continue
+            if v >= head:
+                break
+            v += 1
+            consumed = 0
+        off = {"version": v, "file": consumed}
+        self._cursor = dict(off)
+        return off
 
     def partitions(self, start: dict, end: dict):
+        self._trace(f"partitions {start} {end}")
         tab = SnapshotTable(None, self._path)
+        sv, sf = self._consumed(tab, start)
+        ev, ef = self._consumed(tab, end)
         new_files: list[str] = []
-        for v in range(start["version"] + 1, end["version"] + 1):
-            m = tab.manifest(v)
-            op = m["operation"]
-            if op == "init":
-                continue
-            if not (op == "append" or op.startswith("stream-append")):
-                if self._on_overwrite == "fail":
-                    raise SnapshotError(
-                        f"graft_snapshot stream: v{v} is a non-append "
-                        f"commit ({op}); restart from a later "
-                        "starting_version or set on_overwrite=skip")
-                continue
-            parent_files = (set(tab.manifest(m["parent"])["files"])
-                            if m["parent"] is not None else set())
-            new_files.extend(f for f in m["files"] if f not in parent_files)
+        for v in range(sv, ev + 1):
+            added = self._added_files(tab, v,
+                                      enforce_policy=v != self._start)
+            lo = sf if v == sv else 0
+            hi = ef if v == ev else len(added)
+            new_files.extend(added[lo:hi])
+        self._cursor = {"version": ev, "file": ef}
         return [_FilesPartition(b)
                 for b in _pack_files(new_files, self._partition_bytes)
                 if b]

@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "bpe_merges",
     "pyds_snapshot_read",
     "pyds_avro_read",
+    "mv_refresh",
 ]
 
 

@@ -250,6 +250,51 @@ def test_avro_ds_matches_mapinpandas_reader(spark, orders, root, pushdown):
     assert via_fn.exceptAll(via_ds).count() == 0
 
 
+def test_snapshot_stream_source_max_files_per_trigger(spark, orders, root,
+                                                      pushdown):
+    """Admission control under the continuous trigger: a 6-file commit
+    must drain across ceil(6/2)=3 capped micro-batches (sub-version file
+    cursors in the offsets), with every row delivered exactly once."""
+    import json
+    import time
+
+    tab = SnapshotTable.init(spark, root)
+    m = F.col("o_orderkey") % 10
+    tab.append(orders.where(m == 0).coalesce(1))
+    out, ck = os.path.join(root, "out"), os.path.join(root, "ck")
+    sdf = (spark.readStream.format("graft_snapshot").option("path", root)
+           .option("starting_version", "1")
+           .option("max_files_per_trigger", "2").load())
+    q = (sdf.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(processingTime="1 second").start())
+    try:
+        time.sleep(4)
+        tab.append(orders.where((m >= 1) & (m <= 6)).repartition(6))
+        want = orders.where(m <= 6).count()
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= want:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert spark.read.parquet(out).count() == want
+    ends = []
+    odir = os.path.join(ck, "offsets")
+    for f in sorted(x for x in os.listdir(odir) if not x.startswith(".")):
+        ends.append(json.loads(
+            open(os.path.join(odir, f)).read().strip().splitlines()[-1]))
+    # the big commit's versions appear with ascending sub-version file
+    # cursors: at least one batch ends mid-version (file not 0/full=6)
+    big = [e for e in ends if e["version"] == 3]
+    assert len(big) >= 3 and any(0 < e["file"] < 6 for e in big), ends
+
+
 def test_avro_ds_write_roundtrip_modes(spark, orders, root, pushdown):
     tgt = os.path.join(root, "avro_out")
     sub = orders.limit(200)
