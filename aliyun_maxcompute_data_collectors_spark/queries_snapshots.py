@@ -529,6 +529,49 @@ FROM final GROUP BY bucket
 """
 
 
+def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive SCHEMA EVOLUTION under the hash oracle: an append adds a
+    ``region_id`` column to an existing 2-column table; the unified read
+    (driven by the manifest schema, no footer merging) must surface the
+    pre-evolution rows with NULL and the post-evolution rows with their
+    values - the per-region aggregate against a CASE-reconstructed
+    oracle breaks if either cohort leaks into the other, if the unified
+    schema misorders, or if NULL materialization is wrong."""
+    import os as _os
+    import tempfile as _tf
+
+    root = _tf.mkdtemp(prefix="snap_evo_")
+    try:
+        o = load_tables(spark, sf_dir, ["orders"])["orders"].select(
+            "o_orderkey", "o_totalprice")
+        m = F.col("o_orderkey") % 10
+        tab = SnapshotTable.init(spark, _os.path.join(root, "t"))
+        tab.append(o.where(m < 4))
+        tab.append(o.where((m >= 4) & (m < 8))
+                   .withColumn("region_id", (m % 3).cast("int")))
+        out = (tab.read()
+               .groupBy("region_id")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("o_orderkey").cast("long").alias("sum_key"),
+                    F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+                    .cast("double").alias("sum_price")))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SCHEMA_EVOLUTION_SQL = """
+SELECT CASE WHEN o_orderkey % 10 BETWEEN 4 AND 7
+            THEN CAST((o_orderkey % 10) % 3 AS INT) END AS region_id,
+       COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderkey % 10 < 8
+GROUP BY region_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "snapshot_time_travel": (snapshot_time_travel, _TIME_TRAVEL_SQL),
     "snapshot_changes": (snapshot_changes, _CHANGES_SQL),
@@ -539,4 +582,6 @@ REGISTRY: dict[str, tuple] = {
     "pyds_avro_read": (pyds_avro_read, _PYDS_AVRO_SQL),
     "pyds_stream_cycle": (pyds_stream_cycle, _PYDS_STREAM_SQL),
     "mv_refresh": (mv_refresh, _MV_REFRESH_SQL),
+    "snapshot_schema_evolution": (snapshot_schema_evolution,
+                                  _SCHEMA_EVOLUTION_SQL),
 }

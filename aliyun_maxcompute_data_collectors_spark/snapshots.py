@@ -188,6 +188,49 @@ def prune_manifest_files(manifest: dict, conjuncts: list) -> list[str]:
     return kept
 
 
+def _nullable_schema(st):
+    """All-nullable copy of a struct schema: new columns materialize as
+    NULL in files that predate them, and Spark's parquet reads surface
+    nullable columns regardless - recording anything stricter in the
+    manifest would be a lie."""
+    from pyspark.sql import types as T
+
+    return T.StructType([
+        T.StructField(f.name, f.dataType, True, f.metadata)
+        for f in st.fields])
+
+
+def unify_schemas(parent_json: str | None, df_schema):
+    """SCHEMA EVOLUTION contract (Delta-style, additive-only): the new
+    write may ADD columns (appended after the parent's, nullable) and
+    may OMIT parent columns (its files simply lack them; reads fill
+    NULL); a TYPE CHANGE on an existing column raises - silently
+    coercing 100 TB of history is how tables die.  Nested struct
+    evolution is not attempted (whole-column type equality only).
+    Returns the unified StructType."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    df_schema = _nullable_schema(df_schema)
+    if parent_json is None:
+        return df_schema
+    parent = _nullable_schema(
+        T.StructType.fromJson(_json.loads(parent_json)))
+    by_name = {f.name: f for f in parent.fields}
+    for f in df_schema.fields:
+        old = by_name.get(f.name)
+        if old is not None and old.dataType != f.dataType:
+            raise SnapshotError(
+                f"schema evolution: column {f.name!r} type change "
+                f"{old.dataType.simpleString()} -> "
+                f"{f.dataType.simpleString()} is not allowed (additive "
+                "evolution only - new nullable columns)")
+    merged = list(parent.fields) + [
+        f for f in df_schema.fields if f.name not in by_name]
+    return T.StructType(merged)
+
+
 class SnapshotTable:
     """A versioned parquet table rooted at ``path``.
 
@@ -251,7 +294,8 @@ class SnapshotTable:
 
     def _commit_manifest(self, parent: int | None, files: list[str],
                          rows: int, operation: str,
-                         stats: dict | None = None) -> int:
+                         stats: dict | None = None,
+                         schema: str | None = None) -> int:
         """Publish a new snapshot.  Commit lock + parent check = optimistic
         concurrency; the HEAD swap itself is one atomic rename."""
         lock = os.path.join(self._root, "COMMIT_LOCK")
@@ -279,6 +323,8 @@ class SnapshotTable:
                           if f in set(files)},
                 "timestamp_ms": int(time.time() * 1000),
             }
+            if schema is not None:
+                manifest["schema"] = schema
             _fsync_write(self._manifest_path(version),
                          json.dumps(manifest, indent=1))
             _fsync_write(self._head_path(), str(version))
@@ -332,12 +378,20 @@ class SnapshotTable:
                 if op not in _PRUNE_OPS:
                     raise SnapshotError(f"unsupported prune op {op!r}")
             files = self.prune_files(m, conjuncts)
+        reader = self.spark.read
+        if m.get("schema"):
+            # explicit manifest schema: no footer-merging planning pass,
+            # and files that predate an added column surface it as NULL
+            # (the Delta/Iceberg log-schema design)
+            from pyspark.sql import types as T
+            reader = reader.schema(
+                T.StructType.fromJson(json.loads(m["schema"])))
         if not files:
             # every file pruned: preserve the schema with an empty scan
             # of one manifest file plus an always-false filter
-            df = self.spark.read.parquet(m["files"][0]).where(F.lit(False))
+            df = reader.parquet(m["files"][0]).where(F.lit(False))
         else:
-            df = self.spark.read.parquet(*files)
+            df = reader.parquet(*files)
         for col, op, value in conjuncts:
             if op in ("==", "="):
                 df = df.where(F.col(col) == F.lit(value))
@@ -360,13 +414,20 @@ class SnapshotTable:
     def append(self, df: DataFrame) -> int:
         """New snapshot = parent's files + newly written files.  No data
         is rewritten - commit cost is one manifest, like W1's atomic
-        append (OdpsBatchWrite.scala commit) with history kept."""
+        append (OdpsBatchWrite.scala commit) with history kept.
+
+        SCHEMA EVOLUTION: the append may add new nullable columns or
+        omit existing ones (see :func:`unify_schemas`); a type change
+        raises BEFORE any file is written.  The unified schema rides the
+        manifest, so reads never pay a footer-merging pass."""
         parent = self.current_version()
         pm = self.manifest(parent)
+        unified = unify_schemas(pm.get("schema"), df.schema)
         files, n, stats = self._write_files(df)
         return self._commit_manifest(
             parent, pm["files"] + files, pm["rows"] + n, "append",
-            stats={**(pm.get("stats") or {}), **stats})
+            stats={**(pm.get("stats") or {}), **stats},
+            schema=unified.json())
 
     def overwrite(self, df: DataFrame, operation: str = "overwrite") -> int:
         """New snapshot from a fresh file list.  The input may lazily read
@@ -376,11 +437,16 @@ class SnapshotTable:
 
         ``operation`` customizes the manifest's operation tag (e.g.
         mv.py's ``mv-refresh:base=<v>`` watermark) so a caller's own
-        metadata rides the SAME atomic commit as the data."""
+        metadata rides the SAME atomic commit as the data.
+
+        An overwrite REPLACES the table, so its schema resets to the
+        input's (no unification against history - the pre-overwrite
+        snapshot keeps its own schema for time travel)."""
         parent = self.current_version()
         files, n, stats = self._write_files(df)
         return self._commit_manifest(parent, files, n, operation,
-                                     stats=stats)
+                                     stats=stats,
+                                     schema=_nullable_schema(df.schema).json())
 
     def rollback(self, version: int) -> int:
         """Publish a NEW snapshot that restores ``version``'s file list
@@ -389,7 +455,8 @@ class SnapshotTable:
         m = self.manifest(version)
         return self._commit_manifest(parent, m["files"], m["rows"],
                                      f"rollback->v{version}",
-                                     stats=m.get("stats"))
+                                     stats=m.get("stats"),
+                                     schema=m.get("schema"))
 
     def merge(self, source: DataFrame, on: str, *,
               matched=None, not_matched=None, not_matched_by_source=None,
@@ -417,9 +484,11 @@ class SnapshotTable:
             not_matched_by_source=not_matched_by_source,
             target_alias=target_alias, source_alias=source_alias,
             validate_cardinality=validate_cardinality)
+        unified = unify_schemas(self.manifest(parent).get("schema"),
+                                merged.schema)
         files, n, stats = self._write_files(merged)
         return self._commit_manifest(parent, files, n, "merge",
-                                     stats=stats)
+                                     stats=stats, schema=unified.json())
 
     def changes(self, since: int, until: int | None = None) -> DataFrame:
         """Row-level changes between two snapshots as a DataFrame with a
@@ -460,16 +529,25 @@ class SnapshotTable:
                 break
             prev = cur
         ctype = "_change_type"
+        # all reads use UNTIL's unified schema so a schema-evolving range
+        # still unions/diffs cleanly (pre-evolution rows surface the new
+        # columns as NULL, exactly as a direct read of `until` would)
+        um = self.manifest(until)
+        ureader = self.spark.read
+        if um.get("schema"):
+            from pyspark.sql import types as T
+            ureader = ureader.schema(
+                T.StructType.fromJson(json.loads(um["schema"])))
         if append_only:
             new = [f for f in ufiles if f not in sfiles]
             if not new:
                 base = self.read(until if ufiles else since)
                 return base.where(F.lit(False)) \
                     .withColumn(ctype, F.lit("insert"))
-            return (self.spark.read.parquet(*new)
+            return (ureader.parquet(*new)
                     .withColumn(ctype, F.lit("insert")))
-        old_df = self.read(since) if sfiles else None
-        new_df = self.read(until) if ufiles else None
+        old_df = (ureader.parquet(*sorted(sfiles)) if sfiles else None)
+        new_df = ureader.parquet(*ufiles) if ufiles else None
         if new_df is None and old_df is None:
             raise SnapshotError(
                 f"{self.path}: both v{since} and v{until} are empty")
@@ -517,7 +595,15 @@ class SnapshotTable:
         keep = [f for f in m["files"] if sizes[f] >= small_file_bytes]
         small_bytes = sum(sizes[f] for f in small)
         n_out = max(1, -(-small_bytes // target_file_bytes))
-        small_df = self.spark.read.parquet(*small)
+        reader = self.spark.read
+        if m.get("schema"):
+            # rewrite under the UNIFIED schema: without it, coalescing
+            # small files from before and after a column addition would
+            # silently drop the new column from the rewritten bytes
+            from pyspark.sql import types as T
+            reader = reader.schema(
+                T.StructType.fromJson(json.loads(m["schema"])))
+        small_df = reader.parquet(*small)
         n_small = small_df.count()
         files, n_new, stats = self._write_files(small_df.coalesce(n_out))
         if n_new != n_small:
@@ -528,7 +614,8 @@ class SnapshotTable:
         kept_stats = {f: s for f, s in (m.get("stats") or {}).items()
                       if f in set(keep)}
         return self._commit_manifest(parent, keep + files, m["rows"],
-                                     "compact", stats={**kept_stats, **stats})
+                                     "compact", stats={**kept_stats, **stats},
+                                     schema=m.get("schema"))
 
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Drop staging dirs unreferenced by the ``keep_last`` most recent

@@ -78,6 +78,7 @@ from aliyun_maxcompute_data_collectors_spark.snapshots import (
     SnapshotTable,
     _collect_file_stats,
     prune_manifest_files,
+    unify_schemas,
 )
 
 _DEFAULT_PARTITION_BYTES = 128 * 1024 * 1024
@@ -118,13 +119,48 @@ class _FilesPartition(InputPartition):
     files: list
 
 
+def _scan_adapted(files: list, target_spark_schema) -> "Iterator":
+    """Yield arrow batches for ``files`` conformed to the table's
+    unified schema: files that predate an added column emit it as NULL,
+    column order follows the schema, and types cast defensively.  Files
+    already matching pass through untouched (the common, zero-copy
+    case).  This is what makes SCHEMA EVOLUTION work through the DSv2
+    read path - Spark expects every batch to match the logical schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(target_spark_schema)
+    names = list(target.names)
+    for f in files:
+        pf = pq.ParquetFile(f)
+        have = set(pf.schema_arrow.names)
+        cols = [n for n in names if n in have]
+        for batch in pf.iter_batches(columns=cols or None):
+            # conform EVERY batch to the one canonical arrow schema -
+            # the DSv2 arrow channel requires a single schema across the
+            # whole stream, so even matching files re-wrap (zero-copy
+            # unless a cast is genuinely needed)
+            arrays = []
+            for field in target:
+                if field.name in have:
+                    a = batch.column(batch.schema.get_field_index(field.name))
+                    if a.type != field.type:
+                        a = a.cast(field.type)
+                    arrays.append(a)
+                else:
+                    arrays.append(pa.nulls(batch.num_rows, field.type))
+            yield pa.RecordBatch.from_arrays(arrays, schema=target)
+
+
 class _SnapshotReader(DataSourceReader):
     """Reads one pinned manifest (snapshot isolation: the file list is
     resolved at plan time; later commits never disturb this scan)."""
 
-    def __init__(self, manifest: dict, options):
+    def __init__(self, manifest: dict, options, schema):
         self._manifest = manifest
         self._files = list(manifest["files"])
+        self._schema = schema
         self._partition_bytes = int(
             options.get("partition_bytes", _DEFAULT_PARTITION_BYTES))
 
@@ -148,16 +184,26 @@ class _SnapshotReader(DataSourceReader):
                 for b in _pack_files(self._files, self._partition_bytes)]
 
     def read(self, partition):
-        import pyarrow.parquet as pq
-
-        for f in partition.files:
-            yield from pq.ParquetFile(f).iter_batches()
+        yield from _scan_adapted(partition.files, self._schema)
 
 
 @dataclass
 class _FileCommit(WriterCommitMessage):
     file: str
     rows: int
+
+
+def _written_schema(parent_json: str | None, files: list) -> str | None:
+    """Unified manifest schema for a DSv2 commit: parent schema evolved
+    with the written files' schema (one footer read - every task wrote
+    the same logical schema).  Empty commits keep the parent's."""
+    if not files:
+        return parent_json
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    return unify_schemas(parent_json,
+                         from_arrow_schema(pq.read_schema(files[0]))).json()
 
 
 class _SnapshotWriter(DataSourceArrowWriter):
@@ -204,12 +250,14 @@ class _SnapshotWriter(DataSourceArrowWriter):
         stats = {f: _collect_file_stats(f) for f in files}
         if self._overwrite:
             tab._commit_manifest(self._parent, files, rows, "overwrite",
-                                 stats=stats)
+                                 stats=stats,
+                                 schema=_written_schema(None, files))
         else:
             pm = tab.manifest(self._parent)
             tab._commit_manifest(
                 self._parent, pm["files"] + files, pm["rows"] + rows,
-                "append", stats={**(pm.get("stats") or {}), **stats})
+                "append", stats={**(pm.get("stats") or {}), **stats},
+                schema=_written_schema(pm.get("schema"), files))
 
     def abort(self, messages):
         shutil.rmtree(self._stage, ignore_errors=True)
@@ -248,8 +296,9 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     batch on; availableNow catch-up drains uncapped.
     """
 
-    def __init__(self, path: str, options):
+    def __init__(self, path: str, options, schema=None):
         self._path = path
+        self._schema = schema
         self._on_overwrite = options.get("on_overwrite", "fail")
         if self._on_overwrite not in ("fail", "skip"):
             raise SnapshotError(
@@ -375,6 +424,9 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 if b]
 
     def read(self, partition):
+        if self._schema is not None:
+            yield from _scan_adapted(partition.files, self._schema)
+            return
         import pyarrow.parquet as pq
 
         for f in partition.files:
@@ -432,7 +484,8 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
         stats = {f: _collect_file_stats(f) for f in files}
         tab._commit_manifest(
             parent, pm["files"] + files, pm["rows"] + rows, op,
-            stats={**(pm.get("stats") or {}), **stats})
+            stats={**(pm.get("stats") or {}), **stats},
+            schema=_written_schema(pm.get("schema"), files))
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages or []:
@@ -485,20 +538,28 @@ class GraftSnapshotDataSource(DataSource):
         return m
 
     def schema(self) -> StructType:
+        import json as _json
+
+        m = self._resolve_manifest()
+        if m.get("schema"):
+            # the manifest IS the schema authority (evolution-aware, no
+            # footer IO); footer fallback covers legacy manifests only
+            return StructType.fromJson(_json.loads(m["schema"]))
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        m = self._resolve_manifest()
         return from_arrow_schema(pq.read_schema(m["files"][0]))
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        return _SnapshotReader(self._resolve_manifest(), self.options)
+        return _SnapshotReader(self._resolve_manifest(), self.options,
+                               schema)
 
     def writer(self, schema: StructType, overwrite: bool):
         return _SnapshotWriter(self._table_path(), overwrite)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
-        return _SnapshotStreamReader(self._table_path(), self.options)
+        return _SnapshotStreamReader(self._table_path(), self.options,
+                                     schema)
 
     def streamWriter(self, schema: StructType, overwrite: bool):
         if overwrite:

@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "pyds_snapshot_read",
     "pyds_avro_read",
     "mv_refresh",
+    "snapshot_schema_evolution",
 ]
 
 

@@ -55,7 +55,8 @@ SPOT = [
     # Data Source front-ends (DSv2 write commit + pushdown-pruned read;
     # avro sync-split read through format("graft_avro"))
     "substring_dedup", "pyds_snapshot_read", "pyds_avro_read",
-    "bm25_topk", "bpe_merges", "pyds_stream_cycle",
+    "bm25_topk", "bpe_merges", "pyds_stream_cycle", "mv_refresh",
+    "snapshot_schema_evolution",
 ]
 
 

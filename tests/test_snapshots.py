@@ -336,3 +336,88 @@ def test_merge_detects_concurrent_commit(spark, table, tmp_path):
         table._write_files = orig
     # the interloper's commit is HEAD; the failed merge published nothing
     assert sorted(r["id"] for r in table.read().collect()) == [1, 99]
+
+
+# ---------------------------------------------------------------------------
+# schema evolution (r7): additive columns, manifest-schema reads
+# ---------------------------------------------------------------------------
+
+def _df3(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string, extra int")
+
+
+def test_schema_evolution_append_adds_nullable_column(spark, table):
+    table.append(_df(spark, [(1, "a"), (2, "b")]))
+    table.append(_df3(spark, [(3, "c", 7)]))
+    cur = table.read()
+    assert [f.name for f in cur.schema.fields] == ["id", "v", "extra"]
+    got = {r["id"]: r["extra"] for r in cur.collect()}
+    assert got == {1: None, 2: None, 3: 7}  # pre-evolution rows -> NULL
+    # time travel keeps the OLD schema
+    assert [f.name for f in table.read(2).schema.fields] == ["id", "v"]
+
+
+def test_schema_evolution_missing_column_fills_null(spark, table):
+    table.append(_df3(spark, [(1, "a", 1)]))
+    table.append(_df(spark, [(2, "b")]))  # omits `extra`
+    got = {r["id"]: r["extra"] for r in table.read().collect()}
+    assert got == {1: 1, 2: None}
+
+
+def test_schema_evolution_type_change_raises_before_commit(spark, table):
+    table.append(_df(spark, [(1, "a")]))
+    v = table.current_version()
+    bad = spark.createDataFrame([(2, "b", "not-an-int")],
+                                "id long, v string, extra string")
+    table.append(_df3(spark, [(9, "z", 9)]))  # establish extra:int
+    with pytest.raises(SnapshotError, match="type change"):
+        table.append(bad)
+    assert table.current_version() == v + 1  # nothing published by the raise
+
+
+def test_schema_evolution_survives_compact_changes_rollback(spark, table):
+    table.append(_df(spark, [(1, "a"), (2, "b")]))
+    table.append(_df3(spark, [(3, "c", 7)]))
+    ch = table.changes(2)  # across the evolution: unified columns
+    assert set(ch.columns) == {"id", "v", "extra", "_change_type"}
+    assert ch.count() == 1
+    v_pre = table.current_version()
+    table.compact(target_file_bytes=1 << 20, small_file_bytes=1 << 20)
+    got = {r["id"]: r["extra"] for r in table.read().collect()}
+    assert got == {1: None, 2: None, 3: 7}  # rewrite kept the new column
+    table.rollback(v_pre)
+    assert [f.name for f in table.read().schema.fields] == ["id", "v",
+                                                            "extra"]
+
+
+@pytest.fixture()
+def pushdown(spark):
+    from aliyun_maxcompute_data_collectors_spark.session import scoped_sql_conf
+    from aliyun_maxcompute_data_collectors_spark.sources.pyds import (
+        register_python_datasources,
+    )
+
+    register_python_datasources(spark)
+    with scoped_sql_conf(spark, "spark.sql.python.filterPushdown.enabled",
+                         "true"):
+        yield
+
+
+def test_schema_evolution_through_python_datasource(spark, table, pushdown):
+    table.append(_df(spark, [(1, "a")]))
+    table.append(_df3(spark, [(2, "b", 5)]))
+    ds = spark.read.format("graft_snapshot").option("path",
+                                                    table.path).load()
+    assert [f.name for f in ds.schema.fields] == ["id", "v", "extra"]
+    got = {r["id"]: r["extra"] for r in ds.collect()}
+    assert got == {1: None, 2: 5}
+    # DSv2 write may evolve too
+    spark.createDataFrame([(3, "c", 6, "x")],
+                          "id long, v string, extra int, src string") \
+        .write.format("graft_snapshot").option("path", table.path) \
+        .mode("append").save()
+    ds2 = spark.read.format("graft_snapshot").option("path",
+                                                     table.path).load()
+    assert [f.name for f in ds2.schema.fields] == ["id", "v", "extra",
+                                                   "src"]
+    assert ds2.count() == 3
