@@ -63,7 +63,8 @@ _PRIORITY = [
     "snapshot_time_travel", "snapshot_changes", "snapshot_compact",
     "snapshot_pruned_read", "snapshot_merge", "substring_dedup",
     "pyds_snapshot_read", "pyds_avro_read", "pyds_stream_cycle",
-    "mv_refresh", "snapshot_schema_evolution", "bm25_topk", "bpe_merges",
+    "mv_refresh", "snapshot_schema_evolution", "snapshot_zorder_prune",
+    "bm25_topk", "bpe_merges",
     # tier 2: newest evidence r3 (4 spilled + 8 leftovers)
     "repetition_profile", "scd2_users", "shard_assign", "simhash32_sig",
     "simhash_pairs", "span_dedup", "split_assignment", "split_leakage",

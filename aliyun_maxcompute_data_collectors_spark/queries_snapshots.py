@@ -572,6 +572,58 @@ GROUP BY region_id
 """
 
 
+def snapshot_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER under the hash oracle: a shuffled 8-file append
+    (stats useless for range predicates - the prune count pins that ALL
+    files scan) is clustered on (o_orderkey, o_custkey); afterwards a
+    2-D box predicate must skip files from manifest stats alone
+    (``pruned_after_cluster``) while the pruned read's row aggregate
+    stays exact - the oracle recomputes the box from ``orders``
+    directly.  Exact post-cluster file counts depend on range-partition
+    sample boundaries, so the HASHED claim is the boolean plus the
+    exact rows, not a boundary-sensitive count."""
+    import os as _os
+    import tempfile as _tf
+
+    root = _tf.mkdtemp(prefix="snap_zo_")
+    try:
+        o = load_tables(spark, sf_dir, ["orders"])["orders"].select(
+            "o_orderkey", "o_custkey", "o_totalprice")
+        mk, mc = o.agg(F.max("o_orderkey"), F.max("o_custkey")).collect()[0]
+        tab = SnapshotTable.init(spark, _os.path.join(root, "t"))
+        tab.append(o.repartition(8))
+        conj = [("o_orderkey", "between", (0, mk // 6)),
+                ("o_custkey", "between", (0, mc // 6))]
+        n_before = len(tab.prune_files(tab.manifest(), conj))
+        tab.cluster(["o_orderkey", "o_custkey"], n_files=8)
+        n_after = len(tab.prune_files(tab.manifest(), conj))
+        out = (tab.read(where=conj)
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("o_orderkey").cast("long").alias("sum_key"),
+                    F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+                    .cast("double").alias("sum_price"))
+               .select("n_rows", "sum_key", "sum_price",
+                       F.lit(int(n_before)).alias("n_files_unclustered"),
+                       F.lit(bool(n_after < n_before))
+                       .alias("pruned_after_cluster")))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_ZORDER_PRUNE_SQL = """
+WITH mx AS (SELECT MAX(o_orderkey) AS mk, MAX(o_custkey) AS mc FROM orders)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price,
+       8 AS n_files_unclustered,
+       TRUE AS pruned_after_cluster
+FROM orders, mx
+WHERE o_orderkey BETWEEN 0 AND mx.mk // 6
+  AND o_custkey BETWEEN 0 AND mx.mc // 6
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "snapshot_time_travel": (snapshot_time_travel, _TIME_TRAVEL_SQL),
     "snapshot_changes": (snapshot_changes, _CHANGES_SQL),
@@ -584,4 +636,5 @@ REGISTRY: dict[str, tuple] = {
     "mv_refresh": (mv_refresh, _MV_REFRESH_SQL),
     "snapshot_schema_evolution": (snapshot_schema_evolution,
                                   _SCHEMA_EVOLUTION_SQL),
+    "snapshot_zorder_prune": (snapshot_zorder_prune, _ZORDER_PRUNE_SQL),
 }

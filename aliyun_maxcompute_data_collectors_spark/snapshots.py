@@ -617,6 +617,49 @@ class SnapshotTable:
                                      "compact", stats={**kept_stats, **stats},
                                      schema=m.get("schema"))
 
+    def cluster(self, cols: list[str], n_files: int | None = None,
+                target_file_bytes: int = 128 * 1024 * 1024,
+                bits: int | None = None) -> int:
+        """OPTIMIZE ZORDER BY: rewrite the current snapshot clustered on
+        ``cols`` (operators/zorder.py interleaved rank codes) and publish
+        it as one new commit - after which every output file covers a
+        compact hyper-rectangle of the column space, so the manifest's
+        per-file [min, max] stats prune MULTI-column predicates instead
+        of only the incidental write order (the Delta OPTIMIZE ZORDER /
+        Iceberg rewrite-with-sort-order capability, on the same manifest
+        machinery as compact()).
+
+        Like compact: readers pinned to older snapshots are undisturbed,
+        the pre-cluster version stays time-travelable until vacuum, a
+        row-count check guards the rewrite before anything publishes,
+        and ``changes()`` correctly reports nothing for the commit (rows
+        identical, bytes rearranged).  Cost: one full read + clustered
+        write - an OPTIMIZE maintenance job, scheduled off-peak, not a
+        query-path operation."""
+        from aliyun_maxcompute_data_collectors_spark.operators.zorder import (
+            DEFAULT_BITS,
+            zorder_by,
+        )
+
+        parent = self.current_version()
+        m = self.manifest(parent)
+        if not m["files"]:
+            raise SnapshotError(f"{self.path}: nothing to cluster")
+        if n_files is None:
+            total = sum(os.path.getsize(f) for f in m["files"])
+            n_files = max(1, -(-total // target_file_bytes))
+        clustered = zorder_by(self.read(parent), cols, n_files=n_files,
+                              bits=bits or DEFAULT_BITS)
+        files, n, stats = self._write_files(clustered)
+        if n != m["rows"]:
+            raise SnapshotError(
+                f"{self.path}: cluster row-count mismatch "
+                f"({m['rows']} in, {n} out) - aborting before commit; "
+                "staged files are unreferenced garbage for vacuum")
+        return self._commit_manifest(
+            parent, files, n, f"cluster:zorder={','.join(cols)}",
+            stats=stats, schema=m.get("schema"))
+
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Drop staging dirs unreferenced by the ``keep_last`` most recent
         snapshots (plus HEAD), and their manifests.  Returns removed dirs.

@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "pyds_avro_read",
     "mv_refresh",
     "snapshot_schema_evolution",
+    "snapshot_zorder_prune",
 ]
 
 

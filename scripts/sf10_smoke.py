@@ -56,7 +56,7 @@ SPOT = [
     # avro sync-split read through format("graft_avro"))
     "substring_dedup", "pyds_snapshot_read", "pyds_avro_read",
     "bm25_topk", "bpe_merges", "pyds_stream_cycle", "mv_refresh",
-    "snapshot_schema_evolution",
+    "snapshot_schema_evolution", "snapshot_zorder_prune",
 ]
 
 

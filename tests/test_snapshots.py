@@ -421,3 +421,26 @@ def test_schema_evolution_through_python_datasource(spark, table, pushdown):
     assert [f.name for f in ds2.schema.fields] == ["id", "v", "extra",
                                                    "src"]
     assert ds2.count() == 3
+
+
+def test_cluster_zorder_prunes_multicolumn_and_preserves_rows(spark, table):
+    rows = [(i, f"v{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v string") \
+        .withColumn("k2", (F.col("id") * 37) % 2000)
+    table.append(df.repartition(8))  # shuffled: stats useless for ranges
+    conj = [("id", "between", (0, 200)), ("k2", "between", (0, 200))]
+    before = len(table.prune_files(table.manifest(), conj))
+    v = table.cluster(["id", "k2"], n_files=8)
+    after = len(table.prune_files(table.manifest(), conj))
+    assert before == 8 and after < before  # 2-D box now skips files
+    cur = table.read()
+    assert cur.count() == 2000
+    assert cur.exceptAll(df).count() == 0 and df.exceptAll(cur).count() == 0
+    assert table.manifest()["operation"] == "cluster:zorder=id,k2"
+    # rewrite carries no row-level changes; history stays travelable
+    assert table.changes(v - 1, v).count() == 0
+    assert table.read(v - 1).count() == 2000
+    # pruned read stays exact
+    got = table.read(where=conj).count()
+    exp = df.where((F.col("id") <= 200) & (F.col("k2") <= 200)).count()
+    assert got == exp
