@@ -50,9 +50,9 @@ from aliyun_maxcompute_data_collectors_spark.queries import REGISTRY  # noqa: E4
 # recursive_chain now materializes eagerly under a scoped row valve;
 # minhash_lsh persisted banding aggregate; ivfpq_topk candidate-
 # prefilter reorder); tier 4 fills the 50-slot window with r4-evidence
-# rows alphabetically (the tier list is 56 deep, so its alphabetical
-# tail - funnel_steps through median_stats - rides positions 51-56 as
-# count-only rows this round; their evidence stays r4, which still
+# rows alphabetically (the tier list is 59 deep, so its alphabetical
+# tail - embedding_quality through median_stats - rides positions 51-59
+# as count-only rows this round; their evidence stays r4, which still
 # satisfies the ask).  Everything else follows in registry order.
 # Gate discipline: this window holds slots only if
 # scripts/driver_sim.py - run at sf0.01 by scripts/gate.sh, whose
@@ -64,7 +64,7 @@ _PRIORITY = [
     "snapshot_pruned_read", "snapshot_merge", "substring_dedup",
     "pyds_snapshot_read", "pyds_avro_read", "pyds_stream_cycle",
     "mv_refresh", "snapshot_schema_evolution", "snapshot_zorder_prune",
-    "bm25_topk", "bpe_merges",
+    "snapshot_bloom_prune", "bm25_topk", "bpe_merges",
     # tier 2: newest evidence r3 (4 spilled + 8 leftovers)
     "repetition_profile", "scd2_users", "shard_assign", "simhash32_sig",
     "simhash_pairs", "span_dedup", "split_assignment", "split_leakage",

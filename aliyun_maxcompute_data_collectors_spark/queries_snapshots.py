@@ -624,6 +624,69 @@ WHERE o_orderkey BETWEEN 0 AND mx.mk // 6
 """
 
 
+def snapshot_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest BLOOM stats under the hash oracle - the pruning case
+    [min, max] intervals can never serve: EQUALITY on a STRING column
+    (string stats are deliberately never recorded - parquet writers may
+    truncate them).  Three ranged appends build per-file bloom bitmaps
+    over a high-cardinality md5-prefix column; a provably-absent code
+    ('z' is not a hex char) must scan ZERO files, the min-orderkey's
+    code must scan exactly its one containing file, and the present-code
+    read's row aggregate stays exact (the oracle recomputes the code
+    with DuckDB's identical md5).  Both scan counts are deterministic:
+    the bitmap is a pure function of the fixed corpus and md5."""
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tf
+
+    root = _tf.mkdtemp(prefix="snap_bloom_")
+    try:
+        o = load_tables(spark, sf_dir, ["orders"])["orders"].select(
+            "o_orderkey", "o_totalprice",
+            F.substring(F.md5(F.col("o_orderkey").cast("string")),
+                        1, 8).alias("code"))
+        mk, kmin = o.agg(F.max("o_orderkey"),
+                         F.min("o_orderkey")).collect()[0]
+        k = F.col("o_orderkey")
+        tab = SnapshotTable.init(spark, _os.path.join(root, "t"))
+        for lo, hi in [(0, mk // 3), (mk // 3 + 1, 2 * mk // 3),
+                       (2 * mk // 3 + 1, mk)]:
+            tab.append(o.where(k.between(int(lo), int(hi))).coalesce(1),
+                       bloom_cols=["code"], bloom_bits=1 << 18)
+        m = tab.manifest()
+        n_absent = len(tab.prune_files(m, [("code", "==", "zzzzzzzz")]))
+        code1 = _hashlib.md5(str(kmin).encode()).hexdigest()[:8]
+        n_present = len(tab.prune_files(m, [("code", "==", code1)]))
+        out = (tab.read(where=("code", "==", code1))
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("o_orderkey").cast("long").alias("sum_key"),
+                    F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+                    .cast("double").alias("sum_price"))
+               .select("n_rows", "sum_key", "sum_price",
+                       F.lit(int(n_absent)).alias("n_files_absent_scan"),
+                       F.lit(int(n_present)).alias("n_files_present_scan")))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_BLOOM_PRUNE_SQL = """
+WITH src AS (
+  SELECT o_orderkey, o_totalprice,
+         substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS code
+  FROM orders),
+tgt AS (
+  SELECT substring(md5(CAST(MIN(o_orderkey) AS VARCHAR)), 1, 8) AS c
+  FROM orders)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price,
+       0 AS n_files_absent_scan,
+       1 AS n_files_present_scan
+FROM src, tgt WHERE src.code = tgt.c
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "snapshot_time_travel": (snapshot_time_travel, _TIME_TRAVEL_SQL),
     "snapshot_changes": (snapshot_changes, _CHANGES_SQL),
@@ -637,4 +700,5 @@ REGISTRY: dict[str, tuple] = {
     "snapshot_schema_evolution": (snapshot_schema_evolution,
                                   _SCHEMA_EVOLUTION_SQL),
     "snapshot_zorder_prune": (snapshot_zorder_prune, _ZORDER_PRUNE_SQL),
+    "snapshot_bloom_prune": (snapshot_bloom_prune, _BLOOM_PRUNE_SQL),
 }

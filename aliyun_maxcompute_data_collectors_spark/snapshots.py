@@ -166,23 +166,49 @@ def _interval_may_match(lo, hi, op: str, value) -> bool:
     raise SnapshotError(f"unsupported prune op {op!r}")
 
 
+def _bloom_position(value, m: int) -> int | None:
+    """Bit position of ``value`` in an m-bit bloom - MUST mirror the
+    Spark expression in ``SnapshotTable._collect_blooms`` exactly
+    (md5 of the CAST-to-string rendering).  Only int/str values render
+    identically in Python and Spark; anything else returns None and the
+    bloom is skipped for that conjunct (prune stays safe)."""
+    import hashlib
+
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        return None
+    h = hashlib.md5(str(value).encode()).hexdigest()[:8]
+    return int(h, 16) % m
+
+
 def prune_manifest_files(manifest: dict, conjuncts: list) -> list[str]:
     """Manifest-stats file pruning, session-free (also used by the
     Python Data Source planner in sources/pyds.py): keep a file unless
-    SOME conjunct provably excludes it.  Missing stats keep the file."""
+    SOME conjunct provably excludes it - by [min, max] interval, or for
+    equality conjuncts by the file's BLOOM bitmap when one was built
+    (point lookups on columns whose ranges overlap across files - the
+    case intervals can't prune).  Missing stats keep the file."""
     stats = manifest.get("stats") or {}
+    blooms = manifest.get("blooms") or {}
     kept = []
     for f in manifest["files"]:
         fstats = stats.get(f) or {}
+        fblooms = blooms.get(f) or {}
         keep = True
         for col, op, value in conjuncts:
             iv = fstats.get(col)
-            if iv is None:
-                continue  # no usable stats -> cannot exclude
-            lo, hi = _stat_from_json(iv[0]), _stat_from_json(iv[1])
-            if not _interval_may_match(lo, hi, op, value):
-                keep = False
-                break
+            if iv is not None:
+                lo, hi = _stat_from_json(iv[0]), _stat_from_json(iv[1])
+                if not _interval_may_match(lo, hi, op, value):
+                    keep = False
+                    break
+            bl = fblooms.get(col)
+            if bl is not None and op in ("==", "="):
+                pos = _bloom_position(value, bl["m"])
+                if pos is not None:
+                    byte = bytes.fromhex(bl["hex"])[pos >> 3]
+                    if not (byte >> (pos & 7)) & 1:
+                        keep = False  # definitely absent from this file
+                        break
         if keep:
             kept.append(f)
     return kept
@@ -295,7 +321,8 @@ class SnapshotTable:
     def _commit_manifest(self, parent: int | None, files: list[str],
                          rows: int, operation: str,
                          stats: dict | None = None,
-                         schema: str | None = None) -> int:
+                         schema: str | None = None,
+                         blooms: dict | None = None) -> int:
         """Publish a new snapshot.  Commit lock + parent check = optimistic
         concurrency; the HEAD swap itself is one atomic rename."""
         lock = os.path.join(self._root, "COMMIT_LOCK")
@@ -325,6 +352,9 @@ class SnapshotTable:
             }
             if schema is not None:
                 manifest["schema"] = schema
+            if blooms:
+                manifest["blooms"] = {f: b for f, b in blooms.items()
+                                      if f in set(files)}
             _fsync_write(self._manifest_path(version),
                          json.dumps(manifest, indent=1))
             _fsync_write(self._head_path(), str(version))
@@ -350,6 +380,42 @@ class SnapshotTable:
             n = self.spark.read.parquet(*files).count()
         stats = {f: _collect_file_stats(f) for f in files}
         return files, n, stats
+
+    def _collect_blooms(self, files: list[str], cols: list[str],
+                        m: int) -> dict:
+        """{file: {col: {m, hex-bitmap}}} built in ONE grouped Spark job
+        over the new files (opt-in per commit - a real data pass, unlike
+        the footer-only [min,max] stats).  Hash = md5 of the
+        cast-to-string value, mirrored bit-for-bit by _bloom_position on
+        the prune side; restrict ``cols`` to integral/string columns
+        (other types render differently across engines and are skipped
+        at prune time anyway)."""
+        aggs = [F.collect_set(
+            F.pmod(F.conv(F.substring(
+                F.md5(F.col(c).cast("string")), 1, 8), 16, 10).cast("long"),
+                F.lit(m))).alias(c) for c in cols]
+        rows = (self.spark.read.parquet(*files)
+                .select(F.input_file_name().alias("__f"), *cols)
+                .groupBy("__f").agg(*aggs).collect())
+        out: dict = {}
+        for r in rows:
+            path = r["__f"]
+            if path.startswith("file:"):
+                path = path[len("file:"):]
+                while path.startswith("//"):
+                    path = path[1:]
+            entry = {}
+            for c in cols:
+                ba = bytearray(m // 8)
+                for p in (r[c] or []):
+                    p = int(p)
+                    ba[p >> 3] |= 1 << (p & 7)
+                entry[c] = {"m": m, "hex": ba.hex()}
+            out[path] = entry
+        # map back onto the manifest's exact file strings
+        by_real = {os.path.realpath(f): f for f in files}
+        return {by_real.get(os.path.realpath(p), p): e
+                for p, e in out.items()}
 
     def read(self, version: int | None = None,
              where: tuple | list | None = None) -> DataFrame:
@@ -411,7 +477,9 @@ class SnapshotTable:
         provably excludes it.  Missing stats keep the file (safe)."""
         return prune_manifest_files(manifest, conjuncts)
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame,
+               bloom_cols: list[str] | None = None,
+               bloom_bits: int = 1 << 15) -> int:
         """New snapshot = parent's files + newly written files.  No data
         is rewritten - commit cost is one manifest, like W1's atomic
         append (OdpsBatchWrite.scala commit) with history kept.
@@ -419,15 +487,27 @@ class SnapshotTable:
         SCHEMA EVOLUTION: the append may add new nullable columns or
         omit existing ones (see :func:`unify_schemas`); a type change
         raises BEFORE any file is written.  The unified schema rides the
-        manifest, so reads never pay a footer-merging pass."""
+        manifest, so reads never pay a footer-merging pass.
+
+        ``bloom_cols`` (opt-in, integral/string columns): build an
+        m=``bloom_bits`` bloom bitmap per (new file, column) so EQUALITY
+        predicates prune files whose value ranges overlap (the point-
+        lookup case [min, max] intervals can never prune).  One extra
+        grouped pass over the new data per commit; size ``bloom_bits``
+        >= ~10x the expected distinct values per file or the bitmap
+        saturates into uselessness."""
         parent = self.current_version()
         pm = self.manifest(parent)
         unified = unify_schemas(pm.get("schema"), df.schema)
         files, n, stats = self._write_files(df)
+        blooms = dict(pm.get("blooms") or {})
+        if bloom_cols and files:
+            blooms.update(self._collect_blooms(files, bloom_cols,
+                                               bloom_bits))
         return self._commit_manifest(
             parent, pm["files"] + files, pm["rows"] + n, "append",
             stats={**(pm.get("stats") or {}), **stats},
-            schema=unified.json())
+            schema=unified.json(), blooms=blooms)
 
     def overwrite(self, df: DataFrame, operation: str = "overwrite") -> int:
         """New snapshot from a fresh file list.  The input may lazily read
@@ -456,7 +536,8 @@ class SnapshotTable:
         return self._commit_manifest(parent, m["files"], m["rows"],
                                      f"rollback->v{version}",
                                      stats=m.get("stats"),
-                                     schema=m.get("schema"))
+                                     schema=m.get("schema"),
+                                     blooms=m.get("blooms"))
 
     def merge(self, source: DataFrame, on: str, *,
               matched=None, not_matched=None, not_matched_by_source=None,
@@ -613,9 +694,14 @@ class SnapshotTable:
                 "staged files are unreferenced garbage for vacuum")
         kept_stats = {f: s for f, s in (m.get("stats") or {}).items()
                       if f in set(keep)}
+        # kept (untouched) files keep their blooms; rewritten files get
+        # none (re-append with bloom_cols, or rebuild, to restore them)
+        kept_blooms = {f: b for f, b in (m.get("blooms") or {}).items()
+                       if f in set(keep)}
         return self._commit_manifest(parent, keep + files, m["rows"],
                                      "compact", stats={**kept_stats, **stats},
-                                     schema=m.get("schema"))
+                                     schema=m.get("schema"),
+                                     blooms=kept_blooms)
 
     def cluster(self, cols: list[str], n_files: int | None = None,
                 target_file_bytes: int = 128 * 1024 * 1024,

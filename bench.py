@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "mv_refresh",
     "snapshot_schema_evolution",
     "snapshot_zorder_prune",
+    "snapshot_bloom_prune",
 ]
 
 

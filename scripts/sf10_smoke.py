@@ -57,6 +57,7 @@ SPOT = [
     "substring_dedup", "pyds_snapshot_read", "pyds_avro_read",
     "bm25_topk", "bpe_merges", "pyds_stream_cycle", "mv_refresh",
     "snapshot_schema_evolution", "snapshot_zorder_prune",
+    "snapshot_bloom_prune",
 ]
 
 

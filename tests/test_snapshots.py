@@ -444,3 +444,36 @@ def test_cluster_zorder_prunes_multicolumn_and_preserves_rows(spark, table):
     got = table.read(where=conj).count()
     exp = df.where((F.col("id") <= 200) & (F.col("k2") <= 200)).count()
     assert got == exp
+
+
+def test_bloom_stats_prune_string_equality(spark, table):
+    # string [min,max] stats are never recorded (writers may truncate
+    # them), so blooms are the ONLY pruning mechanism for string points
+    rows = [(i, f"code-{i * 7919 % 100000:05d}") for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, code string")
+    table.append(df.where(F.col("id") < 150).coalesce(1),
+                 bloom_cols=["code"])
+    table.append(df.where(F.col("id") >= 150).coalesce(1),
+                 bloom_cols=["code"])
+    m = table.manifest()
+    assert len(m["blooms"]) == 2
+    # absent value: both files skipped
+    assert table.prune_files(m, [("code", "==", "nope")]) == []
+    # present value: only its containing file scans (no FP at this size)
+    assert len(table.prune_files(
+        m, [("code", "==", rows[10][1])])) == 1
+    got = table.read(where=("code", "==", rows[10][1])).collect()
+    assert [(r["id"], r["code"]) for r in got] == [rows[10]]
+    # non-str/int lookup values skip the bloom (never a wrong prune)
+    assert len(table.prune_files(m, [("code", "==", 1.5)])) == 2
+    # compact rewrites every (small) file here -> their blooms drop;
+    # a wrong carry-over would prune against stale bitmaps
+    table.compact(target_file_bytes=1 << 20)
+    assert not table.manifest().get("blooms")
+    assert table.prune_files(table.manifest(),
+                             [("code", "==", "nope")]) != []  # scans again
+    # rollback to the bloomed version restores its bitmaps verbatim
+    table.rollback(3)
+    assert len(table.manifest().get("blooms")) == 2
+    assert table.prune_files(table.manifest(),
+                             [("code", "==", "nope")]) == []
