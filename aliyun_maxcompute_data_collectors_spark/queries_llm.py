@@ -591,11 +591,19 @@ _PQ_TRAIN_CACHE: dict = {}
 _COARSE_CACHE: dict = {}
 
 
+def _session_token(spark: SparkSession) -> str:
+    """Stable cache key for a session: ``id(spark)`` is unsafe (CPython
+    reuses ids after GC, serving a NEW session stale artifacts - ADVICE
+    r7); the application id is unique per SparkContext lifetime."""
+    return spark.sparkContext.applicationId
+
+
 def _pq_books(spark: SparkSession, sf_dir: str):
     from aliyun_maxcompute_data_collectors_spark.operators.pq import pq_encode, pq_train
     t = load_tables(spark, sf_dir, ["embeddings"])
     e = t["embeddings"]
-    key = (id(spark), sf_dir, _PQ_DIM, _PQ_M, _PQ_KSUB, _PQ_ITER)
+    key = (_session_token(spark), sf_dir, _PQ_DIM, _PQ_M, _PQ_KSUB,
+           _PQ_ITER)
     books = _PQ_TRAIN_CACHE.get(key)
     if books is None:
         books = pq_train(e, "embedding", dim=_PQ_DIM, m=_PQ_M,
@@ -611,7 +619,7 @@ def _coarse_centers(spark: SparkSession, sf_dir: str, n_clusters: int = 8,
     semantic_dedup (same dim/k/iters/seed)."""
     from aliyun_maxcompute_data_collectors_spark.operators.similarity import det_kmeans
     e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    key = (id(spark), sf_dir, n_clusters, n_iter)
+    key = (_session_token(spark), sf_dir, n_clusters, n_iter)
     centers = _COARSE_CACHE.get(key)
     if centers is None:
         _, centers = det_kmeans(e, "vec_id", "embedding", dim=_PQ_DIM,

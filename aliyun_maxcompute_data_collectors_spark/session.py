@@ -151,15 +151,21 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     for name in names or all_names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
+            # key carries the session OBJECT (held strongly in the
+            # value) so a recycled id(spark) can never alias a dead
+            # session's entry (ADVICE r7, same class as the PQ caches);
+            # applicationId alone would wrongly share entries - and temp
+            # views - across newSession() siblings
             key = (id(spark), path)
-            df = _DF_CACHE.get(key)
+            ent = _DF_CACHE.get(key)
+            df = ent[1] if ent is not None and ent[0] is spark else None
             if df is None:
                 df = spark.read.parquet(path)
                 df = _fix_nanos_timestamps(df, path)
                 if len(_DF_CACHE) > 64:
                     _DF_CACHE.clear()
                     _SCAN_SPLIT_EST.clear()
-                _DF_CACHE[key] = df
+                _DF_CACHE[key] = (spark, df)
                 max_split = _parse_bytes_conf(spark.conf.get(
                     "spark.sql.files.maxPartitionBytes", "134217728"))
                 _SCAN_SPLIT_EST[id(df)] = max(

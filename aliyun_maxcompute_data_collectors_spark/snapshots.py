@@ -82,9 +82,16 @@ def _fsync_write(path: str, payload: str) -> None:
 # applied to the returned DataFrame.
 
 import datetime as _dt  # noqa: E402
+import math as _math  # noqa: E402
 
 
 def _stat_to_json(v):
+    if isinstance(v, float) and not _math.isfinite(v):
+        # NaN/inf footer stats (Spark's parquet writer folds NaN into
+        # min/max) cannot justify pruning, and json.dumps would emit the
+        # nonstandard NaN token - treat the column as unstatable instead
+        # (ADVICE r7, high)
+        return None
     if isinstance(v, bool) or isinstance(v, (int, float, str)):
         return v
     if isinstance(v, _dt.datetime):
@@ -146,7 +153,13 @@ _PRUNE_OPS = ("==", "=", "<", "<=", ">", ">=", "between")
 def _interval_may_match(lo, hi, op: str, value) -> bool:
     """Can any row with col in [lo, hi] satisfy ``col <op> value``?
     NULL rows never satisfy a comparison, so value-interval logic is
-    null-safe."""
+    null-safe.  Any NaN operand makes every comparison below return
+    False, which would WRONGLY prune - never prune on NaN (ADVICE r7:
+    legacy manifests may carry NaN stats; new commits disqualify the
+    column at collect time)."""
+    ops = [lo, hi] + (list(value) if op == "between" else [value])
+    if any(isinstance(v, float) and _math.isnan(v) for v in ops):
+        return True
     try:
         if op in ("==", "="):
             return lo <= value <= hi
@@ -355,8 +368,11 @@ class SnapshotTable:
             if blooms:
                 manifest["blooms"] = {f: b for f, b in blooms.items()
                                       if f in set(files)}
+            # allow_nan=False: a non-finite stat slipping through would
+            # emit the nonstandard NaN token other parsers reject - fail
+            # the commit instead (stats collection already filters these)
             _fsync_write(self._manifest_path(version),
-                         json.dumps(manifest, indent=1))
+                         json.dumps(manifest, indent=1, allow_nan=False))
             _fsync_write(self._head_path(), str(version))
             return version
         finally:
@@ -433,6 +449,12 @@ class SnapshotTable:
         all-null chunks, string columns prune nothing and just scan)."""
         m = self.manifest(version)
         if not m["files"]:
+            if m.get("schema"):
+                # a legitimately-empty snapshot (e.g. an all-filtered
+                # overwrite) keeps its recorded schema readable
+                from pyspark.sql import types as T
+                return self.spark.createDataFrame(
+                    [], T.StructType.fromJson(json.loads(m["schema"])))
             raise SnapshotError(
                 f"{self.path} v{m['version']} is empty with no schema; "
                 "append first")
@@ -530,9 +552,21 @@ class SnapshotTable:
 
     def rollback(self, version: int) -> int:
         """Publish a NEW snapshot that restores ``version``'s file list
-        (history is append-only; nothing is deleted)."""
+        (history is append-only; nothing is deleted).
+
+        A vacuumed version has no manifest, so rolling back to it raises
+        before anything publishes; the file-existence sweep below closes
+        the remaining hole (a manifest surviving while its files were
+        removed out-of-band) - the conflict must surface at COMMIT time,
+        never as a dead HEAD readers hit later."""
         parent = self.current_version()
         m = self.manifest(version)
+        missing = [f for f in m["files"] if not os.path.exists(f)]
+        if missing:
+            raise SnapshotError(
+                f"{self.path}: cannot rollback to v{version} - "
+                f"{len(missing)} of its files no longer exist "
+                f"(vacuumed or removed out-of-band); first: {missing[0]}")
         return self._commit_manifest(parent, m["files"], m["rows"],
                                      f"rollback->v{version}",
                                      stats=m.get("stats"),

@@ -215,10 +215,17 @@ class _SnapshotWriter(DataSourceArrowWriter):
     attempts) stay invisible garbage for ``vacuum`` - the atomicity the
     plain ``write_avro``-style executor rename cannot give."""
 
-    def __init__(self, path: str, overwrite: bool):
+    def __init__(self, path: str, overwrite: bool,
+                 write_schema: StructType | None = None):
         tab = SnapshotTable(None, path)  # layout check; no session needed
         self._path = path
         self._overwrite = overwrite
+        # the Spark-provided logical write schema: the fallback schema
+        # authority when every task produced zero rows (ADVICE r7: an
+        # all-empty overwrite must not commit schema=None and brick reads)
+        self._write_schema_json = (
+            unify_schemas(None, write_schema).json()
+            if write_schema is not None else None)
         self._parent = tab.current_version()
         self._stage = os.path.join(path, "_snapshots", "files",
                                    uuid.uuid4().hex)
@@ -249,9 +256,10 @@ class _SnapshotWriter(DataSourceArrowWriter):
         rows = sum(m.rows for m in messages if m is not None)
         stats = {f: _collect_file_stats(f) for f in files}
         if self._overwrite:
-            tab._commit_manifest(self._parent, files, rows, "overwrite",
-                                 stats=stats,
-                                 schema=_written_schema(None, files))
+            tab._commit_manifest(
+                self._parent, files, rows, "overwrite", stats=stats,
+                schema=(_written_schema(None, files)
+                        or self._write_schema_json))
         else:
             pm = tab.manifest(self._parent)
             tab._commit_manifest(
@@ -531,7 +539,7 @@ class GraftSnapshotDataSource(DataSource):
                     f"graft_snapshot: no snapshot at or before {ts}")
             version = max(cands)
         m = tab.manifest(None if version is None else int(version))
-        if not m["files"]:
+        if not m["files"] and not m.get("schema"):
             raise SnapshotError(
                 f"{self._table_path()} v{m['version']} is empty with no "
                 "schema; append first")
@@ -555,7 +563,8 @@ class GraftSnapshotDataSource(DataSource):
                                schema)
 
     def writer(self, schema: StructType, overwrite: bool):
-        return _SnapshotWriter(self._table_path(), overwrite)
+        return _SnapshotWriter(self._table_path(), overwrite,
+                               write_schema=schema)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _SnapshotStreamReader(self._table_path(), self.options,

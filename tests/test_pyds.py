@@ -344,3 +344,21 @@ def test_avro_ds_split_one_file_many_tasks(spark, orders, root, pushdown):
     assert df.count() == orders.count()
     assert (df.agg(F.sum("o_orderkey")).collect()[0][0]
             == orders.agg(F.sum("o_orderkey")).collect()[0][0])
+
+
+def test_dsv2_empty_overwrite_keeps_write_schema(spark, root):
+    """ADVICE r8: an overwrite whose tasks all produced zero rows must
+    commit the Spark-provided write schema, not schema=None (which
+    bricked subsequent reads with 'empty with no schema')."""
+    register_python_datasources(spark)
+    tab = SnapshotTable.init(spark, root)
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    tab.append(df)
+    (df.where(F.lit(False)).write.format("graft_snapshot")
+       .option("path", root).mode("overwrite").save())
+    m = SnapshotTable(spark, root).manifest()
+    assert m["operation"] == "overwrite" and m["files"] == []
+    assert m.get("schema")  # the write schema rode the commit
+    got = (spark.read.format("graft_snapshot").option("path", root).load())
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "v"]

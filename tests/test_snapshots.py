@@ -477,3 +477,76 @@ def test_bloom_stats_prune_string_equality(spark, table):
     assert len(table.manifest().get("blooms")) == 2
     assert table.prune_files(table.manifest(),
                              [("code", "==", "nope")]) == []
+
+
+def test_nan_stats_never_prune(spark, table):
+    """ADVICE r8 (high): Spark's parquet writer folds NaN into the footer
+    max; NaN-poisoned [min, max] must DISQUALIFY the column for that
+    file, never silently prune it (every NaN comparison is False, so the
+    old interval check dropped files containing real matches)."""
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, 2.0)], "id long, x double")
+    table.append(df.coalesce(1))
+    m = table.manifest()
+    (fstats,) = m["stats"].values()
+    assert "x" not in fstats          # NaN max -> column unstatable
+    assert fstats["id"] == [1, 3]     # clean columns still statted
+    # the manifest stays strict JSON (no NaN token)
+    import json as _json
+    _json.loads(open(table._manifest_path(m["version"])).read(),
+                parse_constant=lambda c: (_ for _ in ()).throw(
+                    ValueError(f"nonstandard JSON constant {c}")))
+    # the file is NOT pruned and the matching rows come back (Spark
+    # orders NaN greatest, so x > 1.5 matches the NaN row too)
+    assert table.prune_files(m, [("x", ">", 1.5)]) == m["files"]
+    got = sorted(r["id"] for r in
+                 table.read(where=("x", ">", 1.5)).collect())
+    assert got == [2, 3]
+
+
+def test_nan_interval_guard_on_legacy_manifests():
+    """Pre-fix manifests may carry NaN stats: the interval check itself
+    must refuse to prune on any NaN operand."""
+    from aliyun_maxcompute_data_collectors_spark.snapshots import _interval_may_match
+    nan = float("nan")
+    assert _interval_may_match(nan, nan, ">", 1.5)
+    assert _interval_may_match(1.0, nan, "==", 0.5)
+    assert _interval_may_match(1.0, 2.0, ">", nan)
+    assert _interval_may_match(1.0, nan, "between", (0.0, 0.5))
+    # finite intervals still prune
+    assert not _interval_may_match(1.0, 2.0, ">", 2.0)
+
+
+def test_vacuum_blast_radius_is_pinned(spark, table):
+    """VERDICT r7 #6: vacuum invalidates time travel / changes() /
+    rollback for dropped versions - each failure mode must surface as a
+    clean SnapshotError, never a manifest pointing at deleted files."""
+    table.append(_df(spark, [(1, "a")]))      # v2
+    table.overwrite(_df(spark, [(2, "b")]))   # v3
+    table.overwrite(_df(spark, [(3, "c")]))   # v4
+    table.vacuum(keep_last=1)
+    with pytest.raises(SnapshotError, match="no snapshot"):
+        table.read(version=2)
+    with pytest.raises(SnapshotError, match="bad change range|no snapshot"):
+        table.changes(since=2).collect()
+    with pytest.raises(SnapshotError, match="no snapshot"):
+        table.rollback(2)
+    assert [r["id"] for r in table.read().collect()] == [3]
+
+
+def test_rollback_to_version_with_missing_files_fails_before_commit(
+        spark, table):
+    """A manifest that survives while its files were removed out-of-band
+    must fail rollback at COMMIT time (nothing published), not hand
+    readers a dead HEAD."""
+    import shutil as _sh
+    table.append(_df(spark, [(1, "a")]))
+    v_old = table.current_version()
+    old_files = table.manifest(v_old)["files"]
+    table.overwrite(_df(spark, [(2, "b")]))
+    _sh.rmtree(os.path.dirname(old_files[0]))
+    head_before = table.current_version()
+    with pytest.raises(SnapshotError, match="no longer exist"):
+        table.rollback(v_old)
+    assert table.current_version() == head_before  # nothing published
+    assert [r["id"] for r in table.read().collect()] == [2]
