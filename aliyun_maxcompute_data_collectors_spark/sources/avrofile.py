@@ -377,43 +377,91 @@ def parse_container(payload: bytes) -> tuple[dict, list[dict]]:
     return schema, records
 
 
+class ContainerWriter:
+    """INCREMENTAL object-container writer: header once, then every
+    ``block_records`` buffered records flush as one sync-terminated data
+    block to the open file handle - task memory is bounded by ONE block
+    however large the partition (ADVICE r7: the DSv2 Avro writer
+    buffered the whole partition as Python dicts and then the whole
+    container as one bytes object - a 128 MB split ballooning to ~1 GB+
+    per task is the 32-concurrent-task OOM shape).  The emitted bytes
+    are identical to :func:`build_container` for the same sync marker
+    and chunking, so every reader (whole-file parse, sync-split ranges)
+    is unaffected."""
+
+    def __init__(self, fh, schema, codec: str = "deflate",
+                 sync: bytes | None = None, block_records: int = 4096):
+        if codec not in ("null", "deflate"):
+            raise ValueError(f"unsupported avro codec {codec!r}")
+        self._fh = fh
+        self._schema = schema
+        self._codec = codec
+        self._sync = sync or uuid.uuid4().bytes
+        self._block_records = max(1, int(block_records))
+        self._buf: list = []
+        self.rows = 0
+        self._blocks = 0
+        meta = {"avro.schema": json.dumps(schema).encode(),
+                "avro.codec": codec.encode()}
+        head = bytearray(MAGIC)
+        head += _write_long(len(meta))
+        for k, v in meta.items():
+            kb = k.encode()
+            head += _write_long(len(kb)) + kb
+            head += _write_long(len(v)) + v
+        head += _write_long(0)
+        head += self._sync
+        fh.write(head)
+
+    def _flush_block(self, chunk: list) -> None:
+        body = bytearray()
+        for rec in chunk:
+            _encode(self._schema, rec, body)
+        if self._codec == "deflate":
+            comp = zlib.compressobj(level=6, wbits=-15)
+            body = comp.compress(bytes(body)) + comp.flush()
+        self._fh.write(_write_long(len(chunk)) + _write_long(len(body))
+                       + bytes(body) + self._sync)
+        self._blocks += 1
+
+    def write(self, rec: dict) -> None:
+        self._buf.append(rec)
+        self.rows += 1
+        if len(self._buf) >= self._block_records:
+            self._flush_block(self._buf)
+            self._buf = []
+
+    def write_many(self, recs) -> None:
+        for rec in recs:
+            self.write(rec)
+
+    def close(self) -> None:
+        """Flush the partial tail block; an all-empty write still emits
+        one (count=0) block, matching build_container's empty layout."""
+        if self._buf or self._blocks == 0:
+            self._flush_block(self._buf)
+            self._buf = []
+
+
 def build_container(schema, records: list, codec: str = "deflate",
                     sync: bytes | None = None,
                     max_block_records: int | None = None) -> bytes:
-    """Serialize ``records`` as one object container file.
+    """Serialize ``records`` as one object container file (in memory -
+    for tests and small payloads; large task partitions stream through
+    :class:`ContainerWriter` instead).
     ``max_block_records`` splits the payload into multiple data blocks
     (each terminated by the sync marker, per spec) - the layout the
     reference's Sqoop emits for large imports and the unit
     ``read_avro(split_bytes=...)`` parallelizes over."""
-    def one_block(chunk: list) -> bytes:
-        body = bytearray()
-        for rec in chunk:
-            _encode(schema, rec, body)
-        if codec == "deflate":
-            comp = zlib.compressobj(level=6, wbits=-15)
-            body = comp.compress(bytes(body)) + comp.flush()
-        elif codec != "null":
-            raise ValueError(f"unsupported avro codec {codec!r}")
-        return (_write_long(len(chunk)) + _write_long(len(body))
-                + bytes(body) + sync)
+    import io
 
-    sync = sync or uuid.uuid4().bytes
-    meta = {"avro.schema": json.dumps(schema).encode(),
-            "avro.codec": codec.encode()}
-    out = bytearray(MAGIC)
-    out += _write_long(len(meta))
-    for k, v in meta.items():
-        kb = k.encode()
-        out += _write_long(len(kb)) + kb
-        out += _write_long(len(v)) + v
-    out += _write_long(0)
-    out += sync
-    step = max_block_records or max(1, len(records))
-    chunks = ([records[i:i + step] for i in range(0, len(records), step)]
-              or [[]])  # empty input keeps its (count=0) block as before
-    for chunk in chunks:
-        out += one_block(chunk)
-    return bytes(out)
+    out = io.BytesIO()
+    w = ContainerWriter(out, schema, codec, sync=sync,
+                        block_records=max_block_records
+                        or max(1, len(records)))
+    w.write_many(records)
+    w.close()
+    return out.getvalue()
 
 
 def read_avro(spark: SparkSession, path: str,
@@ -653,28 +701,41 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> list[str]:
         from pyspark import TaskContext
         ctx = TaskContext.get()
         pid, att = ctx.partitionId(), ctx.attemptNumber()
-        recs = []
-        for pdf in batches:
-            pdf = pdf[names].copy()
-            for c in integral:
-                if pdf[c].dtype.kind == "f":
-                    vals = pdf[c].to_numpy()
-                    finite = vals[~np.isnan(vals)]
-                    if finite.size and np.abs(finite).max() >= 2.0 ** 53:
-                        raise TypeError(
-                            f"write_avro: integral column {c!r} arrived as "
-                            "float64 (nullable int) with values >= 2^53 - "
-                            "exactness is already lost; filter the nulls "
-                            "upstream or split the column")
-                    pdf[c] = pdf[c].astype("Int64")
-            for row in pdf.itertuples(index=False):
-                recs.append(dict(zip(names, row)))
-        if not recs:
+        # stream per-arrow-batch through ContainerWriter (ADVICE r7):
+        # task memory is bounded by one pandas batch + one avro block,
+        # never the whole partition
+        writer = None
+        fh = None
+        fname = f"part-{pid:05d}-a{att}-{uuid.uuid4().hex}.avro"
+        try:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                pdf = pdf[names].copy()
+                for c in integral:
+                    if pdf[c].dtype.kind == "f":
+                        vals = pdf[c].to_numpy()
+                        finite = vals[~np.isnan(vals)]
+                        if finite.size and np.abs(finite).max() >= 2.0 ** 53:
+                            raise TypeError(
+                                f"write_avro: integral column {c!r} arrived "
+                                "as float64 (nullable int) with values >= "
+                                "2^53 - exactness is already lost; filter "
+                                "the nulls upstream or split the column")
+                        pdf[c] = pdf[c].astype("Int64")
+                if writer is None:
+                    fh = open(os.path.join(staging, fname), "wb")
+                    writer = ContainerWriter(fh, schema, codec)
+                writer.write_many(
+                    dict(zip(names, row))
+                    for row in pdf.itertuples(index=False))
+        finally:
+            if writer is not None:
+                writer.close()
+                fh.close()
+        if writer is None:
             yield pd.DataFrame({"file": pd.Series([], dtype=str)})
             return
-        fname = f"part-{pid:05d}-a{att}-{uuid.uuid4().hex}.avro"
-        with open(os.path.join(staging, fname), "wb") as f:
-            f.write(build_container(schema, recs, codec))
         yield pd.DataFrame({"file": [fname]})
 
     try:

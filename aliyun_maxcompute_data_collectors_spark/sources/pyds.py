@@ -698,18 +698,33 @@ class _AvroWriter(DataSourceArrowWriter):
         os.makedirs(self._stage)
 
     def write(self, iterator):
-        from aliyun_maxcompute_data_collectors_spark.sources.avrofile import build_container
+        from aliyun_maxcompute_data_collectors_spark.sources.avrofile import ContainerWriter
 
-        recs: list[dict] = []
-        for batch in iterator:
-            recs.extend(batch.to_pylist())
-        if not recs:
-            return _FileCommit(file="", rows=0)
+        # stream per-arrow-batch (ADVICE r7): encode and flush avro
+        # blocks to the open file as batches arrive - task memory is
+        # bounded by one arrow batch + one <= block_records block, never
+        # the whole partition (the old to_pylist()-accumulate path held
+        # every row as a Python dict AND the finished container bytes)
         fname = f"part-{uuid.uuid4().hex}.avro"
-        with open(os.path.join(self._stage, fname), "wb") as f:
-            f.write(build_container(self._schema, recs, self._codec,
-                                    max_block_records=self._block_records))
-        return _FileCommit(file=fname, rows=len(recs))
+        writer = None
+        fh = None
+        try:
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                if writer is None:
+                    fh = open(os.path.join(self._stage, fname), "wb")
+                    writer = ContainerWriter(
+                        fh, self._schema, self._codec,
+                        block_records=self._block_records)
+                writer.write_many(batch.to_pylist())
+        finally:
+            if writer is not None:
+                writer.close()
+                fh.close()
+        if writer is None:
+            return _FileCommit(file="", rows=0)  # empty task: no file
+        return _FileCommit(file=fname, rows=writer.rows)
 
     def commit(self, messages):
         import glob as _glob
