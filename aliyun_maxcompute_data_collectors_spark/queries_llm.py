@@ -1952,6 +1952,42 @@ def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_train(t["documents"], n_merges=30).orderBy("rank")
 
 
+def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed foundation of BPE training under the hash oracle
+    (VERDICT r7 #1): corpus pass (tokenize -> word-frequency table) plus
+    the first iteration's weighted adjacent-pair counts with the exact
+    (count DESC, lhs, rhs) tie-break - so ``bpe_merges``' greedy loop
+    rests on oracle-checked inputs, and its iteration-1 argmax IS this
+    query's pair_rank=1 row."""
+    from aliyun_maxcompute_data_collectors_spark.operators import bpe
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return bpe.adjacent_pair_counts(t["documents"], top_n=40)
+
+
+_BPE_PAIR_COUNTS_SQL = """
+WITH words AS (
+  SELECT word, COUNT(*) AS cnt
+  FROM (SELECT UNNEST(list_filter(
+                 regexp_split_to_array(LOWER(text), '[^a-z]+'),
+                 t -> t <> '')) AS word
+        FROM documents WHERE text IS NOT NULL)
+  GROUP BY word),
+pairs AS (
+  SELECT substr(word, i, 1) AS lhs, substr(word, i + 1, 1) AS rhs,
+         SUM(cnt) AS pair_count
+  FROM words, UNNEST(range(1, length(word))) AS t(i)
+  WHERE length(word) >= 2
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (
+           ORDER BY pair_count DESC, lhs, rhs) AS INT) AS pair_rank,
+         lhs, rhs, CAST(pair_count AS BIGINT) AS pair_count
+  FROM pairs)
+SELECT * FROM ranked ORDER BY pair_rank LIMIT 40
+"""
+
+
 _BM25_TERMS = ("vector", "hash", "join", "stream")
 
 
@@ -2262,6 +2298,8 @@ REGISTRY: dict[str, tuple] = {
     "substring_dedup": (substring_dedup_q, _SUBSTRING_DEDUP_SQL),
     "bm25_topk": (bm25_topk, _BM25_SQL),
     "bpe_merges": (bpe_merges_q, None),  # rows-only: iterative, non-SQL
+    # the loop's distributed foundation, hash-oracled (VERDICT r7 #1)
+    "bpe_pair_counts": (bpe_pair_counts_q, _BPE_PAIR_COUNTS_SQL),
     "shard_assign": (shard_assign_q, _SHARD_SQL),
     "dedup_incremental": (dedup_incremental_q, _DEDUP_INCR_SQL),
     "minhash_incremental": (minhash_incr_q, _minhash_incr_sql()),

@@ -1566,3 +1566,30 @@ def test_det_kmeans_centers_reuse_matches_fit(spark):
     a = {r["neighbor_id"]: r["cell"] for r in cells_fit.collect()}
     b = {r["neighbor_id"]: r["cell"] for r in cells_reuse.collect()}
     assert a == b
+
+
+def test_bpe_pair_counts_feed_the_first_merge(spark):
+    """adjacent_pair_counts is the aggregation every BPE iteration runs:
+    its rank-1 row must equal bpe_train's first merge (same tie-break),
+    and counts must match the sequential reference on the toy corpus."""
+    from aliyun_maxcompute_data_collectors_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new"),
+         (3, "wide wider low")], "doc_id int, text string")
+    pc = [tuple(r) for r in bpe.adjacent_pair_counts(df).collect()]
+    assert pc[0] == (1, "l", "o", 6)          # == first merge ('l','o',6)
+    first_merge = bpe.bpe_train(df, n_merges=1).collect()[0]
+    assert (pc[0][1], pc[0][2], pc[0][3]) == (
+        first_merge["left"], first_merge["right"],
+        first_merge["pair_count"])
+    # rank order is the merge-loop tie-break: count DESC, lhs, rhs
+    keys = [(-c, a, b) for _, a, b, c in pc]
+    assert keys == sorted(keys)
+    # weighted by word frequency: 'ne' appears once in 4 distinct words
+    by_pair = {(a, b): c for _, a, b, c in pc}
+    assert by_pair[("n", "e")] == 4
+    # top_n truncates deterministically
+    assert [t[0] for t in pc[:5]] == [r["pair_rank"] for r in
+                                      bpe.adjacent_pair_counts(
+                                          df, top_n=5).collect()]
