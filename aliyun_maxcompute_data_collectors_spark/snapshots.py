@@ -149,6 +149,45 @@ def _collect_file_stats(path: str) -> dict[str, list]:
 
 _PRUNE_OPS = ("==", "=", "<", "<=", ">", ">=", "between")
 
+# STATS SEGMENTATION (r8, VERDICT r7 #3): a manifest carrying per-file
+# stats + blooms INLINE is rewritten wholesale on every commit - measured
+# (scripts/manifest_scale.py): 27 MB manifest / 2.0s commit at 1e5 files,
+# 87 MB at just 1e4 files once blooms join.  Above this many statted
+# entries the commit writes its stats/blooms to an IMMUTABLE side file
+# ("segment", the Iceberg manifest-list shape) and the manifest carries
+# only the segment path list: an append commits O(new files) metadata
+# however large the table, and planning loads segments lazily (cached -
+# they never change).  Below the threshold everything stays inline (small
+# tables keep single-file debuggability and byte-compatible manifests).
+INLINE_STATS_FILES = 256
+
+import functools as _functools  # noqa: E402
+
+
+@_functools.lru_cache(maxsize=64)
+def _load_segment(path: str) -> dict:
+    """Segments are immutable once written (uuid-named, fsync-renamed),
+    so caching by path is safe for the process lifetime."""
+    with open(path) as f:
+        return json.load(f)
+
+
+def resolve_stats(manifest: dict) -> tuple[dict, dict]:
+    """(stats, blooms) with segment side files folded in.  Entries are
+    per immutable file, so merge order cannot matter; stale entries for
+    files no longer in the manifest are harmless (every consumer looks
+    up by the manifest's own file list)."""
+    segs = manifest.get("segments") or []
+    if not segs:
+        return manifest.get("stats") or {}, manifest.get("blooms") or {}
+    stats = dict(manifest.get("stats") or {})
+    blooms = dict(manifest.get("blooms") or {})
+    for seg in segs:
+        s = _load_segment(seg)
+        stats.update(s.get("stats") or {})
+        blooms.update(s.get("blooms") or {})
+    return stats, blooms
+
 
 def _interval_may_match(lo, hi, op: str, value) -> bool:
     """Can any row with col in [lo, hi] satisfy ``col <op> value``?
@@ -200,8 +239,7 @@ def prune_manifest_files(manifest: dict, conjuncts: list) -> list[str]:
     equality conjuncts by the file's BLOOM bitmap when one was built
     (point lookups on columns whose ranges overlap across files - the
     case intervals can't prune).  Missing stats keep the file."""
-    stats = manifest.get("stats") or {}
-    blooms = manifest.get("blooms") or {}
+    stats, blooms = resolve_stats(manifest)
     kept = []
     for f in manifest["files"]:
         fstats = stats.get(f) or {}
@@ -324,6 +362,8 @@ class SnapshotTable:
         out = []
         mdir = os.path.join(self._root, "manifests")
         for name in sorted(os.listdir(mdir)):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue  # stats segments (seg-*.json) live here too
             with open(os.path.join(mdir, name)) as f:
                 m = json.load(f)
             out.append({k: m[k] for k in
@@ -335,9 +375,20 @@ class SnapshotTable:
                          rows: int, operation: str,
                          stats: dict | None = None,
                          schema: str | None = None,
-                         blooms: dict | None = None) -> int:
+                         blooms: dict | None = None,
+                         segments: list[str] | None = None) -> int:
         """Publish a new snapshot.  Commit lock + parent check = optimistic
-        concurrency; the HEAD swap itself is one atomic rename."""
+        concurrency; the HEAD swap itself is one atomic rename.
+
+        ``stats``/``blooms`` are this commit's NEW (or still-inline)
+        entries; ``segments`` is the parent's immutable side-file list to
+        carry forward (append-shaped ops).  Small tables stay inline;
+        past ``INLINE_STATS_FILES`` entries - or as soon as segments
+        exist - the new entries land in ONE new segment file, so commit
+        metadata is O(new files), never O(table) (VERDICT r7 #3).  A
+        crash after the segment write but before the manifest write
+        leaves an unreferenced segment for vacuum - same contract as
+        staged data files."""
         lock = os.path.join(self._root, "COMMIT_LOCK")
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -353,21 +404,37 @@ class SnapshotTable:
                     f"{self.path}: parent v{parent} is no longer HEAD "
                     f"(now v{head}); re-read and retry")
             version = 1 if parent is None else head + 1
+            fset = set(files)  # hoisted: building it per-item inside the
+            # comprehension filter made commit O(files^2) - 4.9s at 10k
+            # files, ~8 min at 100k (measured, scripts/manifest_scale.py)
+            stats_f = {f: s for f, s in (stats or {}).items() if f in fset}
+            blooms_f = {f: b for f, b in (blooms or {}).items()
+                        if f in fset}
+            segs = list(segments or [])
             manifest = {
                 "version": version,
                 "parent": parent,
                 "operation": operation,
                 "files": files,
                 "rows": rows,
-                "stats": {f: s for f, s in (stats or {}).items()
-                          if f in set(files)},
+                "stats": stats_f,
                 "timestamp_ms": int(time.time() * 1000),
             }
             if schema is not None:
                 manifest["schema"] = schema
-            if blooms:
-                manifest["blooms"] = {f: b for f, b in blooms.items()
-                                      if f in set(files)}
+            if segs or len(stats_f) + len(blooms_f) > INLINE_STATS_FILES:
+                if stats_f or blooms_f:
+                    seg = os.path.join(
+                        self._root, "manifests",
+                        f"seg-{version:08d}-{uuid.uuid4().hex}.json")
+                    _fsync_write(seg, json.dumps(
+                        {"stats": stats_f, "blooms": blooms_f},
+                        allow_nan=False))
+                    segs.append(seg)
+                manifest["stats"] = {}
+                manifest["segments"] = segs
+            elif blooms_f:
+                manifest["blooms"] = blooms_f
             # allow_nan=False: a non-finite stat slipping through would
             # emit the nonstandard NaN token other parsers reject - fail
             # the commit instead (stats collection already filters these)
@@ -529,7 +596,8 @@ class SnapshotTable:
         return self._commit_manifest(
             parent, pm["files"] + files, pm["rows"] + n, "append",
             stats={**(pm.get("stats") or {}), **stats},
-            schema=unified.json(), blooms=blooms)
+            schema=unified.json(), blooms=blooms,
+            segments=pm.get("segments"))
 
     def overwrite(self, df: DataFrame, operation: str = "overwrite") -> int:
         """New snapshot from a fresh file list.  The input may lazily read
@@ -571,7 +639,8 @@ class SnapshotTable:
                                      f"rollback->v{version}",
                                      stats=m.get("stats"),
                                      schema=m.get("schema"),
-                                     blooms=m.get("blooms"))
+                                     blooms=m.get("blooms"),
+                                     segments=m.get("segments"))
 
     def merge(self, source: DataFrame, on: str, *,
               matched=None, not_matched=None, not_matched_by_source=None,
@@ -726,16 +795,21 @@ class SnapshotTable:
                 f"{self.path}: compaction row-count mismatch "
                 f"({n_small} in, {n_new} out) - aborting before commit; "
                 "staged files are unreferenced garbage for vacuum")
+        kset = set(keep)
         kept_stats = {f: s for f, s in (m.get("stats") or {}).items()
-                      if f in set(keep)}
+                      if f in kset}
         # kept (untouched) files keep their blooms; rewritten files get
         # none (re-append with bloom_cols, or rebuild, to restore them)
         kept_blooms = {f: b for f, b in (m.get("blooms") or {}).items()
-                       if f in set(keep)}
+                       if f in kset}
+        # carried segments keep serving the kept files' stats/blooms;
+        # their stale entries for the rewritten small files are harmless
+        # (every lookup goes through the manifest's own file list)
         return self._commit_manifest(parent, keep + files, m["rows"],
                                      "compact", stats={**kept_stats, **stats},
                                      schema=m.get("schema"),
-                                     blooms=kept_blooms)
+                                     blooms=kept_blooms,
+                                     segments=m.get("segments"))
 
     def cluster(self, cols: list[str], n_files: int | None = None,
                 target_file_bytes: int = 128 * 1024 * 1024,
@@ -788,9 +862,12 @@ class SnapshotTable:
         vs = [m["version"] for m in self.versions()]
         keep = set(vs[-keep_last:]) | {self.current_version()}
         live: set[str] = set()
+        live_segs: set[str] = set()
         for v in keep:
-            for f in self.manifest(v)["files"]:
+            m = self.manifest(v)
+            for f in m["files"]:
                 live.add(os.path.dirname(f))
+            live_segs.update(m.get("segments") or [])
         fdir = os.path.join(self._root, "files")
         removed = []
         for d in os.listdir(fdir):
@@ -801,6 +878,14 @@ class SnapshotTable:
         for v in vs:
             if v not in keep:
                 os.remove(self._manifest_path(v))
+        # stats segments referenced by no surviving manifest (including
+        # orphans from a crash between segment and manifest write)
+        mdir = os.path.join(self._root, "manifests")
+        for name in os.listdir(mdir):
+            full = os.path.join(mdir, name)
+            if name.startswith("seg-") and full not in live_segs:
+                os.remove(full)
+                removed.append(full)
         return removed
 
 

@@ -265,7 +265,8 @@ class _SnapshotWriter(DataSourceArrowWriter):
             tab._commit_manifest(
                 self._parent, pm["files"] + files, pm["rows"] + rows,
                 "append", stats={**(pm.get("stats") or {}), **stats},
-                schema=_written_schema(pm.get("schema"), files))
+                schema=_written_schema(pm.get("schema"), files),
+                segments=pm.get("segments"))
 
     def abort(self, messages):
         shutil.rmtree(self._stage, ignore_errors=True)
@@ -493,7 +494,8 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
         tab._commit_manifest(
             parent, pm["files"] + files, pm["rows"] + rows, op,
             stats={**(pm.get("stats") or {}), **stats},
-            schema=_written_schema(pm.get("schema"), files))
+            schema=_written_schema(pm.get("schema"), files),
+            segments=pm.get("segments"))
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages or []:

@@ -1,0 +1,114 @@
+"""Measure snapshot-table manifest costs vs file count (VERDICT r7 #3).
+
+The single-JSON manifest carries the full file list + per-file stats
+(+ optional blooms) and is rewritten on EVERY commit; this script
+isolates the metadata costs from data IO by committing synthetic file
+lists through the real ``_commit_manifest`` / ``manifest()`` /
+``prune_files`` code paths:
+
+- commit latency: append 100 new files to a table already holding N
+  (parent manifest load + stats carry + json dump + fsync)
+- planning latency: manifest load + stats-based pruning of one conjunct
+- manifest size on disk
+
+Run:  python scripts/manifest_scale.py [--blooms]
+Output: one JSON line per (N, variant) -> SCALE.md curve.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from aliyun_maxcompute_data_collectors_spark.snapshots import SnapshotTable  # noqa: E402
+
+
+def synth_stats(path: str, i: int) -> dict:
+    # realistic shape: three statted int columns with disjoint ranges
+    return {"id": [i * 1000, (i + 1) * 1000 - 1],
+            "ts": [1_700_000_000 + i, 1_700_000_000 + i + 86400],
+            "bucket": [i % 32, i % 32]}
+
+
+def synth_bloom(m: int = 1 << 15) -> dict:
+    return {"code": {"m": m, "hex": "ab" * (m // 8)}}
+
+
+def build_table(root: str, n_files: int, blooms: bool) -> SnapshotTable:
+    os.makedirs(os.path.join(root, "_snapshots", "files"))
+    os.makedirs(os.path.join(root, "_snapshots", "manifests"))
+    tab = SnapshotTable.__new__(SnapshotTable)
+    tab.spark = None
+    tab.path = root
+    tab._root = os.path.join(root, "_snapshots")
+    files = [os.path.join(root, "_snapshots", "files", f"seed/{i:07d}.parquet")
+             for i in range(n_files)]
+    stats = {f: synth_stats(f, i) for i, f in enumerate(files)}
+    bl = {f: synth_bloom() for f in files} if blooms else None
+    tab._commit_manifest(parent=None, files=files, rows=n_files * 1000,
+                         operation="append", stats=stats, blooms=bl)
+    return tab
+
+
+def bench_one(n_files: int, blooms: bool) -> dict:
+    root = tempfile.mkdtemp(prefix=f"mscale_{n_files}_")
+    try:
+        tab = build_table(root, n_files, blooms)
+        parent = tab.current_version()
+        pm = tab.manifest(parent)
+        new = [os.path.join(root, "_snapshots", "files",
+                            f"new/{i:05d}.parquet") for i in range(100)]
+        new_stats = {f: synth_stats(f, n_files + i)
+                     for i, f in enumerate(new)}
+        new_bl = ({f: synth_bloom() for f in new} if blooms else None)
+        t0 = time.perf_counter()
+        carried_bl = dict(pm.get("blooms") or {})
+        if new_bl:
+            carried_bl.update(new_bl)
+        import inspect
+        kw = {}
+        if "segments" in inspect.signature(
+                tab._commit_manifest).parameters:
+            kw["segments"] = pm.get("segments")
+        tab._commit_manifest(
+            parent, pm["files"] + new, pm["rows"] + 100 * 1000, "append",
+            stats={**(pm.get("stats") or {}), **new_stats},
+            blooms=carried_bl or None, **kw)
+        commit_s = time.perf_counter() - t0
+        # planning: cold manifest load + one-conjunct prune
+        t0 = time.perf_counter()
+        m = tab.manifest()
+        kept = tab.prune_files(m, [("id", "between",
+                                    (5_000, 9_000))])
+        plan_s = time.perf_counter() - t0
+        # warm: segments are immutable and lru-cached for the process
+        t0 = time.perf_counter()
+        tab.prune_files(tab.manifest(), [("id", "between",
+                                          (5_000, 9_000))])
+        plan_warm_s = time.perf_counter() - t0
+        size = os.path.getsize(tab._manifest_path(tab.current_version()))
+        seg_bytes = sum(
+            os.path.getsize(os.path.join(tab._root, "manifests", f))
+            for f in os.listdir(os.path.join(tab._root, "manifests"))
+            if f.startswith("seg-"))
+        return {"n_files": n_files, "blooms": blooms,
+                "commit_s": round(commit_s, 4),
+                "plan_s": round(plan_s, 4),
+                "plan_warm_s": round(plan_warm_s, 4),
+                "manifest_bytes": size, "segment_bytes": seg_bytes,
+                "kept": len(kept)}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    blooms = "--blooms" in sys.argv
+    sizes = [1_000, 10_000, 100_000] if not blooms else [1_000, 10_000]
+    for n in sizes:
+        print(json.dumps(bench_one(n, blooms)), flush=True)

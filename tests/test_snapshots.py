@@ -550,3 +550,82 @@ def test_rollback_to_version_with_missing_files_fails_before_commit(
         table.rollback(v_old)
     assert table.current_version() == head_before  # nothing published
     assert [r["id"] for r in table.read().collect()] == [2]
+
+
+def test_stats_segmentation_end_to_end(spark, table, monkeypatch):
+    """r8 manifest segmentation (VERDICT r7 #3): past INLINE_STATS_FILES
+    entries, per-commit stats/blooms land in immutable side files and the
+    manifest carries only their paths - append metadata is O(new files).
+    Threshold patched low so the transition, pruning-through-segments,
+    compact carry, rollback, and vacuum cleanup all run cheap."""
+    import json as _json
+
+    import aliyun_maxcompute_data_collectors_spark.snapshots as S
+
+    monkeypatch.setattr(S, "INLINE_STATS_FILES", 1)
+    df1 = _df(spark, [(1, "a"), (2, "b")]).coalesce(1)
+    table.append(df1)                               # 1 file: inline
+    assert "segments" not in table.manifest()
+    table.append(_df(spark, [(10, "c")]).coalesce(1))  # 2 entries: crosses
+    m = table.manifest()
+    assert m["stats"] == {} and len(m["segments"]) == 1
+    # the segment holds the FULL migrated stats (old + new files)
+    seg = _json.loads(open(m["segments"][0]).read())
+    assert set(seg["stats"]) == set(m["files"])
+    # pruning resolves through segments: only the id<=2 file scans
+    assert len(table.prune_files(m, [("id", "<=", 2)])) == 1
+    got = sorted(r["id"] for r in table.read(where=("id", "<=", 2)).collect())
+    assert got == [1, 2]
+    # a further append adds ONE new segment with only ITS files
+    table.append(_df(spark, [(20, "d")]).coalesce(1))
+    m2 = table.manifest()
+    assert len(m2["segments"]) == 2
+    seg2 = _json.loads(open(m2["segments"][1]).read())
+    assert len(seg2["stats"]) == 1
+    # compact keeps pruning correct (kept stats ride carried segments)
+    table.compact(target_file_bytes=1 << 20)
+    m3 = table.manifest()
+    assert sorted(r["id"] for r in table.read().collect()) == [1, 2, 10, 20]
+    # rollback carries the segment list verbatim
+    table.rollback(m2["version"])
+    assert table.manifest()["segments"] == m2["segments"]
+    assert len(table.prune_files(table.manifest(),
+                                 [("id", "<=", 2)])) == 1
+    # vacuum drops segments referenced by no surviving manifest
+    removed = table.vacuum(keep_last=1)
+    live_segs = set(table.manifest().get("segments") or [])
+    assert live_segs  # current still segmented...
+    assert all(os.path.exists(s) for s in live_segs)  # ...and intact
+    dropped_segs = [p for p in removed if "seg-" in os.path.basename(p)]
+    assert dropped_segs  # at least one old segment collected
+    assert sorted(r["id"] for r in table.read().collect()) == [1, 2, 10, 20]
+
+
+def test_segmented_blooms_prune_and_pyds_pushdown(spark, table, monkeypatch):
+    """Bloom bitmaps follow stats into segments; equality pruning and the
+    DSv2 pushFilters path must both resolve them there."""
+    import aliyun_maxcompute_data_collectors_spark.snapshots as S
+    from aliyun_maxcompute_data_collectors_spark.sources.pyds import (
+        register_python_datasources,
+    )
+
+    monkeypatch.setattr(S, "INLINE_STATS_FILES", 1)
+    rows = [(i, f"k{i:04d}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, code string")
+    table.append(df.where(F.col("id") < 20).coalesce(1),
+                 bloom_cols=["code"])
+    table.append(df.where(F.col("id") >= 20).coalesce(1),
+                 bloom_cols=["code"])
+    m = table.manifest()
+    assert m.get("segments") and "blooms" not in m
+    # absent key: zero files scan; present key: one file
+    assert table.prune_files(m, [("code", "==", "nope")]) == []
+    assert len(table.prune_files(m, [("code", "==", "k0005")])) == 1
+    got = table.read(where=("code", "==", "k0005")).collect()
+    assert [(r["id"], r["code"]) for r in got] == [(5, "k0005")]
+    # DSv2 interval pushdown through segments (blooms don't wire into
+    # Spark filter classes, but [min,max] pruning must still work)
+    register_python_datasources(spark)
+    out = (spark.read.format("graft_snapshot").option("path", table.path)
+           .load().where("id >= 20"))
+    assert sorted(r["id"] for r in out.collect()) == list(range(20, 40))
