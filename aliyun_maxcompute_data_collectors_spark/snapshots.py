@@ -744,7 +744,9 @@ class SnapshotTable:
         return ins.unionByName(dels)
 
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024,
-                small_file_bytes: int | None = None) -> int:
+                small_file_bytes: int | None = None,
+                bloom_cols: list[str] | None = None,
+                bloom_bits: int = 1 << 15) -> int:
         """Bin-pack small files into ~``target_file_bytes`` files and
         publish the result as a new snapshot (operation ``compact``).
 
@@ -799,9 +801,14 @@ class SnapshotTable:
         kept_stats = {f: s for f, s in (m.get("stats") or {}).items()
                       if f in kset}
         # kept (untouched) files keep their blooms; rewritten files get
-        # none (re-append with bloom_cols, or rebuild, to restore them)
+        # fresh bitmaps only when the caller opts in (VERDICT r7 #7:
+        # without this, OPTIMIZE silently degraded point-lookup pruning)
         kept_blooms = {f: b for f, b in (m.get("blooms") or {}).items()
                        if f in kset}
+        if bloom_cols and files:
+            kept_blooms = {**kept_blooms,
+                           **self._collect_blooms(files, bloom_cols,
+                                                  bloom_bits)}
         # carried segments keep serving the kept files' stats/blooms;
         # their stale entries for the rewritten small files are harmless
         # (every lookup goes through the manifest's own file list)
@@ -813,7 +820,9 @@ class SnapshotTable:
 
     def cluster(self, cols: list[str], n_files: int | None = None,
                 target_file_bytes: int = 128 * 1024 * 1024,
-                bits: int | None = None) -> int:
+                bits: int | None = None,
+                bloom_cols: list[str] | None = None,
+                bloom_bits: int = 1 << 15) -> int:
         """OPTIMIZE ZORDER BY: rewrite the current snapshot clustered on
         ``cols`` (operators/zorder.py interleaved rank codes) and publish
         it as one new commit - after which every output file covers a
@@ -850,9 +859,11 @@ class SnapshotTable:
                 f"{self.path}: cluster row-count mismatch "
                 f"({m['rows']} in, {n} out) - aborting before commit; "
                 "staged files are unreferenced garbage for vacuum")
+        blooms = (self._collect_blooms(files, bloom_cols, bloom_bits)
+                  if bloom_cols and files else None)
         return self._commit_manifest(
             parent, files, n, f"cluster:zorder={','.join(cols)}",
-            stats=stats, schema=m.get("schema"))
+            stats=stats, schema=m.get("schema"), blooms=blooms)
 
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Drop staging dirs unreferenced by the ``keep_last`` most recent

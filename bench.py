@@ -127,6 +127,11 @@ BENCH_QUERIES = [
     "snapshot_schema_evolution",
     "snapshot_zorder_prune",
     "snapshot_bloom_prune",
+    # round-8 additions: BPE's oracled pair-count foundation; OPTIMIZE
+    # with bloom rebuild (two bloomed appends + compact + re-bloomed
+    # point-lookup prune - a maintenance-job cost, measured as one)
+    "bpe_pair_counts",
+    "snapshot_bloom_compact",
 ]
 
 

@@ -629,3 +629,27 @@ def test_segmented_blooms_prune_and_pyds_pushdown(spark, table, monkeypatch):
     out = (spark.read.format("graft_snapshot").option("path", table.path)
            .load().where("id >= 20"))
     assert sorted(r["id"] for r in out.collect()) == list(range(20, 40))
+
+
+def test_optimize_bloom_rebuild(spark, table):
+    """VERDICT r7 #7: compact(bloom_cols=) / cluster(bloom_cols=) rebuild
+    bitmaps for rewritten files so OPTIMIZE doesn't silently degrade
+    point-lookup pruning (default stays drop - a data pass is opt-in)."""
+    rows = [(i, i * 7 % 60, f"k{i:04d}") for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, id2 long, code string")
+    table.append(df.where(F.col("id") < 30).coalesce(1),
+                 bloom_cols=["code"])
+    table.append(df.where(F.col("id") >= 30).coalesce(1),
+                 bloom_cols=["code"])
+    table.compact(target_file_bytes=1 << 20, bloom_cols=["code"])
+    m = table.manifest()
+    assert m["operation"] == "compact" and len(m["files"]) == 1
+    assert table.prune_files(m, [("code", "==", "absent")]) == []
+    got = table.read(where=("code", "==", "k0042")).collect()
+    assert [(r["id"], r["code"]) for r in got] == [(42, "k0042")]
+    # cluster() rebuild too: fresh file list, fresh bitmaps
+    table.cluster(["id", "id2"], n_files=2, bloom_cols=["code"])
+    mc = table.manifest()
+    assert mc["operation"].startswith("cluster") and len(mc["files"]) == 2
+    assert table.prune_files(mc, [("code", "==", "absent")]) == []
+    assert len(table.prune_files(mc, [("code", "==", "k0007")])) == 1
