@@ -107,6 +107,7 @@ class Engine:
             **catalog_kw,
         )
         self.allow_full_scan = allow_full_scan
+        self._snapshot_tables: dict[str, str] = {}
 
     # -- SQL surface ------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
@@ -133,6 +134,7 @@ class Engine:
         dele = _DELETE.match(query)
         if dele:
             return self._run_delete(*dele.groups())
+        query = self._resolve_snapshot_refs(query)
         query = self._resolve_max_pt(query)
         query, qualified = self._resolve_qualified(query)
         known = set(self.catalog.list_tables())
@@ -147,6 +149,77 @@ class Engine:
                 if pcols:
                     _checks.check_full_scan(df, pcols, allow_full_scan=False)
         return df
+
+    # -- snapshot tables by SQL identifier (r8, VERDICT r7 #4) -------------
+    def register_snapshot_table(self, name: str, path: str) -> None:
+        """Make a :class:`snapshots.SnapshotTable` addressable by bare
+        identifier in ``Engine.sql`` - the reference exposes its tables
+        to SQL-only tools through a catalog plugin
+        (``OdpsTableCatalog.scala:91-96,427-445``); a JVM TableCatalog is
+        unreachable from pure PySpark, so this rides the same
+        temp-view-on-demand rewrite the engine catalog uses.  Supported
+        per reference-style time travel:
+
+            SELECT ... FROM t                       -- current snapshot
+            SELECT ... FROM t VERSION AS OF 3       -- exact version
+            SELECT ... FROM t TIMESTAMP AS OF 1712345678000   -- epoch ms
+            SELECT ... FROM t TIMESTAMP AS OF '2026-01-01T00:00:00'
+
+        Reads resolve the manifest at query time (snapshot isolation per
+        statement); manifest-stats pruning applies through the normal
+        ``where=`` API, while the SQL surface relies on Spark's parquet
+        pushdown over the pinned file list."""
+        from aliyun_maxcompute_data_collectors_spark.snapshots import SnapshotTable
+
+        SnapshotTable(self.spark, path)  # validates layout now
+        self._snapshot_tables[name] = path
+
+    _SNAP_ASOF = re.compile(
+        r"\b([A-Za-z_]\w*)\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+)",
+        re.IGNORECASE)
+
+    def _resolve_snapshot_refs(self, query: str) -> str:
+        """Rewrite registered snapshot-table references to temp views:
+        ``t VERSION|TIMESTAMP AS OF x`` pins that snapshot under a
+        version-suffixed view; a bare ``t`` serves the current version."""
+        if not self._snapshot_tables:
+            return query
+        from aliyun_maxcompute_data_collectors_spark.snapshots import SnapshotTable
+
+        def repl(m: re.Match) -> str:
+            name, kind, lit = m.group(1), m.group(2).upper(), m.group(3)
+            path = self._snapshot_tables.get(name)
+            if path is None:
+                return m.group(0)
+            tab = SnapshotTable(self.spark, path)
+            if kind == "VERSION":
+                v = int(lit)
+            else:
+                if lit.startswith("'"):
+                    import datetime as _dt
+                    t = _dt.datetime.fromisoformat(lit[1:-1])
+                    if t.tzinfo is None:
+                        t = t.replace(tzinfo=_dt.timezone.utc)
+                    ms = int(t.timestamp() * 1000)
+                else:
+                    ms = int(lit)
+                cands = [x["version"] for x in tab.versions()
+                         if x["timestamp_ms"] <= ms]
+                if not cands:
+                    raise ValueError(
+                        f"snapshot table {name!r}: no snapshot at or "
+                        f"before {lit}")
+                v = max(cands)
+            view = f"{name}__snapshot_v{v}"
+            tab.read(version=v).createOrReplaceTempView(view)
+            return view
+
+        query = self._SNAP_ASOF.sub(repl, query)
+        for name, path in self._snapshot_tables.items():
+            if re.search(rf"\b{name}\b", query):
+                SnapshotTable(self.spark, path).read() \
+                    .createOrReplaceTempView(name)
+        return query
 
     def _resolve_max_pt(self, query: str) -> str:
         """Rewrite ``max_pt('table')`` calls to the literal newest partition

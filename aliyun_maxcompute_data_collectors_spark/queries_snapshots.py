@@ -687,6 +687,58 @@ FROM src, tgt WHERE src.code = tgt.c
 """
 
 
+def engine_sql_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot tables by SQL IDENTIFIER (r8, VERDICT r7 #4): a
+    SQL-only tool holding an Engine runs ``SELECT ... FROM t [VERSION|
+    TIMESTAMP AS OF ...]`` with no format() API - Engine.sql rewrites
+    registered snapshot names through the same temp-view path as
+    catalog tables (reference: OdpsTableCatalog.scala:91-96 exposes
+    tables to third-party SQL through the JVM catalog; this is the
+    pure-PySpark equivalent).  Two committed versions; the hash pins the
+    VERSION AS OF 2 count, a TIMESTAMP AS OF count at v2's own commit
+    instant, and the bare-identifier (current) count + key sum."""
+    import os as _os
+    import tempfile as _tf
+
+    from aliyun_maxcompute_data_collectors_spark.engine import Engine
+
+    root = _tf.mkdtemp(prefix="engine_snap_")
+    try:
+        o = load_tables(spark, sf_dir, ["orders"])["orders"].select(
+            "o_orderkey", "o_totalprice")
+        mk = o.agg(F.max("o_orderkey")).collect()[0][0]
+        tab = SnapshotTable.init(spark, _os.path.join(root, "t"))
+        tab.append(o.where(F.col("o_orderkey") <= mk // 2))   # v2
+        ts_v2 = tab.manifest()["timestamp_ms"]
+        tab.append(o.where(F.col("o_orderkey") > mk // 2))    # v3
+        eng = Engine(warehouse=_os.path.join(root, "wh"), spark=spark)
+        eng.register_snapshot_table("orders_snap", _os.path.join(root, "t"))
+        out = eng.sql(f"""
+            SELECT (SELECT COUNT(*) FROM orders_snap VERSION AS OF 2)
+                     AS n_v2,
+                   (SELECT COUNT(*) FROM orders_snap
+                      TIMESTAMP AS OF {ts_v2}) AS n_at_v2_ts,
+                   COUNT(*) AS n_cur,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+            FROM orders_snap
+        """)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_ENGINE_SQL_SNAPSHOT_SQL = """
+WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders)
+SELECT (SELECT COUNT(*) FROM orders, mx WHERE o_orderkey <= mk // 2)
+         AS n_v2,
+       (SELECT COUNT(*) FROM orders, mx WHERE o_orderkey <= mk // 2)
+         AS n_at_v2_ts,
+       COUNT(*) AS n_cur,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+FROM orders
+"""
+
+
 def snapshot_bloom_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE with bloom REBUILD (r8, VERDICT r7 #7): ``compact()``
     rewrites the small-file backlog, and without ``bloom_cols=`` the
@@ -762,4 +814,5 @@ REGISTRY: dict[str, tuple] = {
     "snapshot_zorder_prune": (snapshot_zorder_prune, _ZORDER_PRUNE_SQL),
     "snapshot_bloom_prune": (snapshot_bloom_prune, _BLOOM_PRUNE_SQL),
     "snapshot_bloom_compact": (snapshot_bloom_compact, _BLOOM_COMPACT_SQL),
+    "engine_sql_snapshot": (engine_sql_snapshot, _ENGINE_SQL_SNAPSHOT_SQL),
 }

@@ -411,3 +411,46 @@ def test_char_varchar_declared_length_roundtrip(cat, spark):
     rows = {r["col_name"]: r["data_type"]
             for r in eng.sql("DESCRIBE cv").collect()}
     assert rows["code"] == "CHAR(2)" and rows["name"] == "VARCHAR(10)"
+
+
+def test_engine_sql_snapshot_identifiers(spark, tmp_path):
+    """r8 (VERDICT r7 #4): registered snapshot tables resolve by bare
+    identifier in Engine.sql, with VERSION/TIMESTAMP AS OF time travel;
+    unregistered names pass through untouched."""
+    from aliyun_maxcompute_data_collectors_spark.engine import Engine
+    from aliyun_maxcompute_data_collectors_spark.snapshots import SnapshotTable
+
+    tab = SnapshotTable.init(spark, str(tmp_path / "snap"))
+    tab.append(spark.createDataFrame([(1, "a"), (2, "b")],
+                                     "id long, v string"))   # v2
+    ts_v2 = tab.manifest()["timestamp_ms"]
+    tab.append(spark.createDataFrame([(3, "c")],
+                                     "id long, v string"))   # v3
+    eng = Engine(warehouse=str(tmp_path / "wh"), spark=spark)
+    eng.register_snapshot_table("snap_t", str(tmp_path / "snap"))
+    # bare identifier = current snapshot
+    assert eng.sql("SELECT COUNT(*) AS n FROM snap_t").collect()[0]["n"] == 3
+    # exact version pin
+    got = eng.sql(
+        "SELECT id FROM snap_t VERSION AS OF 2 ORDER BY id").collect()
+    assert [r["id"] for r in got] == [1, 2]
+    # epoch-millis timestamp pin resolves to the newest snapshot <= ts
+    assert eng.sql(f"SELECT COUNT(*) AS n FROM snap_t TIMESTAMP AS OF "
+                   f"{ts_v2}").collect()[0]["n"] == 2
+    # ISO-string timestamp pin (far future -> current version)
+    assert eng.sql("SELECT COUNT(*) AS n FROM snap_t TIMESTAMP AS OF "
+                   "'2099-01-01T00:00:00'").collect()[0]["n"] == 3
+    # before the first data commit -> clean error
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="no snapshot at or before"):
+        eng.sql("SELECT * FROM snap_t TIMESTAMP AS OF 1")
+    # joins between a pinned and the current snapshot work in one query
+    got = eng.sql("""
+        SELECT cur.id FROM snap_t cur
+        LEFT ANTI JOIN (SELECT id FROM snap_t VERSION AS OF 2) old
+          ON cur.id = old.id
+    """).collect()
+    assert [r["id"] for r in got] == [3]
+    # unregistered identifiers with AS OF are left for Spark to reject
+    with _pytest.raises(Exception):
+        eng.sql("SELECT * FROM nosuch VERSION AS OF 1")
