@@ -493,10 +493,19 @@ def minhash_lsh_pairs(
     seed: int = 42,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     warn_recall: bool = False,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs via banding: docs sharing any band bucket become
     candidates; candidates are verified with the exact signature similarity
     (fraction of matching minhashes >= threshold).
+
+    ``hash_fn='xxhash64'`` swaps the shingle hash for one JVM xxhash64
+    (no md5 crypto rounds, no hex/conv string work).  Signatures differ
+    from the md5 path but the MinHash estimator is identical, so the
+    verified PAIR SET is statistically equivalent (parity pinned by
+    test); md5 stays the default because it is the cross-engine
+    oracle-checkable rendering.  Pick one hash per corpus and stick with
+    it - incremental stores embed it.
 
     ``max_bucket`` caps the per-bucket quadratic the same way
     ``ngram_jaccard_pairs(max_df=...)`` caps hot shingles: a (band, bucket)
@@ -520,7 +529,8 @@ def minhash_lsh_pairs(
     # materialize signatures once: the band self-join references them on BOTH
     # sides, and without a lineage cut each side would recompute the full
     # shingle->md5->min pipeline (2x the dominant cost)
-    sig = minhash_signature(df, id_col, text_col, k, n, seed).localCheckpoint(eager=True)
+    sig = minhash_signature(df, id_col, text_col, k, n, seed,
+                            hash_fn).localCheckpoint(eager=True)
     # narrow (id, band, bucket) rows only - the self-join and distinct never
     # carry the k signature columns; signatures re-attach to the (much
     # smaller) candidate pair set afterwards

@@ -338,3 +338,28 @@ def test_force_expr_bucketed_write_layout_identical(spark, tmp_path, monkeypatch
     expr_layout = write("wh_expr", env=True)
     assert udf_layout and set(udf_layout) == set(expr_layout)
     assert udf_layout == expr_layout
+
+
+def test_minhash_lsh_hash_fn_pair_parity(spark):
+    """VERDICT r7 #8: the xxhash64 fast path must find the same verified
+    near-dup PAIRS as the oracle-checked md5 path on a corpus with
+    unambiguous dups (sim ~1) and non-dups (sim ~0) - estimator parity,
+    not signature equality."""
+    from aliyun_maxcompute_data_collectors_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = []
+    for i in range(8):
+        # per-family vocabulary: cross-family Jaccard is exactly 0, the
+        # within-family pair is ~1 - no borderline sims whose verdict
+        # could legitimately differ between hash functions
+        base = " ".join(f"tok{i}w{j}" for j in range(40))
+        rows.append((i * 10, base))
+        rows.append((i * 10 + 1, base + f" extra{i}"))
+        rows.append((i * 10 + 2,
+                     " ".join(f"solo{i}x{j}" for j in range(40))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    def pairs(fn):
+        return sorted((r["id1"], r["id2"]) for r in minhash_lsh_pairs(
+            df, "doc_id", "text", threshold=0.7, hash_fn=fn).collect())
+    p_md5, p_xx = pairs("md5"), pairs("xxhash64")
+    assert p_md5 == p_xx == [(i * 10, i * 10 + 1) for i in range(8)]
