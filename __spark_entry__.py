@@ -5,24 +5,28 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash -> CORRECTNESS_r{N}.json).
 
-Rotation note (round 7): the driver verifies the first 50 entries of
-``queries()`` in iteration order.  After round 6, all 152 pre-existing
-queries are driver-green at least once; round 7 fronts (a) the THREE
-new snapshot-layer queries (time travel / CDF changes / compaction -
-VERDICT r6 ask #1: snapshots.py had pytest-only evidence), (b) ALL 12
-rows whose newest driver evidence is r3 (the four that spilled from the
-r6 window plus the eight leftovers - closes VERDICT r6 ask #2: after
-this round no row's evidence is older than r4), (c) every query whose
-implementation changed in round 7 (the _arrow_list_parts sliced-offset
-fix feeding cosine/assign/PQ kernels; the eagerly-materialized
-recursive_chain; the minhash_lsh persist; the ivfpq_topk prefilter
-reorder), then (d) fills the window with r4-evidence rows
-alphabetically.  Every query stays registered; only iteration order
-changes.  All queries remain covered by the local harness
-(tests/test_correctness.py at the driver's sf0.01);
-scripts/driver_sim.py gates rotation slots on a vanilla-session pass -
-including a per-query SQL-conf leak diff since round 7 - run via
-scripts/gate.sh as the round's last act and committed as GATE_r7.log.
+Rotation note (round 8): the driver verifies the first 50 entries of
+``queries()`` in iteration order.  Cumulative after r7: 166/167 rows
+hash-green at least once (bpe_merges rows-only by design).  Round 8
+fronts (a) the THREE new queries (bpe_pair_counts - BPE's distributed
+foundation under the oracle, VERDICT r7 #1; snapshot_bloom_compact -
+OPTIMIZE bloom rebuild, #7; engine_sql_snapshot - SQL-identifier time
+travel, #4) plus bpe_merges riding next to its now-oracled foundation,
+(b) every row whose implementation round 8 touched (the snapshot family
+- NaN-stat disqualification, stats SEGMENTATION, rollback existence
+guard - the three pyds rows over the streamed Avro writer and the
+empty-overwrite schema fix, mv_refresh on the same commit path, and
+pq_topk/ivfpq_topk over the applicationId cache keys), then (c) ALL 32
+rows whose newest driver evidence is r4 - closing VERDICT r7 ask #5:
+after this round no row's newest hash evidence is older than r5.  That
+fills the window at exactly 50; cdc_snapshot_at (r7-green, only
+signature-level commit changes) leads the tail.  Every query stays
+registered; only iteration order changes.  All queries remain covered
+by the local harness (tests/test_correctness.py at the driver's
+sf0.01); scripts/driver_sim.py gates rotation slots on a
+vanilla-session pass - including the per-query SQL-conf leak diff - run
+via scripts/gate.sh as the round's last act and committed as
+GATE_r8.log.
 """
 
 from __future__ import annotations
@@ -37,52 +41,43 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from aliyun_maxcompute_data_collectors_spark.queries import REGISTRY  # noqa: E402
 
-# Round-7 driver-verification priority (VERDICT r6 asks #1/#2): tier 1 =
-# rows with ZERO driver evidence, all new in r7 (the five snapshot-layer
-# queries - the r6 flagship component goes under the hash oracle first -
-# plus substring_dedup, the two Python-Data-Source queries, bm25_topk,
-# and bpe_merges [rows-only: iterative merge learning is not
-# SQL-expressible]); tier 2 = every row whose newest green evidence is
-# r3 (the 4 that spilled from the r6 window + the 8 leftovers - closes
-# the evidence-age rotation: after r7 nothing is older than r4); tier 3
-# = queries over round-7 implementation changes (_arrow_list_parts
-# sliced-offset fix -> all cosine/assign/PQ-ADC consumers;
-# recursive_chain now materializes eagerly under a scoped row valve;
-# minhash_lsh persisted banding aggregate; ivfpq_topk candidate-
-# prefilter reorder); tier 4 fills the 50-slot window with r4-evidence
-# rows alphabetically (the tier list is 59 deep, so its alphabetical
-# tail - embedding_quality through median_stats - rides positions 51-59
-# as count-only rows this round; their evidence stays r4, which still
-# satisfies the ask).  Everything else follows in registry order.
-# Gate discipline: this window holds slots only if
+# Round-8 driver-verification priority: tier 1 = never driver-checked
+# (the three r8 queries) + bpe_merges (rows-only loop, fronted beside
+# its newly-oracled bpe_pair_counts foundation); tier 2 = rows whose
+# implementation r8 touched (the snapshot family over NaN-stat
+# disqualification + stats segmentation + rollback guard; the pyds rows
+# over the streamed Avro DSv2 writer and the empty-overwrite schema
+# fix; mv_refresh on the same commit path; pq_topk/ivfpq_topk over the
+# applicationId cache keys); tier 3 = ALL 32 rows whose newest evidence
+# is r4 (VERDICT r7 #5: after r8 nothing is older than r5).  Exactly 50
+# slots; cdc_snapshot_at (r7-green, commit-signature-only change) leads
+# the tail.  Gate discipline: this window holds slots only if
 # scripts/driver_sim.py - run at sf0.01 by scripts/gate.sh, whose
-# stdout is committed as GATE_r7.log - exits green (now including the
+# stdout is committed as GATE_r8.log - exits green (including the
 # per-query SQL-conf leak diff) as the round's LAST act.
 _PRIORITY = [
-    # tier 1: never driver-checked (new in r7)
+    # tier 1: never driver-checked (new in r8) + the rows-only loop
+    "bpe_pair_counts", "snapshot_bloom_compact", "engine_sql_snapshot",
+    "bpe_merges",
+    # tier 2: r8-touched implementations
     "snapshot_time_travel", "snapshot_changes", "snapshot_compact",
-    "snapshot_pruned_read", "snapshot_merge", "substring_dedup",
+    "snapshot_pruned_read", "snapshot_merge", "snapshot_schema_evolution",
+    "snapshot_zorder_prune", "snapshot_bloom_prune", "mv_refresh",
     "pyds_snapshot_read", "pyds_avro_read", "pyds_stream_cycle",
-    "mv_refresh", "snapshot_schema_evolution", "snapshot_zorder_prune",
-    "snapshot_bloom_prune", "bm25_topk", "bpe_merges",
-    # tier 2: newest evidence r3 (4 spilled + 8 leftovers)
-    "repetition_profile", "scd2_users", "shard_assign", "simhash32_sig",
-    "simhash_pairs", "span_dedup", "split_assignment", "split_leakage",
-    "stratified_sample", "temporal_join_pit", "text_profile",
-    "tfidf_keywords",
-    # tier 3: round-7 implementation changes (arrow offset fix consumers,
-    # scoped recursion valve, LSH persist, IVF-PQ reorder)
-    "recursive_chain", "semantic_dedup", "semantic_dedup_exact",
-    "ivf_topk", "ivf_assign_incremental", "pq_topk", "ivfpq_topk",
-    "ann_recall", "embedding_dups", "embedding_topk", "minhash_lsh",
-    # tier 4: r4-evidence rows, alphabetical fill to 50
-    "agg_extras", "asof_join_events", "bitwise_agg", "ccnet_buckets",
-    "cdc_snapshot_at", "cohort_retention", "conditional_exprs",
-    "constraint_check", "corpus_drift", "corpus_stats", "corr_stats",
-    "dedup_exact", "dup_rate_by_source", "embedding_quality",
-    "ewma_user_value", "from_json_typed", "funnel_steps",
-    "fuzzy_customer_names", "interp_gapfill", "interval_math",
-    "mad_outliers", "median_stats",
+    "pq_topk", "ivfpq_topk",
+    # tier 3: every row with r4 evidence (alphabetical)
+    "dup_rate_by_source", "embedding_quality", "ewma_user_value",
+    "from_json_typed", "funnel_steps", "fuzzy_customer_names",
+    "interp_gapfill", "interval_math", "mad_outliers", "median_stats",
+    "ngram_novelty", "pareto_parts", "pivot_priority",
+    "q12_shipmode_priority", "range_join_sessions", "regr_value_trend",
+    "resample_gapfill", "rolling_hourly_stats", "rollup_hypertable",
+    "sketch_suite", "source_overlap", "string_agg_nations",
+    "udtf_tokens", "union_by_name", "unpivot_measures", "variant_extract",
+    "weighted_sample", "width_bucket_hist", "window_value_suite",
+    "zipf_profile", "zorder_cluster", "zscore_anomalies",
+    # tail leader: r7-green, only commit-signature-level changes
+    "cdc_snapshot_at",
 ]
 
 

@@ -58,6 +58,10 @@ SPOT = [
     "bm25_topk", "bpe_merges", "pyds_stream_cycle", "mv_refresh",
     "snapshot_schema_evolution", "snapshot_zorder_prune",
     "snapshot_bloom_prune",
+    # round-8 additions: BPE's oracled pair-count foundation, OPTIMIZE
+    # bloom rebuild, SQL-identifier snapshot access (Engine.sql rewrite
+    # cost is metadata; the table build dominates)
+    "bpe_pair_counts", "snapshot_bloom_compact", "engine_sql_snapshot",
 ]
 
 
