@@ -161,6 +161,19 @@ _PRUNE_OPS = ("==", "=", "<", "<=", ">", ">=", "between")
 # tables keep single-file debuggability and byte-compatible manifests).
 INLINE_STATS_FILES = 256
 
+# FILE-LIST SEGMENTATION (r8, second stage): past this many files the
+# manifest stops inlining the path list too - an append writes ONE
+# segment holding its new files (+ their stats/blooms) and the manifest
+# carries only segment references, so commit metadata is O(new files)
+# even at 1e6-file (≈128 TB at 128 MB/file) scale, where the inline
+# path list alone is ~70 MB of JSON per commit.  ``manifest()``
+# materializes the full list from (lru-cached, immutable) segments, so
+# every consumer still sees a plain ``files`` list.  Fresh-list commits
+# (overwrite/merge/compact/cluster) consolidate into one new segment;
+# small tables - and small rewrites of formerly-big tables - stay
+# inline.
+INLINE_FILES = 4096
+
 import functools as _functools  # noqa: E402
 
 
@@ -355,7 +368,15 @@ class SnapshotTable:
         if not os.path.exists(p):
             raise SnapshotError(f"{self.path}: no snapshot v{v}")
         with open(p) as f:
-            return json.load(f)
+            m = json.load(f)
+        fsegs = m.get("file_segments")
+        if fsegs:
+            # materialize the path list from immutable (cached) segments
+            # so every consumer sees a plain ``files`` list; the on-disk
+            # manifest stays O(segments)
+            m["files"] = [f for s in fsegs
+                          for f in _load_segment(s).get("files", [])]
+        return m
 
     def versions(self) -> list[dict]:
         """All snapshots, oldest first: version/operation/rows/timestamp."""
