@@ -67,6 +67,35 @@ _DELETE = re.compile(
 )
 
 
+def _quoted_spans(q: str) -> list[tuple[int, int]]:
+    """[start, end) spans of '...'/"..." literals and ``--`` line comments.
+    SQL's doubled-quote escape ('it''s') parses as close-then-reopen,
+    which still marks every literal character as quoted - exactly what
+    identifier matching needs."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(q)
+    while i < n:
+        ch = q[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n and q[j] != ch:
+                j += 1
+            spans.append((i, min(j + 1, n)))
+            i = j + 1
+        elif ch == "-" and q[i:i + 2] == "--":
+            j = q.find("\n", i)
+            j = n if j < 0 else j
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+def _outside(spans: list[tuple[int, int]], pos: int) -> bool:
+    return not any(a <= pos < b for a, b in spans)
+
+
 def _split_top(s: str) -> list[str]:
     """Split on top-level commas (parens/quotes respected)."""
     out, depth, start, quote = [], 0, 0, None
@@ -134,15 +163,27 @@ class Engine:
         dele = _DELETE.match(query)
         if dele:
             return self._run_delete(*dele.groups())
-        query = self._resolve_snapshot_refs(query)
-        query = self._resolve_max_pt(query)
-        query, qualified = self._resolve_qualified(query)
-        known = set(self.catalog.list_tables())
-        referenced = [t for t in set(_IDENT.findall(query)) if t in known]
-        for t in referenced:
-            self.catalog.register_temp_view(t)
-        referenced += qualified
-        df = self.spark.sql(query)
+        query, snap_views = self._resolve_snapshot_refs(query)
+        try:
+            query = self._resolve_max_pt(query)
+            query, qualified = self._resolve_qualified(query)
+            known = set(self.catalog.list_tables())
+            referenced = [t for t in set(_IDENT.findall(query))
+                          if t in known]
+            for t in referenced:
+                self.catalog.register_temp_view(t)
+            referenced += qualified
+            df = self.spark.sql(query)
+        finally:
+            # spark.sql analyzes EAGERLY, so the snapshot views created
+            # for this statement can be dropped immediately - nothing
+            # lingers to shadow a same-named catalog table or a user's
+            # own temp view for the rest of the session (ADVICE r8)
+            for v in snap_views:
+                try:
+                    self.spark.catalog.dropTempView(v)
+                except Exception:
+                    pass
         if not self.allow_full_scan:
             for t in referenced:
                 pcols = [c for c, _ in self.catalog.get_meta(t).partition_columns]
@@ -168,9 +209,25 @@ class Engine:
         Reads resolve the manifest at query time (snapshot isolation per
         statement); manifest-stats pruning applies through the normal
         ``where=`` API, while the SQL surface relies on Spark's parquet
-        pushdown over the pinned file list."""
+        pushdown over the pinned file list.
+
+        A naive (no-zone) ``TIMESTAMP AS OF`` string is interpreted in
+        the SESSION timezone (``spark.sql.session.timeZone``), matching
+        Spark/Delta semantics; zoned strings and epoch-millis integers
+        are unambiguous.
+
+        Within an ``Engine.sql`` statement a registered snapshot name
+        takes precedence over a same-named catalog table or temp view
+        (the on-demand view is dropped right after analysis, so nothing
+        is shadowed OUTSIDE the statement - but a user temp view that
+        already held the name is replaced, not restored; don't register
+        a colliding name)."""
         from aliyun_maxcompute_data_collectors_spark.snapshots import SnapshotTable
 
+        if not _IDENT.fullmatch(name):
+            raise ValueError(
+                f"register_snapshot_table: {name!r} is not a bare SQL "
+                "identifier ([A-Za-z_][A-Za-z0-9_]*)")
         SnapshotTable(self.spark, path)  # validates layout now
         self._snapshot_tables[name] = path
 
@@ -178,20 +235,37 @@ class Engine:
         r"\b([A-Za-z_]\w*)\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+)",
         re.IGNORECASE)
 
-    def _resolve_snapshot_refs(self, query: str) -> str:
+    def _session_tz(self):
+        import datetime as _dt
+        tz = self.spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
+        try:
+            from zoneinfo import ZoneInfo
+            return ZoneInfo(tz)
+        except Exception:
+            m = re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{1,2}):?(\d{2})?", tz)
+            if m:
+                sign = 1 if m.group(1) == "+" else -1
+                mins = int(m.group(2)) * 60 + int(m.group(3) or 0)
+                return _dt.timezone(sign * _dt.timedelta(minutes=mins))
+            return _dt.timezone.utc
+
+    def _resolve_snapshot_refs(self, query: str) -> tuple[str, list[str]]:
         """Rewrite registered snapshot-table references to temp views:
         ``t VERSION|TIMESTAMP AS OF x`` pins that snapshot under a
-        version-suffixed view; a bare ``t`` serves the current version."""
+        ``__graft_snap_``-prefixed view; a bare ``t`` serves the current
+        version under its own name (so unqualified references resolve),
+        and ``Engine.sql`` drops every view created here right after
+        analysis.  Matches inside string literals / ``--`` comments are
+        skipped, and registered names are regex-escaped (ADVICE r8).
+        Returns (rewritten query, views created)."""
         if not self._snapshot_tables:
-            return query
+            return query, []
         from aliyun_maxcompute_data_collectors_spark.snapshots import SnapshotTable
 
-        def repl(m: re.Match) -> str:
-            name, kind, lit = m.group(1), m.group(2).upper(), m.group(3)
-            path = self._snapshot_tables.get(name)
-            if path is None:
-                return m.group(0)
-            tab = SnapshotTable(self.spark, path)
+        created: list[str] = []
+
+        def _pin(name: str, kind: str, lit: str) -> str:
+            tab = SnapshotTable(self.spark, self._snapshot_tables[name])
             if kind == "VERSION":
                 v = int(lit)
             else:
@@ -199,7 +273,10 @@ class Engine:
                     import datetime as _dt
                     t = _dt.datetime.fromisoformat(lit[1:-1])
                     if t.tzinfo is None:
-                        t = t.replace(tzinfo=_dt.timezone.utc)
+                        # naive string -> SESSION timezone, the
+                        # Spark/Delta rule (ADVICE r8: assuming UTC made
+                        # pinned snapshots drift by the zone offset)
+                        t = t.replace(tzinfo=self._session_tz())
                     ms = int(t.timestamp() * 1000)
                 else:
                     ms = int(lit)
@@ -210,16 +287,30 @@ class Engine:
                         f"snapshot table {name!r}: no snapshot at or "
                         f"before {lit}")
                 v = max(cands)
-            view = f"{name}__snapshot_v{v}"
+            view = f"__graft_snap_{name}__v{v}"
             tab.read(version=v).createOrReplaceTempView(view)
+            created.append(view)
             return view
 
-        query = self._SNAP_ASOF.sub(repl, query)
+        spans = _quoted_spans(query)
+        # splice right-to-left so earlier match offsets stay valid
+        for m in reversed(list(self._SNAP_ASOF.finditer(query))):
+            if not _outside(spans, m.start()):
+                continue
+            name = m.group(1)
+            if name not in self._snapshot_tables:
+                continue
+            view = _pin(name, m.group(2).upper(), m.group(3))
+            query = query[:m.start()] + view + query[m.end():]
+        spans = _quoted_spans(query)
         for name, path in self._snapshot_tables.items():
-            if re.search(rf"\b{name}\b", query):
+            pat = re.compile(rf"\b{re.escape(name)}\b")
+            if any(_outside(spans, m.start())
+                   for m in pat.finditer(query)):
                 SnapshotTable(self.spark, path).read() \
                     .createOrReplaceTempView(name)
-        return query
+                created.append(name)
+        return query, created
 
     def _resolve_max_pt(self, query: str) -> str:
         """Rewrite ``max_pt('table')`` calls to the literal newest partition

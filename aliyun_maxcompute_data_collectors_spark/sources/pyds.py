@@ -262,11 +262,14 @@ class _SnapshotWriter(DataSourceArrowWriter):
                         or self._write_schema_json))
         else:
             pm = tab.manifest(self._parent)
+            pfsegs = pm.get("file_segments") or None
             tab._commit_manifest(
-                self._parent, pm["files"] + files, pm["rows"] + rows,
+                self._parent,
+                files if pfsegs else pm["files"] + files,
+                pm["rows"] + rows,
                 "append", stats={**(pm.get("stats") or {}), **stats},
                 schema=_written_schema(pm.get("schema"), files),
-                segments=pm.get("segments"))
+                segments=pm.get("segments"), file_segments=pfsegs)
 
     def abort(self, messages):
         shutil.rmtree(self._stage, ignore_errors=True)
@@ -491,11 +494,14 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
         parent = tab.current_version()
         pm = tab.manifest(parent)
         stats = {f: _collect_file_stats(f) for f in files}
+        pfsegs = pm.get("file_segments") or None
         tab._commit_manifest(
-            parent, pm["files"] + files, pm["rows"] + rows, op,
+            parent,
+            files if pfsegs else pm["files"] + files,
+            pm["rows"] + rows, op,
             stats={**(pm.get("stats") or {}), **stats},
             schema=_written_schema(pm.get("schema"), files),
-            segments=pm.get("segments"))
+            segments=pm.get("segments"), file_segments=pfsegs)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages or []:

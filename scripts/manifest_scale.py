@@ -71,15 +71,15 @@ def bench_one(n_files: int, blooms: bool) -> dict:
         carried_bl = dict(pm.get("blooms") or {})
         if new_bl:
             carried_bl.update(new_bl)
-        import inspect
-        kw = {}
-        if "segments" in inspect.signature(
-                tab._commit_manifest).parameters:
-            kw["segments"] = pm.get("segments")
+        # mirror SnapshotTable.append exactly: a segmented parent passes
+        # ONLY the new files (its list lives in immutable file segments)
+        pfsegs = pm.get("file_segments") or None
+        all_files = new if pfsegs else pm["files"] + new
         tab._commit_manifest(
-            parent, pm["files"] + new, pm["rows"] + 100 * 1000, "append",
+            parent, all_files, pm["rows"] + 100 * 1000, "append",
             stats={**(pm.get("stats") or {}), **new_stats},
-            blooms=carried_bl or None, **kw)
+            blooms=carried_bl or None, segments=pm.get("segments"),
+            file_segments=pfsegs)
         commit_s = time.perf_counter() - t0
         # planning: cold manifest load + one-conjunct prune
         t0 = time.perf_counter()
@@ -109,6 +109,9 @@ def bench_one(n_files: int, blooms: bool) -> dict:
 
 if __name__ == "__main__":
     blooms = "--blooms" in sys.argv
-    sizes = [1_000, 10_000, 100_000] if not blooms else [1_000, 10_000]
+    # 1e6 files ~ 128 TB at 128 MB/file: the file-list segmentation
+    # target point (VERDICT r8 #1 done-criteria)
+    sizes = ([1_000, 10_000, 100_000, 1_000_000] if not blooms
+             else [1_000, 10_000])
     for n in sizes:
         print(json.dumps(bench_one(n, blooms)), flush=True)
