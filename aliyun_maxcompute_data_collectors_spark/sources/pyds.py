@@ -528,8 +528,27 @@ class GraftSnapshotDataSource(DataSource):
     def _table_path(self) -> str:
         path = self.options.get("path")
         if not path:
+            # measured on PySpark 4.1.2: a PERSISTENT ``CREATE TABLE ...
+            # USING graft_snapshot OPTIONS (path ...)`` passes its
+            # options at creation (schema resolution works) but the
+            # session catalog hands the reader an EMPTY options map at
+            # query time, so persistent registration cannot round-trip.
+            # ``CREATE TEMPORARY VIEW ... USING graft_snapshot
+            # OPTIONS (path ...)`` keeps its options and is the
+            # supported bare-session SQL route (see README)
             raise SnapshotError(
-                "graft_snapshot requires .option('path', <table root>)")
+                "graft_snapshot requires .option('path', <table root>); "
+                f"options seen: {dict(self.options)!r}. If this read "
+                "came from a persistent CREATE TABLE ... USING, use "
+                "CREATE TEMPORARY VIEW ... USING instead (the session "
+                "catalog drops Python-data-source options at read time)")
+        # SQL surfaces may hand the path back as a file: URI (the
+        # catalog qualifies LOCATION / path options); the manifest
+        # layer works on plain OS paths
+        if path.startswith("file:"):
+            path = path[len("file:"):]
+            while path.startswith("//"):
+                path = path[1:]
         return path
 
     def _resolve_manifest(self) -> dict:
