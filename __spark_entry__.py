@@ -5,28 +5,30 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash -> CORRECTNESS_r{N}.json).
 
-Rotation note (round 8): the driver verifies the first 50 entries of
-``queries()`` in iteration order.  Cumulative after r7: 166/167 rows
-hash-green at least once (bpe_merges rows-only by design).  Round 8
-fronts (a) the THREE new queries (bpe_pair_counts - BPE's distributed
-foundation under the oracle, VERDICT r7 #1; snapshot_bloom_compact -
-OPTIMIZE bloom rebuild, #7; engine_sql_snapshot - SQL-identifier time
-travel, #4) plus bpe_merges riding next to its now-oracled foundation,
-(b) every row whose implementation round 8 touched (the snapshot family
-- NaN-stat disqualification, stats SEGMENTATION, rollback existence
-guard - the three pyds rows over the streamed Avro writer and the
-empty-overwrite schema fix, mv_refresh on the same commit path, and
-pq_topk/ivfpq_topk over the applicationId cache keys), then (c) ALL 32
-rows whose newest driver evidence is r4 - closing VERDICT r7 ask #5:
-after this round no row's newest hash evidence is older than r5.  That
-fills the window at exactly 50; cdc_snapshot_at (r7-green, only
-signature-level commit changes) leads the tail.  Every query stays
-registered; only iteration order changes.  All queries remain covered
-by the local harness (tests/test_correctness.py at the driver's
-sf0.01); scripts/driver_sim.py gates rotation slots on a
+Rotation note (round 9): the driver verifies the first 50 entries of
+``queries()`` in iteration order.  Cumulative after r8: 169/170 rows
+hash-green at least once (bpe_merges rows-only by design), newest
+evidence r5 for 45 rows / r6 for 40 / r7 for 35 / r8 for 49.  Round 9
+fronts (a) the TWO new queries (snapshot_filelist_segments - the
+file-list segmentation lifecycle incl. vacuum safety, VERDICT r8 #1;
+pyds_sql_view - bare-session SQL via CREATE TEMPORARY VIEW ... USING
+graft_snapshot, #7), (b) the THREE rows most exposed to the r9 commit-
+path rewrite (snapshot_compact - segment CONSOLIDATION now happens
+inside it; snapshot_time_travel - append/rollback over the new
+file_segments signature; pyds_stream_cycle - the streaming sink's
+commit call was re-plumbed), then (c) ALL 45 rows whose newest driver
+evidence is r5 - closing VERDICT r8 ask #6: after this round no row's
+newest hash evidence is older than r6.  That fills the window at
+exactly 50.  The REST of the r9-touched snapshot family (r8-green,
+re-verified by the local harness over the new code) leads the tail;
+bpe_merges stays rows-only and settled, so it yields its slot.  Every
+query stays registered; only iteration order changes.  All queries
+remain covered by the local harness (tests/test_correctness.py at the
+driver's sf0.01); scripts/driver_sim.py gates rotation slots on a
 vanilla-session pass - including the per-query SQL-conf leak diff - run
 via scripts/gate.sh as the round's last act and committed as
-GATE_r8.log.
+GATE_r9.log (r8's lesson: the log is written BEFORE the prose that
+cites it).
 """
 
 from __future__ import annotations
@@ -41,43 +43,47 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from aliyun_maxcompute_data_collectors_spark.queries import REGISTRY  # noqa: E402
 
-# Round-8 driver-verification priority: tier 1 = never driver-checked
-# (the three r8 queries) + bpe_merges (rows-only loop, fronted beside
-# its newly-oracled bpe_pair_counts foundation); tier 2 = rows whose
-# implementation r8 touched (the snapshot family over NaN-stat
-# disqualification + stats segmentation + rollback guard; the pyds rows
-# over the streamed Avro DSv2 writer and the empty-overwrite schema
-# fix; mv_refresh on the same commit path; pq_topk/ivfpq_topk over the
-# applicationId cache keys); tier 3 = ALL 32 rows whose newest evidence
-# is r4 (VERDICT r7 #5: after r8 nothing is older than r5).  Exactly 50
-# slots; cdc_snapshot_at (r7-green, commit-signature-only change) leads
-# the tail.  Gate discipline: this window holds slots only if
-# scripts/driver_sim.py - run at sf0.01 by scripts/gate.sh, whose
-# stdout is committed as GATE_r8.log - exits green (including the
+# Round-9 driver-verification priority: tier 1 = never driver-checked
+# (the two r9 queries: file-list segmentation lifecycle; bare-session
+# SQL via TEMP VIEW USING); tier 2 = the three rows most exposed to the
+# r9 _commit_manifest rewrite (compact now consolidates segments;
+# time_travel exercises append+rollback over the new file_segments
+# carry; pyds_stream_cycle's sink commit was re-plumbed); tier 3 = ALL
+# 45 rows whose newest evidence is r5 (VERDICT r8 #6: after r9 nothing
+# is older than r6).  Exactly 50 slots; the rest of the r9-touched
+# snapshot family (r8-green, local-harness-verified over the new code)
+# leads the tail, and bpe_merges (rows-only, settled) yields its slot.
+# Gate discipline: this window holds slots only if scripts/driver_sim.py
+# - run at sf0.01 by scripts/gate.sh, whose stdout is committed as
+# GATE_r9.log BEFORE any prose cites it - exits green (including the
 # per-query SQL-conf leak diff) as the round's LAST act.
 _PRIORITY = [
-    # tier 1: never driver-checked (new in r8) + the rows-only loop
-    "bpe_pair_counts", "snapshot_bloom_compact", "engine_sql_snapshot",
-    "bpe_merges",
-    # tier 2: r8-touched implementations
-    "snapshot_time_travel", "snapshot_changes", "snapshot_compact",
-    "snapshot_pruned_read", "snapshot_merge", "snapshot_schema_evolution",
-    "snapshot_zorder_prune", "snapshot_bloom_prune", "mv_refresh",
-    "pyds_snapshot_read", "pyds_avro_read", "pyds_stream_cycle",
-    "pq_topk", "ivfpq_topk",
-    # tier 3: every row with r4 evidence (alphabetical)
-    "dup_rate_by_source", "embedding_quality", "ewma_user_value",
-    "from_json_typed", "funnel_steps", "fuzzy_customer_names",
-    "interp_gapfill", "interval_math", "mad_outliers", "median_stats",
-    "ngram_novelty", "pareto_parts", "pivot_priority",
-    "q12_shipmode_priority", "range_join_sessions", "regr_value_trend",
-    "resample_gapfill", "rolling_hourly_stats", "rollup_hypertable",
-    "sketch_suite", "source_overlap", "string_agg_nations",
-    "udtf_tokens", "union_by_name", "unpivot_measures", "variant_extract",
-    "weighted_sample", "width_bucket_hist", "window_value_suite",
-    "zipf_profile", "zorder_cluster", "zscore_anomalies",
-    # tail leader: r7-green, only commit-signature-level changes
-    "cdc_snapshot_at",
+    # tier 1: never driver-checked (new in r9)
+    "snapshot_filelist_segments", "pyds_sql_view",
+    # tier 2: most exposed to the r9 commit-path rewrite
+    "snapshot_compact", "snapshot_time_travel", "pyds_stream_cycle",
+    # tier 3: every row with r5 evidence (alphabetical)
+    "cast_matrix", "cdc_apply", "char_entropy_gate", "complex_types",
+    "count_star", "cube_agg", "date_parts", "date_trunc_extract",
+    "datetime_diff", "decontaminate_bloom", "distinct_agg",
+    "filter_pushdown_ext", "grouping_sets", "json_get", "lookup_join",
+    "merge_into_apply", "merge_newest_wins", "mixture_rebalance",
+    "ngram_containment", "percentile_quantity", "pmi_collocations",
+    "q11_important_parts", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_count", "q17_small_quantity", "q18_large_orders",
+    "q1_pricing_summary", "q20_excess_volume", "q2_min_cost_supply",
+    "q3_shipping_priority", "q4_order_priority", "q5_region_revenue",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "regexp_extract", "rollup_orders", "salted_agg",
+    "scan_filter_project", "semi_anti_join", "sessionize_events",
+    "set_ops", "stddev_variance",
+    # tail leaders: remaining r9-touched snapshot family (r8-green, under
+    # the local harness this round)
+    "snapshot_changes", "snapshot_pruned_read", "snapshot_merge",
+    "snapshot_schema_evolution", "snapshot_zorder_prune",
+    "snapshot_bloom_prune", "snapshot_bloom_compact",
+    "engine_sql_snapshot", "mv_refresh", "pyds_snapshot_read",
+    "pyds_avro_read", "cdc_snapshot_at", "bpe_merges",
 ]
 
 

@@ -799,6 +799,132 @@ WHERE src.code = tgt.c
 """
 
 
+def snapshot_filelist_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-LIST segmentation e2e under the oracle (r9, VERDICT r8 #1):
+    with ``INLINE_FILES`` pinned low, three single-file appends cross the
+    threshold (manifest stores segment references, zero inline paths), a
+    fourth append commits O(new files) metadata, ``consolidate_metadata``
+    folds the segments with zero data IO, and ``vacuum`` must keep every
+    LIVE file segment (the r8 hazard: sweeping them as orphans loses the
+    table).  The hash pins the row aggregate after the full lifecycle
+    plus the metadata shape: inline path count (0), file-segment count
+    after consolidation (1), and surviving version count after vacuum."""
+    import json as _json
+    import os as _os
+    import tempfile as _tf
+
+    import aliyun_maxcompute_data_collectors_spark.snapshots as S
+
+    root = _tf.mkdtemp(prefix="snap_fseg_")
+    saved = S.INLINE_FILES
+    try:
+        S.INLINE_FILES = 2
+        o = load_tables(spark, sf_dir, ["orders"])["orders"].select(
+            "o_orderkey", "o_totalprice")
+        m = F.col("o_orderkey") % 10
+        tab = SnapshotTable.init(spark, _os.path.join(root, "t"))
+        tab.append(o.where(m < 5).coalesce(1))             # v2 (inline)
+        tab.append(o.where((m >= 5) & (m < 8)).coalesce(1))  # v3 (inline)
+        tab.append(o.where(m == 8).coalesce(1))  # v4: 3 files -> segmented
+        tab.append(o.where(m == 9).coalesce(1))  # v5: O(new) delta segment
+        tab.consolidate_metadata()                          # v6: one segment
+        tab.vacuum(keep_last=2)
+        mf = tab.manifest()
+        raw = _json.load(open(tab._manifest_path(mf["version"])))
+        out = tab.read().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+            .cast("double").alias("sum_price"),
+        ).select(
+            "n_rows", "sum_key", "sum_price",
+            F.lit(len(raw["files"])).alias("n_inline_paths"),
+            F.lit(len(raw.get("file_segments") or []))
+            .alias("n_file_segments"),
+            F.lit(len(tab.versions())).alias("n_live_versions"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        S.INLINE_FILES = saved
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_FILELIST_SEGMENTS_SQL = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_price,
+       0 AS n_inline_paths,
+       1 AS n_file_segments,
+       2 AS n_live_versions
+FROM orders
+"""
+
+
+def pyds_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BARE-SESSION SQL over a snapshot table (r9, VERDICT r8 #7): a tool
+    holding only a plain SparkSession - no Engine, no format() API - runs
+    ``CREATE TEMPORARY VIEW ... USING graft_snapshot OPTIONS (path,
+    version)`` and then plain ``spark.sql`` SELECTs, including a
+    time-travel pin and a join between the pinned and current views.
+    (Persistent ``CREATE TABLE ... USING`` is unsupported: PySpark 4.1's
+    session catalog hands Python data sources an empty options map at
+    read time - measured, documented in README.)  Reference parity: the
+    JVM catalog route of OdpsTableCatalog.scala:91-96, reached through
+    Spark's Python Data Source registry instead."""
+    import os as _os
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from aliyun_maxcompute_data_collectors_spark.sources.pyds import (
+        register_python_datasources,
+    )
+
+    register_python_datasources(spark)
+    root = _tf.mkdtemp(prefix="pyds_sqlv_")
+    tag = _uuid.uuid4().hex[:8]
+    v_cur, v_old = f"snapv_cur_{tag}", f"snapv_old_{tag}"
+    try:
+        o = load_tables(spark, sf_dir, ["orders"])["orders"].select(
+            "o_orderkey", "o_totalprice")
+        k = F.col("o_orderkey")
+        tab = SnapshotTable.init(spark, _os.path.join(root, "t"))
+        tab.append(o.where(k % 2 == 0))   # v2
+        tab.append(o.where(k % 2 == 1))   # v3
+        spark.sql(f"""CREATE TEMPORARY VIEW {v_cur}
+                      USING graft_snapshot
+                      OPTIONS (path '{_os.path.join(root, "t")}')""")
+        spark.sql(f"""CREATE TEMPORARY VIEW {v_old}
+                      USING graft_snapshot
+                      OPTIONS (path '{_os.path.join(root, "t")}',
+                               version '2')""")
+        out = spark.sql(f"""
+            SELECT (SELECT COUNT(*) FROM {v_old}) AS n_v2,
+                   (SELECT COUNT(*) FROM {v_cur} c
+                      LEFT ANTI JOIN {v_old} o
+                        ON c.o_orderkey = o.o_orderkey) AS n_added,
+                   COUNT(*) AS n_cur,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+            FROM {v_cur}
+        """)
+        return out.localCheckpoint(eager=True)
+    finally:
+        for v in (v_cur, v_old):
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:
+                pass
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_PYDS_SQL_VIEW_SQL = """
+SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS n_v2,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 1) AS n_added,
+       COUNT(*) AS n_cur,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+FROM orders
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "snapshot_time_travel": (snapshot_time_travel, _TIME_TRAVEL_SQL),
     "snapshot_changes": (snapshot_changes, _CHANGES_SQL),
@@ -815,4 +941,7 @@ REGISTRY: dict[str, tuple] = {
     "snapshot_bloom_prune": (snapshot_bloom_prune, _BLOOM_PRUNE_SQL),
     "snapshot_bloom_compact": (snapshot_bloom_compact, _BLOOM_COMPACT_SQL),
     "engine_sql_snapshot": (engine_sql_snapshot, _ENGINE_SQL_SNAPSHOT_SQL),
+    "snapshot_filelist_segments": (snapshot_filelist_segments,
+                                   _FILELIST_SEGMENTS_SQL),
+    "pyds_sql_view": (pyds_sql_view, _PYDS_SQL_VIEW_SQL),
 }
