@@ -133,38 +133,23 @@ def _spark_type_name(df: DataFrame, col: str) -> str:
     return df.schema[col].dataType.simpleString()
 
 
-def running_counter_tws(
-    stream_df: DataFrame,
-    key_cols: list[str],
-    value_col: str,
-) -> DataFrame:
-    """``running_counter`` on Spark 4's transformWithStateInPandas API
-    (StatefulProcessor + typed ValueState) — the successor to
-    applyInPandasWithState with composable state variables and timers.
-    Emits one updated (keys..., n_events, total) row per key per batch.
-
-    Kept alongside the applyInPandasWithState variant: same semantics, so
-    pipelines can migrate APIs without output changes.
-
-    Runtime requirements (Spark 4): the RocksDB state store provider and the
-    ``protobuf`` python package (the state-server wire format).  This
-    container lacks protobuf, so the pytest self-skips here; on a real
-    cluster set ``spark.sql.streaming.stateStore.providerClass`` to
-    RocksDBStateStoreProvider."""
+def make_counter_processor(key_names: list[str], value_col: str):
+    """The transformWithStateInPandas running-counter PROCESSOR, exposed
+    at module level so its logic is testable WITHOUT the state-server
+    wire: the StatefulProcessor API itself imports cleanly; only the
+    executor-side runtime needs the ``protobuf`` package.  The unit test
+    (test_bucket_incremental_stateful.py) drives init/handleInputRows
+    through a fake handle/ValueState and pins exact parity with
+    ``running_counter``'s applyInPandasWithState semantics - the
+    documented migration contract between the two APIs."""
+    from pyspark.sql import types as T
     from pyspark.sql.streaming.stateful_processor import (
         ExpiredTimerInfo,
         StatefulProcessor,
         StatefulProcessorHandle,
         TimerValues,
     )
-    from pyspark.sql import types as T
 
-    key_fields = [stream_df.schema[k] for k in key_cols]
-    out_schema = T.StructType(
-        list(key_fields)
-        + [T.StructField("n_events", T.LongType()),
-           T.StructField("total", T.DoubleType())]
-    )
     state_schema = T.StructType([
         T.StructField("n", T.LongType()), T.StructField("tot", T.DoubleType()),
     ])
@@ -181,7 +166,7 @@ def running_counter_tws(
                 n += len(pdf)
                 tot += float(pdf[value_col].sum())
             self._state.update((n, tot))
-            yield pd.DataFrame([{**{k: v for k, v in zip([f.name for f in key_fields], key)},
+            yield pd.DataFrame([{**dict(zip(key_names, key)),
                                  "n_events": n, "total": tot}])
 
         def handleExpiredTimer(self, key, timerValues: TimerValues,
@@ -191,8 +176,42 @@ def running_counter_tws(
         def close(self) -> None:
             pass
 
+    return Counter()
+
+
+def running_counter_tws(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """``running_counter`` on Spark 4's transformWithStateInPandas API
+    (StatefulProcessor + typed ValueState) — the successor to
+    applyInPandasWithState with composable state variables and timers.
+    Emits one updated (keys..., n_events, total) row per key per batch.
+
+    Kept alongside the applyInPandasWithState variant: same semantics, so
+    pipelines can migrate APIs without output changes.
+
+    DOCUMENTED LIMITATION (r9, carried from r6): the executor runtime
+    for this API needs the RocksDB state store provider plus the
+    ``protobuf`` python package (the state-server wire format), which
+    this container does not ship and cannot install.  Coverage here is
+    therefore split: the processor LOGIC is unit-tested in-process via
+    :func:`make_counter_processor` (no wire needed), semantic parity
+    with the fully-e2e-tested ``running_counter`` is pinned by the same
+    test, and the e2e path self-skips until a protobuf-equipped cluster
+    runs it."""
+    from pyspark.sql import types as T
+
+    key_fields = [stream_df.schema[k] for k in key_cols]
+    out_schema = T.StructType(
+        list(key_fields)
+        + [T.StructField("n_events", T.LongType()),
+           T.StructField("total", T.DoubleType())]
+    )
     return stream_df.groupBy(*key_cols).transformWithStateInPandas(
-        statefulProcessor=Counter(),
+        statefulProcessor=make_counter_processor(
+            [f.name for f in key_fields], value_col),
         outputStructType=out_schema,
         outputMode="Update",
         timeMode="None",
