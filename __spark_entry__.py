@@ -9,14 +9,15 @@ Rotation note (round 9): the driver verifies the first 50 entries of
 ``queries()`` in iteration order.  Cumulative after r8: 169/170 rows
 hash-green at least once (bpe_merges rows-only by design), newest
 evidence r5 for 45 rows / r6 for 40 / r7 for 35 / r8 for 49.  Round 9
-fronts (a) the TWO new queries (snapshot_filelist_segments - the
+fronts (a) the THREE new queries (snapshot_filelist_segments - the
 file-list segmentation lifecycle incl. vacuum safety, VERDICT r8 #1;
 pyds_sql_view - bare-session SQL via CREATE TEMPORARY VIEW ... USING
-graft_snapshot, #7), (b) the THREE rows most exposed to the r9 commit-
-path rewrite (snapshot_compact - segment CONSOLIDATION now happens
-inside it; snapshot_time_travel - append/rollback over the new
-file_segments signature; pyds_stream_cycle - the streaming sink's
-commit call was re-plumbed), then (c) ALL 45 rows whose newest driver
+graft_snapshot, #7; snapshot_delete_update - copy-on-write row-level
+DML, the r9 capability addition), (b) the TWO rows most exposed to the
+r9 commit-path rewrite (snapshot_compact - segment CONSOLIDATION now
+happens inside it; pyds_stream_cycle - the streaming sink's commit
+call was re-plumbed; snapshot_time_travel yielded its slot to the DML
+row and leads the tail), then (c) ALL 45 rows whose newest driver
 evidence is r5 - closing VERDICT r8 ask #6: after this round no row's
 newest hash evidence is older than r6.  That fills the window at
 exactly 50.  The REST of the r9-touched snapshot family (r8-green,
@@ -58,10 +59,14 @@ from aliyun_maxcompute_data_collectors_spark.queries import REGISTRY  # noqa: E4
 # GATE_r9.log BEFORE any prose cites it - exits green (including the
 # per-query SQL-conf leak diff) as the round's LAST act.
 _PRIORITY = [
-    # tier 1: never driver-checked (new in r9)
-    "snapshot_filelist_segments", "pyds_sql_view",
+    # tier 1: never driver-checked (new in r9) — incl. the second-half
+    # capability addition, copy-on-write row-level DELETE/UPDATE
+    "snapshot_filelist_segments", "pyds_sql_view", "snapshot_delete_update",
     # tier 2: most exposed to the r9 commit-path rewrite
-    "snapshot_compact", "snapshot_time_travel", "pyds_stream_cycle",
+    # (snapshot_time_travel yielded its slot to snapshot_delete_update:
+    # its newest evidence is r8-green and the filelist-segments row
+    # covers the same append/consolidate commit paths; it leads the tail)
+    "snapshot_compact", "pyds_stream_cycle",
     # tier 3: every row with r5 evidence (alphabetical)
     "cast_matrix", "cdc_apply", "char_entropy_gate", "complex_types",
     "count_star", "cube_agg", "date_parts", "date_trunc_extract",
@@ -79,6 +84,7 @@ _PRIORITY = [
     "set_ops", "stddev_variance",
     # tail leaders: remaining r9-touched snapshot family (r8-green, under
     # the local harness this round)
+    "snapshot_time_travel",
     "snapshot_changes", "snapshot_pruned_read", "snapshot_merge",
     "snapshot_schema_evolution", "snapshot_zorder_prune",
     "snapshot_bloom_prune", "snapshot_bloom_compact",

@@ -435,17 +435,32 @@ class Engine:
         from pyspark.sql import types as _T
         return self.spark.createDataFrame([], _T.StructType([]))
 
-    def _run_update(self, name: str, sets: str, where: str | None):
-        """``UPDATE t SET col = expr, ... [WHERE cond]`` — DML the reference
-        explicitly lacks (ALTER-family restrictions,
-        OdpsTableCatalog.scala:164-166); expressible natively here."""
-        from pyspark.sql import functions as F
-        target = self.catalog.read_table(name)
-        cond = F.expr(where) if where else F.lit(True)
+    def _parse_assignments(self, sets: str) -> dict[str, str]:
         assigns: dict[str, str] = {}
         for item in _split_top(sets):
             k, v = item.split("=", 1)
             assigns[k.strip().strip("`")] = v.strip()
+        return assigns
+
+    def _run_update(self, name: str, sets: str, where: str | None):
+        """``UPDATE t SET col = expr, ... [WHERE cond]`` — DML the reference
+        explicitly lacks (ALTER-family restrictions,
+        OdpsTableCatalog.scala:164-166); expressible natively here.
+
+        A registered snapshot table routes to the transactional
+        COPY-ON-WRITE path (``SnapshotTable.update``): only files whose
+        rows match are rewritten, the commit is atomic, and the
+        pre-update version stays time-travelable."""
+        from pyspark.sql import functions as F
+        if name in self._snapshot_tables:
+            from aliyun_maxcompute_data_collectors_spark.snapshots import SnapshotTable
+            tab = SnapshotTable(self.spark, self._snapshot_tables[name])
+            tab.update(self._parse_assignments(sets), where or "true")
+            from pyspark.sql import types as _T
+            return self.spark.createDataFrame([], _T.StructType([]))
+        target = self.catalog.read_table(name)
+        cond = F.expr(where) if where else F.lit(True)
+        assigns = self._parse_assignments(sets)
         unknown = [k for k in assigns if k not in target.columns]
         if unknown:
             raise ValueError(f"UPDATE {name}: unknown columns {unknown}")
@@ -458,8 +473,20 @@ class Engine:
 
     def _run_delete(self, name: str, where: str | None):
         """``DELETE FROM t [WHERE cond]`` — rows where cond is TRUE are
-        removed; NULL-cond rows stay (ANSI three-valued logic)."""
+        removed; NULL-cond rows stay (ANSI three-valued logic).
+
+        A registered snapshot table routes to the transactional
+        COPY-ON-WRITE path (``SnapshotTable.delete``): only files
+        holding matching rows are rewritten (a whole-file match drops
+        the file with zero rewrite), the commit is atomic, and the
+        pre-delete version stays time-travelable until vacuum."""
         from pyspark.sql import functions as F
+        if name in self._snapshot_tables:
+            from aliyun_maxcompute_data_collectors_spark.snapshots import SnapshotTable
+            tab = SnapshotTable(self.spark, self._snapshot_tables[name])
+            tab.delete(where or "true")
+            from pyspark.sql import types as _T
+            return self.spark.createDataFrame([], _T.StructType([]))
         target = self.catalog.read_table(name)
         if where is None:
             self.catalog.truncate_table(name)

@@ -925,7 +925,109 @@ FROM orders
 """
 
 
+def snapshot_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY-ON-WRITE row-level DML under the hash oracle (r9): three
+    single-file appends (keys %10: 0-4 / 5-7 / 8), then
+
+    - ``DELETE FROM t WHERE o_orderkey % 10 = 6`` - only the middle
+      file holds matches, so exactly 2 of 3 files must carry over
+      UNTOUCHED (``carried_delete`` pins the copy-on-write mechanics in
+      the hash, not just the row results);
+    - ``UPDATE t SET o_totalprice = o_totalprice * 2 WHERE
+      o_orderkey % 10 = 8`` - only the third file is rewritten
+      (``carried_update``), matched rows get new values, the file's
+      other rows (none here) and all other files are byte-carried;
+    - the pre-DML version stays readable (time travel = the ``pre``
+      row), and ``changes()`` reports the delete's removed rows and the
+      update's delete+insert pair exactly (the CDF rows).
+
+    Row-level DML is what the reference's append-only tunnel writers
+    structurally lack (OdpsTableCatalog.scala rejects row deletes);
+    the snapshot manifest makes it a two-phase O(touched files) op:
+    manifest/pushdown scan finds touched files, only those rewrite,
+    one atomic commit."""
+    root = tempfile.mkdtemp(prefix="snap_dml_")
+    try:
+        a, b, c = _slices(spark, sf_dir)
+        tab = SnapshotTable.init(spark, root)
+        tab.append(a.coalesce(1))          # v2: 1 file, keys %10 in 0-4
+        tab.append(b.coalesce(1))          # v3: 1 file, keys %10 in 5-7
+        v_pre = tab.append(c.coalesce(1))  # v4: 1 file, keys %10 = 8
+        pre_files = set(tab.manifest()["files"])
+        v_del = tab.delete("o_orderkey % 10 = 6")
+        del_files = set(tab.manifest()["files"])
+        carried_d = len(pre_files & del_files)
+        v_upd = tab.update({"o_totalprice": "o_totalprice * 2"},
+                           "o_orderkey % 10 = 8")
+        carried_u = len(del_files & set(tab.manifest()["files"]))
+
+        def _row(df: DataFrame, step: str) -> DataFrame:
+            return (df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("sum_key"),
+                F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+                .cast("double").alias("sum_price"))
+                .select(F.lit(step).alias("step"), "n_rows", "sum_key",
+                        "sum_price"))
+
+        ct = F.col("_change_type")
+        ch_del = tab.changes(v_pre, v_del).where(ct == "delete")
+        ch_upd = tab.changes(v_del, v_upd)
+        out = (_row(tab.read(v_pre), "pre")
+               .unionByName(_row(tab.read(), "head"))
+               .unionByName(_row(ch_del, "cdf_delete"))
+               .unionByName(_row(ch_upd.where(ct == "delete"),
+                                 "cdf_update_delete"))
+               .unionByName(_row(ch_upd.where(ct == "insert"),
+                                 "cdf_update_insert"))
+               .withColumn("carried_delete", F.lit(carried_d))
+               .withColumn("carried_update", F.lit(carried_u)))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_DELETE_UPDATE_SQL = """
+WITH pre AS (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_orderkey % 10 < 9),
+     head AS (SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 10 = 8 THEN o_totalprice * 2
+                          ELSE o_totalprice END AS o_totalprice
+              FROM pre WHERE o_orderkey % 10 <> 6),
+     d6 AS (SELECT * FROM pre WHERE o_orderkey % 10 = 6),
+     c8 AS (SELECT * FROM pre WHERE o_orderkey % 10 = 8)
+SELECT 'pre' AS step, COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_price,
+       2 AS carried_delete, 2 AS carried_update
+FROM pre
+UNION ALL
+SELECT 'head', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE),
+       2, 2
+FROM head
+UNION ALL
+SELECT 'cdf_delete', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE),
+       2, 2
+FROM d6
+UNION ALL
+SELECT 'cdf_update_delete', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE),
+       2, 2
+FROM c8
+UNION ALL
+SELECT 'cdf_update_insert', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+       CAST(ROUND(SUM(CAST(o_totalprice * 2 AS DECIMAL(18,6))), 2)
+            AS DOUBLE),
+       2, 2
+FROM c8
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "snapshot_delete_update": (snapshot_delete_update, _DELETE_UPDATE_SQL),
     "snapshot_time_travel": (snapshot_time_travel, _TIME_TRAVEL_SQL),
     "snapshot_changes": (snapshot_changes, _CHANGES_SQL),
     "snapshot_compact": (snapshot_compact, _COMPACT_SQL),

@@ -149,6 +149,30 @@ def _collect_file_stats(path: str) -> dict[str, list]:
 
 _PRUNE_OPS = ("==", "=", "<", "<=", ">", ">=", "between")
 
+
+def _conjunct_column(col: str, op: str, value):
+    """One ``(col, op, value)`` prune conjunct as an exact row-level
+    Column predicate (the same grammar ``prune_manifest_files`` prunes
+    on, so manifest pruning and row filtering can never disagree)."""
+    if op in ("==", "="):
+        return F.col(col) == F.lit(value)
+    if op == "between":
+        return F.col(col).between(F.lit(value[0]), F.lit(value[1]))
+    return {"<": F.col(col) < F.lit(value),
+            "<=": F.col(col) <= F.lit(value),
+            ">": F.col(col) > F.lit(value),
+            ">=": F.col(col) >= F.lit(value)}[op]
+
+
+def _strip_file_scheme(path: str) -> str:
+    """input_file_name() renders local paths as file:///...; normalize
+    back to a plain POSIX path for manifest-string matching."""
+    if path.startswith("file:"):
+        path = path[len("file:"):]
+        while path.startswith("//"):
+            path = path[1:]
+    return path
+
 # STATS SEGMENTATION (r8, VERDICT r7 #3): a manifest carrying per-file
 # stats + blooms INLINE is rewritten wholesale on every commit - measured
 # (scripts/manifest_scale.py): 27 MB manifest / 2.0s commit at 1e5 files,
@@ -636,11 +660,7 @@ class SnapshotTable:
                 .groupBy("__f").agg(*aggs).collect())
         out: dict = {}
         for r in rows:
-            path = r["__f"]
-            if path.startswith("file:"):
-                path = path[len("file:"):]
-                while path.startswith("//"):
-                    path = path[1:]
+            path = _strip_file_scheme(r["__f"])
             entry = {}
             for c in cols:
                 ba = bytearray(m // 8)
@@ -702,17 +722,7 @@ class SnapshotTable:
         else:
             df = reader.parquet(*files)
         for col, op, value in conjuncts:
-            if op in ("==", "="):
-                df = df.where(F.col(col) == F.lit(value))
-            elif op == "between":
-                df = df.where(F.col(col).between(F.lit(value[0]),
-                                                 F.lit(value[1])))
-            else:
-                expr = {"<": F.col(col) < F.lit(value),
-                        "<=": F.col(col) <= F.lit(value),
-                        ">": F.col(col) > F.lit(value),
-                        ">=": F.col(col) >= F.lit(value)}[op]
-                df = df.where(expr)
+            df = df.where(_conjunct_column(col, op, value))
         return df
 
     def prune_files(self, manifest: dict, conjuncts: list) -> list[str]:
@@ -835,6 +845,214 @@ class SnapshotTable:
         files, n, stats = self._write_files(merged)
         return self._commit_manifest(parent, files, n, "merge",
                                      stats=stats, schema=unified.json())
+
+    # -- copy-on-write row-level DML (r9) -----------------------------------
+    def _reader_for(self, m: dict):
+        """Reader pinned to the manifest's unified schema (no
+        footer-merging pass; pre-evolution files surface added columns
+        as NULL)."""
+        reader = self.spark.read
+        if m.get("schema"):
+            from pyspark.sql import types as T
+            reader = reader.schema(
+                T.StructType.fromJson(json.loads(m["schema"])))
+        return reader
+
+    def _resolve_predicate(self, where):
+        """Normalize a DML predicate.  Accepts the ``read(where=)``
+        conjunct grammar - one ``(col, op, value)`` tuple or a list,
+        op in ``_PRUNE_OPS`` - which enables MANIFEST pruning, or a
+        free-form SQL expression string (no manifest pruning; Spark's
+        parquet pushdown still skips row groups at scan time).
+        Returns (prune_conjuncts, row_predicate_column)."""
+        if isinstance(where, str):
+            if not where.strip():
+                raise SnapshotError("empty DML predicate")
+            return [], F.expr(where)
+        conjuncts = [where] if isinstance(where, tuple) else list(where)
+        if not conjuncts:
+            raise SnapshotError(
+                "DML needs a predicate: (col, op, value) conjunct(s) or "
+                "a SQL expression string (use overwrite/truncate to "
+                "replace the whole table)")
+        pred = None
+        for col, op, value in conjuncts:
+            if op not in _PRUNE_OPS:
+                raise SnapshotError(f"unsupported prune op {op!r}")
+            c = _conjunct_column(col, op, value)
+            pred = c if pred is None else pred & c
+        return conjuncts, pred
+
+    def _touched_files(self, m: dict, candidates: list[str],
+                       pred) -> dict[str, int]:
+        """Phase-1 scan of copy-on-write DML: per-file matched-row
+        counts over the candidate files.  The predicate reaches the
+        parquet scan (Catalyst pushdown), so row groups whose footer
+        stats exclude it are never decoded - cost is O(candidate
+        files), usually far less.  Returns {manifest file: n_matched}
+        for files holding at least one matching row."""
+        rows = (self._reader_for(m).parquet(*candidates)
+                .where(pred)
+                .groupBy(F.input_file_name().alias("__f"))
+                .agg(F.count(F.lit(1)).alias("n")).collect())
+        by_real = {os.path.realpath(f): f for f in candidates}
+        out: dict[str, int] = {}
+        for r in rows:
+            p = _strip_file_scheme(r["__f"])
+            out[by_real.get(os.path.realpath(p), p)] = r["n"]
+        return out
+
+    def _commit_cow(self, parent: int, m: dict, touched: list[str],
+                    new_df: DataFrame, expected_rows: int,
+                    total_rows: int, operation: str,
+                    bloom_cols: list[str] | None,
+                    bloom_bits: int) -> int:
+        """Publish a copy-on-write rewrite of ``touched`` files as
+        ``new_df``: untouched files and their stats/blooms carry over
+        verbatim, rewritten files get fresh footer stats (and fresh
+        blooms only when the caller opts in, same contract as
+        compact()).  A row-count check guards the rewrite before
+        anything publishes.  On a file-list-segmented parent the full
+        list is re-passed inline, so the commit folds into one fresh
+        segment - O(table metadata), the same price compact() pays;
+        row-level DML is a maintenance-shaped op, not the streaming
+        append path."""
+        files, n_new, stats = self._write_files(new_df)
+        if n_new != expected_rows:
+            raise SnapshotError(
+                f"{self.path}: {operation} row-count mismatch "
+                f"({expected_rows} expected, {n_new} written) - aborting "
+                "before commit; staged files are unreferenced garbage "
+                "for vacuum")
+        tset = set(touched)
+        keep = [f for f in m["files"] if f not in tset]
+        kset = set(keep)
+        all_stats, all_blooms = resolve_stats(m)
+        kept_stats = {f: s for f, s in all_stats.items() if f in kset}
+        kept_blooms = {f: b for f, b in all_blooms.items() if f in kset}
+        if bloom_cols and files:
+            kept_blooms = {**kept_blooms,
+                           **self._collect_blooms(files, bloom_cols,
+                                                  bloom_bits)}
+        return self._commit_manifest(
+            parent, keep + files, total_rows, operation,
+            stats={**kept_stats, **stats}, schema=m.get("schema"),
+            blooms=kept_blooms)
+
+    def delete(self, where,
+               bloom_cols: list[str] | None = None,
+               bloom_bits: int = 1 << 15) -> int:
+        """COPY-ON-WRITE row-level ``DELETE FROM`` (the Delta/Iceberg
+        delete shape - the GDPR/right-to-be-forgotten removal a 100 TB
+        training corpus needs without rewriting the table):
+
+        1. manifest [min,max]/bloom stats prune candidate files with
+           ZERO data IO when ``where`` uses the ``(col, op, value)``
+           conjunct grammar (a SQL string predicate skips manifest
+           pruning but still pushes down to the parquet scan);
+        2. ONE pushdown scan over the candidates finds the files that
+           actually hold matching rows;
+        3. only those files are rewritten without the matching rows
+           (ANSI semantics: a row is deleted when the predicate IS
+           TRUE; NULL keeps it);
+        4. one atomic commit carries every untouched file and its
+           stats/blooms verbatim.
+
+        Cost is proportional to the files containing matches, never the
+        table.  The pre-delete version stays time-travelable until
+        vacuum, and ``changes()`` reports the removed rows as
+        ``delete`` rows through its exact-diff path.  Returns the new
+        version - or the CURRENT version unchanged when nothing
+        matches (no empty commit).
+
+        Reference parity: row-level DML is what the reference's
+        append-only tunnel writers structurally lack
+        (OdpsTableCatalog.scala rejects deletes); expressible here
+        because snapshots make file replacement atomic."""
+        parent = self.current_version()
+        m = self.manifest(parent)
+        if not m["files"]:
+            return parent
+        conjuncts, pred = self._resolve_predicate(where)
+        candidates = (self.prune_files(m, conjuncts) if conjuncts
+                      else m["files"])
+        if not candidates:
+            return parent
+        touched = self._touched_files(m, candidates, pred)
+        if not touched:
+            return parent
+        tfiles = [f for f in m["files"] if f in touched]
+        n_del = sum(touched.values())
+        # metadata-only count of the rows being rewritten
+        n_touched = self.spark.read.parquet(*tfiles).count()
+        if n_touched == n_del:
+            # every row in every touched file matches: pure file drop,
+            # no rewrite at all (the partition-delete fast path)
+            tset = set(tfiles)
+            keep = [f for f in m["files"] if f not in tset]
+            all_stats, all_blooms = resolve_stats(m)
+            kset = set(keep)
+            return self._commit_manifest(
+                parent, keep, m["rows"] - n_del, "delete",
+                stats={f: s for f, s in all_stats.items() if f in kset},
+                schema=m.get("schema"),
+                blooms={f: b for f, b in all_blooms.items() if f in kset})
+        remaining = (self._reader_for(m).parquet(*tfiles)
+                     .where(~F.coalesce(pred, F.lit(False))))
+        return self._commit_cow(parent, m, tfiles, remaining,
+                                n_touched - n_del, m["rows"] - n_del,
+                                "delete", bloom_cols, bloom_bits)
+
+    def update(self, assignments: dict, where,
+               bloom_cols: list[str] | None = None,
+               bloom_bits: int = 1 << 15) -> int:
+        """COPY-ON-WRITE ``UPDATE ... SET`` with the same two-phase file
+        targeting as :meth:`delete`: matched rows get the new values,
+        the other rows in touched files are rewritten verbatim, and
+        untouched files carry over with their stats/blooms.
+
+        ``assignments`` maps column name -> SQL expression string (or
+        Column); every expression is evaluated against the PRE-update
+        row in one projection, so ``{"a": "b", "b": "a"}`` swaps
+        (standard UPDATE semantics).  Results are cast back to the
+        column's manifest type - the schema is a contract row-level DML
+        never changes (use ALTER/append evolution for that).  Rows
+        where the predicate is NULL are untouched (ANSI).  Returns the
+        new version, or the current one unchanged when no row
+        matches."""
+        parent = self.current_version()
+        m = self.manifest(parent)
+        if not m["files"]:
+            return parent
+        conjuncts, pred = self._resolve_predicate(where)
+        candidates = (self.prune_files(m, conjuncts) if conjuncts
+                      else m["files"])
+        if not candidates:
+            return parent
+        touched = self._touched_files(m, candidates, pred)
+        if not touched:
+            return parent
+        tfiles = [f for f in m["files"] if f in touched]
+        df = self._reader_for(m).parquet(*tfiles)
+        unknown = [c for c in assignments if c not in df.columns]
+        if unknown:
+            raise SnapshotError(
+                f"{self.path}: UPDATE of unknown columns {unknown}")
+        types = dict(df.dtypes)
+        hit = F.coalesce(pred, F.lit(False))
+
+        def _assign(c):
+            v = assignments[c]
+            col = F.expr(v) if isinstance(v, str) else v
+            return F.when(hit, col.cast(types[c])).otherwise(F.col(c))
+
+        out = df.select(*[
+            (_assign(c) if c in assignments else F.col(c)).alias(c)
+            for c in df.columns])
+        n_touched = self.spark.read.parquet(*tfiles).count()
+        return self._commit_cow(parent, m, tfiles, out, n_touched,
+                                m["rows"], "update", bloom_cols,
+                                bloom_bits)
 
     def changes(self, since: int, until: int | None = None) -> DataFrame:
         """Row-level changes between two snapshots as a DataFrame with a

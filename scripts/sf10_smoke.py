@@ -62,6 +62,9 @@ SPOT = [
     # bloom rebuild, SQL-identifier snapshot access (Engine.sql rewrite
     # cost is metadata; the table build dominates)
     "bpe_pair_counts", "snapshot_bloom_compact", "engine_sql_snapshot",
+    # round-9 additions: file-list segmentation lifecycle, bare-session
+    # SQL temp-view reads, and copy-on-write row-level DML
+    "snapshot_filelist_segments", "pyds_sql_view", "snapshot_delete_update",
 ]
 
 

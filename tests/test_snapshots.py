@@ -885,3 +885,174 @@ def test_long_lived_table_segment_growth_bounded(tmp_path):
     # beyond the pre-fold generations vacuum would sweep)
     live = set(m.get("file_segments") or []) | set(m.get("segments") or [])
     assert all(os.path.exists(s) for s in live)
+
+
+# -- copy-on-write row-level DML (r9) ---------------------------------------
+
+def _kv(spark, lo, hi):
+    return (spark.range(lo, hi)
+            .selectExpr("id AS k", "CAST(id % 7 AS LONG) AS v"))
+
+
+@pytest.fixture()
+def dml_table(spark, tmp_path):
+    """Four disjoint key-range files (0-249, 250-499, 500-749, 750-999),
+    one file per append, so manifest [min,max] stats prune exactly."""
+    t = SnapshotTable.init(spark, str(tmp_path / "dml"))
+    for lo in range(0, 1000, 250):
+        t.append(_kv(spark, lo, lo + 250).coalesce(1))
+    return t
+
+
+def test_delete_rewrites_only_touched_files(spark, dml_table):
+    t = dml_table
+    before = t.manifest()["files"]
+    v = t.delete(("k", "between", (100, 199)))
+    m = t.manifest()
+    assert m["rows"] == 900
+    # 3 of 4 files carried verbatim (same path strings), 1 rewritten
+    assert len(set(before) & set(m["files"])) == 3
+    assert t.read().count() == 900
+    assert t.read().where(F.col("k").between(100, 199)).count() == 0
+    # pre-delete snapshot still time-travels until vacuum
+    assert t.read(v - 1).count() == 1000
+    assert m["operation"] == "delete"
+
+
+def test_delete_carries_stats_and_stays_prunable(spark, dml_table):
+    t = dml_table
+    t.delete(("k", "between", (100, 199)))
+    m = t.manifest()
+    # untouched files' stats carried: a point read still prunes to 1 file
+    assert len(t.prune_files(m, [("k", "==", 600)])) == 1
+    # the rewritten file has FRESH footer stats too
+    assert len(t.prune_files(m, [("k", "==", 200)])) == 1
+
+
+def test_delete_no_match_publishes_nothing(spark, dml_table):
+    t = dml_table
+    head = t.current_version()
+    assert t.delete(("k", "==", 123456)) == head
+    assert t.delete("k < 0") == head
+    assert len(t.versions()) == 5  # init + 4 appends, no empty commit
+
+
+def test_delete_whole_file_drops_without_rewrite(spark, dml_table):
+    t = dml_table
+    before = set(t.manifest()["files"])
+    t.delete(("k", ">=", 750))
+    m = t.manifest()
+    # pure file drop: remaining list is a strict subset - NOTHING new
+    # was written (no empty replacement parquet)
+    assert set(m["files"]) < before
+    assert len(m["files"]) == 3
+    assert m["rows"] == 750
+
+
+def test_delete_null_predicate_keeps_rows(spark, tmp_path):
+    t = SnapshotTable.init(spark, str(tmp_path / "n"))
+    t.append(spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "k long, s string"))
+    t.delete("s = 'a'")  # NULL comparison -> NULL -> row kept (ANSI)
+    assert sorted(r["k"] for r in t.read().collect()) == [2, 3]
+
+
+def test_delete_predicate_validation(spark, dml_table):
+    with pytest.raises(SnapshotError, match="predicate"):
+        dml_table.delete([])
+    with pytest.raises(SnapshotError, match="predicate"):
+        dml_table.delete("   ")
+    with pytest.raises(SnapshotError, match="prune op"):
+        dml_table.delete(("k", "!=", 3))
+
+
+def test_update_semantics_and_cow(spark, dml_table):
+    t = dml_table
+    before = t.manifest()["files"]
+    t.update({"v": "v + 100"}, ("k", "<", 250))
+    m = t.manifest()
+    assert m["rows"] == 1000
+    assert len(set(before) & set(m["files"])) == 3
+    lo = t.read().where(F.col("k") < 250).agg(F.min("v")).collect()[0][0]
+    hi = t.read().where(F.col("k") >= 250).agg(F.max("v")).collect()[0][0]
+    assert lo >= 100 and hi < 100
+    assert m["operation"] == "update"
+    # result cast back to the column's type: schema unchanged
+    assert dict(t.read().dtypes)["v"] == "bigint"
+
+
+def test_update_swap_evaluates_against_pre_image(spark, tmp_path):
+    t = SnapshotTable.init(spark, str(tmp_path / "swap"))
+    t.append(spark.createDataFrame([(1, 10), (2, 20)], "a long, b long"))
+    t.update({"a": "b", "b": "a"}, "a = 1")
+    rows = {r["a"]: r["b"] for r in t.read().collect()}
+    assert rows == {10: 1, 2: 20}
+
+
+def test_update_unknown_column_raises(spark, dml_table):
+    with pytest.raises(SnapshotError, match="unknown columns"):
+        dml_table.update({"nope": "1"}, ("k", "<", 10))
+
+
+def test_dml_cdf_reports_exact_rows(spark, dml_table):
+    t = dml_table
+    v0 = t.current_version()
+    v1 = t.delete(("k", "between", (0, 9)))
+    v2 = t.update({"v": "v * 2"}, ("k", "==", 500))
+    d = t.changes(v0, v1).groupBy("_change_type").count().collect()
+    assert {r["_change_type"]: r["count"] for r in d} == {"delete": 10}
+    u = t.changes(v1, v2).groupBy("_change_type").count().collect()
+    assert {r["_change_type"]: r["count"] for r in u} == \
+        {"delete": 1, "insert": 1}
+
+
+def test_dml_on_file_list_segmented_table(spark, tmp_path, monkeypatch):
+    import aliyun_maxcompute_data_collectors_spark.snapshots as S
+    monkeypatch.setattr(S, "INLINE_FILES", 2)
+    t = SnapshotTable.init(spark, str(tmp_path / "seg"))
+    for lo in range(0, 1000, 250):
+        t.append(_kv(spark, lo, lo + 250).coalesce(1))
+    assert t.manifest().get("file_segments")
+    t.delete(("k", "between", (100, 199)))
+    assert t.read().count() == 900
+    t.update({"v": "v + 1000"}, ("k", ">=", 900))
+    assert t.read().where(F.col("v") >= 1000).count() == 100
+    assert t.manifest()["rows"] == 900
+    # vacuum after segmented DML keeps the table readable
+    t.vacuum(keep_last=1)
+    assert t.read().count() == 900
+
+
+def test_dml_after_schema_evolution(spark, tmp_path):
+    t = SnapshotTable.init(spark, str(tmp_path / "evo"))
+    t.append(spark.createDataFrame([(1, "a")], "k long, s string"))
+    t.append(spark.createDataFrame([(2, "b", 5.0)],
+                                   "k long, s string, w double"))
+    # pre-evolution file surfaces w as NULL; predicate on w is NULL there
+    t.delete("w > 1.0")
+    assert sorted(r["k"] for r in t.read().collect()) == [1]
+    t.update({"s": "'z'"}, ("k", "==", 1))
+    assert t.read().collect()[0]["s"] == "z"
+
+
+def test_engine_sql_dml_routes_to_snapshot_cow(spark, tmp_path):
+    from aliyun_maxcompute_data_collectors_spark.engine import Engine
+    eng = Engine(str(tmp_path / "wh"), spark=spark)
+    root = str(tmp_path / "st")
+    t = SnapshotTable.init(spark, root)
+    for lo in range(0, 100, 50):
+        t.append(_kv(spark, lo, lo + 50).coalesce(1))
+    eng.register_snapshot_table("docs", root)
+    before = t.manifest()["files"]
+    eng.sql("DELETE FROM docs WHERE k >= 90")
+    m = t.manifest()
+    assert m["rows"] == 90 and m["operation"] == "delete"
+    assert len(set(before) & set(m["files"])) == 1  # COW, not overwrite
+    eng.sql("UPDATE docs SET v = v + 50 WHERE k < 10")
+    assert t.manifest()["operation"] == "update"
+    got = eng.sql("SELECT MIN(v) AS mv FROM docs WHERE k < 10").collect()
+    assert got[0]["mv"] >= 50
+    # time travel across SQL DML still works
+    assert eng.sql(
+        "SELECT COUNT(*) AS n FROM docs VERSION AS OF 3").collect()[0]["n"] \
+        == 100
