@@ -817,11 +817,29 @@ class SnapshotTable:
     def merge(self, source: DataFrame, on: str, *,
               matched=None, not_matched=None, not_matched_by_source=None,
               target_alias: str = "t", source_alias: str = "s",
-              validate_cardinality: bool = True) -> int:
+              validate_cardinality: bool = True,
+              cow: bool = True) -> int:
         """Transactional ANSI MERGE INTO this table (r7): read one pinned
         snapshot, apply ``operators.merge.merge_into`` (same clause
         surface - WHEN MATCHED update/delete, WHEN NOT MATCHED insert,
         WHEN NOT MATCHED BY SOURCE), publish the result as ONE commit.
+
+        COPY-ON-WRITE (r9, default): a CDC batch touching 0.1% of a
+        100 TB table must not rewrite the table.  Phase 1 runs ONE
+        left-semi join of the target (tagged with input_file_name)
+        against the source on the merge condition - a scan of the
+        target with no target-side shuffle (AQE broadcasts a small
+        source) - to find the files that hold ANY matching row.  Every
+        match lives in those files by construction, so phase 2 runs
+        ``merge_into`` over ONLY them: matched rows update/delete,
+        not-matched source rows insert (their anti-join against the
+        touched subset equals the anti-join against the full table),
+        and every other file carries into the commit verbatim with its
+        stats/blooms.  Write cost is O(touched files + inserts).  The
+        source is localCheckpointed once so phases 1 and 2 read the
+        same rows.  ``WHEN NOT MATCHED BY SOURCE`` clauses touch every
+        unmatched target row, so they fall back to the full rewrite
+        (``cow=False`` forces it; the pre-r9 shape).
 
         The parent version is pinned BEFORE the merge plan reads the
         table, so a concurrent commit between read and publish fails the
@@ -834,17 +852,58 @@ class SnapshotTable:
         from aliyun_maxcompute_data_collectors_spark.operators.merge import merge_into
 
         parent = self.current_version()
+        m = self.manifest(parent)
+        if not cow or not_matched_by_source or not m["files"]:
+            merged = merge_into(
+                self.read(parent), source, on, matched=matched,
+                not_matched=not_matched,
+                not_matched_by_source=not_matched_by_source,
+                target_alias=target_alias, source_alias=source_alias,
+                validate_cardinality=validate_cardinality)
+            unified = unify_schemas(m.get("schema"), merged.schema)
+            files, n, stats = self._write_files(merged)
+            return self._commit_manifest(parent, files, n, "merge",
+                                         stats=stats, schema=unified.json())
+        src = source.localCheckpoint(eager=True)
+        tagged = (self.read(parent)
+                  .withColumn("__graft_file", F.input_file_name())
+                  .alias(target_alias))
+        hits = (tagged.join(src.alias(source_alias), F.expr(on),
+                            "left_semi")
+                .select("__graft_file").distinct().collect())
+        by_real = {os.path.realpath(f): f for f in m["files"]}
+        touched = set()
+        for r in hits:
+            p = _strip_file_scheme(r["__graft_file"])
+            touched.add(by_real.get(os.path.realpath(p), p))
+        tfiles = [f for f in m["files"] if f in touched]
+        if tfiles:
+            sub = self._reader_for(m).parquet(*tfiles)
+            n_touched = self.spark.read.parquet(*tfiles).count()
+        else:
+            from pyspark.sql import types as T
+            schema = (T.StructType.fromJson(json.loads(m["schema"]))
+                      if m.get("schema")
+                      else self.read(parent).schema)
+            sub = self.spark.createDataFrame([], schema)
+            n_touched = 0
         merged = merge_into(
-            self.read(parent), source, on, matched=matched,
-            not_matched=not_matched,
-            not_matched_by_source=not_matched_by_source,
+            sub, src, on, matched=matched, not_matched=not_matched,
+            not_matched_by_source=None,
             target_alias=target_alias, source_alias=source_alias,
             validate_cardinality=validate_cardinality)
-        unified = unify_schemas(self.manifest(parent).get("schema"),
-                                merged.schema)
-        files, n, stats = self._write_files(merged)
-        return self._commit_manifest(parent, files, n, "merge",
-                                     stats=stats, schema=unified.json())
+        unified = unify_schemas(m.get("schema"), merged.schema)
+        files, n_new, stats = self._write_files(merged)
+        tset = set(tfiles)
+        keep = [f for f in m["files"] if f not in tset]
+        kset = set(keep)
+        all_stats, all_blooms = resolve_stats(m)
+        return self._commit_manifest(
+            parent, keep + files, m["rows"] - n_touched + n_new, "merge",
+            stats={**{f: s for f, s in all_stats.items() if f in kset},
+                   **stats},
+            schema=unified.json(),
+            blooms={f: b for f, b in all_blooms.items() if f in kset})
 
     # -- copy-on-write row-level DML (r9) -----------------------------------
     def _reader_for(self, m: dict):

@@ -32,6 +32,14 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
     # are row-at-a-time Python by definition (docstring says so) and the
     # query is excluded from the bench headline.
     "udtf_tokens": {"ROW_PYTHON_UDF": "PYTHON_UDTF_BY_DESIGN"},
+    # bpe_pair_counts ranks the iteration-1 pair counts with a global
+    # window over the PAIR-ALPHABET relation — <= ~700 rows at any corpus
+    # scale (bpe.py:62-64; the corpus-sized work is the partial-aggregable
+    # groupBy before it).  A single partition holding a bounded alphabet
+    # is the documented design, not a data funnel (adjudicated in the r8
+    # review: "bounded — fine at any scale").
+    "bpe_pair_counts": {
+        "NONSCALAR_SINGLE_PARTITION": "BOUNDED_ALPHABET_RANK_BY_DESIGN"},
 }
 
 

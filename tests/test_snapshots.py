@@ -1056,3 +1056,68 @@ def test_engine_sql_dml_routes_to_snapshot_cow(spark, tmp_path):
     assert eng.sql(
         "SELECT COUNT(*) AS n FROM docs VERSION AS OF 3").collect()[0]["n"] \
         == 100
+
+
+# -- copy-on-write MERGE (r9) -----------------------------------------------
+
+def test_merge_cow_rewrites_only_matched_files(spark, dml_table):
+    t = dml_table  # 4 disjoint key-range files
+    before = set(t.manifest()["files"])
+    src = spark.createDataFrame([(100, 777), (150, 888), (2000, 1)],
+                                "k long, v long")
+    t.merge(src, "t.k = s.k",
+            matched=[(None, {"v": "s.v"})],
+            not_matched=(None, "*"))
+    m = t.manifest()
+    # only file 0-249 held matches: 3 of 4 files carried verbatim
+    assert len(before & set(m["files"])) == 3
+    assert m["rows"] == 1001  # 1000 + 1 insert (k=2000)
+    rows = {r["k"]: r["v"] for r in t.read().where(
+        F.col("k").isin(100, 150, 2000)).collect()}
+    assert rows == {100: 777, 150: 888, 2000: 1}
+    # stats survive the merge on BOTH sides: untouched files' carried
+    # stats + the rewritten file's fresh footer stats prune a range
+    # nothing covers (the merged file spans [0, 2000], so a point in an
+    # untouched file's range legitimately hits both)
+    assert t.prune_files(m, [("k", "between", (3000, 4000))]) == []
+    hit = t.prune_files(m, [("k", "==", 600)])
+    assert len(hit) == 2 and any(f in before for f in hit)
+
+
+def test_merge_cow_insert_only_touches_nothing(spark, dml_table):
+    t = dml_table
+    before = set(t.manifest()["files"])
+    src = spark.createDataFrame([(5000, 1), (5001, 2)], "k long, v long")
+    t.merge(src, "t.k = s.k", matched=[(None, "delete")],
+            not_matched=(None, "*"))
+    m = t.manifest()
+    # no key matched: every pre-existing file carried, inserts in new files
+    assert before <= set(m["files"])
+    assert m["rows"] == 1002
+
+
+def test_merge_cow_matches_full_rewrite(spark, tmp_path):
+    """cow=True and cow=False must produce identical tables."""
+    rows = [(i, i % 5) for i in range(200)]
+    src_rows = [(i, 900 + i) for i in range(0, 300, 7)]
+    out = []
+    for cow in (True, False):
+        t = SnapshotTable.init(spark, str(tmp_path / f"m{cow}"))
+        for lo in (0, 100):
+            t.append(spark.createDataFrame(rows[lo:lo + 100],
+                                           "k long, v long").coalesce(1))
+        src = spark.createDataFrame(src_rows, "k long, v long")
+        t.merge(src, "t.k = s.k",
+                matched=[("s.k % 2 = 0", {"v": "s.v"}), (None, "delete")],
+                not_matched=("s.k < 250", "*"), cow=cow)
+        out.append(sorted((r["k"], r["v"]) for r in t.read().collect()))
+    assert out[0] == out[1]
+
+
+def test_merge_by_source_falls_back_to_full_rewrite(spark, dml_table):
+    t = dml_table
+    src = spark.createDataFrame([(100, 0)], "k long, v long")
+    t.merge(src, "t.k = s.k", matched=[(None, {"v": "s.v"})],
+            not_matched_by_source=[("t.k >= 990", "delete")])
+    assert t.read().count() == 990
+    assert t.read().where(F.col("k") == 100).collect()[0]["v"] == 0
