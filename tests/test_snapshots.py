@@ -1121,3 +1121,42 @@ def test_merge_by_source_falls_back_to_full_rewrite(spark, dml_table):
             not_matched_by_source=[("t.k >= 990", "delete")])
     assert t.read().count() == 990
     assert t.read().where(F.col("k") == 100).collect()[0]["v"] == 0
+
+
+def test_cdc_apply_merge_is_cow_per_batch(spark, dml_table):
+    """Streaming CDC apply cost must be O(batch + touched files): a batch
+    touching keys only in one of four files carries the other three."""
+    from aliyun_maxcompute_data_collectors_spark.snapshots import cdc_apply_merge
+    t = dml_table
+    before = set(t.manifest()["files"])
+    batch = spark.createDataFrame(
+        [(100, 777, 1, "U"), (100, 888, 2, "U"),   # newest wins -> 888
+         (101, None, 1, "D"),
+         (5000, 5, 1, "I")],
+        "k long, v long, ts long, op string")
+    cdc_apply_merge(t, batch, ["k"], ["ts"])
+    m = t.manifest()
+    assert len(before & set(m["files"])) == 3   # 3 of 4 carried verbatim
+    assert m["rows"] == 1000                    # -1 delete +1 insert
+    got = {r["k"]: r["v"] for r in t.read().where(
+        F.col("k").isin(100, 101, 5000)).collect()}
+    assert got == {100: 888, 5000: 5}
+    assert m["operation"] == "merge"
+
+
+def test_cdc_writer_strategies_agree(spark, tmp_path):
+    from aliyun_maxcompute_data_collectors_spark.snapshots import (
+        cdc_foreach_batch_writer_versioned)
+    base = [(i, i * 10, 0) for i in range(50)]
+    batch = spark.createDataFrame(
+        [(1, 111, 1, "U"), (2, None, 1, "D"), (99, 990, 1, "I")],
+        "id long, v long, ts long, op string")
+    results = []
+    for strategy in ("merge", "overwrite"):
+        t = SnapshotTable.init(spark, str(tmp_path / strategy))
+        t.append(spark.createDataFrame(base, "id long, v long, ts long"))
+        apply_ = cdc_foreach_batch_writer_versioned(
+            t, ["id"], ["ts"], strategy=strategy)
+        apply_(batch, 0)
+        results.append(sorted((r["id"], r["v"]) for r in t.read().collect()))
+    assert results[0] == results[1]
