@@ -1026,8 +1026,72 @@ FROM c8
 """
 
 
+def snapshot_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATOMIC predicate-scoped overwrite (Delta replaceWhere shape, r9):
+    three single-file appends (keys %10: 0-4 / 5-7 / 8), then ONE commit
+    replaces the middle scope with a transformed version of itself
+    (prices doubled).  The fully-matched middle file must DROP without a
+    rewrite while the other two files carry verbatim (``carried`` pins
+    the copy-on-write mechanics), the out-of-scope data is untouched,
+    and the pre-replace version stays time-travelable.  This is the
+    backfill operation a 100 TB date-partitioned table needs: replace
+    one day in one commit, readers never see the gap state."""
+    root = tempfile.mkdtemp(prefix="snap_rw_")
+    try:
+        a, b, c = _slices(spark, sf_dir)
+        tab = SnapshotTable.init(spark, root)
+        tab.append(a.coalesce(1))
+        tab.append(b.coalesce(1))
+        v_pre = tab.append(c.coalesce(1))
+        pre_files = set(tab.manifest()["files"])
+        fresh = b.withColumn(
+            "o_totalprice", (F.col("o_totalprice") * 2)
+            .cast(dict(b.dtypes)["o_totalprice"])).coalesce(1)
+        tab.replace_where(fresh, "o_orderkey % 10 BETWEEN 5 AND 7")
+        carried = len(pre_files & set(tab.manifest()["files"]))
+
+        def _row(df: DataFrame, step: str) -> DataFrame:
+            return (df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("sum_key"),
+                F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+                .cast("double").alias("sum_price"))
+                .select(F.lit(step).alias("step"), "n_rows", "sum_key",
+                        "sum_price"))
+
+        out = (_row(tab.read(v_pre), "pre")
+               .unionByName(_row(tab.read(), "head"))
+               .withColumn("carried", F.lit(carried)))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_REPLACE_WHERE_SQL = """
+WITH pre AS (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_orderkey % 10 < 9),
+     head AS (SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 10 BETWEEN 5 AND 7
+                          THEN o_totalprice * 2 ELSE o_totalprice END
+                       AS o_totalprice
+              FROM pre)
+SELECT 'pre' AS step, COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_price,
+       2 AS carried
+FROM pre
+UNION ALL
+SELECT 'head', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE),
+       2
+FROM head
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "snapshot_delete_update": (snapshot_delete_update, _DELETE_UPDATE_SQL),
+    "snapshot_replace_where": (snapshot_replace_where, _REPLACE_WHERE_SQL),
     "snapshot_time_travel": (snapshot_time_travel, _TIME_TRAVEL_SQL),
     "snapshot_changes": (snapshot_changes, _CHANGES_SQL),
     "snapshot_compact": (snapshot_compact, _COMPACT_SQL),

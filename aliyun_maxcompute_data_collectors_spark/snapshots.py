@@ -199,6 +199,17 @@ INLINE_STATS_FILES = 256
 # formerly-big tables - stay inline.
 INLINE_FILES = 4096
 
+# REMOVAL LISTS (r9): copy-on-write DML on a file-list-segmented table
+# must not fold every segment just to drop a few paths (a CDC merge
+# batch on a 1e6-file table would pay ~200 MB of metadata rewrite per
+# trigger).  Instead the manifest carries ``removed_files`` - paths
+# subtracted from the carried segments' lists at materialization time
+# (the Iceberg delete-manifest shape, list-valued here).  Commit cost
+# for DML is O(touched files).  The list is bounded: past this many
+# entries the next commit folds segments (applying and clearing the
+# removals), same amortized-O(1) housekeeping as MAX_SEGMENTS.
+REMOVED_FILES_MAX = 4096
+
 # SEGMENT HOUSEKEEPING (r9, VERDICT r8 #5): one segment per commit means
 # a long-lived streaming table accretes O(commits) segments and a cold
 # plan reads them all.  When a commit would push the combined
@@ -463,9 +474,12 @@ class SnapshotTable:
         if fsegs:
             # materialize the path list from immutable (cached) segments
             # so every consumer sees a plain ``files`` list; the on-disk
-            # manifest stays O(segments)
+            # manifest stays O(segments).  ``removed_files`` (COW DML on
+            # a segmented table) subtracts here - commit stays O(touched)
+            removed = set(m.get("removed_files") or [])
             m["files"] = [f for s in fsegs
-                          for f in _load_segment(s).get("files", [])]
+                          for f in _load_segment(s).get("files", [])
+                          if f not in removed]
         return m
 
     def versions(self) -> list[dict]:
@@ -494,7 +508,8 @@ class SnapshotTable:
                          schema: str | None = None,
                          blooms: dict | None = None,
                          segments: list[str] | None = None,
-                         file_segments: list[str] | None = None) -> int:
+                         file_segments: list[str] | None = None,
+                         removed_files: list[str] | None = None) -> int:
         """Publish a new snapshot.  Commit lock + parent check = optimistic
         concurrency; the HEAD swap itself is one atomic rename.
 
@@ -516,6 +531,13 @@ class SnapshotTable:
         ``MAX_SEGMENTS``, the commit folds everything into one fresh
         segment instead - O(table metadata) every MAX_SEGMENTS commits,
         amortized O(1) per commit.
+
+        ``removed_files`` (COW DML on a segmented parent): paths to
+        subtract from the carried segments at materialization - the
+        commit stays O(touched files); past ``REMOVED_FILES_MAX``
+        entries the commit folds instead (applying and clearing them).
+        Every caller that carries ``file_segments`` forward MUST also
+        carry the parent's removal list, or deleted files resurrect.
 
         A crash after a segment write but before the manifest write
         leaves an unreferenced segment for vacuum - same contract as
@@ -559,12 +581,14 @@ class SnapshotTable:
             }
             if schema is not None:
                 manifest["schema"] = schema
+            removed = set(removed_files or [])
             if fsegs_in or len(files) > INLINE_FILES:
                 # -- file-list segmented mode -------------------------------
                 fsegs = fsegs_in
                 seg_files, seg_stats, seg_blooms = \
                     list(files), stats_f, blooms_f
-                if not fsegs or len(fsegs) + len(segs) + 1 > MAX_SEGMENTS:
+                if (not fsegs or len(fsegs) + len(segs) + 1 > MAX_SEGMENTS
+                        or len(removed) > REMOVED_FILES_MAX):
                     # crossing commit / fresh big list / housekeeping
                     # trigger: fold every carried segment (file-list AND
                     # stats-only) plus this commit's delta into ONE
@@ -576,9 +600,12 @@ class SnapshotTable:
                     folded_blooms: dict = {}
                     for s in fsegs:
                         d = _load_segment(s)
-                        folded_files.extend(d.get("files") or [])
+                        folded_files.extend(
+                            f for f in (d.get("files") or [])
+                            if f not in removed)
                         folded_stats.update(d.get("stats") or {})
                         folded_blooms.update(d.get("blooms") or {})
+                    removed = set()  # applied by the fold
                     for s in segs:
                         d = _load_segment(s)
                         folded_stats.update(d.get("stats") or {})
@@ -602,6 +629,8 @@ class SnapshotTable:
                 manifest["files"] = []
                 manifest["stats"] = {}
                 manifest["file_segments"] = fsegs
+                if removed:
+                    manifest["removed_files"] = sorted(removed)
                 if segs:
                     manifest["segments"] = segs
             elif segs or len(stats_f) + len(blooms_f) > INLINE_STATS_FILES:
@@ -765,7 +794,8 @@ class SnapshotTable:
             parent, all_files, pm["rows"] + n, "append",
             stats={**(pm.get("stats") or {}), **stats},
             schema=unified.json(), blooms=blooms,
-            segments=pm.get("segments"), file_segments=pfsegs)
+            segments=pm.get("segments"), file_segments=pfsegs,
+            removed_files=pm.get("removed_files"))
 
     def overwrite(self, df: DataFrame, operation: str = "overwrite") -> int:
         """New snapshot from a fresh file list.  The input may lazily read
@@ -812,7 +842,8 @@ class SnapshotTable:
                                      schema=m.get("schema"),
                                      blooms=m.get("blooms"),
                                      segments=m.get("segments"),
-                                     file_segments=fsegs)
+                                     file_segments=fsegs,
+                                     removed_files=m.get("removed_files"))
 
     def merge(self, source: DataFrame, on: str, *,
               matched=None, not_matched=None, not_matched_by_source=None,
@@ -894,16 +925,9 @@ class SnapshotTable:
             validate_cardinality=validate_cardinality)
         unified = unify_schemas(m.get("schema"), merged.schema)
         files, n_new, stats = self._write_files(merged)
-        tset = set(tfiles)
-        keep = [f for f in m["files"] if f not in tset]
-        kset = set(keep)
-        all_stats, all_blooms = resolve_stats(m)
-        return self._commit_manifest(
-            parent, keep + files, m["rows"] - n_touched + n_new, "merge",
-            stats={**{f: s for f, s in all_stats.items() if f in kset},
-                   **stats},
-            schema=unified.json(),
-            blooms={f: b for f, b in all_blooms.items() if f in kset})
+        return self._publish_cow(parent, m, tfiles, files, stats,
+                                 m["rows"] - n_touched + n_new, "merge",
+                                 unified.json())
 
     # -- copy-on-write row-level DML (r9) -----------------------------------
     def _reader_for(self, m: dict):
@@ -961,21 +985,49 @@ class SnapshotTable:
             out[by_real.get(os.path.realpath(p), p)] = r["n"]
         return out
 
+    def _publish_cow(self, parent: int, m: dict, touched: list[str],
+                     new_files: list[str], new_stats: dict,
+                     total_rows: int, operation: str,
+                     schema: str | None,
+                     new_blooms: dict | None = None) -> int:
+        """Publish a copy-on-write commit: ``touched`` files leave the
+        table, ``new_files`` join it, everything else carries verbatim
+        with its stats/blooms.  On a file-list-segmented parent the
+        carried segments ride unchanged and ``touched`` lands on the
+        manifest's REMOVAL LIST - commit metadata is O(touched + new),
+        never the fold the r9 first cut paid (the next housekeeping
+        fold applies and clears the list).  On an inline parent the
+        file list is rewritten directly (it is O(table) JSON anyway)."""
+        tset = set(touched)
+        if m.get("file_segments"):
+            removed = [f for f in (m.get("removed_files") or [])] + \
+                list(touched)
+            return self._commit_manifest(
+                parent, new_files, total_rows, operation,
+                stats=new_stats, schema=schema, blooms=new_blooms,
+                segments=m.get("segments"),
+                file_segments=m["file_segments"],
+                removed_files=removed)
+        keep = [f for f in m["files"] if f not in tset]
+        kset = set(keep)
+        all_stats, all_blooms = resolve_stats(m)
+        return self._commit_manifest(
+            parent, keep + new_files, total_rows, operation,
+            stats={**{f: s for f, s in all_stats.items() if f in kset},
+                   **new_stats},
+            schema=schema,
+            blooms={**{f: b for f, b in all_blooms.items() if f in kset},
+                    **(new_blooms or {})})
+
     def _commit_cow(self, parent: int, m: dict, touched: list[str],
                     new_df: DataFrame, expected_rows: int,
                     total_rows: int, operation: str,
                     bloom_cols: list[str] | None,
                     bloom_bits: int) -> int:
-        """Publish a copy-on-write rewrite of ``touched`` files as
-        ``new_df``: untouched files and their stats/blooms carry over
-        verbatim, rewritten files get fresh footer stats (and fresh
-        blooms only when the caller opts in, same contract as
-        compact()).  A row-count check guards the rewrite before
-        anything publishes.  On a file-list-segmented parent the full
-        list is re-passed inline, so the commit folds into one fresh
-        segment - O(table metadata), the same price compact() pays;
-        row-level DML is a maintenance-shaped op, not the streaming
-        append path."""
+        """Write a copy-on-write rewrite of ``touched`` files as
+        ``new_df`` (fresh footer stats; fresh blooms only when the
+        caller opts in, same contract as compact()), guard it with a
+        row-count check, and publish via :meth:`_publish_cow`."""
         files, n_new, stats = self._write_files(new_df)
         if n_new != expected_rows:
             raise SnapshotError(
@@ -983,20 +1035,11 @@ class SnapshotTable:
                 f"({expected_rows} expected, {n_new} written) - aborting "
                 "before commit; staged files are unreferenced garbage "
                 "for vacuum")
-        tset = set(touched)
-        keep = [f for f in m["files"] if f not in tset]
-        kset = set(keep)
-        all_stats, all_blooms = resolve_stats(m)
-        kept_stats = {f: s for f, s in all_stats.items() if f in kset}
-        kept_blooms = {f: b for f, b in all_blooms.items() if f in kset}
-        if bloom_cols and files:
-            kept_blooms = {**kept_blooms,
-                           **self._collect_blooms(files, bloom_cols,
-                                                  bloom_bits)}
-        return self._commit_manifest(
-            parent, keep + files, total_rows, operation,
-            stats={**kept_stats, **stats}, schema=m.get("schema"),
-            blooms=kept_blooms)
+        new_blooms = (self._collect_blooms(files, bloom_cols, bloom_bits)
+                      if bloom_cols and files else None)
+        return self._publish_cow(parent, m, touched, files, stats,
+                                 total_rows, operation, m.get("schema"),
+                                 new_blooms)
 
     def delete(self, where,
                bloom_cols: list[str] | None = None,
@@ -1047,15 +1090,9 @@ class SnapshotTable:
         if n_touched == n_del:
             # every row in every touched file matches: pure file drop,
             # no rewrite at all (the partition-delete fast path)
-            tset = set(tfiles)
-            keep = [f for f in m["files"] if f not in tset]
-            all_stats, all_blooms = resolve_stats(m)
-            kset = set(keep)
-            return self._commit_manifest(
-                parent, keep, m["rows"] - n_del, "delete",
-                stats={f: s for f, s in all_stats.items() if f in kset},
-                schema=m.get("schema"),
-                blooms={f: b for f, b in all_blooms.items() if f in kset})
+            return self._publish_cow(parent, m, tfiles, [], {},
+                                     m["rows"] - n_del, "delete",
+                                     m.get("schema"))
         remaining = (self._reader_for(m).parquet(*tfiles)
                      .where(~F.coalesce(pred, F.lit(False))))
         return self._commit_cow(parent, m, tfiles, remaining,
@@ -1112,6 +1149,68 @@ class SnapshotTable:
         return self._commit_cow(parent, m, tfiles, out, n_touched,
                                 m["rows"], "update", bloom_cols,
                                 bloom_bits)
+
+    def replace_where(self, df: DataFrame, where,
+                      validate: bool = True) -> int:
+        """ATOMIC predicate-scoped overwrite (Delta's ``replaceWhere`` -
+        the backfill shape: replace one day/region of a 100 TB table in
+        ONE commit without touching the rest):
+
+        - rows matching ``where`` are removed - files matched in FULL
+          drop with no rewrite, partially-matched files rewrite keeping
+          their non-matching rows (same two-phase targeting as
+          :meth:`delete`);
+        - ``df``'s rows are appended in the same commit;
+        - with ``validate`` (default), every input row must satisfy
+          ``where`` - one cheap count over the new files' data catches
+          the classic backfill bug (writing day X+1 into day X's slot)
+          BEFORE the commit publishes; staged files become vacuum
+          garbage.
+
+        ``where`` takes the ``read(where=)`` conjunct grammar (manifest
+        pruning applies) or a SQL string.  Unlike two delete+append
+        commits, a reader never observes the gap state; a crash between
+        phases publishes nothing.  Schema evolution follows append's
+        additive contract.  Returns the new version."""
+        parent = self.current_version()
+        m = self.manifest(parent)
+        conjuncts, pred = self._resolve_predicate(where)
+        unified = unify_schemas(m.get("schema"), df.schema)
+        files, n_new, stats = self._write_files(df)
+        if validate and files:
+            bad = (self.spark.read.parquet(*files)
+                   .where(~F.coalesce(pred, F.lit(False))).count())
+            if bad:
+                raise SnapshotError(
+                    f"{self.path}: replace_where input holds {bad} rows "
+                    "NOT matching the predicate - refusing to commit "
+                    "(rows outside the replaced scope would silently "
+                    "coexist with the data they were meant to replace); "
+                    "staged files are unreferenced garbage for vacuum")
+        candidates = (self.prune_files(m, conjuncts) if conjuncts
+                      else m["files"])
+        touched = (self._touched_files(m, candidates, pred)
+                   if candidates else {})
+        tfiles = [f for f in m["files"] if f in touched]
+        n_matched = sum(touched.values())
+        rewritten: list[str] = []
+        rw_stats: dict = {}
+        if tfiles:
+            n_touched = self.spark.read.parquet(*tfiles).count()
+            if n_touched > n_matched:
+                # partially-matched files keep their non-matching rows
+                remaining = (self._reader_for(m).parquet(*tfiles)
+                             .where(~F.coalesce(pred, F.lit(False))))
+                rewritten, n_kept, rw_stats = self._write_files(remaining)
+                if n_kept != n_touched - n_matched:
+                    raise SnapshotError(
+                        f"{self.path}: replace_where row-count mismatch "
+                        f"({n_touched - n_matched} expected, {n_kept} "
+                        "written) - aborting before commit")
+        return self._publish_cow(
+            parent, m, tfiles, rewritten + files,
+            {**rw_stats, **stats}, m["rows"] - n_matched + n_new,
+            "replace-where", unified.json())
 
     def changes(self, since: int, until: int | None = None) -> DataFrame:
         """Row-level changes between two snapshots as a DataFrame with a

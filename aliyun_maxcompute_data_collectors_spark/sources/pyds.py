@@ -269,7 +269,8 @@ class _SnapshotWriter(DataSourceArrowWriter):
                 pm["rows"] + rows,
                 "append", stats={**(pm.get("stats") or {}), **stats},
                 schema=_written_schema(pm.get("schema"), files),
-                segments=pm.get("segments"), file_segments=pfsegs)
+                segments=pm.get("segments"), file_segments=pfsegs,
+                removed_files=pm.get("removed_files"))
 
     def abort(self, messages):
         shutil.rmtree(self._stage, ignore_errors=True)

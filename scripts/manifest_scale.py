@@ -92,6 +92,34 @@ def bench_one(n_files: int, blooms: bool) -> dict:
         tab.prune_files(tab.manifest(), [("id", "between",
                                           (5_000, 9_000))])
         plan_warm_s = time.perf_counter() - t0
+        # COW DML commit (r9 removal lists): drop 10 files from the
+        # table - mirrors SnapshotTable._publish_cow exactly.  On a
+        # segmented parent the carried segments ride unchanged and the
+        # 10 paths land on the manifest's removal list (O(touched));
+        # inline parents rewrite the list directly (O(table) JSON).
+        m2 = tab.manifest()
+        touched = m2["files"][:10]
+        tset = set(touched)
+        t0 = time.perf_counter()
+        if m2.get("file_segments"):
+            tab._commit_manifest(
+                tab.current_version(), [], m2["rows"] - 10 * 1000,
+                "delete", stats={}, segments=m2.get("segments"),
+                file_segments=m2["file_segments"],
+                removed_files=list(m2.get("removed_files") or []) + touched)
+        else:
+            from aliyun_maxcompute_data_collectors_spark.snapshots import resolve_stats
+            all_stats, all_blooms = resolve_stats(m2)
+            keep = [f for f in m2["files"] if f not in tset]
+            kset = set(keep)
+            tab._commit_manifest(
+                tab.current_version(), keep, m2["rows"] - 10 * 1000,
+                "delete",
+                stats={f: s for f, s in all_stats.items() if f in kset},
+                blooms={f: b for f, b in all_blooms.items()
+                        if f in kset} or None)
+        dml_commit_s = time.perf_counter() - t0
+        assert len(tab.manifest()["files"]) == len(m2["files"]) - 10
         size = os.path.getsize(tab._manifest_path(tab.current_version()))
         seg_bytes = sum(
             os.path.getsize(os.path.join(tab._root, "manifests", f))
@@ -99,6 +127,7 @@ def bench_one(n_files: int, blooms: bool) -> dict:
             if f.startswith("seg-"))
         return {"n_files": n_files, "blooms": blooms,
                 "commit_s": round(commit_s, 4),
+                "dml_commit_s": round(dml_commit_s, 4),
                 "plan_s": round(plan_s, 4),
                 "plan_warm_s": round(plan_warm_s, 4),
                 "manifest_bytes": size, "segment_bytes": seg_bytes,

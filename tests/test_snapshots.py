@@ -1160,3 +1160,173 @@ def test_cdc_writer_strategies_agree(spark, tmp_path):
         apply_(batch, 0)
         results.append(sorted((r["id"], r["v"]) for r in t.read().collect()))
     assert results[0] == results[1]
+
+
+# -- replace_where (r9) ------------------------------------------------------
+
+def test_replace_where_atomic_backfill(spark, dml_table):
+    t = dml_table  # 4 disjoint key-range files
+    before = set(t.manifest()["files"])
+    fresh = (spark.range(250, 500)
+             .selectExpr("id AS k", "CAST(999 AS LONG) AS v").coalesce(1))
+    t.replace_where(fresh, ("k", "between", (250, 499)))
+    m = t.manifest()
+    assert m["rows"] == 1000
+    assert m["operation"] == "replace-where"
+    # the fully-matched file dropped (no rewrite), the other 3 carried
+    assert len(before & set(m["files"])) == 3
+    got = t.read().where(F.col("k").between(250, 499))
+    assert got.count() == 250
+    assert got.agg(F.min("v"), F.max("v")).collect()[0] == __import__(
+        "pyspark").sql.Row(**{"min(v)": 999, "max(v)": 999})
+    # untouched ranges intact
+    assert t.read().where(F.col("k") < 250).where(F.col("v") >= 999) \
+        .count() == 0
+
+
+def test_replace_where_partial_file_keeps_other_rows(spark, dml_table):
+    t = dml_table
+    fresh = (spark.range(100, 150)
+             .selectExpr("id AS k", "CAST(-1 AS LONG) AS v"))
+    t.replace_where(fresh, ("k", "between", (100, 149)))
+    assert t.manifest()["rows"] == 1000
+    # rows 0-99 and 150-249 of the partially-matched file survive
+    assert t.read().where(F.col("k") < 100).count() == 100
+    assert t.read().where(F.col("k").between(150, 249)).count() == 100
+    assert t.read().where(F.col("v") == -1).count() == 50
+
+
+def test_replace_where_rejects_out_of_scope_input(spark, dml_table):
+    t = dml_table
+    head = t.current_version()
+    bad = spark.range(0, 10).selectExpr("id + 600 AS k", "id AS v")
+    with pytest.raises(SnapshotError, match="NOT matching the predicate"):
+        t.replace_where(bad, ("k", "<", 250))
+    assert t.current_version() == head  # nothing published
+    assert t.read().count() == 1000
+
+
+def test_replace_where_empty_scope_appends(spark, dml_table):
+    """A predicate matching nothing degenerates to an append."""
+    t = dml_table
+    fresh = spark.range(5000, 5010).selectExpr("id AS k", "id AS v")
+    t.replace_where(fresh, ("k", ">=", 5000))
+    assert t.manifest()["rows"] == 1010
+
+
+# -- removal lists: O(touched) DML on segmented tables (r9) ------------------
+
+def test_segmented_dml_uses_removal_list_not_fold(spark, tmp_path,
+                                                  monkeypatch):
+    """COW DML on a file-list-segmented table must carry the parent's
+    segments UNCHANGED and record dropped paths on the manifest's
+    removal list - O(touched) commit metadata, no segment fold."""
+    import json as _json
+
+    import aliyun_maxcompute_data_collectors_spark.snapshots as S
+    monkeypatch.setattr(S, "INLINE_FILES", 2)
+    t = SnapshotTable.init(spark, str(tmp_path / "rl"))
+    for lo in range(0, 1000, 250):
+        t.append(_kv(spark, lo, lo + 250).coalesce(1))
+    pre = t.manifest()
+    assert pre.get("file_segments")
+    t.delete(("k", "between", (100, 199)))
+    raw = _json.load(open(t._manifest_path(t.current_version())))
+    # parent's segments carried verbatim + exactly one new (the rewrite)
+    assert set(pre["file_segments"]) <= set(raw["file_segments"])
+    assert len(raw["file_segments"]) == len(pre["file_segments"]) + 1
+    assert len(raw["removed_files"]) == 1
+    assert t.read().count() == 900
+    # point prune still exact through segments + removals
+    assert len(t.prune_files(t.manifest(), [("k", "==", 600)])) == 1
+
+
+def test_segmented_dml_no_resurrection_after_append(spark, tmp_path,
+                                                    monkeypatch):
+    """The resurrection hazard: an append AFTER a removal-list DML must
+    carry the removal list - otherwise deleted rows reappear."""
+    import aliyun_maxcompute_data_collectors_spark.snapshots as S
+    monkeypatch.setattr(S, "INLINE_FILES", 2)
+    t = SnapshotTable.init(spark, str(tmp_path / "rez"))
+    for lo in range(0, 1000, 250):
+        t.append(_kv(spark, lo, lo + 250).coalesce(1))
+    t.delete(("k", ">=", 750))           # whole-file drop via removal list
+    t.append(_kv(spark, 2000, 2100).coalesce(1))
+    assert t.read().count() == 850
+    assert t.read().where(F.col("k").between(750, 999)).count() == 0
+    # DSv2 append path carries removals too
+    from aliyun_maxcompute_data_collectors_spark.sources.pyds import (
+        register_python_datasources)
+    register_python_datasources(spark)
+    df = _kv(spark, 3000, 3100)
+    (df.write.format("graft_snapshot")
+       .option("path", str(tmp_path / "rez")).mode("append").save())
+    assert t.read().count() == 950
+    assert t.read().where(F.col("k").between(750, 999)).count() == 0
+
+
+def test_removal_list_bounded_by_fold(spark, tmp_path, monkeypatch):
+    """Past REMOVED_FILES_MAX entries the next commit folds, applying
+    and clearing the removals - amortized O(1) housekeeping."""
+    import json as _json
+
+    import aliyun_maxcompute_data_collectors_spark.snapshots as S
+    monkeypatch.setattr(S, "INLINE_FILES", 2)
+    monkeypatch.setattr(S, "REMOVED_FILES_MAX", 2)
+    t = SnapshotTable.init(spark, str(tmp_path / "fold"))
+    for lo in range(0, 1000, 200):
+        t.append(_kv(spark, lo, lo + 200).coalesce(1))
+    for lo in (0, 200, 400):  # 3 whole-file deletes -> removals 1,2,fold
+        t.delete(("k", "between", (lo, lo + 199)))
+    raw = _json.load(open(t._manifest_path(t.current_version())))
+    assert not raw.get("removed_files")  # fold applied + cleared
+    assert t.read().count() == 400
+    assert t.manifest()["rows"] == 400
+
+
+def test_rollback_and_vacuum_with_removal_lists(spark, tmp_path,
+                                                monkeypatch):
+    import aliyun_maxcompute_data_collectors_spark.snapshots as S
+    monkeypatch.setattr(S, "INLINE_FILES", 2)
+    t = SnapshotTable.init(spark, str(tmp_path / "rb"))
+    for lo in range(0, 1000, 250):
+        t.append(_kv(spark, lo, lo + 250).coalesce(1))
+    v_pre = t.current_version()
+    v_del = t.delete(("k", ">=", 750))
+    t.append(_kv(spark, 1000, 1100).coalesce(1))
+    # rollback to the DML version carries its removal list
+    t.rollback(v_del)
+    assert t.read().count() == 750
+    # rollback to pre-DML restores the full list
+    t.rollback(v_pre)
+    assert t.read().count() == 1000
+    # vacuum keeps everything the retained manifests reference
+    t.vacuum(keep_last=2)
+    assert t.read().count() == 1000
+
+
+def test_segmented_cdc_merge_commit_is_o_touched(spark, tmp_path,
+                                                 monkeypatch):
+    """The motivating case: a CDC merge batch on a segmented table must
+    not fold the metadata."""
+    import json as _json
+
+    from aliyun_maxcompute_data_collectors_spark.snapshots import cdc_apply_merge
+
+    import aliyun_maxcompute_data_collectors_spark.snapshots as S
+    monkeypatch.setattr(S, "INLINE_FILES", 2)
+    t = SnapshotTable.init(spark, str(tmp_path / "cdcseg"))
+    for lo in range(0, 1000, 250):
+        t.append(_kv(spark, lo, lo + 250)
+                 .withColumn("ts", F.lit(0)).coalesce(1))
+    pre_segs = set(t.manifest()["file_segments"])
+    batch = spark.createDataFrame([(100, 9, 1, "U"), (2000, 9, 1, "I")],
+                                  "k long, v long, ts long, op string")
+    cdc_apply_merge(t, batch, ["k"], ["ts"])
+    raw = _json.load(open(t._manifest_path(t.current_version())))
+    assert pre_segs <= set(raw["file_segments"])   # carried, not folded
+    assert len(raw["removed_files"]) == 1          # only the touched file
+    got = {r["k"]: r["v"] for r in t.read().where(
+        F.col("k").isin(100, 2000)).collect()}
+    assert got == {100: 9, 2000: 9}
+    assert t.manifest()["rows"] == 1001
