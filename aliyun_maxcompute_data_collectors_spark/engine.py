@@ -60,6 +60,21 @@ _UPDATE = re.compile(
     r"^\s*UPDATE\s+([A-Za-z_][\w.]*)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# OPTIMIZE name [ZORDER BY (c1, c2)] — snapshot-table maintenance
+_OPTIMIZE = re.compile(
+    r"^\s*OPTIMIZE\s+([A-Za-z_]\w*)"
+    r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+# VACUUM name [RETAIN n] — snapshot-table retention sweep
+_VACUUM = re.compile(
+    r"^\s*VACUUM\s+([A-Za-z_]\w*)(?:\s+RETAIN\s+(\d+))?\s*$",
+    re.IGNORECASE)
+
+# DESCRIBE HISTORY name — the snapshot log as a DataFrame
+_DESCRIBE_HISTORY = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+HISTORY\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE)
+
 # DELETE FROM name [WHERE cond]
 _DELETE = re.compile(
     r"^\s*DELETE\s+FROM\s+([A-Za-z_][\w.]*)(?:\s+WHERE\s+(.+))?\s*$",
@@ -163,6 +178,15 @@ class Engine:
         dele = _DELETE.match(query)
         if dele:
             return self._run_delete(*dele.groups())
+        opt = _OPTIMIZE.match(query)
+        if opt:
+            return self._run_optimize(*opt.groups())
+        vac = _VACUUM.match(query)
+        if vac:
+            return self._run_vacuum(*vac.groups())
+        hist = _DESCRIBE_HISTORY.match(query)
+        if hist:
+            return self._run_describe_history(hist.group(1))
         query, snap_views = self._resolve_snapshot_refs(query)
         try:
             query = self._resolve_max_pt(query)
@@ -331,7 +355,51 @@ class Engine:
         — the reference's static-partition insert rewrite (W3,
         OdpsExtensions.scala:63-81): constant partition values become write
         options; bare PARTITION columns stay dynamic.  VALUES (...) bodies
-        run through Spark SQL directly."""
+        run through Spark SQL directly.
+
+        A registered snapshot table routes to the transactional path:
+        INTO = ``SnapshotTable.append`` (atomic commit, schema-evolution
+        contract), OVERWRITE = ``SnapshotTable.overwrite``; PARTITION
+        specs don't apply (snapshot tables have no hive partition dirs -
+        use replace_where for scoped overwrites)."""
+        if name in self._snapshot_tables:
+            if part:
+                raise ValueError(
+                    f"INSERT ... PARTITION on snapshot table {name!r}: "
+                    "snapshot tables have no hive partition directories; "
+                    "use replace_where for a scoped overwrite")
+            if select.upper().startswith("VALUES"):
+                df = self.spark.sql(f"SELECT * FROM ({select})")
+            else:
+                df = self.sql(select)
+            tab = self._snapshot_table(name)
+            m = tab.manifest()
+            if m.get("schema"):
+                import json as _json
+
+                from pyspark.sql import functions as F
+                from pyspark.sql import types as _T
+                fields = _T.StructType.fromJson(
+                    _json.loads(m["schema"])).fields
+                if len(df.columns) == len(fields) and \
+                        df.columns != [f.name for f in fields]:
+                    df = df.toDF(*[f.name for f in fields])  # positional
+                # SQL INSERT casts the select list to the table's types
+                # (VALUES literals are int/str; the manifest contract is
+                # exact) - same store-assignment rule as catalog INSERT
+                types = dict(df.dtypes)
+                df = df.select(*[
+                    (F.col(f.name).cast(f.dataType)
+                     if f.name in types and
+                     types[f.name] != f.dataType.simpleString()
+                     else F.col(f.name)).alias(f.name)
+                    if f.name in df.columns else F.col(f.name)
+                    for f in fields if f.name in df.columns])
+            if mode.upper() == "OVERWRITE":
+                tab.overwrite(df)
+            else:
+                tab.append(df)
+            return self._empty_result()
         static: dict[str, str] = {}
         if part:
             for item in part.split(","):
@@ -357,6 +425,58 @@ class Engine:
                             static_partition=static or None)
         from pyspark.sql import types as _T
         return self.spark.createDataFrame([], _T.StructType([]))
+
+    def _snapshot_table(self, name: str):
+        from aliyun_maxcompute_data_collectors_spark.snapshots import SnapshotTable
+        return SnapshotTable(self.spark, self._snapshot_tables[name])
+
+    def _empty_result(self):
+        from pyspark.sql import types as _T
+        return self.spark.createDataFrame([], _T.StructType([]))
+
+    def _run_optimize(self, name: str, zorder: str | None):
+        """``OPTIMIZE t [ZORDER BY (c1, c2)]`` - snapshot-table
+        maintenance by SQL (the Delta OPTIMIZE surface): bin-pack small
+        files, or rewrite clustered on the z-value when ZORDER BY is
+        given.  Registered snapshot tables only - plain catalog tables
+        have no manifest to optimize."""
+        if name not in self._snapshot_tables:
+            raise ValueError(
+                f"OPTIMIZE: {name!r} is not a registered snapshot table "
+                "(register_snapshot_table first; plain catalog tables "
+                "have no snapshot manifest to optimize)")
+        tab = self._snapshot_table(name)
+        if zorder:
+            cols = [c.strip().strip("`") for c in zorder.split(",")]
+            tab.cluster(cols)
+        else:
+            tab.compact()
+        return self._empty_result()
+
+    def _run_vacuum(self, name: str, retain: str | None):
+        """``VACUUM t [RETAIN n]`` - drop files/manifests unreferenced by
+        the last n (default 2) snapshots."""
+        if name not in self._snapshot_tables:
+            raise ValueError(
+                f"VACUUM: {name!r} is not a registered snapshot table")
+        removed = self._snapshot_table(name).vacuum(
+            keep_last=int(retain) if retain else 2)
+        return self.spark.createDataFrame(
+            [(p,) for p in removed], "removed_path string")
+
+    def _run_describe_history(self, name: str):
+        """``DESCRIBE HISTORY t`` - the snapshot log (version, operation,
+        rows, timestamp, parent), newest first, as a DataFrame."""
+        if name not in self._snapshot_tables:
+            raise ValueError(
+                f"DESCRIBE HISTORY: {name!r} is not a registered "
+                "snapshot table")
+        vs = self._snapshot_table(name).versions()
+        return self.spark.createDataFrame(
+            [(m["version"], m["operation"], m["rows"], m["timestamp_ms"],
+              m["parent"]) for m in reversed(vs)],
+            "version int, operation string, rows long, "
+            "timestamp_ms long, parent int")
 
     def _run_merge(self, name: str, talias: str | None, src: str,
                    salias: str | None, on: str, whens: str):
@@ -418,6 +538,14 @@ class Engine:
                 matched.append((cond, parse_sets(a)))
             else:
                 raise ValueError(f"MERGE: unsupported MATCHED action {a!r}")
+        if name in self._snapshot_tables:
+            # transactional COPY-ON-WRITE merge: only files holding
+            # matches rewrite, one atomic commit, time travel preserved
+            self._snapshot_table(name).merge(
+                source, on, matched=matched, not_matched=not_matched,
+                not_matched_by_source=by_source or None,
+                target_alias=talias, source_alias=salias)
+            return self._empty_result()
         target = self.catalog.read_table(name)
         merged = merge_into(target, source, on, matched, not_matched,
                             not_matched_by_source=by_source or None,

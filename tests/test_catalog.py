@@ -525,3 +525,68 @@ def test_engine_snapshot_refs_hardened(spark, tmp_path):
     eng.sql("SELECT * FROM snap_t VERSION AS OF 2").collect()
     assert not any(t.name.startswith("__graft_snap_")
                    for t in spark.catalog.listTables())
+
+
+def test_engine_sql_snapshot_dml_matrix(spark, tmp_path):
+    """The full SQL DML + maintenance surface on a REGISTERED snapshot
+    table (r9): INSERT INTO/OVERWRITE -> transactional append/overwrite,
+    MERGE INTO -> copy-on-write merge, OPTIMIZE / OPTIMIZE ZORDER BY /
+    VACUUM / DESCRIBE HISTORY -> the maintenance ops, all by bare
+    identifier through Engine.sql."""
+    from aliyun_maxcompute_data_collectors_spark.engine import Engine
+    from aliyun_maxcompute_data_collectors_spark.snapshots import SnapshotTable
+
+    eng = Engine(str(tmp_path / "wh"), spark=spark)
+    root = str(tmp_path / "t")
+    tab = SnapshotTable.init(spark, root)
+    tab.append(spark.createDataFrame(
+        [(i, i * 10) for i in range(10)], "k long, v long").coalesce(1))
+    eng.register_snapshot_table("snap", root)
+
+    # INSERT INTO -> append (atomic commit; history grows)
+    eng.sql("INSERT INTO snap VALUES (100, 1000), (101, 1010)")
+    assert eng.sql("SELECT COUNT(*) AS n FROM snap").collect()[0]["n"] == 12
+    assert tab.manifest()["operation"] == "append"
+
+    # MERGE INTO -> copy-on-write merge
+    eng.sql("""
+        MERGE INTO snap USING (SELECT 100 AS k, 7 AS v) s ON snap.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+    """.replace("snap.k", "t.k"))
+    assert tab.manifest()["operation"] == "merge"
+    assert eng.sql(
+        "SELECT v FROM snap WHERE k = 100").collect()[0]["v"] == 7
+
+    # DESCRIBE HISTORY: newest first, operations visible
+    hist = eng.sql("DESCRIBE HISTORY snap").collect()
+    assert [h["operation"] for h in hist[:2]] == ["merge", "append"]
+    assert hist[-1]["operation"] == "init"
+
+    # INSERT OVERWRITE -> transactional overwrite, old version readable
+    pre = tab.current_version()
+    eng.sql("INSERT OVERWRITE snap SELECT k, v * 2 FROM snap WHERE k < 5")
+    assert eng.sql("SELECT COUNT(*) AS n FROM snap").collect()[0]["n"] == 5
+    assert tab.read(pre).count() == 12
+    assert eng.sql(
+        f"SELECT COUNT(*) AS n FROM snap VERSION AS OF {pre}"
+    ).collect()[0]["n"] == 12
+
+    # OPTIMIZE (bin-pack) and OPTIMIZE ZORDER BY
+    eng.sql("INSERT INTO snap VALUES (200, 1), (201, 2)")
+    eng.sql("OPTIMIZE snap")
+    assert tab.manifest()["operation"] == "compact"
+    eng.sql("OPTIMIZE snap ZORDER BY (k, v)")
+    assert tab.manifest()["operation"].startswith("cluster:zorder")
+
+    # VACUUM RETAIN drops old manifests; returns the removed paths
+    removed = eng.sql("VACUUM snap RETAIN 2").collect()
+    assert removed  # something was swept
+    assert tab.read().count() == 7  # table intact
+
+    # guard: maintenance on an unregistered name
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not a registered"):
+        eng.sql("OPTIMIZE nope")
+    with _pytest.raises(ValueError, match="PARTITION on snapshot"):
+        eng.sql("INSERT INTO snap PARTITION (k=1) SELECT 1, 2")
