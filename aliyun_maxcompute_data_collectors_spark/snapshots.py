@@ -849,7 +849,8 @@ class SnapshotTable:
               matched=None, not_matched=None, not_matched_by_source=None,
               target_alias: str = "t", source_alias: str = "s",
               validate_cardinality: bool = True,
-              cow: bool = True) -> int:
+              cow: bool = True,
+              source_keys: list[str] | None = None) -> int:
         """Transactional ANSI MERGE INTO this table (r7): read one pinned
         snapshot, apply ``operators.merge.merge_into`` (same clause
         surface - WHEN MATCHED update/delete, WHEN NOT MATCHED insert,
@@ -871,6 +872,17 @@ class SnapshotTable:
         same rows.  ``WHEN NOT MATCHED BY SOURCE`` clauses touch every
         unmatched target row, so they fall back to the full rewrite
         (``cow=False`` forces it; the pre-r9 shape).
+
+        ``source_keys`` (names of equi-join key columns, when the
+        caller knows them - the CDC writer always does): phase 1 first
+        computes the source's per-key [min, max] (one tiny agg over the
+        checkpointed batch) and prunes candidate files from MANIFEST
+        stats with zero data IO, so the semi-join reads only files
+        whose key ranges overlap the batch - on a range-clustered
+        table a localized batch scans a handful of files, not the
+        table.  Scattered batches degrade gracefully to the full scan
+        (the prune keeps everything).  Purely an optimization: touched
+        files are always re-derived exactly by the semi-join.
 
         The parent version is pinned BEFORE the merge plan reads the
         table, so a concurrent commit between read and publish fails the
@@ -896,13 +908,29 @@ class SnapshotTable:
             return self._commit_manifest(parent, files, n, "merge",
                                          stats=stats, schema=unified.json())
         src = source.localCheckpoint(eager=True)
-        tagged = (self.read(parent)
-                  .withColumn("__graft_file", F.input_file_name())
-                  .alias(target_alias))
-        hits = (tagged.join(src.alias(source_alias), F.expr(on),
-                            "left_semi")
-                .select("__graft_file").distinct().collect())
-        by_real = {os.path.realpath(f): f for f in m["files"]}
+        candidates = m["files"]
+        if source_keys:
+            aggs = []
+            for k in source_keys:
+                aggs += [F.min(k).alias(f"__lo_{k}"),
+                         F.max(k).alias(f"__hi_{k}")]
+            row = src.agg(*aggs).collect()[0]
+            conj = [(k, "between", (row[f"__lo_{k}"], row[f"__hi_{k}"]))
+                    for k in source_keys
+                    if row[f"__lo_{k}"] is not None
+                    and row[f"__hi_{k}"] is not None]
+            if conj:
+                candidates = self.prune_files(m, conj)
+        if candidates:
+            tagged = (self._reader_for(m).parquet(*candidates)
+                      .withColumn("__graft_file", F.input_file_name())
+                      .alias(target_alias))
+            hits = (tagged.join(src.alias(source_alias), F.expr(on),
+                                "left_semi")
+                    .select("__graft_file").distinct().collect())
+        else:
+            hits = []
+        by_real = {os.path.realpath(f): f for f in candidates}
         touched = set()
         for r in hits:
             p = _strip_file_scheme(r["__graft_file"])
@@ -1521,7 +1549,8 @@ def cdc_apply_merge(table: SnapshotTable, ops: DataFrame,
                  (None, {c: f"s.{c}" for c in value_cols})],
         not_matched=(f"s.{op_col} <> '{OP_DELETE}'",
                      {c: f"s.{c}" for c in tcols}),
-        validate_cardinality=False)
+        validate_cardinality=False,
+        source_keys=key_cols)
 
 
 def cdc_foreach_batch_writer_versioned(table: SnapshotTable,
