@@ -386,15 +386,18 @@ class Engine:
                     df = df.toDF(*[f.name for f in fields])  # positional
                 # SQL INSERT casts the select list to the table's types
                 # (VALUES literals are int/str; the manifest contract is
-                # exact) - same store-assignment rule as catalog INSERT
+                # exact) - same store-assignment rule as catalog INSERT.
+                # Columns NOT in the manifest pass through untouched:
+                # they are additive schema evolution, append()'s
+                # contract decides their fate
+                known = {f.name: f.dataType for f in fields}
                 types = dict(df.dtypes)
                 df = df.select(*[
-                    (F.col(f.name).cast(f.dataType)
-                     if f.name in types and
-                     types[f.name] != f.dataType.simpleString()
-                     else F.col(f.name)).alias(f.name)
-                    if f.name in df.columns else F.col(f.name)
-                    for f in fields if f.name in df.columns])
+                    (F.col(c).cast(known[c]).alias(c)
+                     if c in known and
+                     types[c] != known[c].simpleString()
+                     else F.col(c))
+                    for c in df.columns])
             if mode.upper() == "OVERWRITE":
                 tab.overwrite(df)
             else:

@@ -875,6 +875,7 @@ def pyds_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile as _tf
     import uuid as _uuid
 
+    from aliyun_maxcompute_data_collectors_spark.session import scoped_sql_conf
     from aliyun_maxcompute_data_collectors_spark.sources.pyds import (
         register_python_datasources,
     )
@@ -890,23 +891,30 @@ def pyds_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         tab = SnapshotTable.init(spark, _os.path.join(root, "t"))
         tab.append(o.where(k % 2 == 0))   # v2
         tab.append(o.where(k % 2 == 1))   # v3
-        spark.sql(f"""CREATE TEMPORARY VIEW {v_cur}
-                      USING graft_snapshot
-                      OPTIONS (path '{_os.path.join(root, "t")}')""")
-        spark.sql(f"""CREATE TEMPORARY VIEW {v_old}
-                      USING graft_snapshot
-                      OPTIONS (path '{_os.path.join(root, "t")}',
-                               version '2')""")
-        out = spark.sql(f"""
-            SELECT (SELECT COUNT(*) FROM {v_old}) AS n_v2,
-                   (SELECT COUNT(*) FROM {v_cur} c
-                      LEFT ANTI JOIN {v_old} o
-                        ON c.o_orderkey = o.o_orderkey) AS n_added,
-                   COUNT(*) AS n_cur,
-                   CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
-            FROM {v_cur}
-        """)
-        return out.localCheckpoint(eager=True)
+        # the reader implements pushFilters, which PySpark refuses to
+        # initialize on a VANILLA session unless the python-filter-
+        # pushdown conf is on (engine sessions set it; a bare tool may
+        # not) - scope it around the reads and restore, exactly like
+        # pyds_snapshot_read
+        with scoped_sql_conf(
+                spark, "spark.sql.python.filterPushdown.enabled", "true"):
+            spark.sql(f"""CREATE TEMPORARY VIEW {v_cur}
+                          USING graft_snapshot
+                          OPTIONS (path '{_os.path.join(root, "t")}')""")
+            spark.sql(f"""CREATE TEMPORARY VIEW {v_old}
+                          USING graft_snapshot
+                          OPTIONS (path '{_os.path.join(root, "t")}',
+                                   version '2')""")
+            out = spark.sql(f"""
+                SELECT (SELECT COUNT(*) FROM {v_old}) AS n_v2,
+                       (SELECT COUNT(*) FROM {v_cur} c
+                          LEFT ANTI JOIN {v_old} o
+                            ON c.o_orderkey = o.o_orderkey) AS n_added,
+                       COUNT(*) AS n_cur,
+                       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+                FROM {v_cur}
+            """)
+            return out.localCheckpoint(eager=True)
     finally:
         for v in (v_cur, v_old):
             try:

@@ -153,9 +153,16 @@ def _scan_adapted(files: list, target_spark_schema) -> "Iterator":
             yield pa.RecordBatch.from_arrays(arrays, schema=target)
 
 
-class _SnapshotReader(DataSourceReader):
+class _SnapshotReaderNoPushdown(DataSourceReader):
     """Reads one pinned manifest (snapshot isolation: the file list is
-    resolved at plan time; later commits never disturb this scan)."""
+    resolved at plan time; later commits never disturb this scan).
+
+    This base variant does NOT declare ``pushFilters``: PySpark refuses
+    to initialize a pushdown-capable Python reader unless
+    ``spark.sql.python.filterPushdown.enabled`` is on (default off), so
+    a bare session that never set the conf gets this class - every read
+    works, just without manifest-stats file skipping.  Sessions with
+    the conf on get :class:`_SnapshotReader` below."""
 
     def __init__(self, manifest: dict, options, schema):
         self._manifest = manifest
@@ -163,6 +170,18 @@ class _SnapshotReader(DataSourceReader):
         self._schema = schema
         self._partition_bytes = int(
             options.get("partition_bytes", _DEFAULT_PARTITION_BYTES))
+
+    def partitions(self):
+        return [_FilesPartition(b)
+                for b in _pack_files(self._files, self._partition_bytes)]
+
+    def read(self, partition):
+        yield from _scan_adapted(partition.files, self._schema)
+
+
+class _SnapshotReader(_SnapshotReaderNoPushdown):
+    """Pushdown-capable variant: manifest-stats file pruning through
+    DSv2 ``pushFilters``."""
 
     def pushFilters(self, filters):
         """Manifest-stats file skipping: translate supported comparisons
@@ -178,13 +197,6 @@ class _SnapshotReader(DataSourceReader):
             self._files = prune_manifest_files(
                 {**self._manifest, "files": self._files}, conjuncts)
         return filters
-
-    def partitions(self):
-        return [_FilesPartition(b)
-                for b in _pack_files(self._files, self._partition_bytes)]
-
-    def read(self, partition):
-        yield from _scan_adapted(partition.files, self._schema)
 
 
 @dataclass
@@ -587,8 +599,24 @@ class GraftSnapshotDataSource(DataSource):
         return from_arrow_schema(pq.read_schema(m["files"][0]))
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        return _SnapshotReader(self._resolve_manifest(), self.options,
-                               schema)
+        # pick the pushdown variant only when the session allows it -
+        # a pushFilters-declaring Python reader FAILS to initialize
+        # under the default conf, which would break every bare-session
+        # read (CREATE TEMPORARY VIEW ... USING graft_snapshot on a
+        # session that never set the conf).  reader() runs at plan time
+        # on the driver, where the active session is available.
+        from pyspark.sql import SparkSession
+        active = SparkSession.getActiveSession()
+        enabled = False
+        if active is not None:
+            try:
+                enabled = str(active.conf.get(
+                    "spark.sql.python.filterPushdown.enabled",
+                    "false")).lower() == "true"
+            except Exception:
+                enabled = False
+        cls = _SnapshotReader if enabled else _SnapshotReaderNoPushdown
+        return cls(self._resolve_manifest(), self.options, schema)
 
     def writer(self, schema: StructType, overwrite: bool):
         return _SnapshotWriter(self._table_path(), overwrite,
