@@ -84,7 +84,7 @@ _PRIORITY = [
     "set_ops", "stddev_variance",
     # tail leaders: remaining r9-touched snapshot family (r8-green, under
     # the local harness this round)
-    "snapshot_time_travel", "snapshot_replace_where",
+    "snapshot_time_travel", "snapshot_replace_where", "cdc_cow_merge",
     "snapshot_changes", "snapshot_pruned_read", "snapshot_merge",
     "snapshot_schema_evolution", "snapshot_zorder_prune",
     "snapshot_bloom_prune", "snapshot_bloom_compact",

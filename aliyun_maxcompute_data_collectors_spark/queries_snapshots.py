@@ -1097,9 +1097,83 @@ FROM head
 """
 
 
+def cdc_cow_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-CDC apply as a COPY-ON-WRITE merge, under the hash
+    oracle (r9): three single-file appends (keys %10: 0-4 / 5-7 / 8),
+    then ONE ops batch - per key %10==5 an out-of-order update pair
+    (ts=2 wins), %10==6 a delete, key -1 an insert - applied through
+    ``cdc_apply_merge`` (net-effect reduction + COW merge with
+    source-key-bound candidate pruning).  Only the middle file holds
+    touched keys, so 2 of 3 files must carry verbatim (``carried``);
+    the oracle recomputes the net effect with window/CASE SQL."""
+    root = tempfile.mkdtemp(prefix="snap_cdcq_")
+    try:
+        from aliyun_maxcompute_data_collectors_spark.snapshots import cdc_apply_merge
+
+        a, b, c = _slices(spark, sf_dir)
+        tab = SnapshotTable.init(spark, root)
+        tab.append(a.coalesce(1))
+        tab.append(b.coalesce(1))
+        tab.append(c.coalesce(1))
+        pre_files = set(tab.manifest()["files"])
+        m10 = F.col("o_orderkey") % 10
+        k, p = F.col("o_orderkey"), F.col("o_totalprice")
+        ops = (
+            # two updates per %10==5 key: ts=1 doubles, ts=2 triples -
+            # newest (ts=2) must win
+            b.where(m10 == 5).select(k, (p * 2).alias("o_totalprice"),
+                                     F.lit(1).alias("ts"),
+                                     F.lit("U").alias("op"))
+            .unionByName(
+                b.where(m10 == 5).select(k, (p * 3).alias("o_totalprice"),
+                                         F.lit(2).alias("ts"),
+                                         F.lit("U").alias("op")))
+            .unionByName(
+                b.where(m10 == 6).select(k, p.alias("o_totalprice"),
+                                         F.lit(1).alias("ts"),
+                                         F.lit("D").alias("op")))
+            .unionByName(
+                spark.range(1).select(
+                    F.lit(-1).cast("long").alias("o_orderkey"),
+                    F.lit(10.5).cast(dict(b.dtypes)["o_totalprice"])
+                    .alias("o_totalprice"),
+                    F.lit(1).alias("ts"), F.lit("I").alias("op"))))
+        cdc_apply_merge(tab, ops, ["o_orderkey"], ["ts"])
+        carried = len(pre_files & set(tab.manifest()["files"]))
+        out = (tab.read().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+            .cast("double").alias("sum_price"))
+            .withColumn("carried", F.lit(carried)))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_CDC_COW_MERGE_SQL = """
+WITH pre AS (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_orderkey % 10 < 9),
+     head AS (
+       SELECT o_orderkey,
+              CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice * 3
+                   ELSE o_totalprice END AS o_totalprice
+       FROM pre WHERE o_orderkey % 10 <> 6
+       UNION ALL
+       SELECT -1, 10.5)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_price,
+       2 AS carried
+FROM head
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "snapshot_delete_update": (snapshot_delete_update, _DELETE_UPDATE_SQL),
     "snapshot_replace_where": (snapshot_replace_where, _REPLACE_WHERE_SQL),
+    "cdc_cow_merge": (cdc_cow_merge, _CDC_COW_MERGE_SQL),
     "snapshot_time_travel": (snapshot_time_travel, _TIME_TRAVEL_SQL),
     "snapshot_changes": (snapshot_changes, _CHANGES_SQL),
     "snapshot_compact": (snapshot_compact, _COMPACT_SQL),

@@ -65,7 +65,7 @@ SPOT = [
     # round-9 additions: file-list segmentation lifecycle, bare-session
     # SQL temp-view reads, and copy-on-write row-level DML
     "snapshot_filelist_segments", "pyds_sql_view", "snapshot_delete_update",
-    "snapshot_replace_where",
+    "snapshot_replace_where", "cdc_cow_merge",
 ]
 
 
