@@ -60,6 +60,13 @@ _UPDATE = re.compile(
     r"^\s*UPDATE\s+([A-Za-z_][\w.]*)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# INSERT INTO name REPLACE WHERE cond SELECT ... — atomic scoped
+# overwrite on a snapshot table (Delta's INSERT INTO ... REPLACE WHERE)
+_INSERT_REPLACE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+"
+    r"REPLACE\s+WHERE\s+(.+?)\s+(SELECT\b.*|VALUES\b.*)$",
+    re.IGNORECASE | re.DOTALL)
+
 # OPTIMIZE name [ZORDER BY (c1, c2)] — snapshot-table maintenance
 _OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+([A-Za-z_]\w*)"
@@ -166,6 +173,9 @@ class Engine:
         ddl = try_execute_ddl(self, query)
         if ddl is not None:
             return ddl
+        rw = _INSERT_REPLACE.match(query)
+        if rw:
+            return self._run_insert_replace(*rw.groups())
         ins = _INSERT.match(query)
         if ins:
             return self._run_insert(*ins.groups())
@@ -373,31 +383,7 @@ class Engine:
             else:
                 df = self.sql(select)
             tab = self._snapshot_table(name)
-            m = tab.manifest()
-            if m.get("schema"):
-                import json as _json
-
-                from pyspark.sql import functions as F
-                from pyspark.sql import types as _T
-                fields = _T.StructType.fromJson(
-                    _json.loads(m["schema"])).fields
-                if len(df.columns) == len(fields) and \
-                        df.columns != [f.name for f in fields]:
-                    df = df.toDF(*[f.name for f in fields])  # positional
-                # SQL INSERT casts the select list to the table's types
-                # (VALUES literals are int/str; the manifest contract is
-                # exact) - same store-assignment rule as catalog INSERT.
-                # Columns NOT in the manifest pass through untouched:
-                # they are additive schema evolution, append()'s
-                # contract decides their fate
-                known = {f.name: f.dataType for f in fields}
-                types = dict(df.dtypes)
-                df = df.select(*[
-                    (F.col(c).cast(known[c]).alias(c)
-                     if c in known and
-                     types[c] != known[c].simpleString()
-                     else F.col(c))
-                    for c in df.columns])
+            df = self._cast_to_snapshot_schema(tab, df)
             if mode.upper() == "OVERWRITE":
                 tab.overwrite(df)
             else:
@@ -436,6 +422,52 @@ class Engine:
     def _empty_result(self):
         from pyspark.sql import types as _T
         return self.spark.createDataFrame([], _T.StructType([]))
+
+    def _cast_to_snapshot_schema(self, tab, df):
+        """SQL INSERT store-assignment onto a snapshot table: align
+        columns positionally when the arity matches, then cast the
+        select list to the manifest's types (VALUES literals are
+        int/str; the manifest contract is exact).  Columns NOT in the
+        manifest pass through untouched - additive schema evolution,
+        append()'s contract decides their fate."""
+        m = tab.manifest()
+        if not m.get("schema"):
+            return df
+        import json as _json
+
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as _T
+        fields = _T.StructType.fromJson(_json.loads(m["schema"])).fields
+        if len(df.columns) == len(fields) and \
+                df.columns != [f.name for f in fields]:
+            df = df.toDF(*[f.name for f in fields])  # positional
+        known = {f.name: f.dataType for f in fields}
+        types = dict(df.dtypes)
+        return df.select(*[
+            (F.col(c).cast(known[c]).alias(c)
+             if c in known and types[c] != known[c].simpleString()
+             else F.col(c))
+            for c in df.columns])
+
+    def _run_insert_replace(self, name: str, cond: str, select: str):
+        """``INSERT INTO t REPLACE WHERE cond SELECT ...`` - the Delta
+        SQL form of the atomic scoped overwrite: one commit replaces
+        exactly the predicate's scope with the select's rows
+        (``SnapshotTable.replace_where``, incl. its out-of-scope input
+        validation).  Registered snapshot tables only."""
+        if name not in self._snapshot_tables:
+            raise ValueError(
+                f"INSERT ... REPLACE WHERE: {name!r} is not a registered "
+                "snapshot table (the atomic scoped overwrite needs the "
+                "snapshot commit; use INSERT OVERWRITE with a partition "
+                "spec for catalog tables)")
+        if select.upper().startswith("VALUES"):
+            df = self.spark.sql(f"SELECT * FROM ({select})")
+        else:
+            df = self.sql(select)
+        tab = self._snapshot_table(name)
+        tab.replace_where(self._cast_to_snapshot_schema(tab, df), cond)
+        return self._empty_result()
 
     def _run_optimize(self, name: str, zorder: str | None):
         """``OPTIMIZE t [ZORDER BY (c1, c2)]`` - snapshot-table

@@ -1431,6 +1431,39 @@ class SnapshotTable:
             parent, files, n, f"cluster:zorder={','.join(cols)}",
             stats=stats, schema=m.get("schema"), blooms=blooms)
 
+    def clone(self, dest_path: str,
+              version: int | None = None) -> "SnapshotTable":
+        """SHALLOW CLONE (Delta/Iceberg's zero-copy table copy): create
+        a NEW snapshot table at ``dest_path`` whose first snapshot
+        references THIS table's data files - no data is copied, the
+        clone commit is O(metadata).  The clone then evolves
+        independently: its appends/DML/compaction write into its own
+        root, and copy-on-write means a mutation never touches a shared
+        file.  Use it to experiment on a 100 TB table (try a risky
+        MERGE, validate, throw the clone away) at metadata cost.
+
+        ``version`` pins the clone to a historical snapshot (defaults
+        to HEAD).
+
+        CAVEAT (same as Delta shallow clones): the clone's manifest
+        references files under the SOURCE's root, so ``vacuum`` on the
+        source can delete files the clone still needs - vacuum the
+        source only after the clone is dropped or compacted (compaction
+        rewrites the clone onto its own files).  The clone's own vacuum
+        is safe: it never deletes outside its root (files/ dirs are
+        matched under the clone's ``_snapshots/files``)."""
+        m = self.manifest(version)
+        dest = SnapshotTable.init(self.spark, dest_path)
+        stats, blooms = resolve_stats(m)
+        fset = set(m["files"])
+        dest._commit_manifest(
+            dest.current_version(), m["files"], m["rows"],
+            f"clone:{self.path}@v{m['version']}",
+            stats={f: s for f, s in stats.items() if f in fset},
+            schema=m.get("schema"),
+            blooms={f: b for f, b in blooms.items() if f in fset})
+        return dest
+
     def consolidate_metadata(self) -> int:
         """Fold every stats/file-list segment the current snapshot carries
         into at most ONE fresh segment (or back inline when small) and

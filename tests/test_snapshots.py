@@ -1330,3 +1330,67 @@ def test_segmented_cdc_merge_commit_is_o_touched(spark, tmp_path,
         F.col("k").isin(100, 2000)).collect()}
     assert got == {100: 9, 2000: 9}
     assert t.manifest()["rows"] == 1001
+
+
+# -- shallow clone (r9) ------------------------------------------------------
+
+def test_shallow_clone_zero_copy_and_independent(spark, tmp_path, dml_table):
+    t = dml_table
+    src_files = set(t.manifest()["files"])
+    c = t.clone(str(tmp_path / "c"))
+    # zero-copy: the clone's first snapshot references the SOURCE files
+    assert set(c.manifest()["files"]) == src_files
+    assert c.read().count() == 1000
+    assert c.manifest()["operation"].startswith("clone:")
+    # independent evolution: COW delete on the clone rewrites into the
+    # clone's own root and never touches a shared file
+    c.delete(("k", "<", 250))
+    assert c.read().count() == 750
+    assert t.read().count() == 1000          # source untouched
+    assert all(os.path.exists(f) for f in src_files)
+    # clone's vacuum never deletes outside its own root
+    c.vacuum(keep_last=1)
+    assert t.read().count() == 1000
+    assert all(os.path.exists(f) for f in src_files)
+    # stats carried: point prune on the clone still works
+    assert len(c.prune_files(c.manifest(), [("k", "==", 600)])) == 1
+
+
+def test_clone_pinned_version(spark, tmp_path):
+    t = SnapshotTable.init(spark, str(tmp_path / "s"))
+    t.append(_kv(spark, 0, 100))
+    v2 = t.current_version()
+    t.append(_kv(spark, 100, 200))
+    c = t.clone(str(tmp_path / "c2"), version=v2)
+    assert c.read().count() == 100
+    assert t.read().count() == 200
+
+
+def test_engine_sql_insert_replace_where(spark, tmp_path):
+    from aliyun_maxcompute_data_collectors_spark.engine import Engine
+    eng = Engine(str(tmp_path / "wh"), spark=spark)
+    root = str(tmp_path / "rt")
+    t = SnapshotTable.init(spark, root)
+    for lo in (0, 100):
+        t.append(_kv(spark, lo, lo + 100).coalesce(1))
+    eng.register_snapshot_table("tgt", root)
+    before = set(t.manifest()["files"])
+    eng.sql("INSERT INTO tgt REPLACE WHERE k >= 100 "
+            "SELECT k, CAST(-1 AS LONG) AS v FROM tgt WHERE k >= 100")
+    m = t.manifest()
+    assert m["operation"] == "replace-where"
+    assert m["rows"] == 200
+    assert len(before & set(m["files"])) == 1  # scope file dropped, other kept
+    got = eng.sql("SELECT MIN(v) AS a, MAX(v) AS b FROM tgt WHERE k >= 100") \
+        .collect()[0]
+    assert (got["a"], got["b"]) == (-1, -1)
+    # VALUES form + store-assignment cast (int literals into bigint)
+    eng.sql("INSERT INTO tgt REPLACE WHERE k BETWEEN 0 AND 1 "
+            "VALUES (0, 7), (1, 7)")
+    assert eng.sql("SELECT SUM(v) AS s FROM tgt WHERE k < 2") \
+        .collect()[0]["s"] == 14
+    # out-of-scope input still refused through the SQL form
+    import pytest as _pytest
+    from aliyun_maxcompute_data_collectors_spark.snapshots import SnapshotError
+    with _pytest.raises(SnapshotError, match="NOT matching"):
+        eng.sql("INSERT INTO tgt REPLACE WHERE k < 0 VALUES (5, 5)")
