@@ -1526,17 +1526,91 @@ class SnapshotTable:
         return removed
 
 
+def scd2_apply_cow(table: SnapshotTable, batch: DataFrame,
+                   keys: list[str], time_col: str,
+                   attr_cols: list[str] | None = None) -> int:
+    """Apply one SCD2 changelog batch as a COPY-ON-WRITE commit: the new
+    dimension differs from the old ONLY on the batch's keys, so only
+    files holding those keys rewrite - per-batch write cost is
+    O(batch + touched files), never the dimension (the
+    ``operators.scd.scd2_apply_batch`` COMPUTE was already
+    batch-proportional; this makes the WRITE match it).
+
+    Phase 1 prunes candidate files from the batch's per-key [min, max]
+    (manifest stats, zero IO) then pins exact touched files with one
+    semi-join on the key columns.  Phase 2 rewrites those files as
+    (their non-touched-key rows) UNION (the touched keys' history
+    rebuilt through scd2_apply_batch - so LATE rows splice correctly
+    and replay stays idempotent, the same guarantees as the full
+    rebuild).  A batch of entirely NEW keys appends without touching
+    any file.  Returns the committed version."""
+    from aliyun_maxcompute_data_collectors_spark.operators.scd import (
+        scd2_apply_batch,
+        scd2_build,
+    )
+
+    parent = table.current_version()
+    m = table.manifest(parent)
+    if not m["files"]:
+        return table.overwrite(
+            scd2_build(batch, keys, time_col, attr_cols),
+            operation="scd2-init")
+    batch = batch.localCheckpoint(eager=True)
+    tkeys = batch.select(*keys).distinct()
+    aggs = []
+    for k in keys:
+        aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
+    row = batch.agg(*aggs).collect()[0]
+    conj = [(k, "between", (row[f"__lo_{k}"], row[f"__hi_{k}"]))
+            for k in keys if row[f"__lo_{k}"] is not None]
+    candidates = table.prune_files(m, conj) if conj else m["files"]
+    touched: list[str] = []
+    if candidates:
+        hits = (table._reader_for(m).parquet(*candidates)
+                .withColumn("__graft_file", F.input_file_name())
+                .join(tkeys, keys, "left_semi")
+                .select("__graft_file").distinct().collect())
+        by_real = {os.path.realpath(f): f for f in candidates}
+        tset = {by_real.get(os.path.realpath(
+            _strip_file_scheme(r["__graft_file"])), None) for r in hits}
+        touched = [f for f in m["files"] if f in tset]
+    if not touched:
+        # every key is new: pure append of its built history
+        return table.append(scd2_build(batch, keys, time_col, attr_cols))
+    sub = table._reader_for(m).parquet(*touched)
+    n_touched = table.spark.read.parquet(*touched).count()
+    keep_rows = sub.join(tkeys, keys, "left_anti")
+    rebuilt = scd2_apply_batch(sub.join(tkeys, keys, "left_semi"),
+                               batch, keys, time_col, attr_cols)
+    out = keep_rows.unionByName(rebuilt)
+    files, n_new, stats = table._write_files(out)
+    return table._publish_cow(parent, m, touched, files, stats,
+                              m["rows"] - n_touched + n_new,
+                              "scd2-merge", m.get("schema"))
+
+
 def scd2_foreach_batch_writer_versioned(table: SnapshotTable,
                                         keys: list[str], time_col: str,
-                                        attr_cols: list[str] | None = None):
+                                        attr_cols: list[str] | None = None,
+                                        strategy: str = "merge"):
     """foreachBatch hook: streaming SCD2 maintenance onto a snapshot table
     - the versioned twin of streaming/cdc.scd2_foreach_batch_writer, with
     the same no-localCheckpoint property as the CDC writer here (the
-    rebuilt dimension lazily reads immutable snapshot files)."""
+    rebuilt dimension lazily reads immutable snapshot files).
+
+    ``strategy="merge"`` (default since r9) applies each batch through
+    :func:`scd2_apply_cow` - per-trigger write cost O(batch + touched
+    files); ``strategy="overwrite"`` keeps the full-dimension rewrite
+    (sensible only for small dimensions)."""
+    if strategy not in ("merge", "overwrite"):
+        raise ValueError(f"unknown SCD2 strategy {strategy!r}")
     from aliyun_maxcompute_data_collectors_spark.operators.scd import scd2_apply_batch
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        if strategy == "merge":
+            scd2_apply_cow(table, batch_df, keys, time_col, attr_cols)
             return
         dim = table.read()
         table.overwrite(scd2_apply_batch(dim, batch_df, keys, time_col,

@@ -1394,3 +1394,65 @@ def test_engine_sql_insert_replace_where(spark, tmp_path):
     from aliyun_maxcompute_data_collectors_spark.snapshots import SnapshotError
     with _pytest.raises(SnapshotError, match="NOT matching"):
         eng.sql("INSERT INTO tgt REPLACE WHERE k < 0 VALUES (5, 5)")
+
+
+# -- SCD2 copy-on-write apply (r9) -------------------------------------------
+
+def test_scd2_cow_matches_overwrite_with_late_rows(spark, tmp_path):
+    """The merge strategy must produce the exact dimension the full
+    rebuild produces - including a LATE (out-of-order) row splicing
+    into a key's interval chain - across a multi-batch sequence."""
+    from aliyun_maxcompute_data_collectors_spark.operators.scd import scd2_build
+    from aliyun_maxcompute_data_collectors_spark.snapshots import (
+        scd2_foreach_batch_writer_versioned)
+
+    seed = spark.createDataFrame(
+        [(k, f"v{k}", 10) for k in range(40)], "id long, v string, ts long")
+    batches = [
+        spark.createDataFrame([(1, "b", 20), (2, "b", 20), (99, "n", 20)],
+                              "id long, v string, ts long"),
+        spark.createDataFrame([(1, "late", 15), (3, "c", 30)],
+                              "id long, v string, ts long"),
+    ]
+    dims = []
+    for strategy in ("merge", "overwrite"):
+        t = SnapshotTable.init(spark, str(tmp_path / strategy))
+        t.overwrite(scd2_build(seed, "id", "ts"))
+        apply_ = scd2_foreach_batch_writer_versioned(
+            t, ["id"], "ts", strategy=strategy)
+        for i, b in enumerate(batches):
+            apply_(b, i)
+        dims.append(sorted(
+            (r["id"], r["version"], r["v"], r["is_current"])
+            for r in t.read().collect()))
+    assert dims[0] == dims[1]
+    # the late ts=15 row spliced BETWEEN ts=10 and ts=20 for key 1
+    key1 = [d for d in dims[0] if d[0] == 1]
+    assert [v for _, _, v, _ in key1] == ["v1", "late", "b"]
+
+
+def test_scd2_cow_carries_untouched_files(spark, tmp_path):
+    from aliyun_maxcompute_data_collectors_spark.operators.scd import scd2_build
+    from aliyun_maxcompute_data_collectors_spark.snapshots import scd2_apply_cow
+
+    t = SnapshotTable.init(spark, str(tmp_path / "d"))
+    log = spark.createDataFrame(
+        [(k, f"v{k}", 10) for k in range(400)], "id long, v string, ts long")
+    t.overwrite(scd2_build(log, "id", "ts")
+                .repartitionByRange(4, "id"))
+    before = set(t.manifest()["files"])
+    batch = spark.createDataFrame([(5, "x", 20)], "id long, v string, ts long")
+    scd2_apply_cow(t, batch, ["id"], "ts")
+    m = t.manifest()
+    assert len(before & set(m["files"])) == 3  # 3 of 4 files untouched
+    assert m["operation"] == "scd2-merge"
+    rows = sorted((r["v"], r["is_current"]) for r in
+                  t.read().where(F.col("id") == 5).collect())
+    assert rows == [("v5", False), ("x", True)]
+    # all-new-keys batch appends without touching any file
+    before2 = set(m["files"])
+    scd2_apply_cow(t, spark.createDataFrame(
+        [(9000, "z", 5)], "id long, v string, ts long"), ["id"], "ts")
+    m2 = t.manifest()
+    assert before2 <= set(m2["files"])
+    assert m2["operation"] == "append"
