@@ -668,7 +668,10 @@ class Engine:
         if name in self._snapshot_tables:
             from aliyun_maxcompute_data_collectors_spark.snapshots import SnapshotTable
             tab = SnapshotTable(self.spark, self._snapshot_tables[name])
-            tab.update(self._parse_assignments(sets), where or "true")
+            bcols, bbits = tab.bloom_columns()
+            tab.update(self._parse_assignments(sets), where or "true",
+                       bloom_cols=bcols or None,
+                       bloom_bits=bbits or (1 << 15))
             from pyspark.sql import types as _T
             return self.spark.createDataFrame([], _T.StructType([]))
         target = self.catalog.read_table(name)
@@ -697,7 +700,12 @@ class Engine:
         if name in self._snapshot_tables:
             from aliyun_maxcompute_data_collectors_spark.snapshots import SnapshotTable
             tab = SnapshotTable(self.spark, self._snapshot_tables[name])
-            tab.delete(where or "true")
+            # rebuild blooms for the rewritten files so SQL DML on a
+            # bloom-maintained table doesn't silently degrade equality
+            # pruning (ADVICE r9, low)
+            bcols, bbits = tab.bloom_columns()
+            tab.delete(where or "true", bloom_cols=bcols or None,
+                       bloom_bits=bbits or (1 << 15))
             from pyspark.sql import types as _T
             return self.spark.createDataFrame([], _T.StructType([]))
         target = self.catalog.read_table(name)

