@@ -303,7 +303,161 @@ _SEG_CACHE_BYTES = 0
 _SEG_CACHE_LOCK = _threading.Lock()
 
 
-def _load_segment(path: str) -> dict:
+# PARQUET SEGMENTS (r10, VERDICT r9 #6): a 1e6-file JSON segment is
+# ~190 MB and json.load alone costs ~5s of every cold plan.  Segments
+# holding at least this many files are written as PARQUET side files
+# instead (columns: file path, per-stat-column lo/hi in their NATIVE
+# arrow types, per-bloom-column m/hex) - the Iceberg move from JSON-ish
+# to columnar manifests.  pyarrow reads them in ~0.1s and the prune
+# evaluates conjuncts VECTORIZED over the arrow arrays instead of one
+# dict lookup per file.  Small segments stay JSON (debuggable, byte-
+# compatible); readers dispatch on the file extension, so tables with
+# mixed generations read fine.  A stat column whose values cannot map
+# to one arrow type makes the whole segment fall back to JSON (never
+# silently coerce - e.g. int64 folded into float64 could mis-prune).
+PARQUET_SEG_MIN_FILES = 65536
+
+
+class _Segment:
+    """One immutable segment side file, decoded lazily.  Dict-compatible
+    (``seg["files"]`` / ``seg.get("stats")``) so every existing consumer
+    keeps working, but the expensive forms - the 1e6-entry stats dict,
+    the columnar arrays the vectorized prune wants - materialize only on
+    first use and are cached for the (process-lifetime) segment cache."""
+
+    __slots__ = ("_path", "_json", "_pq", "_files", "_stats", "_blooms",
+                 "_columnar")
+
+    def __init__(self, path: str):
+        self._path = path
+        self._files = self._stats = self._blooms = self._columnar = None
+        if path.endswith(".parquet"):
+            import pyarrow.parquet as pq
+            self._pq = pq.read_table(path)
+            self._json = None
+        else:
+            with open(path) as f:
+                self._json = json.load(f)
+            self._pq = None
+
+    # -- dict compatibility --------------------------------------------
+    def __getitem__(self, key):
+        if key == "files":
+            return self.files
+        if key == "stats":
+            return self.stats
+        if key == "blooms":
+            return self.blooms
+        raise KeyError(key)
+
+    def get(self, key, default=None):
+        try:
+            v = self[key]
+        except KeyError:
+            return default
+        return v if v is not None else default
+
+    @property
+    def files(self) -> list[str]:
+        if self._files is None:
+            if self._json is not None:
+                self._files = list(self._json.get("files") or [])
+            else:
+                # to_numpy + list() is ~7x faster than to_pylist for 1e6
+                # paths (0.1s vs 0.7s) and yields exact python str objects
+                self._files = list(
+                    self._pq.column("file").to_numpy(zero_copy_only=False))
+        return self._files
+
+    @property
+    def stats(self) -> dict:
+        if self._stats is None:
+            if self._json is not None:
+                self._stats = self._json.get("stats") or {}
+            else:
+                files = self.files
+                out: dict[str, dict] = {}
+                for name in self._pq.schema.names:
+                    if not name.startswith("s_lo:"):
+                        continue
+                    c = name[len("s_lo:"):]
+                    lo = self._pq.column(name).to_pylist()
+                    hi = self._pq.column(f"s_hi:{c}").to_pylist()
+                    for i, f in enumerate(files):
+                        if lo[i] is None or hi[i] is None:
+                            continue
+                        out.setdefault(f, {})[c] = [
+                            _stat_to_json(lo[i]), _stat_to_json(hi[i])]
+                self._stats = out
+        return self._stats
+
+    @property
+    def blooms(self) -> dict:
+        if self._blooms is None:
+            if self._json is not None:
+                self._blooms = self._json.get("blooms") or {}
+            else:
+                files = self.files
+                out: dict[str, dict] = {}
+                for name in self._pq.schema.names:
+                    if not name.startswith("b_m:"):
+                        continue
+                    c = name[len("b_m:"):]
+                    ms = self._pq.column(name).to_pylist()
+                    hx = self._pq.column(f"b_hex:{c}").to_pylist()
+                    for i, f in enumerate(files):
+                        if ms[i] is None or hx[i] is None:
+                            continue
+                        out.setdefault(f, {})[c] = {"m": ms[i],
+                                                    "hex": hx[i]}
+                self._blooms = out
+        return self._blooms
+
+    def columnar(self):
+        """(files, {col: (lo arrow array, hi arrow array)}, bloom col
+        set) for the vectorized prune.  Parquet segments slice their
+        native columns (zero decode); JSON segments build the arrays
+        once from the stats dict and cache them - a column whose decoded
+        values don't fit one arrow type is simply absent (the prune then
+        keeps every file on that column's conjuncts, which is safe)."""
+        if self._columnar is None:
+            import pyarrow as pa
+            files = self.files
+            cols: dict[str, tuple] = {}
+            bloom_cols: set[str] = set()
+            if self._pq is not None:
+                for name in self._pq.schema.names:
+                    if name.startswith("s_lo:"):
+                        c = name[len("s_lo:"):]
+                        cols[c] = (
+                            self._pq.column(name).combine_chunks(),
+                            self._pq.column(f"s_hi:{c}").combine_chunks())
+                    elif name.startswith("b_m:"):
+                        bloom_cols.add(name[len("b_m:"):])
+            else:
+                stats = self.stats
+                names = {c for s in stats.values() for c in (s or {})}
+                for c in names:
+                    lo, hi = [], []
+                    for f in files:
+                        iv = (stats.get(f) or {}).get(c)
+                        if iv is None:
+                            lo.append(None)
+                            hi.append(None)
+                        else:
+                            lo.append(_stat_from_json(iv[0]))
+                            hi.append(_stat_from_json(iv[1]))
+                    try:
+                        cols[c] = (pa.array(lo), pa.array(hi))
+                    except Exception:
+                        continue  # heterogeneous column: not vectorizable
+                bloom_cols = {c for b in self.blooms.values()
+                              for c in (b or {})}
+            self._columnar = (files, cols, bloom_cols)
+        return self._columnar
+
+
+def _load_segment(path: str) -> _Segment:
     global _SEG_CACHE_BYTES
     with _SEG_CACHE_LOCK:
         hit = _SEG_CACHE.get(path)
@@ -311,8 +465,7 @@ def _load_segment(path: str) -> dict:
             _SEG_CACHE.move_to_end(path)
             return hit[0]
     size = os.path.getsize(path)
-    with open(path) as f:
-        data = json.load(f)
+    data = _Segment(path)
     with _SEG_CACHE_LOCK:
         if path not in _SEG_CACHE:
             _SEG_CACHE[path] = (data, size)
@@ -329,6 +482,149 @@ def _seg_cache_clear() -> None:
     with _SEG_CACHE_LOCK:
         _SEG_CACHE.clear()
         _SEG_CACHE_BYTES = 0
+
+
+# exact python type -> arrow type for parquet segment stat columns.  One
+# column = one type, enforced: pyarrow's own inference would silently
+# promote mixed int/float to float64, and an int64 beyond 2^53 folded
+# into float64 can prune WRONG.  Anything else raises and the writer
+# falls back to a JSON segment.
+def _stat_arrow_array(values):
+    import pyarrow as pa
+
+    kinds = {type(v) for v in values if v is not None}
+    if not kinds:
+        return pa.array(values, pa.null())
+    if len(kinds) > 1:
+        raise TypeError(f"mixed stat types {kinds}")
+    k = kinds.pop()
+    explicit = {int: pa.int64(), float: pa.float64(), bool: pa.bool_(),
+                str: pa.string()}
+    if k in explicit:
+        return pa.array(values, explicit[k])
+    if k in (_dt.datetime, _dt.date):
+        return pa.array(values)  # arrow timestamp/date inference is exact
+    raise TypeError(f"unsupported stat type {k}")
+
+
+def _write_parquet_segment(path: str, payload: dict) -> str:
+    """Columnar segment: file path + per-stat-column lo/hi (native arrow
+    types) + per-bloom-column m/hex.  Written atomically (tmp + rename),
+    same crash contract as the JSON form."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = payload["files"]
+    stats = payload.get("stats") or {}
+    blooms = payload.get("blooms") or {}
+    arrays: dict = {"file": pa.array(files, pa.string())}
+    for c in sorted({c for s in stats.values() for c in (s or {})}):
+        lo, hi = [], []
+        for f in files:
+            iv = (stats.get(f) or {}).get(c)
+            if iv is None or iv[0] is None or iv[1] is None:
+                lo.append(None)
+                hi.append(None)
+            else:
+                lo.append(_stat_from_json(iv[0]))
+                hi.append(_stat_from_json(iv[1]))
+        arrays[f"s_lo:{c}"] = _stat_arrow_array(lo)
+        arrays[f"s_hi:{c}"] = _stat_arrow_array(hi)
+    for c in sorted({c for b in blooms.values() for c in (b or {})}):
+        ms, hx = [], []
+        for f in files:
+            b = (blooms.get(f) or {}).get(c)
+            ms.append(int(b["m"]) if b else None)
+            hx.append(b["hex"] if b else None)
+        arrays[f"b_m:{c}"] = pa.array(ms, pa.int64())
+        arrays[f"b_hex:{c}"] = pa.array(hx, pa.string())
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    pq.write_table(pa.table(arrays), tmp, compression="zstd")
+    os.rename(tmp, path)
+    return path
+
+
+def _columnar_exclude(lo, hi, op: str, value):
+    """Vectorized twin of :func:`_interval_may_match`: boolean numpy
+    mask, True where a file is PROVABLY excluded by ``col <op> value``
+    given per-file [lo, hi] arrow arrays.  Missing stats (null) and NaN
+    entries are never excluded; returns None (caller keeps every file)
+    for the cases the scalar path resolves to "never prune": NaN
+    operands, float-vs-integer-column comparisons that float64
+    promotion could get wrong, incomparable types (arrow raises, the
+    caller catches)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    vals = list(value) if op == "between" else [value]
+    if any(isinstance(v, float) and _math.isnan(v) for v in vals):
+        return None
+    if pa.types.is_floating(lo.type) and any(
+            isinstance(v, int) and abs(v) > (1 << 53) for v in vals):
+        return None  # int64 -> float64 promotion would lose exactness
+    if pa.types.is_integer(lo.type) and any(
+            isinstance(v, float) for v in vals):
+        # float literal vs integer stats: arrow would promote the int64
+        # arrays to float64 (inexact past 2^53); rewrite each bound to
+        # the EQUIVALENT integer comparison instead - exact parity with
+        # python's scalar semantics.  lo <= v <=> lo <= floor(v);
+        # hi >= v <=> hi >= ceil(v); lo < v <=> lo <= ceil(v)-1;
+        # hi > v <=> hi >= floor(v)+1.
+        if any(isinstance(v, float) and _math.isinf(v) for v in vals):
+            return None  # floor/ceil of inf: just keep (prune is opt-in)
+        if op in ("==", "="):
+            may = pc.and_kleene(
+                pc.less_equal(lo, pa.scalar(_math.floor(value))),
+                pc.greater_equal(hi, pa.scalar(_math.ceil(value))))
+        elif op == "<":
+            may = pc.less_equal(lo, pa.scalar(_math.ceil(value) - 1))
+        elif op == "<=":
+            may = pc.less_equal(lo, pa.scalar(_math.floor(value)))
+        elif op == ">":
+            may = pc.greater_equal(hi, pa.scalar(_math.floor(value) + 1))
+        elif op == ">=":
+            may = pc.greater_equal(hi, pa.scalar(_math.ceil(value)))
+        elif op == "between":
+            a, b = value
+            may = pc.and_kleene(
+                pc.greater_equal(hi, pa.scalar(_math.ceil(a))),
+                pc.less_equal(lo, pa.scalar(_math.floor(b))))
+        else:
+            raise SnapshotError(f"unsupported prune op {op!r}")
+    elif op in ("==", "="):
+        may = pc.and_kleene(pc.less_equal(lo, pa.scalar(value)),
+                            pc.greater_equal(hi, pa.scalar(value)))
+    elif op == "<":
+        may = pc.less(lo, pa.scalar(value))
+    elif op == "<=":
+        may = pc.less_equal(lo, pa.scalar(value))
+    elif op == ">":
+        may = pc.greater(hi, pa.scalar(value))
+    elif op == ">=":
+        may = pc.greater_equal(hi, pa.scalar(value))
+    elif op == "between":
+        a, b = value
+        may = pc.and_kleene(pc.greater_equal(hi, pa.scalar(a)),
+                            pc.less_equal(lo, pa.scalar(b)))
+    else:
+        raise SnapshotError(f"unsupported prune op {op!r}")
+    excl = pc.fill_null(pc.invert(may), False)
+    for arr in (lo, hi):
+        if pa.types.is_floating(arr.type):
+            nan = pc.fill_null(pc.is_nan(arr), False)
+            excl = pc.and_(excl, pc.invert(nan))
+    return excl.to_numpy(zero_copy_only=False)
+
+
+def _bloom_excludes(fblooms: dict, col: str, value) -> bool:
+    bl = fblooms.get(col)
+    if bl is None:
+        return False
+    pos = _bloom_position(value, bl["m"])
+    if pos is None:
+        return False
+    byte = bytes.fromhex(bl["hex"])[pos >> 3]
+    return not (byte >> (pos & 7)) & 1
 
 
 def _sanitize_stats(stats: dict) -> dict:
@@ -419,7 +715,17 @@ def prune_manifest_files(manifest: dict, conjuncts: list) -> list[str]:
     SOME conjunct provably excludes it - by [min, max] interval, or for
     equality conjuncts by the file's BLOOM bitmap when one was built
     (point lookups on columns whose ranges overlap across files - the
-    case intervals can't prune).  Missing stats keep the file."""
+    case intervals can't prune).  Missing stats keep the file.
+
+    On a file-list-segmented manifest the conjuncts evaluate VECTORIZED
+    over each segment's arrow stat arrays (r10, VERDICT r9 #6) - one
+    compute kernel per (segment, conjunct) instead of a python dict
+    lookup per file; blooms are then checked only for interval
+    survivors.  The inline layout keeps the exact scalar loop."""
+    fsegs = manifest.get("file_segments") or []
+    if fsegs and not (manifest.get("stats") or manifest.get("segments")
+                      or manifest.get("blooms")):
+        return _prune_segmented(manifest, fsegs, conjuncts)
     stats, blooms = resolve_stats(manifest)
     kept = []
     for f in manifest["files"]:
@@ -433,15 +739,65 @@ def prune_manifest_files(manifest: dict, conjuncts: list) -> list[str]:
                 if not _interval_may_match(lo, hi, op, value):
                     keep = False
                     break
-            bl = fblooms.get(col)
-            if bl is not None and op in ("==", "="):
-                pos = _bloom_position(value, bl["m"])
-                if pos is not None:
-                    byte = bytes.fromhex(bl["hex"])[pos >> 3]
-                    if not (byte >> (pos & 7)) & 1:
-                        keep = False  # definitely absent from this file
-                        break
+            if op in ("==", "=") and _bloom_excludes(fblooms, col, value):
+                keep = False  # definitely absent from this file
+                break
         if keep:
+            kept.append(f)
+    return kept
+
+
+def _prune_segmented(manifest: dict, fsegs: list[str],
+                     conjuncts: list) -> list[str]:
+    """Vectorized prune over file segments.  Parity contract with the
+    scalar loop: a file is dropped only when some conjunct PROVABLY
+    excludes it; any case the kernels cannot resolve exactly
+    (incomparable types, NaN, mixed-type columns) keeps the file - the
+    residual filter downstream makes results exact either way.  The
+    op-validity check runs first so unsupported ops still raise."""
+    for _, op, _v in conjuncts:
+        if op not in _PRUNE_OPS:
+            raise SnapshotError(f"unsupported prune op {op!r}")
+    removed = set(manifest.get("removed_files") or [])
+    kept: list[str] = []
+    for seg_path in fsegs:
+        seg = _load_segment(seg_path)
+        files, cols, bloom_cols = seg.columnar()
+        excl = None
+        bloom_conjs = []
+        for col, op, value in conjuncts:
+            pair = cols.get(col)
+            if pair is not None:
+                try:
+                    e = _columnar_exclude(pair[0], pair[1], op, value)
+                except SnapshotError:
+                    raise
+                except Exception:
+                    e = None  # incomparable types: never prune
+                if e is not None:
+                    excl = e if excl is None else (excl | e)
+            if op in ("==", "=") and col in bloom_cols:
+                bloom_conjs.append((col, value))
+        if excl is None and not bloom_conjs:
+            if removed:
+                kept.extend(f for f in files if f not in removed)
+            else:
+                kept.extend(files)
+            continue
+        if excl is None:
+            idx = range(len(files))
+        else:
+            import numpy as np
+            idx = np.nonzero(~excl)[0]
+        blooms = seg.blooms if bloom_conjs else {}
+        for i in idx:
+            f = files[i]
+            if f in removed:
+                continue
+            if bloom_conjs:
+                fb = blooms.get(f) or {}
+                if any(_bloom_excludes(fb, c, v) for c, v in bloom_conjs):
+                    continue
             kept.append(f)
     return kept
 
@@ -580,9 +936,18 @@ class SnapshotTable:
             # manifest stays O(segments).  ``removed_files`` (COW DML on
             # a segmented table) subtracts here - commit stays O(touched)
             removed = set(m.get("removed_files") or [])
-            m["files"] = [f for s in fsegs
-                          for f in _load_segment(s).get("files", [])
-                          if f not in removed]
+            if removed:
+                m["files"] = [f for s in fsegs
+                              for f in _load_segment(s).get("files", [])
+                              if f not in removed]
+            elif len(fsegs) == 1:
+                # the common steady state: one folded segment, no
+                # removals - reuse the segment's cached list outright
+                # (callers never mutate manifest["files"])
+                m["files"] = _load_segment(fsegs[0]).get("files", [])
+            else:
+                m["files"] = [f for s in fsegs
+                              for f in _load_segment(s).get("files", [])]
         return m
 
     def versions(self) -> list[dict]:
@@ -600,8 +965,15 @@ class SnapshotTable:
         return out
 
     def _write_segment(self, version: int, payload: dict) -> str:
-        seg = os.path.join(self._root, "manifests",
-                           f"seg-{version:08d}-{uuid.uuid4().hex}.json")
+        base = os.path.join(self._root, "manifests",
+                            f"seg-{version:08d}-{uuid.uuid4().hex}")
+        files = payload.get("files") or []
+        if len(files) >= PARQUET_SEG_MIN_FILES:
+            try:
+                return _write_parquet_segment(base + ".parquet", payload)
+            except Exception:
+                pass  # untypeable stat column etc: JSON keeps exactness
+        seg = base + ".json"
         _fsync_write(seg, json.dumps(payload, allow_nan=False))
         return seg
 

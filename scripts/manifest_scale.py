@@ -81,7 +81,12 @@ def bench_one(n_files: int, blooms: bool) -> dict:
             blooms=carried_bl or None, segments=pm.get("segments"),
             file_segments=pfsegs)
         commit_s = time.perf_counter() - t0
-        # planning: cold manifest load + one-conjunct prune
+        # planning: cold manifest load + one-conjunct prune.  Clear the
+        # segment cache so "cold" really pays the segment decode (r10;
+        # the r9 number was semi-warm - the preceding commit had loaded
+        # the segments already)
+        from aliyun_maxcompute_data_collectors_spark.snapshots import _seg_cache_clear
+        _seg_cache_clear()
         t0 = time.perf_counter()
         m = tab.manifest()
         kept = tab.prune_files(m, [("id", "between",

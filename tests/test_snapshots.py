@@ -1682,3 +1682,137 @@ def test_unmappable_phase1_hit_raises(spark, dml_table, monkeypatch):
     with pytest.raises(SnapshotError, match="does not map back"):
         t.merge(src, "t.k = s.k", matched=[(None, {"v": "s.v"})],
                 not_matched=(None, "*"))
+
+
+# -- r10: parquet segments + vectorized prune -------------------------------
+
+def test_parquet_segments_roundtrip(spark, tmp_path, monkeypatch):
+    """VERDICT r9 #6: big segments are written as PARQUET (threshold
+    patched to 1 so small tables exercise the path) and every consumer
+    - materialize, read, time travel, prune, DML removal lists, fold,
+    vacuum - behaves identically to the JSON layout."""
+    import json as _json
+
+    import aliyun_maxcompute_data_collectors_spark.snapshots as S
+
+    monkeypatch.setattr(S, "PARQUET_SEG_MIN_FILES", 1)
+    t = SnapshotTable.init(spark, str(tmp_path / "pqseg"), inline_files=2)
+    for lo in range(0, 1000, 250):
+        t.append(_kv(spark, lo, lo + 250).coalesce(1), bloom_cols=["k"])
+    m = t.manifest()
+    assert m.get("file_segments")
+    assert all(s.endswith(".parquet") for s in m["file_segments"])
+    raw = _json.load(open(t._manifest_path(m["version"])))
+    assert raw["files"] == [] and len(m["files"]) == 4
+    # stats round-trip: interval prune hits exactly one file; bloom
+    # round-trip: equality prune on a present/absent value
+    assert len(t.prune_files(m, [("k", "between", (300, 400))])) == 1
+    assert len(t.prune_files(m, [("k", "==", 600)])) == 1
+    assert t.read().count() == 1000
+    assert sorted(r["k"] for r in
+                  t.read(where=("k", "<", 3)).collect()) == [0, 1, 2]
+    # COW DML rides removal lists over parquet segments
+    t.delete(("k", "between", (100, 199)))
+    assert t.read().count() == 900
+    # fold/consolidate rewrites parquet -> parquet with stats intact
+    t.consolidate_metadata()
+    m2 = t.manifest()
+    assert len(m2["file_segments"]) == 1
+    assert m2["file_segments"][0].endswith(".parquet")
+    assert len(t.prune_files(m2, [("k", "==", 600)])) == 1
+    assert t.read().count() == 900
+    # time travel to the pre-delete version still materializes
+    assert t.read(version=m["version"]).count() == 1000
+    # vacuum sweeps dead parquet segments, keeps live ones
+    t.vacuum(keep_last=1)
+    assert t.read().count() == 900
+
+
+def test_parquet_segment_stats_dict_matches_json(spark, tmp_path,
+                                                 monkeypatch):
+    """The lazy stats/blooms dicts decoded from a parquet segment equal
+    what the JSON layout would have stored (same _stat_to_json
+    encodings), so resolve_stats consumers see identical values."""
+    import aliyun_maxcompute_data_collectors_spark.snapshots as S
+    from aliyun_maxcompute_data_collectors_spark.snapshots import resolve_stats
+
+    dfs = {}
+    for fmt, thresh in (("json", 10**9), ("pq", 1)):
+        monkeypatch.setattr(S, "PARQUET_SEG_MIN_FILES", thresh)
+        t = SnapshotTable.init(spark, str(tmp_path / f"cmp_{fmt}"),
+                               inline_files=1)
+        t.append(spark.sql(
+            "SELECT id AS k, CAST(id AS DOUBLE) AS x, "
+            "TIMESTAMP'2024-01-02 03:04:05' + make_interval(0,0,0,0,0,0,id)"
+            " AS ts, DATE'2024-06-01' + CAST(id AS INT) AS d FROM range(50)")
+            .coalesce(1), bloom_cols=["k"])
+        stats, blooms = resolve_stats(t.manifest())
+        dfs[fmt] = ({os.path.basename(f): v for f, v in stats.items()},
+                    {os.path.basename(f): v for f, v in blooms.items()})
+    js, pq_ = dfs["json"], dfs["pq"]
+    assert list(js[0].values()) == list(pq_[0].values())  # same encodings
+    assert list(js[1].values()) == list(pq_[1].values())  # same blooms
+
+
+def test_vectorized_prune_matches_scalar(spark, tmp_path, monkeypatch):
+    """Parity pin: the segmented (vectorized) prune and the inline
+    (scalar) prune keep exactly the same files across ops, types and
+    edge values (missing stats, NaN floats, incomparable literals)."""
+    import aliyun_maxcompute_data_collectors_spark.snapshots as S
+    from aliyun_maxcompute_data_collectors_spark.snapshots import (
+        _seg_cache_clear,
+        prune_manifest_files,
+    )
+
+    root = str(tmp_path / "vp")
+    os.makedirs(os.path.join(root, "_snapshots", "manifests"))
+    os.makedirs(os.path.join(root, "_snapshots", "files"))
+    tab = SnapshotTable.__new__(SnapshotTable)
+    tab.spark = None
+    tab.path = root
+    tab._root = os.path.join(root, "_snapshots")
+    for fmt_thresh in (1, 10**9):            # parquet AND json segments
+        monkeypatch.setattr(S, "PARQUET_SEG_MIN_FILES", fmt_thresh)
+        files = [f"f{i:03d}.parquet" for i in range(40)]
+        stats = {}
+        for i, f in enumerate(files):
+            s = {}
+            if i % 5 != 4:                   # every 5th file: no k stat
+                s["k"] = [i * 10, i * 10 + 9]
+            if i % 3 == 0:
+                s["x"] = [float(i), float(i) + 0.5]
+            if i == 7 and fmt_thresh == 1:
+                # NaN stat: never prune.  Only reachable in parquet form
+                # (json.dumps(allow_nan=False) rejects it, and commit-time
+                # _sanitize_stats drops it before any segment write)
+                s["x"] = [float("nan"), 1.0]
+            stats[f] = s
+        inline = {"files": files, "stats": stats, "rows": 0}
+        seg = tab._write_segment(1, {"files": files, "stats": stats})
+        segmented = {"files": files, "file_segments": [seg],
+                     "stats": {}, "rows": 0}
+        _seg_cache_clear()
+        cases = [
+            [("k", "==", 75)], [("k", "<", 100)], [("k", "<=", 99)],
+            [("k", ">", 300)], [("k", ">=", 300)],
+            [("k", "between", (42, 61))],
+            [("x", "==", 6.2)], [("x", ">=", 30.0)],
+            [("x", "==", float("nan"))],
+            [("k", "==", "not-an-int")],          # incomparable literal
+            [("k", "==", 2.5)],                   # float vs int column
+            [("missing", "==", 1)],
+            [("k", ">", 100), ("x", "<", 9.0)],   # multi-conjunct
+            [("k", "between", (0, 10**15))],
+        ]
+        for conj in cases:
+            got = prune_manifest_files(segmented, conj)
+            want = prune_manifest_files(inline, conj)
+            assert got == want, (fmt_thresh, conj, got, want)
+        # removal lists subtract in the vectorized path too
+        segmented["removed_files"] = files[:3]
+        got = prune_manifest_files(segmented, [("k", "<", 100)])
+        want = [f for f in prune_manifest_files(inline, [("k", "<", 100)])
+                if f not in files[:3]]
+        assert got == want
+        with pytest.raises(SnapshotError, match="unsupported prune op"):
+            prune_manifest_files(segmented, [("k", "!=", 1)])
