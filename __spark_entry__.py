@@ -5,31 +5,34 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash -> CORRECTNESS_r{N}.json).
 
-Rotation note (round 9): the driver verifies the first 50 entries of
-``queries()`` in iteration order.  Cumulative after r8: 169/170 rows
-hash-green at least once (bpe_merges rows-only by design), newest
-evidence r5 for 45 rows / r6 for 40 / r7 for 35 / r8 for 49.  Round 9
-fronts (a) the THREE new queries (snapshot_filelist_segments - the
-file-list segmentation lifecycle incl. vacuum safety, VERDICT r8 #1;
-pyds_sql_view - bare-session SQL via CREATE TEMPORARY VIEW ... USING
-graft_snapshot, #7; snapshot_delete_update - copy-on-write row-level
-DML, the r9 capability addition), (b) the TWO rows most exposed to the
-r9 commit-path rewrite (snapshot_compact - segment CONSOLIDATION now
-happens inside it; pyds_stream_cycle - the streaming sink's commit
-call was re-plumbed; snapshot_time_travel yielded its slot to the DML
-row and leads the tail), then (c) ALL 45 rows whose newest driver
-evidence is r5 - closing VERDICT r8 ask #6: after this round no row's
-newest hash evidence is older than r6.  That fills the window at
-exactly 50.  The REST of the r9-touched snapshot family (r8-green,
-re-verified by the local harness over the new code) leads the tail;
-bpe_merges stays rows-only and settled, so it yields its slot.  Every
+Rotation note (round 10): the driver verifies the first 50 entries of
+``queries()`` in iteration order.  Cumulative after r9: 172/175 rows
+hash-green at least once (bpe_merges rows-only by design;
+snapshot_replace_where and cdc_cow_merge landed after the r9 window
+froze), newest evidence r6 for 40 rows / r7 for 35 / r8 for 47 / r9
+for 50.  Round 10 fronts (a) the FIVE rows with zero driver evidence -
+the two r9 stragglers (snapshot_replace_where, cdc_cow_merge; VERDICT
+r9 #2) plus the three NEW r10 queries (snapshot_parquet_segments -
+parquet manifest segments + vectorized arrow-kernel prune, VERDICT r9
+#6; snapshot_clone_vacuum - clone back-references protecting source
+vacuum, #7; snapshot_conflict_retry - optimistic commit retry under an
+interleaved concurrent append, #4), (b) the FIVE r8-evidence rows most
+exposed to the r10 prune/engine rewrites (snapshot_pruned_read and
+snapshot_bloom_prune ride the new vectorized prune; snapshot_time_travel
+and snapshot_changes ride the manifest-materialization fast path;
+engine_sql_snapshot rides the literal-span + view-restore engine.sql
+rewrite, VERDICT r9 #1), then (c) ALL 40 rows whose newest driver
+evidence is r6 - closing VERDICT r9 ask #2's second half: after this
+round no row's newest hash evidence is older than r7.  That fills the
+window at exactly 50.  The 35 r7-evidence rows lead the tail (next
+round's rotation pool); bpe_merges stays rows-only and settled.  Every
 query stays registered; only iteration order changes.  All queries
 remain covered by the local harness (tests/test_correctness.py at the
 driver's sf0.01); scripts/driver_sim.py gates rotation slots on a
 vanilla-session pass - including the per-query SQL-conf leak diff - run
 via scripts/gate.sh as the round's last act and committed as
-GATE_r9.log (r8's lesson: the log is written BEFORE the prose that
-cites it).
+GATE_r10.log (the r9 discipline: the log is written BEFORE the prose
+that cites it).
 """
 
 from __future__ import annotations
@@ -44,52 +47,49 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from aliyun_maxcompute_data_collectors_spark.queries import REGISTRY  # noqa: E402
 
-# Round-9 driver-verification priority: tier 1 = never driver-checked
-# (the two r9 queries: file-list segmentation lifecycle; bare-session
-# SQL via TEMP VIEW USING); tier 2 = the three rows most exposed to the
-# r9 _commit_manifest rewrite (compact now consolidates segments;
-# time_travel exercises append+rollback over the new file_segments
-# carry; pyds_stream_cycle's sink commit was re-plumbed); tier 3 = ALL
-# 45 rows whose newest evidence is r5 (VERDICT r8 #6: after r9 nothing
-# is older than r6).  Exactly 50 slots; the rest of the r9-touched
-# snapshot family (r8-green, local-harness-verified over the new code)
-# leads the tail, and bpe_merges (rows-only, settled) yields its slot.
-# Gate discipline: this window holds slots only if scripts/driver_sim.py
-# - run at sf0.01 by scripts/gate.sh, whose stdout is committed as
-# GATE_r9.log BEFORE any prose cites it - exits green (including the
-# per-query SQL-conf leak diff) as the round's LAST act.
+# Round-10 driver-verification priority: tier 1 = zero driver evidence
+# (the two r9 stragglers + the three new r10 queries); tier 2 = the five
+# r8-evidence rows most exposed to the r10 rewrites (vectorized prune,
+# manifest-materialization fast path, engine.sql literal spans); tier 3
+# = ALL 40 rows whose newest evidence is r6 (VERDICT r9 #2: after r10
+# nothing is older than r7).  Exactly 50 slots; the 35 r7-evidence rows
+# lead the tail as next round's pool, and bpe_merges (rows-only,
+# settled) stays last.  Gate discipline: this window holds slots only if
+# scripts/driver_sim.py - run at sf0.01 by scripts/gate.sh, whose stdout
+# is committed as GATE_r10.log BEFORE any prose cites it - exits green
+# (including the per-query SQL-conf leak diff) as the round's LAST act.
 _PRIORITY = [
-    # tier 1: never driver-checked (new in r9) — incl. the second-half
-    # capability addition, copy-on-write row-level DELETE/UPDATE
-    "snapshot_filelist_segments", "pyds_sql_view", "snapshot_delete_update",
-    # tier 2: most exposed to the r9 commit-path rewrite
-    # (snapshot_time_travel yielded its slot to snapshot_delete_update:
-    # its newest evidence is r8-green and the filelist-segments row
-    # covers the same append/consolidate commit paths; it leads the tail)
-    "snapshot_compact", "pyds_stream_cycle",
-    # tier 3: every row with r5 evidence (alphabetical)
-    "cast_matrix", "cdc_apply", "char_entropy_gate", "complex_types",
-    "count_star", "cube_agg", "date_parts", "date_trunc_extract",
-    "datetime_diff", "decontaminate_bloom", "distinct_agg",
-    "filter_pushdown_ext", "grouping_sets", "json_get", "lookup_join",
-    "merge_into_apply", "merge_newest_wins", "mixture_rebalance",
-    "ngram_containment", "percentile_quantity", "pmi_collocations",
-    "q11_important_parts", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_count", "q17_small_quantity", "q18_large_orders",
-    "q1_pricing_summary", "q20_excess_volume", "q2_min_cost_supply",
-    "q3_shipping_priority", "q4_order_priority", "q5_region_revenue",
-    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-    "q9_product_profit", "regexp_extract", "rollup_orders", "salted_agg",
-    "scan_filter_project", "semi_anti_join", "sessionize_events",
-    "set_ops", "stddev_variance",
-    # tail leaders: remaining r9-touched snapshot family (r8-green, under
-    # the local harness this round)
-    "snapshot_time_travel", "snapshot_replace_where", "cdc_cow_merge",
-    "snapshot_changes", "snapshot_pruned_read", "snapshot_merge",
-    "snapshot_schema_evolution", "snapshot_zorder_prune",
-    "snapshot_bloom_prune", "snapshot_bloom_compact",
-    "engine_sql_snapshot", "mv_refresh", "pyds_snapshot_read",
-    "pyds_avro_read", "cdc_snapshot_at", "bpe_merges",
+    # tier 1: zero driver evidence — the r9 COW stragglers + the three
+    # r10 additions (parquet segments, clone-aware vacuum, conflict retry)
+    "snapshot_replace_where", "cdc_cow_merge", "snapshot_parquet_segments",
+    "snapshot_clone_vacuum", "snapshot_conflict_retry",
+    # tier 2: r8-evidence rows most exposed to the r10 rewrites
+    "snapshot_pruned_read", "snapshot_bloom_prune", "snapshot_time_travel",
+    "snapshot_changes", "engine_sql_snapshot",
+    # tier 3: every row with r6 evidence (alphabetical)
+    "ann_lsh_topk", "blob_meta", "boilerplate_frac", "chunk_documents",
+    "decontaminate", "dedup_incremental", "dedup_transitive", "det_sample",
+    "doc_fingerprint", "doc_logprob", "doc_rolling_fp", "filter_pipeline",
+    "frame_sample", "heavy_hitter_tokens", "heavy_hitters_by_lang",
+    "higher_order_fns", "lang_id", "lang_quality_calibrated",
+    "minhash_incremental", "minhash_signature", "ngram_jaccard",
+    "pack_sequences", "pii_redact", "pq_code_hist", "profile_documents",
+    "q10_returned_items", "q13_customer_distribution",
+    "q19_discounted_parts", "q21_waiting_supplier", "q22_dormant_customers",
+    "string_functions", "template_routing", "time_partition_assign",
+    "topk_orders", "topk_per_group", "unix_epoch", "window_cumulative",
+    "window_lag_lead", "window_range_frame", "window_rank_suite",
+    # tail leaders: the r7-evidence rows (next round's rotation pool)
+    "agg_extras", "ann_recall", "asof_join_events", "bitwise_agg",
+    "bm25_topk", "ccnet_buckets", "cdc_snapshot_at", "cohort_retention",
+    "conditional_exprs", "constraint_check", "corpus_drift", "corpus_stats",
+    "corr_stats", "dedup_exact", "embedding_dups", "embedding_topk",
+    "ivf_assign_incremental", "ivf_topk", "minhash_lsh", "recursive_chain",
+    "repetition_profile", "scd2_users", "semantic_dedup",
+    "semantic_dedup_exact", "shard_assign", "simhash32_sig",
+    "simhash_pairs", "span_dedup", "split_assignment", "split_leakage",
+    "stratified_sample", "substring_dedup", "temporal_join_pit",
+    "text_profile", "tfidf_keywords",
 ]
 
 

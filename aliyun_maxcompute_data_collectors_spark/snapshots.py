@@ -855,7 +855,8 @@ class SnapshotTable:
                  inline_files: int | None = None,
                  inline_stats_files: int | None = None,
                  max_segments: int | None = None,
-                 removed_files_max: int | None = None):
+                 removed_files_max: int | None = None,
+                 parquet_seg_min_files: int | None = None):
         self.spark = spark
         self.path = path
         self._root = os.path.join(path, "_snapshots")
@@ -870,6 +871,7 @@ class SnapshotTable:
         self._inline_stats_files = inline_stats_files
         self._max_segments = max_segments
         self._removed_files_max = removed_files_max
+        self._parquet_seg_min_files = parquet_seg_min_files
         if not os.path.isdir(self._root):
             raise SnapshotError(
                 f"{path} is not a snapshot table (no _snapshots dir); "
@@ -894,6 +896,11 @@ class SnapshotTable:
     def removed_files_max(self) -> int:
         v = getattr(self, "_removed_files_max", None)  # tolerate __new__-built stubs
         return REMOVED_FILES_MAX if v is None else v
+
+    @property
+    def parquet_seg_min_files(self) -> int:
+        v = getattr(self, "_parquet_seg_min_files", None)
+        return PARQUET_SEG_MIN_FILES if v is None else v
 
     # -- lifecycle ---------------------------------------------------------
     @classmethod
@@ -968,7 +975,7 @@ class SnapshotTable:
         base = os.path.join(self._root, "manifests",
                             f"seg-{version:08d}-{uuid.uuid4().hex}")
         files = payload.get("files") or []
-        if len(files) >= PARQUET_SEG_MIN_FILES:
+        if len(files) >= self.parquet_seg_min_files:
             try:
                 return _write_parquet_segment(base + ".parquet", payload)
             except Exception:
