@@ -10,18 +10,20 @@ Rotation note (round 10): the driver verifies the first 50 entries of
 hash-green at least once (bpe_merges rows-only by design;
 snapshot_replace_where and cdc_cow_merge landed after the r9 window
 froze), newest evidence r6 for 40 rows / r7 for 35 / r8 for 47 / r9
-for 50.  Round 10 fronts (a) the FIVE rows with zero driver evidence -
+for 50.  Round 10 fronts (a) the SIX rows with zero driver evidence -
 the two r9 stragglers (snapshot_replace_where, cdc_cow_merge; VERDICT
-r9 #2) plus the three NEW r10 queries (snapshot_parquet_segments -
+r9 #2) plus the four NEW r10 queries (snapshot_parquet_segments -
 parquet manifest segments + vectorized arrow-kernel prune, VERDICT r9
 #6; snapshot_clone_vacuum - clone back-references protecting source
 vacuum, #7; snapshot_conflict_retry - optimistic commit retry under an
-interleaved concurrent append, #4), (b) the FIVE r8-evidence rows most
-exposed to the r10 prune/engine rewrites (snapshot_pruned_read and
-snapshot_bloom_prune ride the new vectorized prune; snapshot_time_travel
-and snapshot_changes ride the manifest-materialization fast path;
-engine_sql_snapshot rides the literal-span + view-restore engine.sql
-rewrite, VERDICT r9 #1), then (c) ALL 40 rows whose newest driver
+interleaved concurrent append, #4; pyds_cdf_stream - the r10 capability
+addition, change-data-feed streaming over every commit kind), (b) the
+FOUR r8-evidence rows most exposed to the r10 prune/engine rewrites
+(snapshot_pruned_read and snapshot_bloom_prune ride the new vectorized
+prune; snapshot_time_travel the manifest-materialization fast path;
+engine_sql_snapshot the literal-span + view-restore engine.sql rewrite,
+VERDICT r9 #1; snapshot_changes yielded its slot to pyds_cdf_stream
+and leads the tail), then (c) ALL 40 rows whose newest driver
 evidence is r6 - closing VERDICT r9 ask #2's second half: after this
 round no row's newest hash evidence is older than r7.  That fills the
 window at exactly 50.  The 35 r7-evidence rows lead the tail (next
@@ -59,13 +61,16 @@ from aliyun_maxcompute_data_collectors_spark.queries import REGISTRY  # noqa: E4
 # is committed as GATE_r10.log BEFORE any prose cites it - exits green
 # (including the per-query SQL-conf leak diff) as the round's LAST act.
 _PRIORITY = [
-    # tier 1: zero driver evidence — the r9 COW stragglers + the three
-    # r10 additions (parquet segments, clone-aware vacuum, conflict retry)
+    # tier 1: zero driver evidence — the r9 COW stragglers + the four
+    # r10 additions (parquet segments, clone-aware vacuum, conflict
+    # retry, change-data-feed streaming)
     "snapshot_replace_where", "cdc_cow_merge", "snapshot_parquet_segments",
-    "snapshot_clone_vacuum", "snapshot_conflict_retry",
+    "snapshot_clone_vacuum", "snapshot_conflict_retry", "pyds_cdf_stream",
     # tier 2: r8-evidence rows most exposed to the r10 rewrites
+    # (snapshot_changes covers the same materialize path as time_travel
+    # and yielded its slot to pyds_cdf_stream; it leads the tail)
     "snapshot_pruned_read", "snapshot_bloom_prune", "snapshot_time_travel",
-    "snapshot_changes", "engine_sql_snapshot",
+    "engine_sql_snapshot",
     # tier 3: every row with r6 evidence (alphabetical)
     "ann_lsh_topk", "blob_meta", "boilerplate_frac", "chunk_documents",
     "decontaminate", "dedup_incremental", "dedup_transitive", "det_sample",
@@ -79,7 +84,9 @@ _PRIORITY = [
     "string_functions", "template_routing", "time_partition_assign",
     "topk_orders", "topk_per_group", "unix_epoch", "window_cumulative",
     "window_lag_lead", "window_range_frame", "window_rank_suite",
-    # tail leaders: the r7-evidence rows (next round's rotation pool)
+    # tail leaders: snapshot_changes (r8, yielded its tier-2 slot), then
+    # the r7-evidence rows (next round's rotation pool)
+    "snapshot_changes",
     "agg_extras", "ann_recall", "asof_join_events", "bitwise_agg",
     "bm25_topk", "ccnet_buckets", "cdc_snapshot_at", "cohort_retention",
     "conditional_exprs", "constraint_check", "corpus_drift", "corpus_stats",

@@ -1168,6 +1168,66 @@ FROM head
 """
 
 
+def pyds_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED streaming under the hash oracle (r10): a
+    snapshot table receives two appends, a COW row-level DELETE, and a
+    compact; ``readStream ... change_feed=true`` replays the FILE-LEVEL
+    changelog from v1 with availableNow - appends as inserts, the
+    DELETE as its touched file's (delete pre-image, insert kept rows)
+    pair, the compact as NOTHING - into a parquet sink.  The per-
+    change-type count/sum aggregate pins the whole contract: a missed
+    commit, a mis-classified change type, compaction leaking as
+    changes, or double delivery all break the hash."""
+    import os as _os
+
+    from aliyun_maxcompute_data_collectors_spark.sources.pyds import (
+        register_python_datasources,
+    )
+
+    root = tempfile.mkdtemp(prefix="snap_cdf_")
+    try:
+        a, b, _ = _slices(spark, sf_dir)
+        tab = SnapshotTable.init(spark, _os.path.join(root, "t"))
+        tab.append(a.coalesce(1))            # v2: insert
+        tab.append(b.coalesce(1))            # v3: insert
+        tab.delete("o_orderkey % 10 = 6")    # v4: COW pair on b's file
+        tab.compact()                        # v5: rows identical - silent
+        register_python_datasources(spark)
+        out = _os.path.join(root, "out")
+        sdf = (spark.readStream.format("graft_snapshot")
+               .option("path", tab.path)
+               .option("starting_version", "1")
+               .option("change_feed", "true").load())
+        q = (sdf.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", _os.path.join(root, "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        res = (spark.read.parquet(out)
+               .groupBy(F.col("_change_type").alias("change_type"))
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("o_orderkey").cast("long").alias("sum_key"),
+                    F.countDistinct("_commit_version")
+                    .cast("int").alias("n_commits")))
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_PYDS_CDF_SQL = """
+WITH b AS (SELECT o_orderkey FROM orders
+           WHERE o_orderkey % 10 BETWEEN 5 AND 7),
+     ins AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 < 5
+             UNION ALL SELECT o_orderkey FROM b
+             UNION ALL SELECT o_orderkey FROM b WHERE o_orderkey % 10 <> 6)
+SELECT 'insert' AS change_type, COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key, 3 AS n_commits
+FROM ins
+UNION ALL
+SELECT 'delete', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT), 1
+FROM b
+"""
+
+
 def snapshot_parquet_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARQUET manifest segments e2e under the oracle (r10, VERDICT r9
     #6): with per-instance thresholds (``inline_files=2``,
@@ -1374,6 +1434,7 @@ FROM head
 
 
 REGISTRY: dict[str, tuple] = {
+    "pyds_cdf_stream": (pyds_cdf_stream, _PYDS_CDF_SQL),
     "snapshot_parquet_segments": (snapshot_parquet_segments,
                                   _PARQUET_SEGMENTS_SQL),
     "snapshot_clone_vacuum": (snapshot_clone_vacuum, _CLONE_VACUUM_SQL),

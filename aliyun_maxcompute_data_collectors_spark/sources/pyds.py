@@ -119,6 +119,59 @@ class _FilesPartition(InputPartition):
     files: list
 
 
+# CHANGE DATA FEED (r10): metadata columns appended to the table schema
+# when ``change_feed=true`` - the Delta CDF / Iceberg changelog-scan
+# column contract.
+CDF_TYPE_COL = "_change_type"
+CDF_VERSION_COL = "_commit_version"
+
+
+@dataclass
+class _ChangePartition(InputPartition):
+    # (file path, "insert"|"delete", commit version) triples
+    entries: list
+
+
+def _pack_entries(entries: list, target_bytes: int) -> list[list]:
+    """First-fit bin-pack CDF entries by their file's on-disk size (same
+    policy as _pack_files; an entry's file exists until vacuum, which is
+    the streaming-retention contract anyway)."""
+    sized = [(e, os.path.getsize(e[0])) for e in entries]
+    bins: list[list] = []
+    fill: list[int] = []
+    for e, sz in sorted(sized, key=lambda t: -t[1]):
+        for i, used in enumerate(fill):
+            if used + sz <= target_bytes:
+                bins[i].append(e)
+                fill[i] += sz
+                break
+        else:
+            bins.append([e])
+            fill.append(sz)
+    return bins or [[]]
+
+
+def _scan_change_entries(entries: list, target_spark_schema) -> "Iterator":
+    """Arrow batches for CDF entries: each file scans conformed to the
+    TABLE part of the schema (schema evolution handled by _scan_adapted)
+    and the two metadata columns are appended as constants per batch -
+    ``pa.repeat`` run-end-free constant arrays, no per-row python."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(target_spark_schema)
+    base = StructType([f for f in target_spark_schema.fields
+                       if f.name not in (CDF_TYPE_COL, CDF_VERSION_COL)])
+    for f, ctype, ver in entries:
+        for batch in _scan_adapted([f], base):
+            arrays = list(batch.columns)
+            arrays.append(pa.repeat(pa.scalar(ctype, pa.string()),
+                                    batch.num_rows))
+            arrays.append(pa.repeat(pa.scalar(int(ver), pa.int64()),
+                                    batch.num_rows))
+            yield pa.RecordBatch.from_arrays(arrays, schema=target)
+
+
 def _scan_adapted(files: list, target_spark_schema) -> "Iterator":
     """Yield arrow batches for ``files`` conformed to the table's
     unified schema: files that predate an added column emit it as NULL,
@@ -177,6 +230,57 @@ class _SnapshotReaderNoPushdown(DataSourceReader):
 
     def read(self, partition):
         yield from _scan_adapted(partition.files, self._schema)
+
+
+class _SnapshotChangeReader(DataSourceReader):
+    """BATCH change-data-feed read (r10): ``change_feed=true`` with
+    ``starting_version`` (exclusive) and optional ``ending_version``
+    (inclusive, default HEAD) scans the file-level changelog between two
+    snapshots - the scheduled-incremental-job twin of the CDF stream.
+    Same granularity contract: a COW-rewritten file's unchanged rows
+    appear as delete+insert pairs; compact/cluster/consolidate commits
+    emit nothing."""
+
+    def __init__(self, path: str, options, schema):
+        self._schema = schema
+        self._partition_bytes = int(
+            options.get("partition_bytes", _DEFAULT_PARTITION_BYTES))
+        tab = SnapshotTable(None, path)
+        start = options.get("starting_version")
+        if start is None:
+            raise SnapshotError(
+                "graft_snapshot change_feed batch read requires "
+                ".option('starting_version', <v>) - changes AFTER v")
+        start = int(start)
+        end = options.get("ending_version")
+        end = tab.current_version() if end is None else int(end)
+        head = tab.current_version()
+        if not 1 <= start <= end <= head:
+            raise SnapshotError(
+                f"graft_snapshot change_feed: bad version range "
+                f"v{start}..v{end} (HEAD is v{head})")
+        self._entries: list = []
+        for v in range(start + 1, end + 1):
+            m = tab.manifest(v)
+            op = m["operation"]
+            if (op in ("init", "compact", "consolidate-metadata")
+                    or op.startswith("cluster")):
+                continue
+            parent_files = (set(tab.manifest(m["parent"])["files"])
+                            if m["parent"] is not None else set())
+            curset = set(m["files"])
+            self._entries += [(f, "delete", v)
+                              for f in sorted(parent_files)
+                              if f not in curset]
+            self._entries += [(f, "insert", v) for f in m["files"]
+                              if f not in parent_files]
+
+    def partitions(self):
+        return [_ChangePartition(b)
+                for b in _pack_entries(self._entries, self._partition_bytes)]
+
+    def read(self, partition):
+        yield from _scan_change_entries(partition.entries, self._schema)
 
 
 class _SnapshotReader(_SnapshotReaderNoPushdown):
@@ -324,6 +428,19 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     def __init__(self, path: str, options, schema=None):
         self._path = path
         self._schema = schema
+        # CHANGE DATA FEED mode (r10): micro-batches are file-level
+        # changelog entries - appends stream as inserts, COW/overwrite
+        # commits as (delete old files, insert new files) pairs - so a
+        # downstream job can follow a table maintained by CDC merges /
+        # row-level DML instead of dying on the first non-append commit.
+        # FILE-level granularity (the Iceberg changelog-scan shape for
+        # COW tables): a rewritten file's UNCHANGED rows appear as
+        # delete+insert pairs too; consumers needing exact row diffs use
+        # SnapshotTable.changes() driver-side.  compact/cluster/
+        # consolidate commits emit nothing (rows identical - changes()
+        # parity).  on_overwrite does not apply (nothing to fail on).
+        self._cdf = str(options.get("change_feed", "false")).lower() \
+            in ("true", "1")
         self._on_overwrite = options.get("on_overwrite", "fail")
         if self._on_overwrite not in ("fail", "skip"):
             raise SnapshotError(
@@ -372,14 +489,41 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                         if m["parent"] is not None else set())
         return [f for f in m["files"] if f not in parent_files]
 
+    def _entries(self, tab: SnapshotTable, v: int,
+                 enforce_policy: bool = True) -> list:
+        """Version ``v``'s planning units as (file, change type, version)
+        triples.  Non-CDF mode: the ADDED files as inserts (the
+        fail/skip policy per :meth:`_added_files`).  CDF mode: the
+        file-level changelog - appends insert their new files; COW DML /
+        overwrite / merge / rollback commits emit (delete: files leaving
+        the table, insert: files joining it); compact / cluster /
+        consolidate emit nothing (rows identical)."""
+        if not self._cdf:
+            return [(f, "insert", v)
+                    for f in self._added_files(tab, v, enforce_policy)]
+        m = tab.manifest(v)
+        op = m["operation"]
+        if op == "init":
+            return []
+        if (op in ("compact", "consolidate-metadata")
+                or op.startswith("cluster")):
+            return []
+        parent_files = (set(tab.manifest(m["parent"])["files"])
+                        if m["parent"] is not None else set())
+        curset = set(m["files"])
+        removed = [f for f in sorted(parent_files) if f not in curset]
+        added = [f for f in m["files"] if f not in parent_files]
+        return ([(f, "delete", v) for f in removed]
+                + [(f, "insert", v) for f in added])
+
     def _consumed(self, tab: SnapshotTable, off: dict) -> tuple[int, int]:
-        """(version, files-of-that-version-consumed) from an offset dict;
-        a missing ``file`` key (pre-cap checkpoints) means fully
+        """(version, entries-of-that-version-consumed) from an offset
+        dict; a missing ``file`` key (pre-cap checkpoints) means fully
         consumed."""
         v = off["version"]
         if "file" in off:
             return v, off["file"]
-        return v, len(self._added_files(tab, v, enforce_policy=False))
+        return v, len(self._entries(tab, v, enforce_policy=False))
 
     def _trace(self, msg: str) -> None:
         p = os.environ.get("GRAFT_PYDS_TRACE")
@@ -394,8 +538,8 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         tab = SnapshotTable(None, self._path)
         self._cursor = {
             "version": self._start,
-            "file": len(self._added_files(tab, self._start,
-                                          enforce_policy=False))}
+            "file": len(self._entries(tab, self._start,
+                                      enforce_policy=False))}
         return dict(self._cursor)
 
     def latestOffset(self) -> dict:
@@ -409,15 +553,15 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             # whole backlog; every later batch is capped again once
             # partitions() re-establishes the cursor)
             return {"version": head,
-                    "file": len(self._added_files(
+                    "file": len(self._entries(
                         tab, head, enforce_policy=False))}
         v, consumed = self._consumed(tab, self._cursor)
         budget = self._max_files
         while budget > 0:
             # the starting version is consumed by definition - the
             # fail/skip policy only governs versions the stream reads
-            added = len(self._added_files(tab, v,
-                                          enforce_policy=v != self._start))
+            added = len(self._entries(tab, v,
+                                      enforce_policy=v != self._start))
             if consumed < added:
                 take = min(budget, added - consumed)
                 consumed += take
@@ -436,19 +580,26 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         tab = SnapshotTable(None, self._path)
         sv, sf = self._consumed(tab, start)
         ev, ef = self._consumed(tab, end)
-        new_files: list[str] = []
+        new_entries: list = []
         for v in range(sv, ev + 1):
-            added = self._added_files(tab, v,
-                                      enforce_policy=v != self._start)
+            ent = self._entries(tab, v, enforce_policy=v != self._start)
             lo = sf if v == sv else 0
-            hi = ef if v == ev else len(added)
-            new_files.extend(added[lo:hi])
+            hi = ef if v == ev else len(ent)
+            new_entries.extend(ent[lo:hi])
         self._cursor = {"version": ev, "file": ef}
+        if self._cdf:
+            return [_ChangePartition(b)
+                    for b in _pack_entries(new_entries,
+                                           self._partition_bytes) if b]
         return [_FilesPartition(b)
-                for b in _pack_files(new_files, self._partition_bytes)
+                for b in _pack_files([e[0] for e in new_entries],
+                                     self._partition_bytes)
                 if b]
 
     def read(self, partition):
+        if isinstance(partition, _ChangePartition):
+            yield from _scan_change_entries(partition.entries, self._schema)
+            return
         if self._schema is not None:
             yield from _scan_adapted(partition.files, self._schema)
             return
@@ -532,7 +683,19 @@ class GraftSnapshotDataSource(DataSource):
     travel to an exact snapshot); ``timestamp_ms`` (time travel to the
     newest snapshot committed at or before the epoch-millis instant);
     ``partition_bytes`` (per-task scan target).  Write modes: ``append``
-    and ``overwrite``, both one atomic manifest commit."""
+    and ``overwrite``, both one atomic manifest commit.
+
+    CHANGE DATA FEED (r10): ``change_feed=true`` appends
+    ``_change_type`` / ``_commit_version`` metadata columns and reads
+    the FILE-LEVEL changelog instead of the table state - batch reads
+    take ``starting_version`` (exclusive) + optional ``ending_version``;
+    stream reads follow every commit kind (appends as inserts, COW DML /
+    overwrite / merge / rollback as delete+insert file pairs,
+    compact/cluster/consolidate as nothing) instead of failing on the
+    first non-append commit.  Granularity contract (Iceberg
+    changelog-scan for COW tables): a rewritten file's unchanged rows
+    appear as delete+insert pairs; use ``SnapshotTable.changes()`` for
+    exact row diffs driver-side."""
 
     @classmethod
     def name(cls):
@@ -585,6 +748,10 @@ class GraftSnapshotDataSource(DataSource):
                 "schema; append first")
         return m
 
+    def _cdf_enabled(self) -> bool:
+        return str(self.options.get("change_feed", "false")).lower() \
+            in ("true", "1")
+
     def schema(self) -> StructType:
         import json as _json
 
@@ -592,13 +759,29 @@ class GraftSnapshotDataSource(DataSource):
         if m.get("schema"):
             # the manifest IS the schema authority (evolution-aware, no
             # footer IO); footer fallback covers legacy manifests only
-            return StructType.fromJson(_json.loads(m["schema"]))
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import from_arrow_schema
+            base = StructType.fromJson(_json.loads(m["schema"]))
+        else:
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import from_arrow_schema
 
-        return from_arrow_schema(pq.read_schema(m["files"][0]))
+            base = from_arrow_schema(pq.read_schema(m["files"][0]))
+        if not self._cdf_enabled():
+            return base
+        from pyspark.sql.types import LongType, StringType, StructField
+        clash = [c for c in (CDF_TYPE_COL, CDF_VERSION_COL)
+                 if c in base.fieldNames()]
+        if clash:
+            raise SnapshotError(
+                f"graft_snapshot change_feed: table columns {clash} "
+                "collide with the CDF metadata columns")
+        return StructType(list(base.fields) + [
+            StructField(CDF_TYPE_COL, StringType(), False),
+            StructField(CDF_VERSION_COL, LongType(), False)])
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if self._cdf_enabled():
+            return _SnapshotChangeReader(self._table_path(), self.options,
+                                         schema)
         # pick the pushdown variant only when the session allows it -
         # a pushFilters-declaring Python reader FAILS to initialize
         # under the default conf, which would break every bare-session

@@ -407,3 +407,99 @@ def test_bare_session_sql_via_temporary_view_using(spark, orders, root,
     finally:
         for v in ("snap_sql_cur", "snap_sql_v2", "snap_sql_uri"):
             spark.catalog.dropTempView(v)
+
+
+# -- r10: change data feed (batch + stream) ---------------------------------
+
+def test_snapshot_cdf_stream_follows_dml(spark, orders, root, pushdown):
+    """change_feed=true: the stream follows appends AND copy-on-write
+    DML - appends surface as inserts, a DELETE's rewritten file as a
+    (delete old file, insert new file) pair, compact as nothing - with
+    _change_type/_commit_version pinned per commit."""
+    tab = SnapshotTable.init(spark, root)
+    m = F.col("o_orderkey") % 10
+    tab.append(orders.where(m < 3).coalesce(1))          # v2: insert
+    tab.append(orders.where(m == 3).coalesce(1))         # v3: insert
+    v_del = tab.delete("o_orderkey % 10 = 1")            # v4: COW rewrite
+    v_cmp = tab.compact()                                # v5: no changes
+    sdf = (spark.readStream.format("graft_snapshot").option("path", root)
+           .option("starting_version", "1")
+           .option("change_feed", "true").load())
+    assert sdf.schema.fieldNames() == [
+        "o_orderkey", "o_totalprice", "_change_type", "_commit_version"]
+    out, ck = os.path.join(root, "out"), os.path.join(root, "ck")
+    _drain(sdf, out, ck)
+    got = spark.read.parquet(out)
+    by = {(r["_commit_version"], r["_change_type"]): r["n"]
+          for r in got.groupBy("_commit_version", "_change_type")
+          .agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_a = orders.where(m < 3).count()
+    n_b = orders.where(m == 3).count()
+    n_1 = orders.where(m == 1).count()
+    # v2/v3 appends: pure inserts; v4 COW delete: the touched file's
+    # FULL pre-image deletes and its kept rows re-insert (file-level
+    # granularity); v5 compact: absent entirely
+    assert by == {(2, "insert"): n_a, (3, "insert"): n_b,
+                  (v_del, "delete"): n_a, (v_del, "insert"): n_a - n_1}
+    assert not [k for k in by if k[0] == v_cmp]
+    # incremental continuation: an UPDATE streams as a file-level
+    # delete+insert pair of equal row counts - the v5 compact left ONE
+    # file, so the documented rewrite amplification surfaces here: the
+    # whole live table (not just the matched rows) deletes + re-inserts
+    tab.update({"o_totalprice": "o_totalprice * 2"}, "o_orderkey % 10 = 3")
+    _drain(sdf, out, ck)
+    got2 = spark.read.parquet(out)
+    v_upd = tab.current_version()
+    n_live = tab.read().count()
+    upd = {r["_change_type"]: r["n"] for r in
+           got2.where(F.col("_commit_version") == v_upd)
+           .groupBy("_change_type").agg(F.count(F.lit(1)).alias("n"))
+           .collect()}
+    assert upd == {"delete": n_live, "insert": n_live}
+    # net-state replay check: inserts minus deletes = the live table
+    net = (got2.groupBy("o_orderkey")
+           .agg(F.sum(F.when(F.col("_change_type") == "insert", 1)
+                      .otherwise(-1)).alias("bal")))
+    assert net.where("bal = 1").count() == tab.read().count()
+    assert net.where("bal NOT IN (0, 1)").count() == 0
+
+
+def test_snapshot_cdf_batch_version_range(spark, orders, root, pushdown):
+    """Batch change_feed: starting_version (exclusive) + ending_version
+    (inclusive) scan exactly the commits in range; the range crossing a
+    compact yields nothing for it; option validation raises cleanly."""
+    tab = SnapshotTable.init(spark, root)
+    m = F.col("o_orderkey") % 10
+    tab.append(orders.where(m == 0).coalesce(1))   # v2
+    tab.append(orders.where(m == 1).coalesce(1))   # v3
+    tab.delete("o_orderkey % 10 = 0")              # v4: whole-file drop
+    tab.compact()                                  # v5
+
+    def read(start, end=None):
+        r = (spark.read.format("graft_snapshot").option("path", root)
+             .option("change_feed", "true")
+             .option("starting_version", str(start)))
+        if end is not None:
+            r = r.option("ending_version", str(end))
+        return r.load()
+
+    n0 = orders.where(m == 0).count()
+    n1 = orders.where(m == 1).count()
+    # (v2, v3]: only v3's insert
+    got = read(2, 3)
+    assert {(r["_change_type"], r["n"]) for r in
+            got.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n"))
+            .collect()} == {("insert", n1)}
+    # (v1, HEAD]: v2+v3 inserts, v4 whole-file delete, v5 nothing
+    full = read(1)
+    by = {(r["_commit_version"], r["_change_type"]): r["n"]
+          for r in full.groupBy("_commit_version", "_change_type")
+          .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by == {(2, "insert"): n0, (3, "insert"): n1, (4, "delete"): n0}
+    # projection/filter still work through the DSv2 path
+    assert full.where("_change_type = 'delete'").count() == n0
+    with pytest.raises(Exception, match="starting_version"):
+        (spark.read.format("graft_snapshot").option("path", root)
+         .option("change_feed", "true").load().count())
+    with pytest.raises(Exception, match="bad version range"):
+        read(3, 99).count()
