@@ -73,14 +73,19 @@ _OPTIMIZE = re.compile(
     r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*$",
     re.IGNORECASE | re.DOTALL)
 
-# VACUUM name [RETAIN n] — snapshot-table retention sweep
+# VACUUM name [RETAIN n [HOURS]] — snapshot-table retention sweep;
+# bare n = keep the last n snapshots, n HOURS = time-based retention
 _VACUUM = re.compile(
-    r"^\s*VACUUM\s+([A-Za-z_]\w*)(?:\s+RETAIN\s+(\d+))?\s*$",
+    r"^\s*VACUUM\s+([A-Za-z_]\w*)(?:\s+RETAIN\s+(\d+)(\s+HOURS)?)?\s*$",
     re.IGNORECASE)
 
 # DESCRIBE HISTORY name — the snapshot log as a DataFrame
 _DESCRIBE_HISTORY = re.compile(
     r"^\s*DESC(?:RIBE)?\s+HISTORY\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE)
+
+# DESCRIBE DETAIL name — one-row table metadata (Delta's DESCRIBE DETAIL)
+_DESCRIBE_DETAIL = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+DETAIL\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE)
 
 # DELETE FROM name [WHERE cond]
 _DELETE = re.compile(
@@ -197,6 +202,9 @@ class Engine:
         hist = _DESCRIBE_HISTORY.match(query)
         if hist:
             return self._run_describe_history(hist.group(1))
+        det = _DESCRIBE_DETAIL.match(query)
+        if det:
+            return self._run_describe_detail(det.group(1))
         # capture any user temp views about to be shadowed by bare-name
         # registration so they can be RESTORED after analysis (VERDICT r9:
         # snapshot views were drop-after-analysis since r9, but a user view
@@ -435,9 +443,13 @@ class Engine:
             tab = self._snapshot_table(name)
             df = self._cast_to_snapshot_schema(tab, df)
             if mode.upper() == "OVERWRITE":
+                # a full replace resets the bloom maintenance policy
+                # (there is no prior file set to stay consistent with)
                 tab.overwrite(df)
             else:
-                tab.append(df)
+                bcols, bbits = tab.bloom_columns()
+                tab.append(df, bloom_cols=bcols or None,
+                           bloom_bits=bbits or (1 << 15))
             return self._empty_result()
         static: dict[str, str] = {}
         if part:
@@ -516,7 +528,10 @@ class Engine:
         else:
             df = self.sql(select)
         tab = self._snapshot_table(name)
-        tab.replace_where(self._cast_to_snapshot_schema(tab, df), cond)
+        bcols, bbits = tab.bloom_columns()
+        tab.replace_where(self._cast_to_snapshot_schema(tab, df), cond,
+                          bloom_cols=bcols or None,
+                          bloom_bits=bbits or (1 << 15))
         return self._empty_result()
 
     def _run_optimize(self, name: str, zorder: str | None):
@@ -538,16 +553,47 @@ class Engine:
             tab.compact()
         return self._empty_result()
 
-    def _run_vacuum(self, name: str, retain: str | None):
-        """``VACUUM t [RETAIN n]`` - drop files/manifests unreferenced by
-        the last n (default 2) snapshots."""
+    def _run_vacuum(self, name: str, retain: str | None,
+                    hours: str | None = None):
+        """``VACUUM t [RETAIN n [HOURS]]`` - drop files/manifests
+        unreferenced by the retained snapshots: bare ``RETAIN n`` keeps
+        the last n (default 2); ``RETAIN n HOURS`` keeps every snapshot
+        committed within the last n hours (plus HEAD) - the Delta
+        retention shape."""
+        import time as _time
         if name not in self._snapshot_tables:
             raise ValueError(
                 f"VACUUM: {name!r} is not a registered snapshot table")
-        removed = self._snapshot_table(name).vacuum(
-            keep_last=int(retain) if retain else 2)
+        tab = self._snapshot_table(name)
+        if retain and hours:
+            removed = tab.vacuum(
+                keep_last=1,
+                older_than_ms=int(_time.time() * 1000)
+                - int(retain) * 3_600_000)
+        else:
+            removed = tab.vacuum(keep_last=int(retain) if retain else 2)
         return self.spark.createDataFrame(
             [(p,) for p in removed], "removed_path string")
+
+    def _run_describe_detail(self, name: str):
+        """``DESCRIBE DETAIL t`` - one-row table metadata (current
+        version, rows, file/byte counts, segment shape, bloom columns)."""
+        if name not in self._snapshot_tables:
+            raise ValueError(
+                f"DESCRIBE DETAIL: {name!r} is not a registered "
+                "snapshot table")
+        d = self._snapshot_table(name).detail()
+        return self.spark.createDataFrame(
+            [(d["path"], d["version"], d["operation"], d["timestamp_ms"],
+              d["rows"], d["num_files"], d["size_bytes"],
+              d["num_file_segments"], d["num_stats_segments"],
+              d["num_removed_files"], ",".join(d["bloom_columns"]),
+              d["num_versions"])],
+            "path string, version int, operation string, "
+            "timestamp_ms long, rows long, num_files int, "
+            "size_bytes long, num_file_segments int, "
+            "num_stats_segments int, num_removed_files int, "
+            "bloom_columns string, num_versions int")
 
     def _run_describe_history(self, name: str):
         """``DESCRIBE HISTORY t`` - the snapshot log (version, operation,
@@ -625,11 +671,17 @@ class Engine:
                 raise ValueError(f"MERGE: unsupported MATCHED action {a!r}")
         if name in self._snapshot_tables:
             # transactional COPY-ON-WRITE merge: only files holding
-            # matches rewrite, one atomic commit, time travel preserved
-            self._snapshot_table(name).merge(
+            # matches rewrite, one atomic commit, time travel preserved;
+            # blooms rebuild for the new files on bloom-maintained
+            # tables (ADVICE r9 follow-through - same as DELETE/UPDATE)
+            tab = self._snapshot_table(name)
+            bcols, bbits = tab.bloom_columns()
+            tab.merge(
                 source, on, matched=matched, not_matched=not_matched,
                 not_matched_by_source=by_source or None,
-                target_alias=talias, source_alias=salias)
+                target_alias=talias, source_alias=salias,
+                bloom_cols=bcols or None,
+                bloom_bits=bbits or (1 << 15))
             return self._empty_result()
         target = self.catalog.read_table(name)
         merged = merge_into(target, source, on, matched, not_matched,

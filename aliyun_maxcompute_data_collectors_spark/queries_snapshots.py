@@ -1310,12 +1310,16 @@ def snapshot_clone_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         a, b, c = _slices(spark, sf_dir)
         src = SnapshotTable.init(spark, _os.path.join(root, "src"))
-        src.append(a.coalesce(1))
-        src.append(b.coalesce(1))
+        # parallel writes: file counts vary with parallelism, so the
+        # zero-copy pin below is the boolean "every clone file IS a
+        # source file", not a literal count (keeps the query linear -
+        # a coalesce(1) here was the one sf10-superlinear entry, x13)
+        src.append(a)
+        src.append(b)
         src_files = set(src.manifest()["files"])
         clone = src.clone(_os.path.join(root, "clone"))
-        carried = len(src_files & set(clone.manifest()["files"]))
-        src.overwrite(c.coalesce(1))
+        zero_copy = int(set(clone.manifest()["files"]) == src_files)
+        src.overwrite(c)
         src.vacuum(keep_last=1)   # clone-protected: shared files survive
         n_markers = len(_os.listdir(_os.path.join(src._root, "clones")))
 
@@ -1330,7 +1334,7 @@ def snapshot_clone_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         out = (_row(clone.read(), "clone")
                .unionByName(_row(src.read(), "source"))
-               .withColumn("carried", F.lit(carried))
+               .withColumn("zero_copy", F.lit(zero_copy))
                .withColumn("n_markers", F.lit(n_markers)))
         return out.localCheckpoint(eager=True)
     finally:
@@ -1342,12 +1346,12 @@ SELECT 'clone' AS step, COUNT(*) AS n_rows,
        CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
          AS sum_price,
-       2 AS carried, 1 AS n_markers
+       1 AS zero_copy, 1 AS n_markers
 FROM orders WHERE o_orderkey % 10 < 8
 UNION ALL
 SELECT 'source', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE),
-       2, 1
+       1, 1
 FROM orders WHERE o_orderkey % 10 = 8
 """
 

@@ -1143,14 +1143,30 @@ class SnapshotTable:
         leaves only invisible garbage for vacuum.  Returns
         (files, row_count, per-file column stats) - stats come from the
         parquet footers the writer just produced (metadata-only IO)."""
+        import pyarrow.parquet as pq
+
         stage = os.path.join(self._root, "files", uuid.uuid4().hex)
         df.write.mode("errorifexists").parquet(stage)
-        files = sorted(
-            os.path.join(stage, f) for f in os.listdir(stage)
-            if f.endswith(".parquet"))
+        files = []
         n = 0
-        if files:
-            n = self.spark.read.parquet(*files).count()
+        for f in sorted(os.listdir(stage)):
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(stage, f)
+            rows = pq.ParquetFile(full).metadata.num_rows
+            if rows == 0:
+                # an empty partition's output is pure overhead in the
+                # manifest: a scan task opens it, it carries no stats or
+                # blooms so it never prunes, and skewed writes would
+                # accrete thousands of them (r10; the DSv2 writer already
+                # drops empty task outputs)
+                os.remove(full)
+                continue
+            files.append(full)
+            n += rows
+        # row count comes from the footers the writer just produced -
+        # exact, metadata-only, and one full-scan count() cheaper than
+        # the pre-r10 shape
         stats = {f: _collect_file_stats(f) for f in files}
         return files, n, stats
 
@@ -1353,7 +1369,9 @@ class SnapshotTable:
               target_alias: str = "t", source_alias: str = "s",
               validate_cardinality: bool = True,
               cow: bool = True,
-              source_keys: list[str] | None = None) -> int:
+              source_keys: list[str] | None = None,
+              bloom_cols: list[str] | None = None,
+              bloom_bits: int = 1 << 15) -> int:
         """Transactional ANSI MERGE INTO this table (r7): read one pinned
         snapshot, apply ``operators.merge.merge_into`` (same clause
         surface - WHEN MATCHED update/delete, WHEN NOT MATCHED insert,
@@ -1411,8 +1429,11 @@ class SnapshotTable:
                 validate_cardinality=validate_cardinality)
             unified = unify_schemas(m.get("schema"), merged.schema)
             files, n, stats = self._write_files(merged)
+            blooms = (self._collect_blooms(files, bloom_cols, bloom_bits)
+                      if bloom_cols and files else None)
             return self._commit_manifest(parent, files, n, "merge",
-                                         stats=stats, schema=unified.json())
+                                         stats=stats, schema=unified.json(),
+                                         blooms=blooms)
         src = source.localCheckpoint(eager=True)
         candidates = m["files"]
         if source_keys:
@@ -1456,9 +1477,11 @@ class SnapshotTable:
             validate_cardinality=validate_cardinality)
         unified = unify_schemas(m.get("schema"), merged.schema)
         files, n_new, stats = self._write_files(merged)
+        new_blooms = (self._collect_blooms(files, bloom_cols, bloom_bits)
+                      if bloom_cols and files else None)
         return self._publish_cow(parent, m, tfiles, files, stats,
                                  m["rows"] - n_touched + n_new, "merge",
-                                 unified.json())
+                                 unified.json(), new_blooms)
 
     # -- copy-on-write row-level DML (r9) -----------------------------------
     def _reader_for(self, m: dict):
@@ -1702,7 +1725,9 @@ class SnapshotTable:
                                 bloom_bits)
 
     def replace_where(self, df: DataFrame, where,
-                      validate: bool = True) -> int:
+                      validate: bool = True,
+                      bloom_cols: list[str] | None = None,
+                      bloom_bits: int = 1 << 15) -> int:
         """ATOMIC predicate-scoped overwrite (Delta's ``replaceWhere`` -
         the backfill shape: replace one day/region of a 100 TB table in
         ONE commit without touching the rest):
@@ -1758,10 +1783,14 @@ class SnapshotTable:
                         f"{self.path}: replace_where row-count mismatch "
                         f"({n_touched - n_matched} expected, {n_kept} "
                         "written) - aborting before commit")
+        new_files = rewritten + files
+        new_blooms = (self._collect_blooms(new_files, bloom_cols,
+                                           bloom_bits)
+                      if bloom_cols and new_files else None)
         return self._publish_cow(
-            parent, m, tfiles, rewritten + files,
+            parent, m, tfiles, new_files,
             {**rw_stats, **stats}, m["rows"] - n_matched + n_new,
-            "replace-where", unified.json())
+            "replace-where", unified.json(), new_blooms)
 
     def changes(self, since: int, until: int | None = None) -> DataFrame:
         """Row-level changes between two snapshots as a DataFrame with a
@@ -2020,8 +2049,42 @@ class SnapshotTable:
             schema=m.get("schema"),
             blooms={f: b for f, b in blooms.items() if f in fset})
 
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL-style table metadata, O(metadata): current
+        version, row/file counts, on-disk data bytes, segment/removal
+        shape, bloom-maintained columns, schema column count."""
+        v = self.current_version()
+        m = self.manifest(v)
+        total = 0
+        for f in m["files"]:
+            try:
+                total += os.path.getsize(f)
+            except OSError:
+                pass
+        bloom_cols, bloom_bits = self.bloom_columns(v)
+        n_schema_cols = None
+        if m.get("schema"):
+            n_schema_cols = len(json.loads(m["schema"]).get("fields", []))
+        return {
+            "path": self.path,
+            "version": v,
+            "operation": m["operation"],
+            "timestamp_ms": m["timestamp_ms"],
+            "rows": m["rows"],
+            "num_files": len(m["files"]),
+            "size_bytes": total,
+            "num_file_segments": len(m.get("file_segments") or []),
+            "num_stats_segments": len(m.get("segments") or []),
+            "num_removed_files": len(m.get("removed_files") or []),
+            "bloom_columns": bloom_cols,
+            "bloom_bits": bloom_bits,
+            "num_schema_columns": n_schema_cols,
+            "num_versions": len(self.versions()),
+        }
+
     def vacuum(self, keep_last: int = 2,
-               ignore_clones: bool = False) -> list[str]:
+               ignore_clones: bool = False,
+               older_than_ms: int | None = None) -> list[str]:
         """Drop staging dirs unreferenced by the ``keep_last`` most recent
         snapshots (plus HEAD), and their manifests.  Returns removed dirs.
         Run only when no reader is pinned to an older snapshot - the same
@@ -2032,9 +2095,19 @@ class SnapshotTable:
         snapshot that produced them (r10, VERDICT r9 #7: vacuuming a
         cloned-from table used to break the clone silently).  Markers for
         deleted clones are swept; ``ignore_clones=True`` is the explicit
-        escape hatch (the pre-r10 behavior)."""
-        vs = [m["version"] for m in self.versions()]
+        escape hatch (the pre-r10 behavior).
+
+        ``older_than_ms`` adds TIME-BASED retention (the Delta ``RETAIN
+        n HOURS`` shape): every snapshot committed AT or AFTER the
+        epoch-millis instant survives, in ADDITION to the ``keep_last``
+        newest - protections union, so passing both never keeps less
+        than either alone."""
+        versions = self.versions()
+        vs = [m["version"] for m in versions]
         keep = set(vs[-keep_last:]) | {self.current_version()}
+        if older_than_ms is not None:
+            keep |= {m["version"] for m in versions
+                     if m["timestamp_ms"] >= older_than_ms}
         live: set[str] = set()
         live_segs: set[str] = set()
         for v in keep:

@@ -681,13 +681,17 @@ def test_file_list_segmentation_end_to_end(spark, table, monkeypatch):
     monkeypatch.setattr(S, "INLINE_FILES", 2)
     table.append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))  # 1 file
     assert "file_segments" not in table.manifest()
-    table.append(_df(spark, [(10, "c")]).repartition(2))  # crosses: 3 files
+    # two range-partitioned rows -> two real files (r10: _write_files
+    # now drops empty partition outputs, so an empty file can no longer
+    # pad the count past the threshold)
+    table.append(_df(spark, [(10, "c"), (11, "e")])
+                 .repartitionByRange(2, "id"))  # crosses: 3 files
     m = table.manifest()
     assert m.get("file_segments") and len(m["file_segments"]) == 1
     # the ON-DISK manifest carries no path list; manifest() materializes
     raw = _json.load(open(table._manifest_path(m["version"])))
     assert raw["files"] == [] and len(m["files"]) == 3
-    assert sorted(r["id"] for r in table.read().collect()) == [1, 2, 10]
+    assert sorted(r["id"] for r in table.read().collect()) == [1, 2, 10, 11]
     v_seg1 = m["version"]
     # a further append writes ONE segment holding ONLY its new files
     table.append(_df(spark, [(20, "d")]).coalesce(1))
@@ -696,14 +700,13 @@ def test_file_list_segmentation_end_to_end(spark, table, monkeypatch):
     seg2 = _json.load(open(m2["file_segments"][1]))
     assert len(seg2["files"]) == 1 and len(m2["files"]) == 4
     # stats ride the file segments: interval pruning still resolves -
-    # the [1,2] and [10,10] files prune; the statless EMPTY file from
-    # repartition(2) is (correctly) never pruned, so 2 of 4 files scan
-    assert len(table.prune_files(m2, [("id", "==", 20)])) == 2
+    # every file carries stats now, so the point read prunes to 1 of 4
+    assert len(table.prune_files(m2, [("id", "==", 20)])) == 1
     got = sorted(r["id"] for r in table.read(where=("id", "<=", 2)).collect())
     assert got == [1, 2]
     # time travel across the crossing commit
     assert sorted(r["id"] for r in
-                  table.read(version=v_seg1).collect()) == [1, 2, 10]
+                  table.read(version=v_seg1).collect()) == [1, 2, 10, 11]
     # changes() append fast path across segmented commits
     ch = table.changes(v_seg1, m2["version"])
     assert sorted(r["id"] for r in ch.collect()) == [20]
@@ -711,7 +714,7 @@ def test_file_list_segmentation_end_to_end(spark, table, monkeypatch):
     # rollback carries the file-segment list verbatim, no new segment
     table.rollback(v_seg1)
     assert table.manifest()["file_segments"] == m["file_segments"]
-    assert sorted(r["id"] for r in table.read().collect()) == [1, 2, 10]
+    assert sorted(r["id"] for r in table.read().collect()) == [1, 2, 10, 11]
 
 
 def test_vacuum_keeps_live_file_segments(spark, table, monkeypatch):
@@ -1638,12 +1641,22 @@ def test_sql_dml_rebuilds_blooms(spark, tmp_path):
     eng.register_snapshot_table("bt", str(tmp_path / "bl"))
     eng.sql("DELETE FROM bt WHERE k = 5")
     eng.sql("UPDATE bt SET v = v + 1 WHERE k = 105")
+    # the full SQL DML family maintains blooms, not just DELETE/UPDATE
+    eng.sql("MERGE INTO bt AS t USING (SELECT CAST(201 AS LONG) AS k, "
+            "CAST(99 AS LONG) AS v) s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT *")
+    eng.sql("INSERT INTO bt REPLACE WHERE k >= 300 AND k < 320 "
+            "SELECT CAST(id AS LONG) AS k, CAST(0 AS LONG) AS v "
+            "FROM range(300, 320)")
+    eng.sql("INSERT INTO bt VALUES (CAST(900 AS LONG), CAST(1 AS LONG))")
     m = t.manifest()
     _, blooms = resolve_stats(m)
-    # EVERY live file still carries a k-bloom - including the two
-    # rewritten by the SQL DML
+    # EVERY live file still carries a k-bloom - including every file
+    # rewritten or added by the SQL DML statements above
     assert all(blooms.get(f, {}).get("k") for f in m["files"])
-    assert t.read().count() == 399
+    assert t.read().count() == 400  # 400 -1(del) +1(insert via VALUES)
+    assert t.read().where("k = 201").collect()[0]["v"] == 99
 
 
 def test_cdc_fallback_tcols_exclude_order_cols(spark, tmp_path):
@@ -1816,3 +1829,37 @@ def test_vectorized_prune_matches_scalar(spark, tmp_path, monkeypatch):
         assert got == want
         with pytest.raises(SnapshotError, match="unsupported prune op"):
             prune_manifest_files(segmented, [("k", "!=", 1)])
+
+
+def test_vacuum_time_retention_and_describe_detail(spark, tmp_path):
+    """r10: time-based retention (RETAIN n HOURS shape) unions with
+    keep_last - snapshots newer than the threshold survive however many
+    there are; DESCRIBE DETAIL surfaces the table metadata in one row."""
+    import time as _time
+
+    from aliyun_maxcompute_data_collectors_spark.engine import Engine
+
+    t = SnapshotTable.init(spark, str(tmp_path / "tr"))
+    for lo in range(0, 300, 100):
+        t.append(_kv(spark, lo, lo + 100).coalesce(1), bloom_cols=["k"])
+    all_vs = [m["version"] for m in t.versions()]
+    # threshold before every commit: everything is "recent", nothing dies
+    t.vacuum(keep_last=1, older_than_ms=0)
+    assert [m["version"] for m in t.versions()] == all_vs
+    # threshold in the future: only keep_last protects
+    t.vacuum(keep_last=2, older_than_ms=int(_time.time() * 1000) + 10_000)
+    assert len(t.versions()) == 2
+    assert t.read().count() == 300
+
+    eng = Engine(warehouse=str(tmp_path / "wh"), spark=spark)
+    eng.register_snapshot_table("tr", str(tmp_path / "tr"))
+    # RETAIN n HOURS: everything within the window survives
+    assert eng.sql("VACUUM tr RETAIN 1000 HOURS").count() == 0
+    assert len(t.versions()) == 2
+    row = eng.sql("DESCRIBE DETAIL tr").collect()[0]
+    assert row["rows"] == 300 and row["num_files"] == 3
+    assert row["bloom_columns"] == "k"
+    assert row["version"] == t.current_version()
+    assert row["num_versions"] == 2
+    d = t.detail()
+    assert d["size_bytes"] > 0 and d["num_schema_columns"] == 2
