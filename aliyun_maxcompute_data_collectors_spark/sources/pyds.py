@@ -385,6 +385,7 @@ class _SnapshotWriter(DataSourceArrowWriter):
                 pm["rows"] + rows,
                 "append", stats={**(pm.get("stats") or {}), **stats},
                 schema=_written_schema(pm.get("schema"), files),
+                blooms=pm.get("blooms"),  # carry inline blooms (r10)
                 segments=pm.get("segments"), file_segments=pfsegs,
                 removed_files=pm.get("removed_files"))
 
@@ -649,23 +650,39 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
         return _FileCommit(file=out, rows=rows)
 
     def commit(self, messages, batchId: int) -> None:
-        tab = SnapshotTable(None, self._path)
+        from aliyun_maxcompute_data_collectors_spark.snapshots import retry_on_conflict
+
         op = f"stream-append:batch={batchId}"
-        if any(v["operation"] == op for v in tab.versions()):
-            return  # replayed epoch: already published, drop the rewrite
         files = sorted(m.file for m in messages if m is not None and m.file)
         rows = sum(m.rows for m in messages if m is not None)
-        parent = tab.current_version()
-        pm = tab.manifest(parent)
         stats = {f: _collect_file_stats(f) for f in files}
-        pfsegs = pm.get("file_segments") or None
-        tab._commit_manifest(
-            parent,
-            files if pfsegs else pm["files"] + files,
-            pm["rows"] + rows, op,
-            stats={**(pm.get("stats") or {}), **stats},
-            schema=_written_schema(pm.get("schema"), files),
-            segments=pm.get("segments"), file_segments=pfsegs)
+
+        def publish() -> None:
+            # the whole read-derive-commit runs per attempt so a retry
+            # re-reads the NEW HEAD (r10; a maintenance compact() racing
+            # the stream used to kill it on the first collision), and
+            # the replay check re-runs so a replayed epoch stays a no-op
+            tab = SnapshotTable(None, self._path)
+            if any(v["operation"] == op for v in tab.versions()):
+                return  # replayed epoch: already published
+            parent = tab.current_version()
+            pm = tab.manifest(parent)
+            pfsegs = pm.get("file_segments") or None
+            tab._commit_manifest(
+                parent,
+                files if pfsegs else pm["files"] + files,
+                pm["rows"] + rows, op,
+                stats={**(pm.get("stats") or {}), **stats},
+                schema=_written_schema(pm.get("schema"), files),
+                # carry the parent's inline blooms and - critically - its
+                # REMOVAL LIST: dropping removed_files on a segmented
+                # parent resurrected COW-deleted rows (r10 fix; the batch
+                # writer carried it since r9, this path did not)
+                blooms=pm.get("blooms"),
+                segments=pm.get("segments"), file_segments=pfsegs,
+                removed_files=pm.get("removed_files"))
+
+        retry_on_conflict(publish)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages or []:

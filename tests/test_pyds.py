@@ -503,3 +503,106 @@ def test_snapshot_cdf_batch_version_range(spark, orders, root, pushdown):
          .option("change_feed", "true").load().count())
     with pytest.raises(Exception, match="bad version range"):
         read(3, 99).count()
+
+
+def test_stream_sink_carries_removals_and_blooms(spark, orders, root,
+                                                 pushdown):
+    """r10 wrong-answer fix: the stream sink's epoch commit used to drop
+    the parent's REMOVAL LIST on a file-list-segmented table - a stream
+    epoch after a COW DELETE resurrected the deleted rows.  It also
+    dropped inline bloom bitmaps.  Both must carry now."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aliyun_maxcompute_data_collectors_spark.snapshots import resolve_stats
+    from aliyun_maxcompute_data_collectors_spark.sources.pyds import (
+        _FileCommit,
+        _SnapshotStreamWriter,
+    )
+
+    tab = SnapshotTable.init(spark, root, inline_files=1)
+    m = F.col("o_orderkey") % 10
+    for v in (0, 1, 2):
+        tab.append(orders.where(m == v).coalesce(1), bloom_cols=["o_orderkey"])
+    n_before = tab.read().count()
+    tab.delete("o_orderkey % 10 = 1")       # removal list on the manifest
+    assert tab.manifest().get("removed_files")
+    n_del = orders.where(m == 1).count()
+
+    sw = _SnapshotStreamWriter(root)
+    f = os.path.join(sw._stage, "part-test.parquet")
+    batch = pa.table({"o_orderkey": pa.array([10**9], pa.int64()),
+                      "o_totalprice": pa.array([1.5], pa.float64())})
+    pq.write_table(batch, f)
+    sw.commit([_FileCommit(file=f, rows=1)], 7)
+
+    # the COW-deleted rows must NOT resurrect through the epoch commit
+    assert tab.read().count() == n_before - n_del + 1
+    assert tab.read().where(F.col("o_orderkey") % 10 == 1).count() == 0
+    # segment-held blooms survive (the %10==1 file was a whole-file
+    # drop, so exactly the two other bloom'd appends remain live)
+    mf = tab.manifest()
+    _, blooms = resolve_stats(mf)
+    with_bloom = [x for x in mf["files"]
+                  if blooms.get(x, {}).get("o_orderkey")]
+    assert len(with_bloom) == 2
+
+    # INLINE blooms (non-segmented manifest) are the path the fix
+    # touches directly: they must carry across an epoch commit too
+    root2 = root + "_inline"
+    tab2 = SnapshotTable.init(spark, root2)
+    tab2.append(orders.where(m == 0).coalesce(1), bloom_cols=["o_orderkey"])
+    assert tab2.manifest().get("blooms")
+    sw2 = _SnapshotStreamWriter(root2)
+    f2 = os.path.join(sw2._stage, "part-test.parquet")
+    pq.write_table(pa.table({"o_orderkey": pa.array([7], pa.int64()),
+                             "o_totalprice": pa.array([1.0], pa.float64())}),
+                   f2)
+    sw2.commit([_FileCommit(file=f2, rows=1)], 1)
+    mf2 = tab2.manifest()
+    _, blooms2 = resolve_stats(mf2)
+    assert any(blooms2.get(x, {}).get("o_orderkey") for x in mf2["files"])
+    shutil.rmtree(root2, ignore_errors=True)
+
+
+def test_stream_sink_retries_on_concurrent_commit(spark, orders, root,
+                                                  pushdown, monkeypatch):
+    """r10: a maintenance commit landing between the epoch commit's
+    HEAD read and publish used to kill the stream on SnapshotConflict;
+    the sink now re-derives and retries - both commits survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import aliyun_maxcompute_data_collectors_spark.sources.pyds as P
+    from aliyun_maxcompute_data_collectors_spark.sources.pyds import (
+        _FileCommit,
+        _SnapshotStreamWriter,
+    )
+
+    tab = SnapshotTable.init(spark, root)
+    m = F.col("o_orderkey") % 10
+    tab.append(orders.where(m == 0))
+    state = {"fired": False}
+
+    class Hooked(SnapshotTable):
+        def _commit_manifest(self, parent, files, rows, operation, **kw):
+            if operation.startswith("stream-append") and not state["fired"]:
+                state["fired"] = True
+                SnapshotTable(spark, root).append(
+                    orders.where(m == 1).coalesce(1))
+            return super()._commit_manifest(parent, files, rows,
+                                            operation, **kw)
+
+    monkeypatch.setattr(P, "SnapshotTable", Hooked)
+    sw = _SnapshotStreamWriter(root)
+    f = os.path.join(sw._stage, "part-test.parquet")
+    pq.write_table(pa.table({"o_orderkey": pa.array([10**9], pa.int64()),
+                             "o_totalprice": pa.array([1.5], pa.float64())}),
+                   f)
+    sw.commit([_FileCommit(file=f, rows=1)], 3)   # must not raise
+    assert state["fired"]
+    got = tab.read()
+    assert got.where(F.col("o_orderkey") == 10**9).count() == 1
+    assert got.count() == orders.where(m <= 1).count() + 1
+    ops = [v["operation"] for v in tab.versions()]
+    assert ops[-1] == "stream-append:batch=3" and ops[-2] == "append"
