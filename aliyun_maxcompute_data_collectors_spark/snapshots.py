@@ -317,6 +317,12 @@ _SEG_CACHE_LOCK = _threading.Lock()
 # silently coerce - e.g. int64 folded into float64 could mis-prune).
 PARQUET_SEG_MIN_FILES = 65536
 
+# STALE COMMIT-LOCK TTL (r10): the lock guards only the manifest write
+# (milliseconds; data files stage before it), so a lock this old whose
+# owner cannot be verified alive is a crashed writer's debris - broken
+# and retried instead of blocking every future commit forever.
+COMMIT_LOCK_TTL_S = 60
+
 
 class _Segment:
     """One immutable segment side file, decoded lazily.  Dict-compatible
@@ -971,6 +977,33 @@ class SnapshotTable:
                          "parent")})
         return out
 
+    def _break_stale_lock(self, lock: str) -> bool:
+        """True when a stale COMMIT_LOCK was removed: its recorded pid is
+        dead on this host, or it is older than ``COMMIT_LOCK_TTL_S``.  A
+        live same-host pid is NEVER broken regardless of age."""
+        try:
+            st = os.stat(lock)
+            with open(lock) as f:
+                raw = f.read().strip()
+        except OSError:
+            return True  # vanished while we looked: owner released it
+        pid = int(raw) if raw.isdigit() else None
+        if pid is not None:
+            try:
+                os.kill(pid, 0)
+                return False  # owner alive on this host: real contention
+            except ProcessLookupError:
+                pass  # owner dead: debris
+            except OSError:
+                return False  # can't signal (perms?): stay conservative
+        elif time.time() - st.st_mtime <= COMMIT_LOCK_TTL_S:
+            return False  # no pid readable (cross-host?): TTL governs
+        try:
+            os.remove(lock)
+        except OSError:
+            pass  # someone else broke it first - the retry will race
+        return True
+
     def _write_segment(self, version: int, payload: dict) -> str:
         base = os.path.join(self._root, "manifests",
                             f"seg-{version:08d}-{uuid.uuid4().hex}")
@@ -1028,8 +1061,29 @@ class SnapshotTable:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            raise SnapshotConflict(
-                f"{self.path}: another commit is in flight (lock held)")
+            # STALE-LOCK RECOVERY (r10): a SIGKILLed writer's lock would
+            # otherwise block every future commit forever.  The lock is
+            # held only around the metadata write (milliseconds - data
+            # files are staged BEFORE it), so a lock whose owner pid is
+            # dead on this host, or that is older than the TTL, is
+            # debris: break it and retry the O_EXCL create once (two
+            # breakers still race on the create, one wins).  Same-host
+            # pid checks only; cross-host callers rely on the TTL.
+            if self._break_stale_lock(lock):
+                try:
+                    fd = os.open(lock,
+                                 os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:
+                    raise SnapshotConflict(
+                        f"{self.path}: another commit is in flight "
+                        "(lock re-acquired after a stale break)")
+            else:
+                raise SnapshotConflict(
+                    f"{self.path}: another commit is in flight (lock held)")
+        try:
+            os.write(fd, str(os.getpid()).encode())
+        except OSError:
+            pass
         try:
             head = None
             if os.path.exists(self._head_path()):

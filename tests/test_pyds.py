@@ -606,3 +606,31 @@ def test_stream_sink_retries_on_concurrent_commit(spark, orders, root,
     assert got.count() == orders.where(m <= 1).count() + 1
     ops = [v["operation"] for v in tab.versions()]
     assert ops[-1] == "stream-append:batch=3" and ops[-2] == "append"
+
+
+def test_bare_session_sql_cdf_via_temporary_view(spark, orders, root,
+                                                 pushdown):
+    """r10: the SQL-only route composes with change_feed - a TEMP VIEW
+    USING graft_snapshot with change_feed/starting_version options gives
+    plain spark.sql access to the batch changelog."""
+    tab = SnapshotTable.init(spark, root)
+    m = F.col("o_orderkey") % 10
+    tab.append(orders.where(m == 0).coalesce(1))   # v2
+    tab.append(orders.where(m == 1).coalesce(1))   # v3
+    tab.delete("o_orderkey % 10 = 0")              # v4: whole-file delete
+    spark.sql(f"""
+        CREATE OR REPLACE TEMPORARY VIEW cdf_v
+        USING graft_snapshot
+        OPTIONS (path '{root}', change_feed 'true', starting_version '1')
+    """)
+    try:
+        got = {(r["_commit_version"], r["_change_type"]): r["n"]
+               for r in spark.sql(
+                   "SELECT _commit_version, _change_type, COUNT(*) AS n "
+                   "FROM cdf_v GROUP BY 1, 2").collect()}
+        n0 = orders.where(m == 0).count()
+        n1 = orders.where(m == 1).count()
+        assert got == {(2, "insert"): n0, (3, "insert"): n1,
+                       (4, "delete"): n0}
+    finally:
+        spark.catalog.dropTempView("cdf_v")

@@ -5,6 +5,7 @@ no-localCheckpoint CDC merge path."""
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -1863,3 +1864,43 @@ def test_vacuum_time_retention_and_describe_detail(spark, tmp_path):
     assert row["num_versions"] == 2
     d = t.detail()
     assert d["size_bytes"] > 0 and d["num_schema_columns"] == 2
+
+
+def test_stale_commit_lock_recovery(spark, tmp_path):
+    """r10: a SIGKILLed writer's COMMIT_LOCK no longer blocks the table
+    forever - a lock whose recorded pid is dead (or, with no readable
+    pid, older than the TTL) is broken and the commit retried; a lock
+    held by a LIVE pid stays a real conflict regardless of age."""
+    import aliyun_maxcompute_data_collectors_spark.snapshots as S
+
+    t = SnapshotTable.init(spark, str(tmp_path / "sl"))
+    lock = os.path.join(t._root, "COMMIT_LOCK")
+
+    # dead-pid lock: broken, commit proceeds
+    with open(lock, "w") as f:
+        f.write("999999999")  # beyond pid_max: guaranteed dead
+    t.append(_kv(spark, 0, 10).coalesce(1))
+    assert t.read().count() == 10
+    assert not os.path.exists(lock)
+
+    # live-pid lock: real contention, SnapshotConflict regardless of age
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))
+    old = S.COMMIT_LOCK_TTL_S
+    try:
+        S.COMMIT_LOCK_TTL_S = 0
+        with pytest.raises(SnapshotConflict):
+            t.append(_kv(spark, 10, 20).coalesce(1))
+    finally:
+        S.COMMIT_LOCK_TTL_S = old
+        os.remove(lock)
+
+    # pid-less lock: TTL governs - young blocks, old breaks
+    with open(lock, "w") as f:
+        f.write("")
+    with pytest.raises(SnapshotConflict):
+        t.append(_kv(spark, 10, 20).coalesce(1))
+    past = time.time() - 3600
+    os.utime(lock, (past, past))
+    t.append(_kv(spark, 10, 20).coalesce(1))
+    assert t.read().count() == 20
