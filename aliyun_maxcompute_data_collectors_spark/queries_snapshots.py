@@ -1228,6 +1228,57 @@ FROM b
 """
 
 
+def snapshot_sync_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL REPLICATION under the oracle (r10): a source table
+    takes two appends, syncs to a fresh downstream copy (full
+    backfill), then a COW row-level DELETE on the source syncs
+    incrementally - only the touched keys' destination rows replace
+    (``carried`` pins that at least one destination file rode through
+    the second sync verbatim), and a no-change re-sync publishes
+    nothing (``noop_ok``).  The hash pins the final downstream state
+    against the oracle's direct recomputation."""
+    import os as _os
+
+    from aliyun_maxcompute_data_collectors_spark.snapshots import sync_changes
+
+    root = tempfile.mkdtemp(prefix="snap_sync_")
+    try:
+        a, b, _ = _slices(spark, sf_dir)
+        src = SnapshotTable.init(spark, _os.path.join(root, "src"))
+        dst = SnapshotTable.init(spark, _os.path.join(root, "dst"))
+        src.append(a)
+        src.append(b)
+        sync_changes(src, dst, ["o_orderkey"])          # full backfill
+        pre = set(dst.manifest()["files"])
+        src.delete("o_orderkey % 10 = 6")               # COW on the source
+        sync_changes(src, dst, ["o_orderkey"])          # incremental
+        carried = int(bool(pre & set(dst.manifest()["files"])))
+        head = dst.current_version()
+        noop_ok = int(sync_changes(src, dst, ["o_orderkey"]) == head)
+        out = (dst.read().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+            .cast("double").alias("sum_price"))
+            .withColumn("carried", F.lit(carried))
+            .withColumn("noop_ok", F.lit(noop_ok)))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SYNC_CHANGES_SQL = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_price,
+       1 AS carried,
+       1 AS noop_ok
+FROM orders
+WHERE o_orderkey % 10 < 8 AND o_orderkey % 10 <> 6
+"""
+
+
 def snapshot_parquet_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARQUET manifest segments e2e under the oracle (r10, VERDICT r9
     #6): with per-instance thresholds (``inline_files=2``,
@@ -1442,6 +1493,7 @@ REGISTRY: dict[str, tuple] = {
     "snapshot_parquet_segments": (snapshot_parquet_segments,
                                   _PARQUET_SEGMENTS_SQL),
     "snapshot_clone_vacuum": (snapshot_clone_vacuum, _CLONE_VACUUM_SQL),
+    "snapshot_sync_changes": (snapshot_sync_changes, _SYNC_CHANGES_SQL),
     "snapshot_conflict_retry": (snapshot_conflict_retry,
                                 _CONFLICT_RETRY_SQL),
     "snapshot_delete_update": (snapshot_delete_update, _DELETE_UPDATE_SQL),

@@ -2211,6 +2211,100 @@ class SnapshotTable:
         return removed
 
 
+def sync_changes(src: SnapshotTable, dst: SnapshotTable,
+                 keys: list[str], since: int | None = None) -> int:
+    """ONE-WAY INCREMENTAL REPLICATION (Iceberg incremental-scan /
+    Delta CDF consumer shape): bring ``dst`` up to date with ``src`` by
+    applying only what changed since the last sync, as ONE key-scoped
+    copy-on-write commit - the downstream-copy maintenance a 100 TB
+    table needs without rescanning or rewriting either side.
+
+    - ``src.changes(since, head]`` yields the net row diff; only its
+      TOUCHED KEYS matter: dst's rows for those keys are replaced by
+      src@head's rows for them.  This handles inserts, updates, deletes
+      and MULTI-ROW keys uniformly - no per-key cardinality assumption
+      (unlike a MERGE).
+    - phase 1 prunes dst candidate files from the touched keys'
+      [min, max] (manifest stats, zero IO) and pins exact files with
+      one semi-join; phase 2 rewrites only those files as (their
+      non-touched-key rows) UNION (src@head's rows for the touched
+      keys) and publishes ONE atomic commit.  Cost is O(changes +
+      touched dst files), never O(table) on either side.
+
+    The watermark (last synced src version) is stored under dst's
+    ``_snapshots/sync/``, keyed by the source path, AFTER the commit
+    publishes - a crash between commit and watermark re-applies the
+    same range on the next call, which is IDEMPOTENT (key-scoped
+    replacement converges).  ``since`` overrides the stored watermark.
+    Returns the new dst version, or the current one when nothing
+    changed."""
+    import hashlib
+
+    head = src.current_version()
+    state_dir = os.path.join(dst._root, "sync")
+    state_path = os.path.join(state_dir, "src-{}.json".format(
+        hashlib.md5(os.path.abspath(src.path).encode()).hexdigest()[:16]))
+    if since is None:
+        since = 1
+        if os.path.exists(state_path):
+            with open(state_path) as f:
+                since = json.load(f)["version"]
+
+    def _save_watermark() -> None:
+        os.makedirs(state_dir, exist_ok=True)
+        _fsync_write(state_path, json.dumps(
+            {"src": os.path.abspath(src.path), "version": head,
+             "timestamp_ms": int(time.time() * 1000)}))
+
+    if head <= since:
+        return dst.current_version()
+    ch = src.changes(since, head)
+    touched_keys = ch.select(*keys).distinct().localCheckpoint(eager=True)
+    if touched_keys.isEmpty():
+        _save_watermark()  # e.g. only compact/cluster commits in range
+        return dst.current_version()
+    alive = src.read(head).join(touched_keys, keys, "left_semi")
+    parent = dst.current_version()
+    m = dst.manifest(parent)
+    tfiles: list[str] = []
+    if m["files"]:
+        aggs = []
+        for k in keys:
+            aggs += [F.min(k).alias(f"__lo_{k}"),
+                     F.max(k).alias(f"__hi_{k}")]
+        row = touched_keys.agg(*aggs).collect()[0]
+        conj = [(k, "between", (row[f"__lo_{k}"], row[f"__hi_{k}"]))
+                for k in keys if row[f"__lo_{k}"] is not None]
+        candidates = dst.prune_files(m, conj) if conj else m["files"]
+        if candidates:
+            hits = (dst._reader_for(m).parquet(*candidates)
+                    .withColumn("__graft_file", F.input_file_name())
+                    .join(touched_keys, keys, "left_semi")
+                    .select("__graft_file").distinct().collect())
+            tset = set(dst._map_hits_to_manifest(
+                [r["__graft_file"] for r in hits], candidates,
+                "sync").values())
+            tfiles = [f for f in m["files"] if f in tset]
+    if tfiles:
+        import pyarrow.parquet as pq
+
+        sub = dst._reader_for(m).parquet(*tfiles)
+        n_touched = sum(pq.ParquetFile(f).metadata.num_rows
+                        for f in tfiles)
+        out = sub.join(touched_keys, keys, "left_anti").unionByName(
+            alive, allowMissingColumns=True)
+    else:
+        n_touched = 0
+        out = alive
+    unified = unify_schemas(m.get("schema"), out.schema)
+    files, n_new, stats = dst._write_files(out)
+    v = dst._publish_cow(parent, m, tfiles, files, stats,
+                         m["rows"] - n_touched + n_new, "sync",
+                         unified.json())
+    _save_watermark()
+    return v
+
+
 def scd2_apply_cow(table: SnapshotTable, batch: DataFrame,
                    keys: list[str], time_col: str,
                    attr_cols: list[str] | None = None) -> int:
