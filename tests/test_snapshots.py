@@ -1479,10 +1479,25 @@ def test_merge_source_keys_must_be_equijoin_conjuncts(spark, dml_table):
         # pruning on it would be unsound
         t.merge(src, "(t.k = s.k OR t.v = s.v)",
                 matched=[(None, {"v": "s.v"})], source_keys=["k"])
+    # r11 (ADVICE r10 #2): SQL precedence makes "a OR b AND c" parse as
+    # "a OR (b AND c)" - a textual AND-split would wrongly accept k (or
+    # y) as a guaranteed conjunct.  ANY top-level OR refuses source_keys.
+    with pytest.raises(SnapshotError, match="top-level OR"):
+        t.merge(src, "t.k = s.k OR t.v = s.v AND t.k = s.k",
+                matched=[(None, {"v": "s.v"})], source_keys=["k"])
+    with pytest.raises(SnapshotError, match="top-level OR"):
+        t.merge(src, "t.v = s.v OR t.k = s.k",
+                matched=[(None, {"v": "s.v"})], source_keys=["k"])
+    # ... and <=> (null-safe equality) is not prune-eligible: it matches
+    # NULL keys that min/max stats cannot see
+    with pytest.raises(SnapshotError, match="source_keys"):
+        t.merge(src, "t.k <=> s.k",
+                matched=[(None, {"v": "s.v"})], source_keys=["k"])
     head = t.current_version()
     assert t.current_version() == head  # nothing published
     # the legitimate shape still works, including extra AND conjuncts
-    t.merge(src, "t.k = s.k AND s.v > 0",
+    # and an OR safely parenthesized UNDER a top-level AND
+    t.merge(src, "t.k = s.k AND (s.v > 0 OR s.v < -10)",
             matched=[(None, {"v": "s.v"})], source_keys=["k"])
     got = t.read().where(F.col("k") == 100).collect()
     assert [r["v"] for r in got] == [777]
@@ -1742,6 +1757,46 @@ def test_parquet_segments_roundtrip(spark, tmp_path, monkeypatch):
     assert t.read().count() == 900
 
 
+def test_parquet_segment_fallback_is_narrow_and_loud(spark, tmp_path,
+                                                     monkeypatch, caplog):
+    """VERDICT r10 #2: _write_segment used to swallow EVERY exception
+    into a silent JSON fallback - a pyarrow regression would quietly
+    degrade all future segments (0.3 s cold plan -> seconds, zero
+    signal).  Now: a normal payload always lands as .parquet, an
+    expected stat-typing error falls back WITH a warning log, and an
+    unexpected error propagates instead of degrading silently."""
+    import logging
+
+    import aliyun_maxcompute_data_collectors_spark.snapshots as S
+
+    monkeypatch.setattr(S, "PARQUET_SEG_MIN_FILES", 1)
+    t = SnapshotTable.init(spark, str(tmp_path / "nf"), inline_files=1)
+
+    # 1. standard commit: parquet, no fallback log
+    with caplog.at_level(logging.WARNING,
+                         logger="aliyun_maxcompute_data_collectors_spark.snapshots"):
+        t.append(_kv(spark, 0, 100).coalesce(1), bloom_cols=["k"])
+        t.append(_kv(spark, 100, 200).coalesce(1), bloom_cols=["k"])
+    segs = t.manifest().get("file_segments") or []
+    assert segs and all(s.endswith(".parquet") for s in segs)
+    assert "fallback" not in caplog.text
+
+    # 2. expected typing error (mixed stat types): JSON fallback + log
+    seg = t._write_segment(99, {
+        "files": ["a.parquet", "b.parquet"],
+        "stats": {"a.parquet": {"c": [1, 2]},
+                  "b.parquet": {"c": [1.5, 2.5]}}})  # int vs float: mixed
+    assert seg.endswith(".json")
+    assert "fallback to JSON" in caplog.text
+
+    # 3. unexpected error propagates (no silent degrade)
+    def boom(path, payload):
+        raise RuntimeError("pyarrow regression")
+    monkeypatch.setattr(S, "_write_parquet_segment", boom)
+    with pytest.raises(RuntimeError, match="pyarrow regression"):
+        t._write_segment(100, {"files": ["a.parquet"]})
+
+
 def test_parquet_segment_stats_dict_matches_json(spark, tmp_path,
                                                  monkeypatch):
     """The lazy stats/blooms dicts decoded from a parquet segment equal
@@ -1867,25 +1922,31 @@ def test_vacuum_time_retention_and_describe_detail(spark, tmp_path):
 
 
 def test_stale_commit_lock_recovery(spark, tmp_path):
-    """r10: a SIGKILLed writer's COMMIT_LOCK no longer blocks the table
-    forever - a lock whose recorded pid is dead (or, with no readable
-    pid, older than the TTL) is broken and the commit retried; a lock
-    held by a LIVE pid stays a real conflict regardless of age."""
+    """r10 + r11 hardening (ADVICE r10 #1/#5): a SIGKILLed writer's
+    COMMIT_LOCK no longer blocks the table forever.  The lock records
+    ``host:pid:starttime``; a VERIFIED live owner is never broken, a
+    RECYCLED pid (same pid, different starttime) is broken immediately,
+    an unverifiable identity (legacy pid-only lock, cross-host) falls
+    back to the TTL, and breaking happens by atomic rename (no
+    remove-after-recreate race, no leftover sidecar)."""
+    import glob
+    import socket
     import aliyun_maxcompute_data_collectors_spark.snapshots as S
 
     t = SnapshotTable.init(spark, str(tmp_path / "sl"))
     lock = os.path.join(t._root, "COMMIT_LOCK")
 
-    # dead-pid lock: broken, commit proceeds
+    # dead-pid lock (legacy single-pid format): broken, commit proceeds
     with open(lock, "w") as f:
         f.write("999999999")  # beyond pid_max: guaranteed dead
     t.append(_kv(spark, 0, 10).coalesce(1))
     assert t.read().count() == 10
     assert not os.path.exists(lock)
+    assert not glob.glob(lock + ".broken.*")  # rename-break leaves no debris
 
-    # live-pid lock: real contention, SnapshotConflict regardless of age
+    # verified-live owner (full identity token): conflict regardless of age
     with open(lock, "w") as f:
-        f.write(str(os.getpid()))
+        f.write(S._lock_identity())
     old = S.COMMIT_LOCK_TTL_S
     try:
         S.COMMIT_LOCK_TTL_S = 0
@@ -1895,15 +1956,44 @@ def test_stale_commit_lock_recovery(spark, tmp_path):
         S.COMMIT_LOCK_TTL_S = old
         os.remove(lock)
 
+    # RECYCLED pid: alive pid but wrong starttime = the original owner is
+    # dead - broken immediately, no TTL wait (the r10 version blocked
+    # forever here: kill(pid, 0) succeeds for the recycled process)
+    if S._proc_start_time(os.getpid()) is not None:  # /proc available
+        with open(lock, "w") as f:
+            f.write(f"{socket.gethostname()}:{os.getpid()}:1")
+        t.append(_kv(spark, 10, 20).coalesce(1))
+        assert t.read().count() == 20
+        assert not os.path.exists(lock)
+    else:
+        t.append(_kv(spark, 10, 20).coalesce(1))
+
+    # legacy pid-only LIVE lock: identity unverifiable via the token ->
+    # TTL backstop (young blocks; past the TTL it breaks - ADVICE r10 #5)
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))
+    with pytest.raises(SnapshotConflict):
+        t.append(_kv(spark, 20, 30).coalesce(1))
+    if S._proc_start_time(os.getpid()) is None:
+        os.remove(lock)  # without /proc the live pid blocks regardless
+        t.append(_kv(spark, 20, 30).coalesce(1))
+    else:
+        past = time.time() - 3600
+        os.utime(lock, (past, past))
+        t.append(_kv(spark, 20, 30).coalesce(1))
+    assert t.read().count() == 30
+
     # pid-less lock: TTL governs - young blocks, old breaks
     with open(lock, "w") as f:
         f.write("")
     with pytest.raises(SnapshotConflict):
-        t.append(_kv(spark, 10, 20).coalesce(1))
+        t.append(_kv(spark, 30, 40).coalesce(1))
     past = time.time() - 3600
     os.utime(lock, (past, past))
-    t.append(_kv(spark, 10, 20).coalesce(1))
-    assert t.read().count() == 20
+    t.append(_kv(spark, 30, 40).coalesce(1))
+    assert t.read().count() == 40
+    # current-format lock content is the full identity token
+    assert S._lock_identity().split(":")[1] == str(os.getpid())
 
 
 def test_sync_changes_incremental_replication(spark, tmp_path):
