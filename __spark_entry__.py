@@ -5,36 +5,30 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash -> CORRECTNESS_r{N}.json).
 
-Rotation note (round 10): the driver verifies the first 50 entries of
-``queries()`` in iteration order.  Cumulative after r9: 172/175 rows
+Rotation note (round 11): the driver verifies the first 50 entries of
+``queries()`` in iteration order.  Cumulative after r10: 178/180 rows
 hash-green at least once (bpe_merges rows-only by design;
-snapshot_replace_where and cdc_cow_merge landed after the r9 window
-froze), newest evidence r6 for 40 rows / r7 for 35 / r8 for 47 / r9
-for 50.  Round 10 fronts (a) the SIX rows with zero driver evidence -
-the two r9 stragglers (snapshot_replace_where, cdc_cow_merge; VERDICT
-r9 #2) plus the four NEW r10 queries (snapshot_parquet_segments -
-parquet manifest segments + vectorized arrow-kernel prune, VERDICT r9
-#6; snapshot_clone_vacuum - clone back-references protecting source
-vacuum, #7; snapshot_conflict_retry - optimistic commit retry under an
-interleaved concurrent append, #4; pyds_cdf_stream - the r10 capability
-addition, change-data-feed streaming over every commit kind), (b) the
-FOUR r8-evidence rows most exposed to the r10 prune/engine rewrites
-(snapshot_pruned_read and snapshot_bloom_prune ride the new vectorized
-prune; snapshot_time_travel the manifest-materialization fast path;
-engine_sql_snapshot the literal-span + view-restore engine.sql rewrite,
-VERDICT r9 #1; snapshot_changes yielded its slot to pyds_cdf_stream
-and leads the tail), then (c) ALL 40 rows whose newest driver
-evidence is r6 - closing VERDICT r9 ask #2's second half: after this
-round no row's newest hash evidence is older than r7.  That fills the
-window at exactly 50.  The 35 r7-evidence rows lead the tail (next
-round's rotation pool); bpe_merges stays rows-only and settled.  Every
-query stays registered; only iteration order changes.  All queries
-remain covered by the local harness (tests/test_correctness.py at the
-driver's sf0.01); scripts/driver_sim.py gates rotation slots on a
-vanilla-session pass - including the per-query SQL-conf leak diff - run
-via scripts/gate.sh as the round's last act and committed as
-GATE_r10.log (the r9 discipline: the log is written BEFORE the prose
-that cites it).
+snapshot_sync_changes landed after the r10 window froze), newest
+evidence r7 for 35 rows / r8 for 44 / r9 for 50 / r10 for 50.  Round 11
+fronts (a) the TWO rows with zero driver evidence - the r10 straggler
+snapshot_sync_changes (VERDICT r10 #1) and the NEW r11 row
+snapshot_row_cdf (row-level CDF on COW commits at O(touched files),
+VERDICT r10 missing #1 / asks #3+#4), then (b) ALL 35 rows whose newest
+driver evidence is r7 (after r11 nothing is older than r8), then (c)
+the 13 r8-evidence rows most exposed to this round's snapshots/pyds
+rewrites (per-commit file deltas, delta-planned changes(), sync retry):
+snapshot_changes, snapshot_merge, snapshot_zorder_prune,
+snapshot_bloom_compact, snapshot_schema_evolution,
+snapshot_filelist_segments, pyds_snapshot_read, pyds_stream_cycle,
+pyds_avro_read, pyds_sql_view, mv_refresh, zorder_cluster,
+rollup_hypertable.  That fills the window at exactly 50.  The remaining
+r8-evidence rows lead the tail (next round's rotation pool); bpe_merges
+stays rows-only and settled.  Every query stays registered; only
+iteration order changes.  All queries remain covered by the local
+harness (tests/test_correctness.py at the driver's sf0.01);
+scripts/driver_sim.py gates rotation slots on a vanilla-session pass -
+including the per-query SQL-conf leak diff - run via scripts/gate.sh as
+the round's last act and committed as GATE_r11.log.
 """
 
 from __future__ import annotations
@@ -49,44 +43,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from aliyun_maxcompute_data_collectors_spark.queries import REGISTRY  # noqa: E402
 
-# Round-10 driver-verification priority: tier 1 = zero driver evidence
-# (the two r9 stragglers + the three new r10 queries); tier 2 = the five
-# r8-evidence rows most exposed to the r10 rewrites (vectorized prune,
-# manifest-materialization fast path, engine.sql literal spans); tier 3
-# = ALL 40 rows whose newest evidence is r6 (VERDICT r9 #2: after r10
-# nothing is older than r7).  Exactly 50 slots; the 35 r7-evidence rows
-# lead the tail as next round's pool, and bpe_merges (rows-only,
-# settled) stays last.  Gate discipline: this window holds slots only if
+# Round-11 driver-verification priority: tier 1 = zero driver evidence
+# (the r10 straggler snapshot_sync_changes + the new r11 row
+# snapshot_row_cdf); tier 2 = ALL 35 rows whose newest evidence is r7
+# (after r11 nothing is older than r8); tier 3 = the 13 r8-evidence
+# rows most exposed to the r11 snapshots/pyds rewrites.  Exactly 50
+# slots; the remaining r8 rows lead the tail as next round's pool.
+# Gate discipline: this window holds slots only if
 # scripts/driver_sim.py - run at sf0.01 by scripts/gate.sh, whose stdout
-# is committed as GATE_r10.log BEFORE any prose cites it - exits green
+# is committed as GATE_r11.log BEFORE any prose cites it - exits green
 # (including the per-query SQL-conf leak diff) as the round's LAST act.
 _PRIORITY = [
-    # tier 1: zero driver evidence — the r9 COW stragglers + the four
-    # r10 additions (parquet segments, clone-aware vacuum, conflict
-    # retry, change-data-feed streaming)
-    "snapshot_replace_where", "cdc_cow_merge", "snapshot_parquet_segments",
-    "snapshot_clone_vacuum", "snapshot_conflict_retry", "pyds_cdf_stream",
-    # tier 2: r8-evidence rows most exposed to the r10 rewrites
-    # (snapshot_changes covers the same materialize path as time_travel
-    # and yielded its slot to pyds_cdf_stream; it leads the tail)
-    "snapshot_pruned_read", "snapshot_bloom_prune", "snapshot_time_travel",
-    "engine_sql_snapshot",
-    # tier 3: every row with r6 evidence (alphabetical)
-    "ann_lsh_topk", "blob_meta", "boilerplate_frac", "chunk_documents",
-    "decontaminate", "dedup_incremental", "dedup_transitive", "det_sample",
-    "doc_fingerprint", "doc_logprob", "doc_rolling_fp", "filter_pipeline",
-    "frame_sample", "heavy_hitter_tokens", "heavy_hitters_by_lang",
-    "higher_order_fns", "lang_id", "lang_quality_calibrated",
-    "minhash_incremental", "minhash_signature", "ngram_jaccard",
-    "pack_sequences", "pii_redact", "pq_code_hist", "profile_documents",
-    "q10_returned_items", "q13_customer_distribution",
-    "q19_discounted_parts", "q21_waiting_supplier", "q22_dormant_customers",
-    "string_functions", "template_routing", "time_partition_assign",
-    "topk_orders", "topk_per_group", "unix_epoch", "window_cumulative",
-    "window_lag_lead", "window_range_frame", "window_rank_suite",
-    # tail leaders: snapshot_changes (r8, yielded its tier-2 slot), then
-    # the r7-evidence rows (next round's rotation pool)
-    "snapshot_changes",
+    # tier 1: zero driver evidence - the r10 final-commit straggler +
+    # the new r11 row-level-CDF row
+    "snapshot_sync_changes", "snapshot_row_cdf",
+    # tier 2: every row with r7 evidence (alphabetical)
     "agg_extras", "ann_recall", "asof_join_events", "bitwise_agg",
     "bm25_topk", "ccnet_buckets", "cdc_snapshot_at", "cohort_retention",
     "conditional_exprs", "constraint_check", "corpus_drift", "corpus_stats",
@@ -97,7 +68,27 @@ _PRIORITY = [
     "simhash_pairs", "span_dedup", "split_assignment", "split_leakage",
     "stratified_sample", "substring_dedup", "temporal_join_pit",
     "text_profile", "tfidf_keywords",
+    # tier 3: r8-evidence rows riding the r11 per-commit-delta /
+    # delta-planned-changes() / sync-retry rewrites
+    "snapshot_changes", "snapshot_merge", "snapshot_zorder_prune",
+    "snapshot_bloom_compact", "snapshot_schema_evolution",
+    "snapshot_filelist_segments", "pyds_snapshot_read",
+    "pyds_stream_cycle", "pyds_avro_read", "pyds_sql_view",
+    "mv_refresh", "zorder_cluster", "rollup_hypertable",
+    # tail leaders: the remaining r8-evidence rows (next round's pool)
+    "bpe_pair_counts", "dup_rate_by_source", "embedding_quality",
+    "ewma_user_value", "from_json_typed", "funnel_steps",
+    "fuzzy_customer_names", "interp_gapfill", "interval_math",
+    "ivfpq_topk", "mad_outliers", "median_stats", "ngram_novelty",
+    "pareto_parts", "pivot_priority", "pq_topk",
+    "q12_shipmode_priority", "range_join_sessions", "regr_value_trend",
+    "resample_gapfill", "rolling_hourly_stats", "sketch_suite",
+    "source_overlap", "string_agg_nations", "udtf_tokens",
+    "union_by_name", "unpivot_measures", "variant_extract",
+    "weighted_sample", "width_bucket_hist", "window_value_suite",
+    "zipf_profile", "zscore_anomalies", "bpe_merges",
 ]
+
 
 
 def _ordered_names() -> list[str]:

@@ -372,10 +372,12 @@ class _SnapshotWriter(DataSourceArrowWriter):
         rows = sum(m.rows for m in messages if m is not None)
         stats = {f: _collect_file_stats(f) for f in files}
         if self._overwrite:
+            pm = tab.manifest(self._parent)
             tab._commit_manifest(
                 self._parent, files, rows, "overwrite", stats=stats,
                 schema=(_written_schema(None, files)
-                        or self._write_schema_json))
+                        or self._write_schema_json),
+                delta_added=files, delta_removed=pm["files"])
         else:
             pm = tab.manifest(self._parent)
             pfsegs = pm.get("file_segments") or None
@@ -387,7 +389,8 @@ class _SnapshotWriter(DataSourceArrowWriter):
                 schema=_written_schema(pm.get("schema"), files),
                 blooms=pm.get("blooms"),  # carry inline blooms (r10)
                 segments=pm.get("segments"), file_segments=pfsegs,
-                removed_files=pm.get("removed_files"))
+                removed_files=pm.get("removed_files"),
+                delta_added=files, delta_removed=[])
 
     def abort(self, messages):
         shutil.rmtree(self._stage, ignore_errors=True)
@@ -475,7 +478,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         raises, skip yields no files); policy is NOT enforced for offset
         bookkeeping of versions the stream never consumes (the starting
         version, checkpointed boundaries)."""
-        m = tab.manifest(v)
+        m = tab._manifest_json(v)
         op = m["operation"]
         if op == "init":
             return []
@@ -486,6 +489,13 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                     f"commit ({op}); restart from a later "
                     "starting_version or set on_overwrite=skip")
             return []  # no row-level inserts to stream from this commit
+        # r11: the manifest records the commit's exact added files -
+        # O(new files) planning; pre-r11 manifests fall back to the
+        # parent diff (O(table files), the old shape)
+        delta = tab._commit_delta(v, m)
+        if delta is not None:
+            return delta[0]
+        m = tab.manifest(v)
         parent_files = (set(tab.manifest(m["parent"])["files"])
                         if m["parent"] is not None else set())
         return [f for f in m["files"] if f not in parent_files]
@@ -502,13 +512,21 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         if not self._cdf:
             return [(f, "insert", v)
                     for f in self._added_files(tab, v, enforce_policy)]
-        m = tab.manifest(v)
+        m = tab._manifest_json(v)
         op = m["operation"]
         if op == "init":
             return []
         if (op in ("compact", "consolidate-metadata")
                 or op.startswith("cluster")):
             return []
+        # r11: plan the changelog from the commit's recorded delta -
+        # O(changed files); pre-r11 manifests diff the materialized lists
+        delta = tab._commit_delta(v, m)
+        if delta is not None:
+            added, removed = delta
+            return ([(f, "delete", v) for f in sorted(removed)]
+                    + [(f, "insert", v) for f in added])
+        m = tab.manifest(v)
         parent_files = (set(tab.manifest(m["parent"])["files"])
                         if m["parent"] is not None else set())
         curset = set(m["files"])
@@ -680,7 +698,8 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
                 # writer carried it since r9, this path did not)
                 blooms=pm.get("blooms"),
                 segments=pm.get("segments"), file_segments=pfsegs,
-                removed_files=pm.get("removed_files"))
+                removed_files=pm.get("removed_files"),
+                delta_added=files, delta_removed=[])
 
         retry_on_conflict(publish)
 

@@ -132,6 +132,10 @@ BENCH_QUERIES = [
     # point-lookup prune - a maintenance-job cost, measured as one)
     "bpe_pair_counts",
     "snapshot_bloom_compact",
+    # round-11 addition: row-level CDF on a COW commit (update 1 row in
+    # a multi-row file; the delta-planned changes() diffs only the
+    # swapped file pair - measures the O(touched) change-feed cost)
+    "snapshot_row_cdf",
 ]
 
 

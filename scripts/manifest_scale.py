@@ -125,16 +125,48 @@ def bench_one(n_files: int, blooms: bool) -> dict:
                         if f in kset} or None)
         dml_commit_s = time.perf_counter() - t0
         assert len(tab.manifest()["files"]) == len(m2["files"]) - 10
+        # manifest/segment footprint of the steady-state table, captured
+        # BEFORE the CDF-appends below inflate the inline variants
         size = os.path.getsize(tab._manifest_path(tab.current_version()))
         seg_bytes = sum(
             os.path.getsize(os.path.join(tab._root, "manifests", f))
             for f in os.listdir(os.path.join(tab._root, "manifests"))
             if f.startswith("seg-"))
+        # CDF RANGE PLANNING over 50 commits (r11, VERDICT r10 #3): 49
+        # more appends (100 files each, recording per-commit deltas as
+        # SnapshotTable.append does) + the DML commit above, then plan
+        # the whole range TRUE-cold through the exact changes() planner.
+        # Pre-r11 this materialized every version's full list -
+        # O(versions x files), ~100x the cold materialize at 1e6; now
+        # it reads 50 raw manifest JSONs + their O(delta) lists.
+        cdf_since = tab.current_version()
+        for c in range(49):
+            pmc = tab.manifest()
+            newc = [os.path.join(root, "_snapshots", "files",
+                                 f"cdf{c:02d}/{i:05d}.parquet")
+                    for i in range(100)]
+            pfsegs_c = pmc.get("file_segments") or None
+            tab._commit_manifest(
+                tab.current_version(),
+                newc if pfsegs_c else pmc["files"] + newc,
+                pmc["rows"] + 100 * 1000, "append",
+                stats={**(pmc.get("stats") or {}),
+                       **{f: synth_stats(f, i) for i, f in enumerate(newc)}},
+                blooms=pmc.get("blooms"), segments=pmc.get("segments"),
+                file_segments=pfsegs_c,
+                removed_files=pmc.get("removed_files"),
+                delta_added=newc, delta_removed=[])
+        _seg_cache_clear()
+        t0 = time.perf_counter()
+        plan = tab._plan_change_range(cdf_since, tab.current_version())
+        cdf_plan_s = time.perf_counter() - t0
+        assert plan is not None and len(plan[0]) == 49 * 100
         return {"n_files": n_files, "blooms": blooms,
                 "commit_s": round(commit_s, 4),
                 "dml_commit_s": round(dml_commit_s, 4),
                 "plan_s": round(plan_s, 4),
                 "plan_warm_s": round(plan_warm_s, 4),
+                "cdf_plan_50v_s": round(cdf_plan_s, 4),
                 "manifest_bytes": size, "segment_bytes": seg_bytes,
                 "kept": len(kept)}
     finally:

