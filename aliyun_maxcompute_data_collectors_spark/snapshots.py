@@ -2050,16 +2050,15 @@ class SnapshotTable:
             "replace-where", unified.json(), new_blooms)
 
     def _plan_change_range(self, since: int, until: int) \
-            -> tuple[list[str], list[tuple[list[str], list[str]]]] | None:
+            -> list[tuple[int, int, list[str], list[str]]] | None:
         """Classify every commit in (since, until] from raw manifest
-        metadata alone: returns (files-to-read-as-inserts,
-        [(added, removed) per copy-on-write step]) at O(changed files)
+        metadata alone: returns one (version, timestamp_ms, added,
+        removed) step per row-changing commit at O(changed files)
         driver cost, or None when any step lacks a usable recorded
         delta (pre-r11 manifest, oversized rewrite, rollback) - the
         caller falls back to the endpoint multiset diff.  Spark-free:
         scripts/manifest_scale.py measures exactly this call."""
-        inserts_files: list[str] = []
-        cow_steps: list[tuple[list[str], list[str]]] = []
+        steps: list[tuple[int, int, list[str], list[str]]] = []
         for v in range(since + 1, until + 1):
             mj = self._manifest_json(v)
             op = mj["operation"]
@@ -2070,18 +2069,26 @@ class SnapshotTable:
             if delta is None or op.startswith("rollback->"):
                 return None
             added, removed = delta
-            if not removed:
-                inserts_files.extend(added)
-            else:
-                cow_steps.append((added, removed))
-        return inserts_files, cow_steps
+            if added or removed:
+                steps.append((v, mj.get("timestamp_ms") or 0,
+                              added, removed))
+        return steps
 
-    def changes(self, since: int, until: int | None = None) -> DataFrame:
+    def changes(self, since: int, until: int | None = None,
+                include_version: bool = False) -> DataFrame:
         """Row-level changes between two snapshots as a DataFrame with a
         ``_change_type`` column (``insert`` / ``delete``; an update is a
         delete+insert pair) - the incremental-consumption read that lets a
         downstream job process only what moved instead of rescanning the
         table (Iceberg's incremental scan / Delta CDF, manifest-only here).
+
+        ``include_version`` (r11) adds Delta-CDF-style
+        ``_commit_version`` / ``_commit_timestamp`` columns attributing
+        every event to the commit that produced it - derivable exactly
+        because each step is computed from its own recorded delta; it
+        raises (rather than guessing) when the range requires the
+        endpoint-diff fallback, where per-commit attribution does not
+        exist.
 
         PLANNING IS O(CHANGED FILES) (r11, VERDICT r10 #3): each commit
         records its exact added/removed file delta in its manifest, so
@@ -2131,32 +2138,66 @@ class SnapshotTable:
         # -- delta-planned path: raw manifests only, O(changed files) ----
         plan = self._plan_change_range(since, until)
         if plan is not None:
-            inserts_files, cow_steps = plan
             parts: list[DataFrame] = []
-            if inserts_files:
-                parts.append(ureader.parquet(*inserts_files)
-                             .withColumn(ctype, F.lit("insert")))
-            for added, removed in cow_steps:
+
+            def _tag(df: DataFrame, change: str, v: int,
+                     ts: int) -> DataFrame:
+                df = df.withColumn(ctype, F.lit(change))
+                if include_version:
+                    df = (df.withColumn("_commit_version",
+                                        F.lit(v).cast("long"))
+                          .withColumn("_commit_timestamp",
+                                      F.lit(ts).cast("long")))
+                return df
+
+            # without version attribution, all pure-append steps merge
+            # into ONE scan (single parquet read, no shuffle - the plan
+            # shape the fast-path tests pin); with it, each commit's
+            # files carry their own version/timestamp columns
+            append_files: list[str] = []
+            for v, ts, added, removed in plan:
+                if not removed:
+                    if include_version:
+                        parts.append(_tag(ureader.parquet(*added),
+                                          "insert", v, ts))
+                    else:
+                        append_files.extend(added)
+                    continue
                 old_df = ureader.parquet(*sorted(removed))
                 if not added:
                     # pure file drop (partition-delete fast path): every
                     # removed row is a delete, no diff needed
-                    parts.append(old_df.withColumn(ctype,
-                                                   F.lit("delete")))
+                    parts.append(_tag(old_df, "delete", v, ts))
                     continue
                 new_df = ureader.parquet(*added)
-                parts.append(new_df.exceptAll(old_df)
+                parts.append(_tag(new_df.exceptAll(old_df),
+                                  "insert", v, ts))
+                parts.append(_tag(old_df.exceptAll(new_df),
+                                  "delete", v, ts))
+            if append_files:
+                parts.insert(0, ureader.parquet(*append_files)
                              .withColumn(ctype, F.lit("insert")))
-                parts.append(old_df.exceptAll(new_df)
-                             .withColumn(ctype, F.lit("delete")))
             if not parts:
-                base = self.read(until)
-                return base.where(F.lit(False)) \
+                base = self.read(until).where(F.lit(False)) \
                     .withColumn(ctype, F.lit("insert"))
+                if include_version:
+                    base = (base.withColumn("_commit_version",
+                                            F.lit(until).cast("long"))
+                            .withColumn("_commit_timestamp",
+                                        F.lit(0).cast("long")))
+                return base
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
             return out
+        if include_version:
+            raise SnapshotError(
+                f"{self.path}: changes(include_version=True) needs every "
+                f"commit in v{since}..v{until} to carry a recorded file "
+                "delta; the range contains a pre-r11 manifest, an "
+                "oversized whole-table rewrite, or a rollback - per-"
+                "commit attribution is not derivable from an endpoint "
+                "diff (re-run without include_version for net changes)")
 
         # -- fallback: exact endpoint multiset diff ----------------------
         sfiles = set(self.manifest(since)["files"])

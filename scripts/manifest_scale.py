@@ -160,7 +160,8 @@ def bench_one(n_files: int, blooms: bool) -> dict:
         t0 = time.perf_counter()
         plan = tab._plan_change_range(cdf_since, tab.current_version())
         cdf_plan_s = time.perf_counter() - t0
-        assert plan is not None and len(plan[0]) == 49 * 100
+        assert plan is not None
+        assert sum(len(s[2]) for s in plan) == 49 * 100
         return {"n_files": n_files, "blooms": blooms,
                 "commit_s": round(commit_s, 4),
                 "dml_commit_s": round(dml_commit_s, 4),

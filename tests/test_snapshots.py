@@ -220,6 +220,35 @@ def test_changes_row_level_cow_diff(spark, table):
     assert got == [(999, "delete"), (999, "insert")]
 
 
+def test_changes_commit_version_attribution(spark, table):
+    """r11: include_version=True adds Delta-CDF-style _commit_version /
+    _commit_timestamp per event, exact per producing commit; it raises
+    on ranges that need the endpoint-diff fallback (attribution is not
+    derivable there) instead of guessing."""
+    table.append(_df(spark, [(1, "a")]).coalesce(1))
+    v1 = table.current_version()
+    table.append(_df(spark, [(2, "b")]).coalesce(1))
+    v2 = table.current_version()
+    table.update({"v": "'B'"}, ("id", "==", 2))
+    v3 = table.current_version()
+
+    ch = table.changes(v1, include_version=True)
+    got = sorted((r["id"], r["_change_type"], r["_commit_version"])
+                 for r in ch.collect())
+    assert got == [(2, "delete", v3), (2, "insert", v2),
+                   (2, "insert", v3)]
+    ts = {r["_commit_version"]: r["_commit_timestamp"]
+          for r in ch.collect()}
+    assert all(t > 0 for t in ts.values()) and ts[v2] <= ts[v3]
+
+    # fallback range (rollback): attribution refuses loudly
+    table.rollback(v2)
+    with pytest.raises(SnapshotError, match="include_version"):
+        table.changes(v1, include_version=True).collect()
+    # ... while the plain net diff still works
+    assert table.changes(v1).count() >= 1
+
+
 def test_changes_falls_back_without_deltas(spark, table):
     """Pre-r11 manifests (no recorded delta) still produce exact
     changes through the endpoint multiset diff."""
