@@ -127,11 +127,16 @@ def _outside(spans: list[tuple[int, int]], pos: int) -> bool:
 
 
 def _split_top(s: str) -> list[str]:
-    """Split on top-level commas (parens/quotes respected)."""
-    out, depth, start, quote = [], 0, 0, None
+    """Split on top-level commas (parens/quotes respected; backslash
+    escapes inside quotes skipped, same contract as _quoted_spans)."""
+    out, depth, start, quote, esc = [], 0, 0, None, False
     for i, ch in enumerate(s):
         if quote:
-            if ch == quote:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == quote:
                 quote = None
         elif ch in "'\"":
             quote = ch
@@ -301,6 +306,14 @@ class Engine:
         r"\b([A-Za-z_]\w*)\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+)",
         re.IGNORECASE)
 
+    # Delta-parity change-feed TVF: table_changes('t', since[, until])
+    # in a FROM clause reads the registered snapshot table's row-level
+    # change feed with _change_type/_commit_version/_commit_timestamp
+    _TABLE_CHANGES = re.compile(
+        r"\btable_changes\s*\(\s*'([A-Za-z_]\w*)'\s*,\s*(\d+)\s*"
+        r"(?:,\s*(\d+)\s*)?\)",
+        re.IGNORECASE)
+
     def _session_tz(self):
         import datetime as _dt
         tz = self.spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
@@ -358,6 +371,27 @@ class Engine:
             created.append(view)
             return view
 
+        spans = _quoted_spans(query)
+        # table_changes('t', since[, until]) -> a view over the row-level
+        # change feed WITH per-commit attribution (Delta's CDF TVF; r11).
+        # The quoted table name sits inside a literal span by design -
+        # the match anchors on `table_changes`, which must be OUTSIDE.
+        for m in reversed(list(self._TABLE_CHANGES.finditer(query))):
+            if not _outside(spans, m.start()):
+                continue
+            name, s_lit, u_lit = m.group(1), m.group(2), m.group(3)
+            if name not in self._snapshot_tables:
+                raise ValueError(
+                    f"table_changes: {name!r} is not a registered "
+                    "snapshot table (Engine.register_snapshot_table)")
+            tab = SnapshotTable(self.spark, self._snapshot_tables[name])
+            since = int(s_lit)
+            until = int(u_lit) if u_lit is not None else None
+            view = f"__graft_cdf_{name}__v{since}_{until or 'head'}"
+            tab.changes(since, until, include_version=True) \
+                .createOrReplaceTempView(view)
+            created.append(view)
+            query = query[:m.start()] + view + query[m.end():]
         spans = _quoted_spans(query)
         # splice right-to-left so earlier match offsets stay valid
         for m in reversed(list(self._SNAP_ASOF.finditer(query))):

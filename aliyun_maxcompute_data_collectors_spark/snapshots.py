@@ -2512,6 +2512,17 @@ class SnapshotTable:
             if name.startswith("seg-") and full not in live_segs:
                 os.remove(full)
                 removed.append(full)
+        # broken-lock sidecars (r11: stale locks are broken by atomic
+        # rename; the breaker unlinks its sidecar immediately, this
+        # sweeps any left by a breaker that crashed in between)
+        for name in os.listdir(self._root):
+            if name.startswith("COMMIT_LOCK.broken."):
+                full = os.path.join(self._root, name)
+                try:
+                    os.remove(full)
+                    removed.append(full)
+                except OSError:
+                    pass
         return removed
 
 

@@ -627,6 +627,12 @@ def test_engine_sql_backslash_escaped_literals(spark, tmp_path):
     got = eng.sql(
         r"SELECT x, 'it\'s esc_t' AS note FROM esc_t").collect()
     assert got[0]["x"] == 7 and got[0]["note"] == "it's esc_t"
+    # _split_top (UPDATE SET / VALUES splitting) honors the same escape:
+    # a comma after a backslash-escaped quote stays INSIDE the literal
+    from aliyun_maxcompute_data_collectors_spark.engine import _split_top
+    assert _split_top(r"v = 'a\',b', w = 2") == [r"v = 'a\',b'", "w = 2"]
+    # doubled-quote escape: close+reopen still keeps the comma quoted
+    assert _split_top("v = 'a'',b', w = 2") == ["v = 'a'',b'", "w = 2"]
 
 
 def test_engine_sql_snapshot_dml_matrix(spark, tmp_path):
@@ -692,3 +698,48 @@ def test_engine_sql_snapshot_dml_matrix(spark, tmp_path):
         eng.sql("OPTIMIZE nope")
     with _pytest.raises(ValueError, match="PARTITION on snapshot"):
         eng.sql("INSERT INTO snap PARTITION (k=1) SELECT 1, 2")
+
+
+def test_engine_sql_table_changes_tvf(spark, tmp_path):
+    """r11: table_changes('t', since[, until]) in Engine.sql reads the
+    row-level change feed of a registered snapshot table with
+    _change_type / _commit_version / _commit_timestamp (Delta's CDF
+    TVF shape), computed from per-commit deltas at O(changed files)."""
+    from aliyun_maxcompute_data_collectors_spark.engine import Engine
+    from aliyun_maxcompute_data_collectors_spark.snapshots import SnapshotTable
+
+    eng = Engine(str(tmp_path / "wh"), spark=spark)
+    root = str(tmp_path / "t")
+    tab = SnapshotTable.init(spark, root)
+    tab.append(spark.createDataFrame(
+        [(i, i) for i in range(10)], "k long, v long").coalesce(1))
+    v1 = tab.current_version()
+    tab.append(spark.createDataFrame([(100, 1)], "k long, v long")
+               .coalesce(1))
+    v2 = tab.current_version()
+    tab.update({"v": "99"}, ("k", "==", 3))
+    v3 = tab.current_version()
+    eng.register_snapshot_table("snap", root)
+
+    got = eng.sql(
+        f"SELECT _change_type AS ct, _commit_version AS cv, k, v "
+        f"FROM table_changes('snap', {v1}) ORDER BY cv, ct, k").collect()
+    assert [(r["ct"], r["cv"], r["k"], r["v"]) for r in got] == [
+        ("insert", v2, 100, 1),
+        ("delete", v3, 3, 3),
+        ("insert", v3, 3, 99)]
+    # bounded range + aggregation composes like any relation
+    n = eng.sql(
+        f"SELECT COUNT(*) AS n FROM table_changes('snap', {v1}, {v2}) "
+        "WHERE _change_type = 'insert'").collect()[0]["n"]
+    assert n == 1
+    # the quoted name inside a LITERAL is untouched
+    s = eng.sql("SELECT \"table_changes('snap', 1)\" AS s").collect()
+    assert s[0]["s"] == "table_changes('snap', 1)"
+    # unregistered name refuses loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not a registered"):
+        eng.sql("SELECT * FROM table_changes('nope', 1)")
+    # views are dropped after analysis
+    assert not any(t.name.startswith("__graft_cdf_")
+                   for t in spark.catalog.listTables())
