@@ -66,6 +66,10 @@ SPOT = [
     # SQL temp-view reads, and copy-on-write row-level DML
     "snapshot_filelist_segments", "pyds_sql_view", "snapshot_delete_update",
     "snapshot_replace_where", "cdc_cow_merge",
+    # round-11 additions: row-level CDF on COW commits (delta-planned
+    # changes(), O(touched files)) and the table_changes SQL TVF with
+    # per-commit attribution
+    "snapshot_row_cdf", "engine_table_changes",
 ]
 
 
