@@ -83,6 +83,12 @@ _VACUUM = re.compile(
 _DESCRIBE_HISTORY = re.compile(
     r"^\s*DESC(?:RIBE)?\s+HISTORY\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE)
 
+# RESTORE [TABLE] name TO VERSION|TIMESTAMP AS OF x (Delta's RESTORE):
+# publish a NEW snapshot re-pinning the target version's file list
+_RESTORE = re.compile(
+    r"^\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+TO\s+"
+    r"(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+)\s*$", re.IGNORECASE)
+
 # DESCRIBE DETAIL name — one-row table metadata (Delta's DESCRIBE DETAIL)
 _DESCRIBE_DETAIL = re.compile(
     r"^\s*DESC(?:RIBE)?\s+DETAIL\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE)
@@ -213,6 +219,9 @@ class Engine:
         det = _DESCRIBE_DETAIL.match(query)
         if det:
             return self._run_describe_detail(det.group(1))
+        rst = _RESTORE.match(query)
+        if rst:
+            return self._run_restore(*rst.groups())
         # capture any user temp views about to be shadowed by bare-name
         # registration so they can be RESTORED after analysis (VERDICT r9:
         # snapshot views were drop-after-analysis since r9, but a user view
@@ -308,10 +317,13 @@ class Engine:
 
     # Delta-parity change-feed TVF: table_changes('t', since[, until])
     # in a FROM clause reads the registered snapshot table's row-level
-    # change feed with _change_type/_commit_version/_commit_timestamp
+    # change feed with _change_type/_commit_version/_commit_timestamp.
+    # Bounds are versions (digits) or timestamps (quoted ISO strings,
+    # Delta's convention): a timestamp START includes commits AT or
+    # AFTER the instant, a timestamp END includes commits at-or-before.
     _TABLE_CHANGES = re.compile(
-        r"\btable_changes\s*\(\s*'([A-Za-z_]\w*)'\s*,\s*(\d+)\s*"
-        r"(?:,\s*(\d+)\s*)?\)",
+        r"\btable_changes\s*\(\s*'([A-Za-z_]\w*)'\s*,\s*('[^']*'|\d+)\s*"
+        r"(?:,\s*('[^']*'|\d+)\s*)?\)",
         re.IGNORECASE)
 
     def _session_tz(self):
@@ -345,27 +357,10 @@ class Engine:
 
         def _pin(name: str, kind: str, lit: str) -> str:
             tab = SnapshotTable(self.spark, self._snapshot_tables[name])
-            if kind == "VERSION":
-                v = int(lit)
-            else:
-                if lit.startswith("'"):
-                    import datetime as _dt
-                    t = _dt.datetime.fromisoformat(lit[1:-1])
-                    if t.tzinfo is None:
-                        # naive string -> SESSION timezone, the
-                        # Spark/Delta rule (ADVICE r8: assuming UTC made
-                        # pinned snapshots drift by the zone offset)
-                        t = t.replace(tzinfo=self._session_tz())
-                    ms = int(t.timestamp() * 1000)
-                else:
-                    ms = int(lit)
-                cands = [x["version"] for x in tab.versions()
-                         if x["timestamp_ms"] <= ms]
-                if not cands:
-                    raise ValueError(
-                        f"snapshot table {name!r}: no snapshot at or "
-                        f"before {lit}")
-                v = max(cands)
+            try:
+                v = self._version_at(tab, kind, lit)
+            except ValueError as e:
+                raise ValueError(f"snapshot table {name!r}: {e}")
             view = f"__graft_snap_{name}__v{v}"
             tab.read(version=v).createOrReplaceTempView(view)
             created.append(view)
@@ -385,8 +380,22 @@ class Engine:
                     f"table_changes: {name!r} is not a registered "
                     "snapshot table (Engine.register_snapshot_table)")
             tab = SnapshotTable(self.spark, self._snapshot_tables[name])
-            since = int(s_lit)
-            until = int(u_lit) if u_lit is not None else None
+            if s_lit.startswith("'"):
+                # timestamp START is INCLUSIVE of commits at/after the
+                # instant; changes(since) excludes `since` itself, so
+                # resolve to the newest version strictly BEFORE it
+                ms = self._ts_millis(s_lit)
+                before = [x["version"] for x in tab.versions()
+                          if x["timestamp_ms"] < ms]
+                since = max(before) if before else 1
+            else:
+                since = int(s_lit)
+            if u_lit is None:
+                until = None
+            elif u_lit.startswith("'"):
+                until = self._version_at(tab, "TIMESTAMP", u_lit)
+            else:
+                until = int(u_lit)
             view = f"__graft_cdf_{name}__v{since}_{until or 'head'}"
             tab.changes(since, until, include_version=True) \
                 .createOrReplaceTempView(view)
@@ -518,6 +527,32 @@ class Engine:
         from aliyun_maxcompute_data_collectors_spark.snapshots import SnapshotTable
         return SnapshotTable(self.spark, self._snapshot_tables[name])
 
+    def _ts_millis(self, lit: str) -> int:
+        """A TIMESTAMP literal ('ISO string' or epoch-millis digits) as
+        epoch ms; naive strings take the SESSION timezone (the
+        Spark/Delta rule - ADVICE r8)."""
+        if lit.startswith("'"):
+            import datetime as _dt
+            t = _dt.datetime.fromisoformat(lit[1:-1])
+            if t.tzinfo is None:
+                t = t.replace(tzinfo=self._session_tz())
+            return int(t.timestamp() * 1000)
+        return int(lit)
+
+    def _version_at(self, tab, kind: str, lit: str) -> int:
+        """VERSION lit -> the literal version; TIMESTAMP lit -> the
+        newest version committed at-or-before the instant (raises when
+        the table is younger than the instant asked for)."""
+        if kind.upper() == "VERSION":
+            return int(lit)
+        ms = self._ts_millis(lit)
+        cands = [x["version"] for x in tab.versions()
+                 if x["timestamp_ms"] <= ms]
+        if not cands:
+            raise ValueError(
+                f"no snapshot at or before {lit}")
+        return max(cands)
+
     def _empty_result(self):
         from pyspark.sql import types as _T
         return self.spark.createDataFrame([], _T.StructType([]))
@@ -631,6 +666,29 @@ class Engine:
             "size_bytes long, num_file_segments int, "
             "num_stats_segments int, num_removed_files int, "
             "bloom_columns string, num_versions int")
+
+    def _run_restore(self, name: str, kind: str, lit: str):
+        """``RESTORE [TABLE] t TO VERSION|TIMESTAMP AS OF x`` (Delta's
+        RESTORE): publish a NEW snapshot re-pinning the target version's
+        file list via :meth:`SnapshotTable.rollback` - history stays
+        append-only (nothing is deleted; the pre-restore version remains
+        time-travelable until vacuum).  Returns a one-row DataFrame
+        (previous head, the version restored to, the new head)."""
+        if name not in self._snapshot_tables:
+            raise ValueError(
+                f"RESTORE: {name!r} is not a registered snapshot table")
+        tab = self._snapshot_table(name)
+        try:
+            v = self._version_at(tab, kind, lit)
+        except ValueError as e:
+            raise ValueError(f"RESTORE {name}: {e}")
+        old = tab.current_version()
+        new = tab.rollback(v)
+        m = tab.manifest(new)
+        return self.spark.createDataFrame(
+            [(old, v, new, m["rows"])],
+            "previous_version int, restored_version int, "
+            "new_version int, rows long")
 
     def _run_describe_history(self, name: str):
         """``DESCRIBE HISTORY t`` - the snapshot log (version, operation,

@@ -462,7 +462,33 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         # a checkpointed pre-cap offset {version} means fully consumed.
         self._cursor: dict | None = None
         start = options.get("starting_version")
-        if start is not None:
+        start_ts = options.get("starting_timestamp")
+        if start is not None and start_ts is not None:
+            raise SnapshotError(
+                "graft_snapshot stream: starting_version and "
+                "starting_timestamp are mutually exclusive")
+        if start_ts is not None:
+            # replay commits AT or AFTER the instant (Delta's
+            # startingTimestamp): resolve to the newest version strictly
+            # BEFORE it - starting_version semantics are exclusive.
+            # Accepts epoch-millis digits or ISO-8601; a NAIVE string is
+            # UTC (the reader runs without a session, so there is no
+            # session timezone to apply - pass an explicit offset or
+            # millis for zone-exact starts).
+            s = str(start_ts)
+            if s.lstrip("+-").isdigit():
+                ms = int(s)
+            else:
+                import datetime as _dt
+                t = _dt.datetime.fromisoformat(s)
+                if t.tzinfo is None:
+                    t = t.replace(tzinfo=_dt.timezone.utc)
+                ms = int(t.timestamp() * 1000)
+            tab0 = SnapshotTable(None, path)
+            before = [x["version"] for x in tab0.versions()
+                      if x["timestamp_ms"] < ms]
+            self._start = max(before) if before else 1
+        elif start is not None:
             self._start = int(start)
         else:
             # default: only commits AFTER stream start (the Kafka

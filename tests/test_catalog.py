@@ -743,3 +743,41 @@ def test_engine_sql_table_changes_tvf(spark, tmp_path):
     # views are dropped after analysis
     assert not any(t.name.startswith("__graft_cdf_")
                    for t in spark.catalog.listTables())
+
+    # -- r11: timestamp bounds (Delta's convention - quoted = instant) --
+    import datetime as _dt
+
+    import pytest as _pytest
+    ts2 = tab.manifest(v2)["timestamp_ms"]
+    iso2 = _dt.datetime.fromtimestamp(
+        ts2 / 1000, tz=_dt.timezone.utc).isoformat()
+    # start instant = v2's commit time: v2's changes are INCLUDED
+    # (inclusive-start), so the feed holds v2's insert + v3's pair
+    got = eng.sql(
+        f"SELECT COUNT(*) AS n, MIN(_commit_version) AS lo "
+        f"FROM table_changes('snap', '{iso2}')").collect()[0]
+    assert got["n"] == 3 and got["lo"] == v2
+    # end instant at v2: only v2's insert
+    got = eng.sql(
+        f"SELECT COUNT(*) AS n FROM "
+        f"table_changes('snap', {v1}, '{iso2}')").collect()[0]
+    assert got["n"] == 1
+
+    # -- r11: RESTORE TABLE ... TO VERSION|TIMESTAMP AS OF ---------------
+    head = tab.current_version()  # v3 (post-update)
+    pre_head_rows = {(r["k"], r["v"]) for r in tab.read(head).collect()}
+    res = eng.sql(f"RESTORE TABLE snap TO VERSION AS OF {v2}").collect()[0]
+    assert (res["previous_version"], res["restored_version"]) == (head, v2)
+    assert res["new_version"] == head + 1
+    # content equals v2's exactly (the k=3 update is un-done at HEAD)
+    now = {(r["k"], r["v"]) for r in tab.read().collect()}
+    v2_rows = {(r["k"], r["v"]) for r in tab.read(v2).collect()}
+    assert now == v2_rows and (3, 99) not in now
+    # history stays append-only: the pre-restore head still time-travels
+    assert {(r["k"], r["v"])
+            for r in tab.read(head).collect()} == pre_head_rows
+    # RESTORE TO TIMESTAMP resolves at-or-before the instant
+    res2 = eng.sql(f"RESTORE snap TO TIMESTAMP AS OF '{iso2}'").collect()[0]
+    assert res2["restored_version"] == v2
+    with _pytest.raises(ValueError, match="not a registered"):
+        eng.sql("RESTORE TABLE nope TO VERSION AS OF 1")

@@ -180,6 +180,44 @@ def test_snapshot_stream_source_incremental_exactly_once(spark, orders,
     assert spark.read.parquet(out).count() == orders.where(m <= 4).count()
 
 
+def test_snapshot_stream_source_starting_timestamp(spark, orders, root,
+                                                   pushdown):
+    """r11: starting_timestamp (Delta's startingTimestamp shape) replays
+    commits AT or AFTER the instant - resolved to the newest version
+    strictly before it; mutually exclusive with starting_version."""
+    tab = SnapshotTable.init(spark, root)
+    m = F.col("o_orderkey") % 10
+    tab.append(orders.where(m == 0))
+    ts_mid = tab.manifest()["timestamp_ms"] + 1  # after v2, before v3
+    import time as _t
+    _t.sleep(0.01)
+    tab.append(orders.where(m == 1))
+
+    sdf = (spark.readStream.format("graft_snapshot").option("path", root)
+           .option("starting_timestamp", str(ts_mid)).load())
+    out, ck = os.path.join(root, "ts_out"), os.path.join(root, "ts_ck")
+    _drain(sdf, out, ck)
+    # only v3 (committed after the instant) streams
+    assert spark.read.parquet(out).count() == orders.where(m == 1).count()
+
+    # an instant before ALL commits replays the full table
+    sdf0 = (spark.readStream.format("graft_snapshot").option("path", root)
+            .option("starting_timestamp", "1970-01-01T00:00:00").load())
+    out0, ck0 = os.path.join(root, "ts0_out"), os.path.join(root, "ts0_ck")
+    _drain(sdf0, out0, ck0)
+    assert spark.read.parquet(out0).count() == \
+        orders.where(m <= 1).count()
+
+    # both options together refuse
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    both = (spark.readStream.format("graft_snapshot").option("path", root)
+            .option("starting_timestamp", str(ts_mid))
+            .option("starting_version", "1").load())
+    with pytest.raises((StreamingQueryException, Exception)):
+        _drain(both, os.path.join(root, "b_out"),
+               os.path.join(root, "b_ck"))
+
+
 def test_snapshot_stream_source_overwrite_fail_and_skip(spark, orders,
                                                         root, pushdown):
     from pyspark.errors.exceptions.captured import StreamingQueryException
