@@ -700,9 +700,11 @@ class Engine:
         vs = self._snapshot_table(name).versions()
         return self.spark.createDataFrame(
             [(m["version"], m["operation"], m["rows"], m["timestamp_ms"],
-              m["parent"]) for m in reversed(vs)],
+              m["parent"], m.get("num_added_files"),
+              m.get("num_removed_files")) for m in reversed(vs)],
             "version int, operation string, rows long, "
-            "timestamp_ms long, parent int")
+            "timestamp_ms long, parent int, "
+            "num_added_files int, num_removed_files int")
 
     def _run_merge(self, name: str, talias: str | None, src: str,
                    salias: str | None, on: str, whens: str):

@@ -1083,7 +1083,10 @@ class SnapshotTable:
         return m
 
     def versions(self) -> list[dict]:
-        """All snapshots, oldest first: version/operation/rows/timestamp."""
+        """All snapshots, oldest first: version/operation/rows/timestamp
+        plus per-commit operation metrics (num_added_files /
+        num_removed_files from the r11 delta records; None when the
+        commit predates them or exceeded the recording bound)."""
         out = []
         mdir = os.path.join(self._root, "manifests")
         for name in sorted(os.listdir(mdir)):
@@ -1091,9 +1094,21 @@ class SnapshotTable:
                 continue  # stats segments (seg-*.json) live here too
             with open(os.path.join(mdir, name)) as f:
                 m = json.load(f)
-            out.append({k: m[k] for k in
-                        ("version", "operation", "rows", "timestamp_ms",
-                         "parent")})
+            row = {k: m[k] for k in
+                   ("version", "operation", "rows", "timestamp_ms",
+                    "parent")}
+            d = m.get("delta")
+            if d is None:
+                row["num_added_files"] = row["num_removed_files"] = None
+            elif "added_seg" in d:
+                # count only: the referenced segment holds the list; its
+                # length is not duplicated into the manifest
+                row["num_added_files"] = None
+                row["num_removed_files"] = len(d.get("removed") or [])
+            else:
+                row["num_added_files"] = len(d.get("added") or [])
+                row["num_removed_files"] = len(d.get("removed") or [])
+            out.append(row)
         return out
 
     def _break_stale_lock(self, lock: str) -> bool:

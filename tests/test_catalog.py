@@ -666,10 +666,15 @@ def test_engine_sql_snapshot_dml_matrix(spark, tmp_path):
     assert eng.sql(
         "SELECT v FROM snap WHERE k = 100").collect()[0]["v"] == 7
 
-    # DESCRIBE HISTORY: newest first, operations visible
+    # DESCRIBE HISTORY: newest first, operations visible; r11 adds
+    # per-commit operation metrics from the recorded file deltas
     hist = eng.sql("DESCRIBE HISTORY snap").collect()
     assert [h["operation"] for h in hist[:2]] == ["merge", "append"]
     assert hist[-1]["operation"] == "init"
+    by_op = {h["operation"]: h for h in hist}
+    assert by_op["append"]["num_added_files"] >= 1
+    assert by_op["append"]["num_removed_files"] == 0
+    assert by_op["merge"]["num_removed_files"] >= 1  # COW swapped files
 
     # INSERT OVERWRITE -> transactional overwrite, old version readable
     pre = tab.current_version()
