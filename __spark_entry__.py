@@ -10,20 +10,21 @@ Rotation note (round 11): the driver verifies the first 50 entries of
 hash-green at least once (bpe_merges rows-only by design;
 snapshot_sync_changes landed after the r10 window froze), newest
 evidence r7 for 35 rows / r8 for 44 / r9 for 50 / r10 for 50.  Round 11
-fronts (a) the THREE rows with zero driver evidence - the r10
+fronts (a) the FOUR rows with zero driver evidence - the r10
 straggler snapshot_sync_changes (VERDICT r10 #1) and the NEW r11 rows
 snapshot_row_cdf (row-level CDF on COW commits at O(touched files),
-VERDICT r10 missing #1 / asks #3+#4) and engine_table_changes (the
-table_changes SQL TVF with per-commit attribution), then (b) ALL 35
+VERDICT r10 missing #1 / asks #3+#4), engine_table_changes (the
+table_changes SQL TVF with per-commit attribution), and
+snapshot_mor_delete (merge-on-read deletion vectors), then (b) ALL 35
 rows whose newest
 driver evidence is r7 (after r11 nothing is older than r8), then (c)
-the 12 r8-evidence rows most exposed to this round's snapshots/pyds
+the 11 r8-evidence rows most exposed to this round's snapshots/pyds
 rewrites (per-commit file deltas, delta-planned changes(), sync retry):
 snapshot_changes, snapshot_merge, snapshot_zorder_prune,
 snapshot_bloom_compact, snapshot_schema_evolution,
 snapshot_filelist_segments, pyds_snapshot_read, pyds_stream_cycle,
-pyds_avro_read, pyds_sql_view, mv_refresh, zorder_cluster.  That
-fills the window at exactly 50.  The remaining
+pyds_avro_read, pyds_sql_view, mv_refresh.  That fills the window
+at exactly 50.  The remaining
 r8-evidence rows lead the tail (next round's rotation pool); bpe_merges
 stays rows-only and settled.  Every query stays registered; only
 iteration order changes.  All queries remain covered by the local
@@ -47,9 +48,9 @@ from aliyun_maxcompute_data_collectors_spark.queries import REGISTRY  # noqa: E4
 
 # Round-11 driver-verification priority: tier 1 = zero driver evidence
 # (the r10 straggler snapshot_sync_changes + the new r11 rows
-# snapshot_row_cdf and engine_table_changes); tier 2 = ALL 35 rows
-# whose newest evidence is r7 (after r11 nothing is older than r8);
-# tier 3 = the 12 r8-evidence
+# snapshot_row_cdf, engine_table_changes, snapshot_mor_delete);
+# tier 2 = ALL 35 rows whose newest evidence is r7 (after r11
+# nothing is older than r8); tier 3 = the 11 r8-evidence
 # rows most exposed to the r11 snapshots/pyds rewrites.  Exactly 50
 # slots; the remaining r8 rows lead the tail as next round's pool.
 # Gate discipline: this window holds slots only if
@@ -60,6 +61,7 @@ _PRIORITY = [
     # tier 1: zero driver evidence - the r10 final-commit straggler +
     # the new r11 row-level-CDF row
     "snapshot_sync_changes", "snapshot_row_cdf", "engine_table_changes",
+    "snapshot_mor_delete",
     # tier 2: every row with r7 evidence (alphabetical)
     "agg_extras", "ann_recall", "asof_join_events", "bitwise_agg",
     "bm25_topk", "ccnet_buckets", "cdc_snapshot_at", "cohort_retention",
@@ -77,9 +79,9 @@ _PRIORITY = [
     "snapshot_bloom_compact", "snapshot_schema_evolution",
     "snapshot_filelist_segments", "pyds_snapshot_read",
     "pyds_stream_cycle", "pyds_avro_read", "pyds_sql_view",
-    "mv_refresh", "zorder_cluster",
+    "mv_refresh",
     # tail leaders: the remaining r8-evidence rows (next round's pool)
-    "rollup_hypertable", "bpe_pair_counts", "dup_rate_by_source", "embedding_quality",
+    "zorder_cluster", "rollup_hypertable", "bpe_pair_counts", "dup_rate_by_source", "embedding_quality",
     "ewma_user_value", "from_json_typed", "funnel_steps",
     "fuzzy_customer_names", "interp_gapfill", "interval_math",
     "ivfpq_topk", "mad_outliers", "median_stats", "ngram_novelty",

@@ -739,6 +739,77 @@ FROM orders
 """
 
 
+def snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DELETE via deletion vectors (r11: Delta DV /
+    Iceberg positional-delete shape): ``delete(..., mor=True)`` records
+    matching (file, row_index) positions in a parquet sidecar - ZERO
+    data-file IO; every read subtracts them with one broadcast
+    anti-join.  Table: two single-file appends (keys %10 0-4 / 5-7);
+    the MOR delete hits ``o_orderkey % 10 = 6`` (only file 2 holds
+    matches).  Hash-pinned: head aggregate after the delete, the
+    pre-delete snapshot via time travel, the CDF delete events, and the
+    MECHANICS - ``physical_files`` = 2 (no file was rewritten) and
+    ``dv_files`` = 1 (exactly one file carries a vector).  A regression
+    to copy-on-write flips physical_files' meaning (file set changes);
+    a missed anti-join inflates the head aggregate."""
+    root = tempfile.mkdtemp(prefix="snap_mor_")
+    try:
+        a, b, _ = _slices(spark, sf_dir)
+        tab = SnapshotTable.init(spark, root)
+        tab.append(a.coalesce(1))          # v2
+        v_pre = tab.append(b.coalesce(1))  # v3
+        pre_files = sorted(tab.manifest()["files"])
+        v_mor = tab.delete("o_orderkey % 10 = 6", mor=True)
+        m = tab.manifest()
+        unchanged = int(sorted(m["files"]) == pre_files)
+        n_dv = len(m.get("dvs") or {})
+
+        def _row(df: DataFrame, step: str) -> DataFrame:
+            return (df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("sum_key"),
+                F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+                .cast("double").alias("sum_price"))
+                .select(F.lit(step).alias("step"), "n_rows", "sum_key",
+                        "sum_price"))
+
+        ch = tab.changes(v_pre, v_mor)
+        out = (_row(tab.read(), "head")
+               .unionByName(_row(tab.read(v_pre), "pre"))
+               .unionByName(_row(
+                   ch.where(F.col("_change_type") == "delete"),
+                   "cdf_delete"))
+               .withColumn("physical_files_unchanged", F.lit(unchanged))
+               .withColumn("dv_files", F.lit(n_dv)))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_MOR_DELETE_SQL = """
+WITH pre AS (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_orderkey % 10 < 8),
+     head AS (SELECT * FROM pre WHERE o_orderkey % 10 <> 6),
+     d6 AS (SELECT * FROM pre WHERE o_orderkey % 10 = 6)
+SELECT 'head' AS step, COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_price,
+       1 AS physical_files_unchanged, 1 AS dv_files
+FROM head
+UNION ALL
+SELECT 'pre', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE),
+       1, 1
+FROM pre
+UNION ALL
+SELECT 'cdf_delete', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE),
+       1, 1
+FROM d6
+"""
+
+
 def engine_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The change-feed TVF by SQL (r11): ``table_changes('t', since[,
     until])`` in ``Engine.sql`` reads a registered snapshot table's
@@ -1628,6 +1699,7 @@ REGISTRY: dict[str, tuple] = {
     "snapshot_row_cdf": (snapshot_row_cdf, _ROW_CDF_SQL),
     "engine_table_changes": (engine_table_changes,
                              _ENGINE_TABLE_CHANGES_SQL),
+    "snapshot_mor_delete": (snapshot_mor_delete, _MOR_DELETE_SQL),
     "pyds_cdf_stream": (pyds_cdf_stream, _PYDS_CDF_SQL),
     "snapshot_parquet_segments": (snapshot_parquet_segments,
                                   _PARQUET_SEGMENTS_SQL),

@@ -1206,7 +1206,9 @@ class SnapshotTable:
                          file_segments: list[str] | None = None,
                          removed_files: list[str] | None = None,
                          delta_added: list[str] | None = None,
-                         delta_removed: list[str] | None = None) -> int:
+                         delta_removed: list[str] | None = None,
+                         dvs: dict | None = None,
+                         delta_dv: dict | None = None) -> int:
         """Publish a new snapshot.  Commit lock + parent check = optimistic
         concurrency; the HEAD swap itself is one atomic rename.
 
@@ -1377,11 +1379,20 @@ class SnapshotTable:
                 manifest["segments"] = segs
             elif blooms_f:
                 manifest["blooms"] = blooms_f
+            if dvs:
+                manifest["dvs"] = dvs
+                if len(dvs) > DELTA_INLINE_MAX:
+                    _log.warning(
+                        "%s: %d files carry deletion vectors - manifest "
+                        "metadata is growing O(dv'd files); run compact() "
+                        "to materialize", self.path, len(dvs))
             if delta_added is not None and delta_removed is not None:
                 if (len(delta_added) + len(delta_removed)
                         <= DELTA_INLINE_MAX):
                     manifest["delta"] = {"added": list(delta_added),
                                          "removed": sorted(delta_removed)}
+                    if delta_dv:
+                        manifest["delta"]["dv"] = delta_dv
                 elif (not delta_removed and fresh_seg is not None
                         and fresh_seg_files == list(delta_added)):
                     # huge append: its fresh segment holds exactly the
@@ -1511,6 +1522,11 @@ class SnapshotTable:
             # every file pruned: preserve the schema with an empty scan
             # of one manifest file plus an always-false filter
             df = reader.parquet(m["files"][0]).where(F.lit(False))
+        elif self._dvs(m):
+            # deletion vectors present (r11): subtract MOR-deleted
+            # positions with one broadcast anti-join; tables without
+            # DVs keep the identical plain-scan plan below
+            df = self._scan_subset(m, files)
         else:
             df = reader.parquet(*files)
         for col, op, value in conjuncts:
@@ -1579,7 +1595,8 @@ class SnapshotTable:
             schema=unified.json(), blooms=blooms,
             segments=pm.get("segments"), file_segments=pfsegs,
             removed_files=pm.get("removed_files"),
-            delta_added=files, delta_removed=[])
+            delta_added=files, delta_removed=[],
+            dvs=pm.get("dvs"))
 
     def overwrite(self, df: DataFrame, operation: str = "overwrite") -> int:
         """New snapshot from a fresh file list.  The input may lazily read
@@ -1630,7 +1647,8 @@ class SnapshotTable:
                                      blooms=m.get("blooms"),
                                      segments=m.get("segments"),
                                      file_segments=fsegs,
-                                     removed_files=m.get("removed_files"))
+                                     removed_files=m.get("removed_files"),
+                                     dvs=m.get("dvs"))
 
     def merge(self, source: DataFrame, on: str, *,
               matched=None, not_matched=None, not_matched_by_source=None,
@@ -1719,7 +1737,11 @@ class SnapshotTable:
             if conj:
                 candidates = self.prune_files(m, conj)
         if candidates:
-            tagged = (self._reader_for(m).parquet(*candidates)
+            tagged = (self._scan_subset(m, candidates,
+                                        file_col="__graft_file")
+                      .alias(target_alias)
+                      if self._dvs(m) else
+                      self._reader_for(m).parquet(*candidates)
                       .withColumn("__graft_file", F.input_file_name())
                       .alias(target_alias))
             hits = (tagged.join(src.alias(source_alias), F.expr(on),
@@ -1731,8 +1753,8 @@ class SnapshotTable:
             [r["__graft_file"] for r in hits], candidates, "merge").values())
         tfiles = [f for f in m["files"] if f in touched]
         if tfiles:
-            sub = self._reader_for(m).parquet(*tfiles)
-            n_touched = self.spark.read.parquet(*tfiles).count()
+            sub = self._scan_subset(m, tfiles)
+            n_touched = self._logical_rows(m, tfiles)
         else:
             from pyspark.sql import types as T
             schema = (T.StructType.fromJson(json.loads(m["schema"]))
@@ -1764,6 +1786,87 @@ class SnapshotTable:
             reader = reader.schema(
                 T.StructType.fromJson(json.loads(m["schema"])))
         return reader
+
+    # -- merge-on-read deletion vectors (r11) -------------------------------
+    # A MOR delete records (file, row_index) positions in a tiny parquet
+    # SIDECAR instead of rewriting data files (Delta deletion vectors /
+    # Iceberg positional deletes): a 1-row delete in a 1 GB file costs
+    # O(positions) bytes, not a 1 GB rewrite.  The manifest carries
+    # ``dvs: {file: {path, n}}``; every read subtracts positions with one
+    # broadcast anti-join on (normalized _metadata.file_path,
+    # _metadata.row_index).  Sidecars are immutable, staged like data
+    # files, folded per touched file on every new delete (one live
+    # sidecar per file), and MATERIALIZED (applied + dropped) by
+    # compact()/any COW rewrite of the file.
+
+    @staticmethod
+    def _norm_meta_path():
+        """_metadata.file_path normalized to the manifest's POSIX form
+        (column twin of :func:`_strip_file_scheme`)."""
+        return F.regexp_replace(
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
+            "^/+", "/")
+
+    @staticmethod
+    def _dvs(m: dict) -> dict:
+        return m.get("dvs") or {}
+
+    def _scan_subset(self, m: dict, files: list[str],
+                     file_col: str | None = None,
+                     row_col: str | None = None) -> DataFrame:
+        """Scan a subset of the manifest's files under the unified
+        schema with deletion vectors APPLIED.  When none of ``files``
+        carries a DV and no extra column is requested, this is exactly
+        the pre-r11 plain scan (identical plan).  ``file_col`` /
+        ``row_col`` expose the normalized source path and row index as
+        columns (DML phase-1 scans, MOR position capture)."""
+        fset = set(files)
+        dvs = {f: v for f, v in self._dvs(m).items() if f in fset}
+        base = self._reader_for(m).parquet(*files)
+        if not dvs and file_col is None and row_col is None:
+            return base
+        df = base.withColumn("__graft_fp", self._norm_meta_path()) \
+                 .withColumn("__graft_ri", F.col("_metadata.row_index"))
+        if dvs:
+            paths = sorted({v["path"] for v in dvs.values()})
+            dv = (self.spark.read.parquet(*paths)
+                  .select(F.col("file").alias("__graft_fp"),
+                          F.col("row_index").alias("__graft_ri")))
+            # positions of files NOT in this scan (shared commit
+            # sidecars) simply never match the join keys
+            df = df.join(F.broadcast(dv),
+                         ["__graft_fp", "__graft_ri"], "left_anti")
+        if row_col is not None:
+            df = df.withColumnRenamed("__graft_ri", row_col)
+        else:
+            df = df.drop("__graft_ri")
+        if file_col is not None:
+            return df.withColumnRenamed("__graft_fp", file_col)
+        return df.drop("__graft_fp")
+
+    def _anti_join_dv(self, df: DataFrame,
+                      dv_paths: list[str]) -> DataFrame:
+        """Subtract deletion-vector positions from a parquet scan (the
+        scan must still expose ``_metadata``); no-op without paths."""
+        if not dv_paths:
+            return df
+        df = (df.withColumn("__graft_fp", self._norm_meta_path())
+              .withColumn("__graft_ri", F.col("_metadata.row_index")))
+        dvp = (self.spark.read.parquet(*sorted(set(dv_paths)))
+               .select(F.col("file").alias("__graft_fp"),
+                       F.col("row_index").alias("__graft_ri")))
+        return (df.join(F.broadcast(dvp),
+                        ["__graft_fp", "__graft_ri"], "left_anti")
+                .drop("__graft_fp", "__graft_ri"))
+
+    def _logical_rows(self, m: dict, files: list[str]) -> int:
+        """Row count of ``files`` with deletion vectors subtracted -
+        parquet footers alone over-count MOR-deleted rows."""
+        import pyarrow.parquet as pq
+
+        dvs = self._dvs(m)
+        total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        return total - sum(dvs[f]["n"] for f in files if f in dvs)
 
     def _resolve_predicate(self, where):
         """Normalize a DML predicate.  Accepts the ``read(where=)``
@@ -1821,10 +1924,20 @@ class SnapshotTable:
         stats exclude it are never decoded - cost is O(candidate
         files), usually far less.  Returns {manifest file: n_matched}
         for files holding at least one matching row."""
-        rows = (self._reader_for(m).parquet(*candidates)
-                .where(pred)
-                .groupBy(F.input_file_name().alias("__f"))
-                .agg(F.count(F.lit(1)).alias("n")).collect())
+        if self._dvs(m):
+            # deletion vectors: count only LIVE matches - physical scans
+            # would count already-MOR-deleted rows, and the file-drop
+            # fast path (n_touched == n_matched) could then drop a file
+            # whose live rows do NOT all match (r11)
+            rows = (self._scan_subset(m, candidates, file_col="__f")
+                    .where(pred)
+                    .groupBy("__f")
+                    .agg(F.count(F.lit(1)).alias("n")).collect())
+        else:
+            rows = (self._reader_for(m).parquet(*candidates)
+                    .where(pred)
+                    .groupBy(F.input_file_name().alias("__f"))
+                    .agg(F.count(F.lit(1)).alias("n")).collect())
         mapped = self._map_hits_to_manifest([r["__f"] for r in rows],
                                             candidates, "dml-scan")
         return {mapped[r["__f"]]: r["n"] for r in rows}
@@ -1843,6 +1956,11 @@ class SnapshotTable:
         fold applies and clears the list).  On an inline parent the
         file list is rewritten directly (it is O(table) JSON anyway)."""
         tset = set(touched)
+        # touched files leave the table: their deletion-vector entries
+        # go with them (the rewrite MATERIALIZED the DVs); untouched
+        # files keep theirs
+        dvs_keep = {f: v for f, v in (m.get("dvs") or {}).items()
+                    if f not in tset} or None
         if m.get("file_segments"):
             removed = [f for f in (m.get("removed_files") or [])] + \
                 list(touched)
@@ -1852,7 +1970,8 @@ class SnapshotTable:
                 segments=m.get("segments"),
                 file_segments=m["file_segments"],
                 removed_files=removed,
-                delta_added=new_files, delta_removed=list(touched))
+                delta_added=new_files, delta_removed=list(touched),
+                dvs=dvs_keep)
         keep = [f for f in m["files"] if f not in tset]
         kset = set(keep)
         all_stats, all_blooms = resolve_stats(m)
@@ -1863,7 +1982,8 @@ class SnapshotTable:
             schema=schema,
             blooms={**{f: b for f, b in all_blooms.items() if f in kset},
                     **(new_blooms or {})},
-            delta_added=new_files, delta_removed=list(touched))
+            delta_added=new_files, delta_removed=list(touched),
+            dvs=dvs_keep)
 
     def _commit_cow(self, parent: int, m: dict, touched: list[str],
                     new_df: DataFrame, expected_rows: int,
@@ -1889,10 +2009,17 @@ class SnapshotTable:
 
     def delete(self, where,
                bloom_cols: list[str] | None = None,
-               bloom_bits: int = 1 << 15) -> int:
-        """COPY-ON-WRITE row-level ``DELETE FROM`` (the Delta/Iceberg
-        delete shape - the GDPR/right-to-be-forgotten removal a 100 TB
-        training corpus needs without rewriting the table):
+               bloom_bits: int = 1 << 15,
+               mor: bool = False) -> int:
+        """Row-level ``DELETE FROM`` - COPY-ON-WRITE by default, or
+        MERGE-ON-READ with ``mor=True`` (r11: Delta deletion vectors /
+        Iceberg positional deletes - record the matching (file,
+        row_index) positions in a tiny parquet sidecar instead of
+        rewriting data files; a 1-row delete in a 1 GB file costs
+        O(positions) bytes).  Every read subtracts positions with one
+        broadcast anti-join; ``compact()`` MATERIALIZES deletion
+        vectors (rewrites the files, drops the sidecars), and any COW
+        rewrite of a file does the same for that file.  The COW shape:
 
         1. manifest [min,max]/bloom stats prune candidate files with
            ZERO data IO when ``where`` uses the ``(col, op, value)``
@@ -1926,24 +2053,90 @@ class SnapshotTable:
                       else m["files"])
         if not candidates:
             return parent
+        if mor:
+            return self._delete_mor(parent, m, candidates, pred)
         touched = self._touched_files(m, candidates, pred)
         if not touched:
             return parent
         tfiles = [f for f in m["files"] if f in touched]
         n_del = sum(touched.values())
-        # metadata-only count of the rows being rewritten
-        n_touched = self.spark.read.parquet(*tfiles).count()
+        # metadata-only count of the rows being rewritten (deletion
+        # vectors subtracted - footers over-count MOR-deleted rows)
+        n_touched = self._logical_rows(m, tfiles)
         if n_touched == n_del:
             # every row in every touched file matches: pure file drop,
             # no rewrite at all (the partition-delete fast path)
             return self._publish_cow(parent, m, tfiles, [], {},
                                      m["rows"] - n_del, "delete",
                                      m.get("schema"))
-        remaining = (self._reader_for(m).parquet(*tfiles)
+        remaining = (self._scan_subset(m, tfiles)
                      .where(~F.coalesce(pred, F.lit(False))))
         return self._commit_cow(parent, m, tfiles, remaining,
                                 n_touched - n_del, m["rows"] - n_del,
                                 "delete", bloom_cols, bloom_bits)
+
+    def _delete_mor(self, parent: int, m: dict, candidates: list[str],
+                    pred) -> int:
+        """MERGE-ON-READ delete: capture the LIVE matching (file,
+        row_index) positions in one DV-applied pushdown scan, write
+        them (plus the touched files' folded prior positions) as ONE
+        immutable parquet sidecar, and commit a manifest whose file
+        list is UNCHANGED - write cost is O(matching positions), zero
+        data-file IO.  Each touched file references exactly one live
+        sidecar (prior positions fold forward, ``new=false``), so the
+        read-path anti-join and the per-commit CDF (``new=true`` rows)
+        both stay exact.  A crashed attempt leaves an unreferenced
+        sidecar for vacuum - the staged-data contract."""
+        hits = (self._scan_subset(m, candidates, file_col="file",
+                                  row_col="row_index")
+                .where(F.coalesce(pred, F.lit(False)))
+                .select("file", "row_index")
+                .localCheckpoint(eager=True))
+        per_file = {r["file"]: r["n"] for r in
+                    hits.groupBy("file")
+                    .agg(F.count(F.lit(1)).alias("n")).collect()}
+        if not per_file:
+            return parent
+        mapped = self._map_hits_to_manifest(list(per_file), candidates,
+                                            "delete-mor")
+        dvm = self._dvs(m)
+        touched_manifest = sorted(set(mapped.values()))
+        new_pos = hits.withColumn("new", F.lit(True))
+        prior_paths = sorted({dvm[f]["path"] for f in touched_manifest
+                              if f in dvm})
+        if prior_paths:
+            # fold the touched files' prior positions forward so each
+            # file keeps ONE live sidecar (prior sidecars may be shared
+            # with untouched files and stay referenced by them).  Filter
+            # in the SIDECAR namespace (normalized scan paths) - the
+            # same normalization every capture scan applies
+            tdf = self.spark.createDataFrame(
+                [(f,) for f in sorted(per_file)], "file string")
+            prior = (self.spark.read.parquet(*prior_paths)
+                     .select("file", "row_index")
+                     .join(F.broadcast(tdf), "file", "left_semi")
+                     .withColumn("new", F.lit(False)))
+            allpos = new_pos.unionByName(prior)
+        else:
+            allpos = new_pos
+        stage = os.path.join(self._root, "files", uuid.uuid4().hex)
+        allpos.coalesce(1).write.mode("errorifexists").parquet(stage)
+        dvs = dict(dvm)
+        for scan_f, mfp in mapped.items():
+            prior_n = (dvm.get(mfp) or {}).get("n", 0)
+            dvs[mfp] = {"path": stage, "n": prior_n + per_file[scan_f]}
+        n_del = sum(per_file.values())
+        pfsegs = m.get("file_segments") or None
+        return self._commit_manifest(
+            parent, [] if pfsegs else m["files"],
+            m["rows"] - n_del, "delete-mor",
+            stats=m.get("stats"), schema=m.get("schema"),
+            blooms=m.get("blooms"), segments=m.get("segments"),
+            file_segments=pfsegs,
+            removed_files=m.get("removed_files"),
+            delta_added=[], delta_removed=[], dvs=dvs,
+            delta_dv={"path": stage, "files": touched_manifest,
+                      "n": n_del})
 
     def update(self, assignments: dict, where,
                bloom_cols: list[str] | None = None,
@@ -1975,7 +2168,7 @@ class SnapshotTable:
         if not touched:
             return parent
         tfiles = [f for f in m["files"] if f in touched]
-        df = self._reader_for(m).parquet(*tfiles)
+        df = self._scan_subset(m, tfiles)
         unknown = [c for c in assignments if c not in df.columns]
         if unknown:
             raise SnapshotError(
@@ -1991,7 +2184,7 @@ class SnapshotTable:
         out = df.select(*[
             (_assign(c) if c in assignments else F.col(c)).alias(c)
             for c in df.columns])
-        n_touched = self.spark.read.parquet(*tfiles).count()
+        n_touched = self._logical_rows(m, tfiles)
         return self._commit_cow(parent, m, tfiles, out, n_touched,
                                 m["rows"], "update", bloom_cols,
                                 bloom_bits)
@@ -2044,10 +2237,10 @@ class SnapshotTable:
         rewritten: list[str] = []
         rw_stats: dict = {}
         if tfiles:
-            n_touched = self.spark.read.parquet(*tfiles).count()
+            n_touched = self._logical_rows(m, tfiles)
             if n_touched > n_matched:
                 # partially-matched files keep their non-matching rows
-                remaining = (self._reader_for(m).parquet(*tfiles)
+                remaining = (self._scan_subset(m, tfiles)
                              .where(~F.coalesce(pred, F.lit(False))))
                 rewritten, n_kept, rw_stats = self._write_files(remaining)
                 if n_kept != n_touched - n_matched:
@@ -2073,20 +2266,30 @@ class SnapshotTable:
         delta (pre-r11 manifest, oversized rewrite, rollback) - the
         caller falls back to the endpoint multiset diff.  Spark-free:
         scripts/manifest_scale.py measures exactly this call."""
-        steps: list[tuple[int, int, list[str], list[str]]] = []
+        steps: list[tuple] = []
+        prev_dvs = self._manifest_json(since).get("dvs") or {}
         for v in range(since + 1, until + 1):
             mj = self._manifest_json(v)
             op = mj["operation"]
             if (op in ("compact", "consolidate-metadata")
                     or op.startswith("cluster:")):
+                prev_dvs = mj.get("dvs") or {}
                 continue  # bytes rearranged, rows identical
             delta = self._commit_delta(v, mj)
             if delta is None or op.startswith("rollback->"):
                 return None
             added, removed = delta
-            if added or removed:
+            dv = (mj.get("delta") or {}).get("dv")
+            # a COW step replacing files that carried DELETION VECTORS
+            # must diff the removed files' LIVE content - their
+            # parent-version sidecars ride along so the already-MOR-
+            # deleted rows are not re-reported as deletes (r11)
+            removed_dvs = {f: prev_dvs[f]["path"] for f in removed
+                           if f in prev_dvs}
+            if added or removed or dv:
                 steps.append((v, mj.get("timestamp_ms") or 0,
-                              added, removed))
+                              added, removed, dv, removed_dvs))
+            prev_dvs = mj.get("dvs") or {}
         return steps
 
     def changes(self, since: int, until: int | None = None,
@@ -2170,7 +2373,27 @@ class SnapshotTable:
             # shape the fast-path tests pin); with it, each commit's
             # files carry their own version/timestamp columns
             append_files: list[str] = []
-            for v, ts, added, removed in plan:
+            for v, ts, added, removed, dv, removed_dvs in plan:
+                if dv:
+                    # MOR delete (r11): the delete events ARE the rows
+                    # at this commit's NEW sidecar positions - an inner
+                    # join of the touched files against the sidecar,
+                    # O(touched files + positions)
+                    old_df = (ureader.parquet(*dv["files"])
+                              .withColumn("__graft_fp",
+                                          self._norm_meta_path())
+                              .withColumn("__graft_ri",
+                                          F.col("_metadata.row_index")))
+                    pos = (self.spark.read.parquet(dv["path"])
+                           .where(F.col("new"))
+                           .select(F.col("file").alias("__graft_fp"),
+                                   F.col("row_index").alias("__graft_ri")))
+                    dels = (old_df.join(F.broadcast(pos),
+                                        ["__graft_fp", "__graft_ri"],
+                                        "inner")
+                            .drop("__graft_fp", "__graft_ri"))
+                    parts.append(_tag(dels, "delete", v, ts))
+                    continue
                 if not removed:
                     if include_version:
                         parts.append(_tag(ureader.parquet(*added),
@@ -2178,10 +2401,12 @@ class SnapshotTable:
                     else:
                         append_files.extend(added)
                     continue
-                old_df = ureader.parquet(*sorted(removed))
+                old_df = self._anti_join_dv(
+                    ureader.parquet(*sorted(removed)),
+                    list(removed_dvs.values()))
                 if not added:
                     # pure file drop (partition-delete fast path): every
-                    # removed row is a delete, no diff needed
+                    # LIVE removed row is a delete, no diff needed
                     parts.append(_tag(old_df, "delete", v, ts))
                     continue
                 new_df = ureader.parquet(*added)
@@ -2214,11 +2439,20 @@ class SnapshotTable:
                 "commit attribution is not derivable from an endpoint "
                 "diff (re-run without include_version for net changes)")
 
-        # -- fallback: exact endpoint multiset diff ----------------------
-        sfiles = set(self.manifest(since)["files"])
-        ufiles = self.manifest(until)["files"]
-        old_df = (ureader.parquet(*sorted(sfiles)) if sfiles else None)
-        new_df = ureader.parquet(*ufiles) if ufiles else None
+        # -- fallback: exact endpoint multiset diff (DV-applied on both
+        # endpoints: MOR-deleted rows are not rows of either snapshot;
+        # BOTH endpoints read under until's unified schema) -----------
+        sm, um = self.manifest(since), self.manifest(until)
+        sfiles = set(sm["files"])
+        ufiles = um["files"]
+        old_df = (self._anti_join_dv(
+            ureader.parquet(*sorted(sfiles)),
+            [v["path"] for f, v in self._dvs(sm).items() if f in sfiles])
+            if sfiles else None)
+        new_df = (self._anti_join_dv(
+            ureader.parquet(*ufiles),
+            [v["path"] for f, v in self._dvs(um).items()])
+            if ufiles else None)
         if new_df is None and old_df is None:
             raise SnapshotError(
                 f"{self.path}: both v{since} and v{until} are empty")
@@ -2262,21 +2496,21 @@ class SnapshotTable:
         parent = self.current_version()
         m = self.manifest(parent)
         sizes = {f: os.path.getsize(f) for f in m["files"]}
-        small = [f for f in m["files"] if sizes[f] < small_file_bytes]
-        if len(small) < 2:
+        dvm = self._dvs(m)
+        # any file carrying a DELETION VECTOR joins the rewrite set
+        # regardless of size (r11): OPTIMIZE is the MOR materialization
+        # lever - the rewrite applies the positions and drops the
+        # sidecar, exactly Delta's OPTIMIZE-on-DV behavior
+        small = [f for f in m["files"]
+                 if sizes[f] < small_file_bytes or f in dvm]
+        if len(small) < 2 and not any(f in dvm for f in small):
             return parent
-        keep = [f for f in m["files"] if sizes[f] >= small_file_bytes]
+        keep = [f for f in m["files"] if f not in set(small)]
         small_bytes = sum(sizes[f] for f in small)
         n_out = max(1, -(-small_bytes // target_file_bytes))
-        reader = self.spark.read
-        if m.get("schema"):
-            # rewrite under the UNIFIED schema: without it, coalescing
-            # small files from before and after a column addition would
-            # silently drop the new column from the rewritten bytes
-            from pyspark.sql import types as T
-            reader = reader.schema(
-                T.StructType.fromJson(json.loads(m["schema"])))
-        small_df = reader.parquet(*small)
+        # rewrite under the UNIFIED schema (a column added after some
+        # small files were written must not be dropped) with DVs applied
+        small_df = self._scan_subset(m, small)
         n_small = small_df.count()
         files, n_new, stats = self._write_files(small_df.coalesce(n_out))
         if n_new != n_small:
@@ -2388,7 +2622,8 @@ class SnapshotTable:
             stats={f: s for f, s in stats.items() if f in fset},
             schema=m.get("schema"),
             blooms={f: b for f, b in blooms.items() if f in fset},
-            delta_added=m["files"], delta_removed=[])
+            delta_added=m["files"], delta_removed=[],
+            dvs=m.get("dvs"))
         cdir = os.path.join(self._root, "clones")
         os.makedirs(cdir, exist_ok=True)
         _fsync_write(
@@ -2420,7 +2655,8 @@ class SnapshotTable:
             stats={f: s for f, s in stats.items() if f in fset},
             schema=m.get("schema"),
             blooms={f: b for f, b in blooms.items() if f in fset},
-            delta_added=[], delta_removed=[])
+            delta_added=[], delta_removed=[],
+            dvs=m.get("dvs"))
 
     def detail(self) -> dict:
         """DESCRIBE DETAIL-style table metadata, O(metadata): current
@@ -2487,6 +2723,8 @@ class SnapshotTable:
             m = self.manifest(v)
             for f in m["files"]:
                 live.add(os.path.dirname(f))
+            for dv in (m.get("dvs") or {}).values():
+                live.add(dv["path"])  # deletion-vector sidecar dirs
             live_segs.update(m.get("segments") or [])
             # file-list segments are as live as the manifest referencing
             # them - sweeping them as orphans would lose the table's file
@@ -2507,8 +2745,11 @@ class SnapshotTable:
                     continue
                 ctab = SnapshotTable(self.spark, ref["dest"])
                 for cv in [x["version"] for x in ctab.versions()]:
-                    for f in ctab.manifest(cv)["files"]:
+                    cm = ctab.manifest(cv)
+                    for f in cm["files"]:
                         live.add(os.path.dirname(f))
+                    for dv in (cm.get("dvs") or {}).values():
+                        live.add(dv["path"])
         fdir = os.path.join(self._root, "files")
         removed = []
         for d in os.listdir(fdir):
@@ -2638,20 +2879,21 @@ def sync_changes(src: SnapshotTable, dst: SnapshotTable,
                     for k in keys if row[f"__lo_{k}"] is not None]
             candidates = dst.prune_files(m, conj) if conj else m["files"]
             if candidates:
-                hits = (dst._reader_for(m).parquet(*candidates)
-                        .withColumn("__graft_file", F.input_file_name())
-                        .join(touched_keys, keys, "left_semi")
+                tagged = (dst._scan_subset(m, candidates,
+                                           file_col="__graft_file")
+                          if dst._dvs(m) else
+                          dst._reader_for(m).parquet(*candidates)
+                          .withColumn("__graft_file",
+                                      F.input_file_name()))
+                hits = (tagged.join(touched_keys, keys, "left_semi")
                         .select("__graft_file").distinct().collect())
                 tset = set(dst._map_hits_to_manifest(
                     [r["__graft_file"] for r in hits], candidates,
                     "sync").values())
                 tfiles = [f for f in m["files"] if f in tset]
         if tfiles:
-            import pyarrow.parquet as pq
-
-            sub = dst._reader_for(m).parquet(*tfiles)
-            n_touched = sum(pq.ParquetFile(f).metadata.num_rows
-                            for f in tfiles)
+            sub = dst._scan_subset(m, tfiles)
+            n_touched = dst._logical_rows(m, tfiles)
             out = sub.join(touched_keys, keys, "left_anti").unionByName(
                 alive, allowMissingColumns=True)
         else:
@@ -2708,9 +2950,12 @@ def scd2_apply_cow(table: SnapshotTable, batch: DataFrame,
     candidates = table.prune_files(m, conj) if conj else m["files"]
     touched: list[str] = []
     if candidates:
-        hits = (table._reader_for(m).parquet(*candidates)
-                .withColumn("__graft_file", F.input_file_name())
-                .join(tkeys, keys, "left_semi")
+        tagged = (table._scan_subset(m, candidates,
+                                     file_col="__graft_file")
+                  if table._dvs(m) else
+                  table._reader_for(m).parquet(*candidates)
+                  .withColumn("__graft_file", F.input_file_name()))
+        hits = (tagged.join(tkeys, keys, "left_semi")
                 .select("__graft_file").distinct().collect())
         # raises on an unmappable hit (ADVICE r9 medium): SCD2 has no
         # row-count guard, so a dropped file would duplicate history
@@ -2721,8 +2966,8 @@ def scd2_apply_cow(table: SnapshotTable, batch: DataFrame,
     if not touched:
         # every key is new: pure append of its built history
         return table.append(scd2_build(batch, keys, time_col, attr_cols))
-    sub = table._reader_for(m).parquet(*touched)
-    n_touched = table.spark.read.parquet(*touched).count()
+    sub = table._scan_subset(m, touched)
+    n_touched = table._logical_rows(m, touched)
     keep_rows = sub.join(tkeys, keys, "left_anti")
     rebuilt = scd2_apply_batch(sub.join(tkeys, keys, "left_semi"),
                                batch, keys, time_col, attr_cols)

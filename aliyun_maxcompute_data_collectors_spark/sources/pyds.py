@@ -117,6 +117,9 @@ def _pack_files(files: list[str], target_bytes: int) -> list[list[str]]:
 @dataclass
 class _FilesPartition(InputPartition):
     files: list
+    # {file: dv sidecar path} for files carrying MOR deletion vectors
+    # (r11); positions are subtracted batch-by-batch in _scan_adapted
+    dvs: dict | None = None
 
 
 # CHANGE DATA FEED (r10): metadata columns appended to the table schema
@@ -172,13 +175,31 @@ def _scan_change_entries(entries: list, target_spark_schema) -> "Iterator":
             yield pa.RecordBatch.from_arrays(arrays, schema=target)
 
 
-def _scan_adapted(files: list, target_spark_schema) -> "Iterator":
+def _dv_positions(dv_path: str, file: str):
+    """Sorted row indices MOR-deleted from ``file`` per its deletion
+    vector sidecar (r11) - a tiny parquet read per dv'd file."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(dv_path, columns=["file", "row_index"])
+    hit = t.filter(pc.equal(t.column("file"), file))
+    return np.sort(hit.column("row_index").to_numpy(zero_copy_only=False))
+
+
+def _scan_adapted(files: list, target_spark_schema,
+                  dvs: dict | None = None) -> "Iterator":
     """Yield arrow batches for ``files`` conformed to the table's
     unified schema: files that predate an added column emit it as NULL,
     column order follows the schema, and types cast defensively.  Files
     already matching pass through untouched (the common, zero-copy
     case).  This is what makes SCHEMA EVOLUTION work through the DSv2
-    read path - Spark expects every batch to match the logical schema."""
+    read path - Spark expects every batch to match the logical schema.
+
+    ``dvs`` ({file: sidecar path}, r11): MOR-deleted positions are
+    dropped batch-by-batch with one boolean-mask filter - vectorized,
+    no per-row python, so the format API reads DV tables exactly."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -189,7 +210,18 @@ def _scan_adapted(files: list, target_spark_schema) -> "Iterator":
         pf = pq.ParquetFile(f)
         have = set(pf.schema_arrow.names)
         cols = [n for n in names if n in have]
+        pos = (_dv_positions(dvs[f], f)
+               if dvs and f in dvs else None)
+        offset = 0
         for batch in pf.iter_batches(columns=cols or None):
+            if pos is not None:
+                n = batch.num_rows
+                local = pos[(pos >= offset) & (pos < offset + n)] - offset
+                offset += n
+                if len(local):
+                    mask = np.ones(n, dtype=bool)
+                    mask[local] = False
+                    batch = batch.filter(pa.array(mask))
             # conform EVERY batch to the one canonical arrow schema -
             # the DSv2 arrow channel requires a single schema across the
             # whole stream, so even matching files re-wrap (zero-copy
@@ -220,16 +252,22 @@ class _SnapshotReaderNoPushdown(DataSourceReader):
     def __init__(self, manifest: dict, options, schema):
         self._manifest = manifest
         self._files = list(manifest["files"])
+        self._dvmap = manifest.get("dvs") or {}
         self._schema = schema
         self._partition_bytes = int(
             options.get("partition_bytes", _DEFAULT_PARTITION_BYTES))
 
     def partitions(self):
-        return [_FilesPartition(b)
-                for b in _pack_files(self._files, self._partition_bytes)]
+        out = []
+        for b in _pack_files(self._files, self._partition_bytes):
+            dvs = {f: self._dvmap[f]["path"] for f in b
+                   if f in self._dvmap}
+            out.append(_FilesPartition(b, dvs or None))
+        return out
 
     def read(self, partition):
-        yield from _scan_adapted(partition.files, self._schema)
+        yield from _scan_adapted(partition.files, self._schema,
+                                 getattr(partition, "dvs", None))
 
 
 class _SnapshotChangeReader(DataSourceReader):
@@ -266,6 +304,14 @@ class _SnapshotChangeReader(DataSourceReader):
             if (op in ("init", "compact", "consolidate-metadata")
                     or op.startswith("cluster")):
                 continue
+            if (m.get("delta") or {}).get("dv"):
+                raise SnapshotError(
+                    f"graft_snapshot change_feed: v{v} is a merge-on-"
+                    "read DELETE (deletion vectors) - positional "
+                    "deletes are not expressible in the FILE-level "
+                    "changelog; use SnapshotTable.changes() (exact "
+                    "row-level events) or compact() to materialize "
+                    "before streaming this range")
             parent_files = (set(tab.manifest(m["parent"])["files"])
                             if m["parent"] is not None else set())
             curset = set(m["files"])
@@ -547,6 +593,13 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             return []
         # r11: plan the changelog from the commit's recorded delta -
         # O(changed files); pre-r11 manifests diff the materialized lists
+        if (m.get("delta") or {}).get("dv"):
+            raise SnapshotError(
+                f"graft_snapshot stream change_feed: v{v} is a merge-"
+                "on-read DELETE (deletion vectors) - positional deletes "
+                "are not expressible in the FILE-level changelog; use "
+                "SnapshotTable.changes() driver-side or compact() to "
+                "materialize before streaming past this commit")
         delta = tab._commit_delta(v, m)
         if delta is not None:
             added, removed = delta

@@ -132,10 +132,12 @@ BENCH_QUERIES = [
     # point-lookup prune - a maintenance-job cost, measured as one)
     "bpe_pair_counts",
     "snapshot_bloom_compact",
-    # round-11 addition: row-level CDF on a COW commit (update 1 row in
+    # round-11 additions: row-level CDF on a COW commit (update 1 row in
     # a multi-row file; the delta-planned changes() diffs only the
-    # swapped file pair - measures the O(touched) change-feed cost)
+    # swapped file pair - measures the O(touched) change-feed cost) and
+    # merge-on-read delete (deletion-vector write + anti-join read)
     "snapshot_row_cdf",
+    "snapshot_mor_delete",
 ]
 
 

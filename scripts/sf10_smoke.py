@@ -69,7 +69,7 @@ SPOT = [
     # round-11 additions: row-level CDF on COW commits (delta-planned
     # changes(), O(touched files)) and the table_changes SQL TVF with
     # per-commit attribution
-    "snapshot_row_cdf", "engine_table_changes",
+    "snapshot_row_cdf", "engine_table_changes", "snapshot_mor_delete",
 ]
 
 

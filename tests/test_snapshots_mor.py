@@ -1,0 +1,247 @@
+"""Merge-on-read deletion vectors (r11): positional deletes recorded in
+parquet sidecars instead of rewriting data files - Delta deletion
+vectors / Iceberg positional deletes, built on the manifest layer.
+
+Invariants pinned here:
+- a MOR delete never touches data files (physical list identical);
+- every read path (SnapshotTable.read, prune+where, the format API with
+  and without pushdown) subtracts positions exactly;
+- logical row counts (manifest rows, DML row guards) subtract DVs;
+- repeat deletes fold to ONE live sidecar per file and never
+  double-count (the capture scan is itself DV-applied);
+- COW DML and compact() MATERIALIZE the vectors (rewrite, drop entry);
+- changes()/CDF emit exact row-level delete events for MOR commits and
+  never re-report already-MOR-deleted rows when a later COW step
+  replaces the file;
+- vacuum keeps live sidecars and sweeps dead ones;
+- the file-level CDF surfaces (batch + stream) refuse MOR ranges loudly
+  instead of silently missing deletes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aliyun_maxcompute_data_collectors_spark.snapshots import (
+    SnapshotError,
+    SnapshotTable,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return SnapshotTable.init(spark, str(tmp_path / "t"))
+
+
+def test_mor_delete_basic(spark, table):
+    table.append(_df(spark, [(i, f"a{i}") for i in range(100)]).coalesce(1))
+    table.append(_df(spark, [(i, f"b{i}") for i in range(100, 200)])
+                 .coalesce(1))
+    v_pre = table.current_version()
+    files_pre = sorted(table.manifest()["files"])
+
+    v_mor = table.delete(("id", "==", 150), mor=True)
+    m = table.manifest()
+    # data files UNTOUCHED - that is the whole point
+    assert sorted(m["files"]) == files_pre
+    assert m["operation"] == "delete-mor"
+    assert m["rows"] == 199
+    # exactly one file carries a DV, with one position
+    dvs = m["dvs"]
+    assert len(dvs) == 1
+    (f, ent), = dvs.items()
+    assert ent["n"] == 1 and os.path.exists(ent["path"])
+    # reads subtract the position
+    assert table.read().count() == 199
+    assert table.read().where("id = 150").count() == 0
+    # the OTHER rows of the dv'd file survive
+    assert table.read().where("id = 151").count() == 1
+    # time travel: pre-delete snapshot still shows the row
+    assert table.read(v_pre).where("id = 150").count() == 1
+    # manifest prune + DV compose
+    got = sorted(r["id"] for r in
+                 table.read(where=("id", "between", (149, 152))).collect())
+    assert got == [149, 151, 152]
+    # operation metrics
+    vrow = [x for x in table.versions() if x["version"] == v_mor][0]
+    assert (vrow["num_added_files"], vrow["num_removed_files"]) == (0, 0)
+    # row-level CDF: exactly ONE delete event, at O(touched)
+    ch = table.changes(v_pre, v_mor)
+    got = [(r["id"], r["v"], r["_change_type"]) for r in ch.collect()]
+    assert got == [(150, "b150", "delete")]
+    # include_version attribution works for MOR steps
+    chv = table.changes(v_pre, v_mor, include_version=True).collect()
+    assert chv[0]["_commit_version"] == v_mor
+
+
+def test_mor_repeat_deletes_fold_and_never_double_count(spark, table):
+    table.append(_df(spark, [(i, "x") for i in range(50)]).coalesce(1))
+    table.delete(("id", "<", 10), mor=True)
+    m1 = table.manifest()
+    (f1, e1), = m1["dvs"].items()
+    assert e1["n"] == 10 and m1["rows"] == 40
+    # overlapping predicate: already-deleted rows match NOTHING live
+    table.delete(("id", "<", 15), mor=True)
+    m2 = table.manifest()
+    (f2, e2), = m2["dvs"].items()
+    assert f2 == f1
+    assert e2["n"] == 15 and m2["rows"] == 35  # 5 new, not 15 again
+    assert e2["path"] != e1["path"]  # folded into ONE live sidecar
+    assert table.read().count() == 35
+    assert sorted(r["id"] for r in table.read().collect()) == \
+        list(range(15, 50))
+    # delete matching nothing live: no empty commit
+    head = table.current_version()
+    assert table.delete(("id", "<", 15), mor=True) == head
+    # per-commit CDF of the second delete: exactly the 5 NEW positions
+    ch = table.changes(head - 1, head)
+    assert sorted(r["id"] for r in ch.collect()) == list(range(10, 15))
+    assert ch.where("_change_type <> 'delete'").count() == 0
+
+
+def test_mor_then_cow_materializes_and_cdf_stays_exact(spark, table):
+    table.append(_df(spark, [(i, f"v{i}") for i in range(20)]).coalesce(1))
+    v0 = table.current_version()
+    v1 = table.delete(("id", "==", 3), mor=True)
+    # COW update of another row in the SAME file: the rewrite must
+    # apply the DV (row 3 stays gone) and drop the dv entry
+    v2 = table.update({"v": "'UPD'"}, ("id", "==", 7))
+    m = table.manifest()
+    assert not m.get("dvs")
+    assert m["rows"] == 19
+    got = {r["id"]: r["v"] for r in table.read().collect()}
+    assert 3 not in got and got[7] == "UPD" and len(got) == 19
+    # the COW step's CDF must NOT re-report row 3 (it was already
+    # MOR-deleted): exactly del(7,v7) + ins(7,UPD)
+    ch = sorted((r["id"], r["v"], r["_change_type"])
+                for r in table.changes(v1, v2).collect())
+    assert ch == [(7, "UPD", "insert"), (7, "v7", "delete")]
+    # whole-range algebra: v0 -> head nets to del 3, del 7old, ins 7new
+    ch = sorted((r["id"], r["_change_type"])
+                for r in table.changes(v0).collect())
+    assert ch == [(3, "delete"), (7, "delete"), (7, "insert")]
+
+
+def test_mor_compact_materializes_any_size(spark, table):
+    table.append(_df(spark, [(i, "x") for i in range(1000)]).coalesce(1))
+    table.delete(("id", "<", 100), mor=True)
+    assert table.manifest()["dvs"]
+    # the dv'd file joins the rewrite set regardless of size threshold
+    table.compact(target_file_bytes=1 << 30, small_file_bytes=1)
+    m = table.manifest()
+    assert m["operation"] == "compact" and not m.get("dvs")
+    assert m["rows"] == 900 and table.read().count() == 900
+    # physical bytes no longer hold the deleted rows
+    import pyarrow.parquet as pq
+    assert sum(pq.ParquetFile(f).metadata.num_rows
+               for f in m["files"]) == 900
+
+
+def test_mor_file_drop_fast_path_counts_live_rows_only(spark, table):
+    # file A: ids 0-9; MOR-delete 0-4; then COW-delete 5-9 (all LIVE
+    # rows).  The fast path must see n_touched(live)=5 == n_del=5 and
+    # drop the file - and must NOT have counted the 5 dead rows
+    table.append(_df(spark, [(i, "x") for i in range(10)]).coalesce(1))
+    table.append(_df(spark, [(i, "y") for i in range(100, 110)])
+                 .coalesce(1))
+    table.delete(("id", "<", 5), mor=True)
+    table.delete(("id", "between", (5, 9)))  # COW
+    m = table.manifest()
+    assert len(m["files"]) == 1  # file A dropped outright, B carried
+    assert m["rows"] == 10 and not m.get("dvs")
+    assert sorted(r["id"] for r in table.read().collect()) == \
+        list(range(100, 110))
+
+
+def test_mor_format_api_reads_and_cdf_guards(spark, tmp_path):
+    from aliyun_maxcompute_data_collectors_spark.sources.pyds import (
+        register_python_datasources,
+    )
+
+    root = str(tmp_path / "fmt")
+    tab = SnapshotTable.init(spark, root)
+    tab.append(_df(spark, [(i, f"r{i}") for i in range(60)]).repartition(3))
+    v_pre = tab.current_version()
+    tab.delete(("id", "between", (10, 19)), mor=True)
+    register_python_datasources(spark)
+
+    # plain batch read through the format API applies the DV exactly
+    got = (spark.read.format("graft_snapshot").option("path", root)
+           .load())
+    assert got.count() == 50
+    assert got.where("id = 15").count() == 0
+    assert sorted(r["id"] for r in got.collect()) == \
+        [i for i in range(60) if not 10 <= i <= 19]
+    # time travel through the format API: pre-delete version intact
+    old = (spark.read.format("graft_snapshot").option("path", root)
+           .option("version", str(v_pre)).load())
+    assert old.count() == 60
+    # file-level CDF refuses the MOR range loudly (silent missing
+    # deletes would be a wrong answer)
+    with pytest.raises(Exception, match="deletion vectors"):
+        (spark.read.format("graft_snapshot").option("path", root)
+         .option("change_feed", "true")
+         .option("starting_version", str(v_pre)).load().collect())
+
+
+def test_mor_vacuum_keeps_live_sidecars(spark, table):
+    table.append(_df(spark, [(i, "x") for i in range(30)]).coalesce(1))
+    table.delete(("id", "<", 5), mor=True)
+    dv_dir = list(table.manifest()["dvs"].values())[0]["path"]
+    table.append(_df(spark, [(100, "z")]).coalesce(1))
+    table.vacuum(keep_last=1)
+    # sidecar referenced by HEAD survives; reads stay exact
+    assert os.path.exists(dv_dir)
+    assert table.read().count() == 26
+    # materialize, then vacuum: the sidecar becomes garbage and goes
+    table.compact(target_file_bytes=1 << 30, small_file_bytes=1)
+    table.vacuum(keep_last=1)
+    assert not os.path.exists(dv_dir)
+    assert table.read().count() == 26
+
+
+def test_mor_merge_and_replace_where_on_dv_files(spark, table):
+    table.append(_df(spark, [(i, f"v{i}") for i in range(20)]).coalesce(1))
+    table.delete(("id", "==", 2), mor=True)
+    # MERGE touching the dv'd file: rewrite applies the DV
+    src = spark.createDataFrame([(5, "M5"), (99, "M99")], "id long, v string")
+    table.merge(src, "t.id = s.id",
+                matched=[(None, {"v": "s.v"})], not_matched=(None, "*"))
+    got = {r["id"]: r["v"] for r in table.read().collect()}
+    assert 2 not in got and got[5] == "M5" and got[99] == "M99"
+    assert len(got) == 20  # 20 - deleted 2 + inserted 99
+    assert not table.manifest().get("dvs")
+    # replace_where after a fresh MOR delete
+    table.delete(("id", "==", 7), mor=True)
+    table.replace_where(_df(spark, [(8, "R8")]), ("id", "==", 8))
+    got = {r["id"]: r["v"] for r in table.read().collect()}
+    assert 7 not in got and got[8] == "R8" and 2 not in got
+    assert not table.manifest().get("dvs")
+
+
+def test_mor_scd2_sync_on_dv_destination(spark, tmp_path):
+    """sync_changes onto a dst that carries DVs: the key-scoped COW
+    rewrite applies them for touched files and counts logically."""
+    from aliyun_maxcompute_data_collectors_spark.snapshots import sync_changes
+
+    src = SnapshotTable.init(spark, str(tmp_path / "s"))
+    dst = SnapshotTable.init(spark, str(tmp_path / "d"))
+    kv = spark.range(0, 100).selectExpr("id AS k", "id % 7 AS v")
+    src.append(kv.coalesce(1))
+    sync_changes(src, dst, ["k"])
+    # dst diverges via a local MOR delete; the next sync of touched
+    # keys must still converge for those keys
+    dst.delete(("k", "between", (0, 4)), mor=True)
+    src.update({"v": "v + 100"}, ("k", "between", (0, 9)))
+    sync_changes(src, dst, ["k"])
+    got = {r["k"]: r["v"] for r in dst.read().collect()}
+    for k in range(10):
+        assert got[k] == k % 7 + 100  # touched keys re-replicated
+    assert len(got) == 100 and not dst.manifest().get("dvs")
