@@ -289,7 +289,7 @@ def test_changes_algebra_random_histories(spark, tmp_path):
         versions = [t.current_version()]
         for _ in range(6):
             op = rng.choice(["append", "append", "update", "delete",
-                             "replace", "compact", "mor"])
+                             "replace", "compact", "mor", "mor_update"])
             if op == "append":
                 n = rng.randint(1, 30)
                 t.append(_df(spark, [(nxt + i, f"s{seed}_{nxt + i}")
@@ -298,6 +298,11 @@ def test_changes_algebra_random_histories(spark, tmp_path):
             elif op == "mor" and nxt:
                 lo = rng.randrange(nxt)
                 t.delete(("id", "between", (lo, lo + rng.randint(0, 6))),
+                         mor=True)
+            elif op == "mor_update" and nxt:
+                lo = rng.randrange(nxt)
+                t.update({"v": "concat(v, '~')"},
+                         ("id", "between", (lo, lo + rng.randint(0, 6))),
                          mor=True)
             elif op == "update" and nxt:
                 lo = rng.randrange(nxt)

@@ -226,6 +226,66 @@ def test_mor_merge_and_replace_where_on_dv_files(spark, table):
     assert not table.manifest().get("dvs")
 
 
+def test_mor_update_basic(spark, table):
+    table.append(_df(spark, [(i, f"v{i}") for i in range(100)]).coalesce(1))
+    v_pre = table.current_version()
+    files_pre = sorted(table.manifest()["files"])
+
+    v_u = table.update({"v": "concat(v, '+')"},
+                       ("id", "between", (10, 12)), mor=True)
+    m = table.manifest()
+    assert m["operation"] == "update-mor"
+    # original file untouched; matched rows re-appended as a new file
+    assert set(files_pre) <= set(m["files"])
+    assert len(m["files"]) == len(files_pre) + 1
+    assert m["rows"] == 100
+    dvs = m["dvs"]
+    assert len(dvs) == 1 and list(dvs.values())[0]["n"] == 3
+    got = {r["id"]: r["v"] for r in table.read().collect()}
+    assert len(got) == 100
+    assert got[10] == "v10+" and got[11] == "v11+" and got[13] == "v13"
+    # time travel: pre-update values intact
+    old = {r["id"]: r["v"] for r in table.read(v_pre).collect()}
+    assert old[10] == "v10"
+    # CDF: exactly 3 delete + 3 insert pairs, version-attributed
+    ch = table.changes(v_pre, v_u, include_version=True)
+    ev = sorted((r["id"], r["v"], r["_change_type"]) for r in ch.collect())
+    assert ev == [(10, "v10", "delete"), (10, "v10+", "insert"),
+                  (11, "v11", "delete"), (11, "v11+", "insert"),
+                  (12, "v12", "delete"), (12, "v12+", "insert")]
+    assert {r["_commit_version"] for r in ch.collect()} == {v_u}
+
+    # stacked MOR ops on the same file: update then delete the updated
+    # row - reads and counts stay exact, positions fold
+    table.delete(("id", "==", 10), mor=True)
+    got = {r["id"]: r["v"] for r in table.read().collect()}
+    assert 10 not in got and len(got) == 99
+    # the deleted position belongs to the NEW file (the updated copy);
+    # the original file's DV still holds the 3 old positions
+    assert table.manifest()["rows"] == 99
+
+    # update a MOR-updated row again: operates on the live copy
+    table.update({"v": "'FINAL'"}, ("id", "==", 11), mor=True)
+    got = {r["id"]: r["v"] for r in table.read().collect()}
+    assert got[11] == "FINAL" and len(got) == 99
+
+    # compact materializes everything
+    table.compact(target_file_bytes=1 << 30, small_file_bytes=1)
+    m = table.manifest()
+    assert not m.get("dvs") and m["rows"] == 99
+    got2 = {r["id"]: r["v"] for r in table.read().collect()}
+    assert got2 == got
+
+
+def test_mor_update_unknown_column_raises(spark, table):
+    table.append(_df(spark, [(1, "a")]).coalesce(1))
+    with pytest.raises(SnapshotError, match="unknown columns"):
+        table.update({"nope": "1"}, ("id", "==", 1), mor=True)
+    # no-match update publishes nothing
+    head = table.current_version()
+    assert table.update({"v": "'x'"}, ("id", "==", 99), mor=True) == head
+
+
 def test_mor_scd2_sync_on_dv_destination(spark, tmp_path):
     """sync_changes onto a dst that carries DVs: the key-scoped COW
     rewrite applies them for touched files and counts logically."""
