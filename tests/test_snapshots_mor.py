@@ -286,6 +286,109 @@ def test_mor_update_unknown_column_raises(spark, table):
     assert table.update({"v": "'x'"}, ("id", "==", 99), mor=True) == head
 
 
+def test_mor_merge_matches_cow_merge(spark, tmp_path):
+    """PARITY PIN: merge(mor=True) and merge(cow) produce identical
+    tables for the same inputs - update+delete+insert clauses, a
+    conditional clause that leaves some matched rows untouched, and
+    rows that were already MOR-deleted before the merge."""
+    rows = [(i, f"v{i}", i % 3) for i in range(60)]
+    src_rows = [(5, "S5", 0), (10, "S10", 1), (11, "S11", 2),
+                (100, "S100", 0), (101, "S101", 1)]
+    kw = dict(
+        on="t.id = s.id",
+        matched=[("s.flag = 1", "delete"),          # 10, 101->n/a
+                 ("s.flag = 0", {"v": "s.v"})],     # 5 updated; 11 (flag 2) kept
+        not_matched=(None, "*"),
+        source_keys=["id"])
+
+    results = {}
+    for mode in ("cow", "mor"):
+        t = SnapshotTable.init(spark, str(tmp_path / mode))
+        t.append(spark.createDataFrame(rows, "id long, v string, flag long")
+                 .coalesce(2))
+        t.delete(("id", "==", 7), mor=True)  # pre-existing DV both sides
+        src = spark.createDataFrame(src_rows, "id long, v string, flag long")
+        t.merge(src, mor=(mode == "mor"), **kw)
+        results[mode] = {
+            "rows": sorted((r["id"], r["v"], r["flag"])
+                           for r in t.read().collect()),
+            "count": t.manifest()["rows"],
+        }
+        if mode == "mor":
+            m = t.manifest()
+            assert m["operation"] == "merge-mor"
+            # matched-file bytes untouched: DV'd, not rewritten
+            assert m.get("dvs")
+    assert results["mor"] == results["cow"]
+    got = dict((i, v) for i, v, _ in results["mor"]["rows"])
+    assert got[5] == "S5"          # update clause
+    assert 10 not in got           # delete clause
+    assert got[11] == "v11"        # matched, no clause applied -> kept
+    assert got[100] == "S100" and got[101] == "S101"  # inserts
+    assert 7 not in got            # pre-existing MOR delete respected
+
+
+def test_mor_merge_cdf_and_guards(spark, table):
+    table.append(_df(spark, [(i, f"v{i}") for i in range(30)]).coalesce(1))
+    v0 = table.current_version()
+    src = spark.createDataFrame([(3, "U3"), (99, "I99")], "id long, v string")
+    v1 = table.merge(src, "t.id = s.id", mor=True,
+                     matched=[(None, {"v": "s.v"})], not_matched=(None, "*"))
+    ev = sorted((r["id"], r["v"], r["_change_type"])
+                for r in table.changes(v0, v1).collect())
+    assert ev == [(3, "U3", "insert"), (3, "v3", "delete"),
+                  (99, "I99", "insert")]
+    # algebra across a mor-merge
+    assert table.read().count() == 31
+    # cardinality violation still raises
+    dup_src = spark.createDataFrame([(5, "a"), (5, "b")], "id long, v string")
+    with pytest.raises(ValueError, match="cardinality"):
+        table.merge(dup_src, "t.id = s.id", mor=True,
+                    matched=[(None, {"v": "s.v"})])
+    # NOT MATCHED BY SOURCE refuses mor
+    with pytest.raises(SnapshotError, match="BY SOURCE"):
+        table.merge(src, "t.id = s.id", mor=True,
+                    matched=[(None, {"v": "s.v"})],
+                    not_matched_by_source=[(None, "delete")])
+    # no-op merge (nothing matches a clause, nothing inserts)
+    head = table.current_version()
+    miss = spark.createDataFrame([(3, "x")], "id long, v string")
+    assert table.merge(miss, "t.id = s.id AND s.v = 'nope'", mor=True,
+                       matched=[(None, {"v": "s.v"})]) == head
+
+
+def test_mor_cdc_writer_batches(spark, tmp_path):
+    """The versioned CDC writer with mor=True: every trigger lands as a
+    merge-mor commit (sidecar + appended images, no file rewrites) and
+    the table state matches the COW strategy exactly."""
+    from aliyun_maxcompute_data_collectors_spark.snapshots import (
+        cdc_foreach_batch_writer_versioned,
+    )
+
+    batches = [
+        [(1, "a", 1, "I"), (2, "b", 1, "I"), (3, "c", 1, "I")],
+        [(2, "B", 2, "U"), (3, None, 2, "D"), (4, "d", 2, "I")],
+        [(4, "D4", 3, "U"), (1, None, 3, "D")],
+    ]
+    state = {}
+    for mode in (False, True):
+        t = SnapshotTable.init(spark, str(tmp_path / f"cdc{mode}"))
+        t.append(spark.createDataFrame([(0, "seed")], "id long, v string")
+                 .coalesce(1))
+        apply_ = cdc_foreach_batch_writer_versioned(
+            t, ["id"], ["ts"], mor=mode)
+        for i, b in enumerate(batches):
+            apply_(spark.createDataFrame(
+                b, "id long, v string, ts long, op string"), i)
+        state[mode] = sorted((r["id"], r["v"]) for r in t.read().collect())
+        if mode:
+            ops = [x["operation"] for x in t.versions()]
+            assert ops.count("merge-mor") == 3
+            assert t.manifest()["rows"] == len(state[mode])
+    assert state[True] == state[False] == \
+        [(0, "seed"), (2, "B"), (4, "D4")]
+
+
 def test_mor_scd2_sync_on_dv_destination(spark, tmp_path):
     """sync_changes onto a dst that carries DVs: the key-scoped COW
     rewrite applies them for touched files and counts logically."""
