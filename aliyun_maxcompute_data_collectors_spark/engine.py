@@ -389,7 +389,12 @@ class Engine:
                           if x["timestamp_ms"] < ms]
                 since = max(before) if before else 1
             else:
-                since = int(s_lit)
+                # version START is INCLUSIVE too (Delta's
+                # table_changes(t, k) includes version k's changes);
+                # changes(since) is exclusive, so shift down one.  v1
+                # is always the empty init commit, so the floor loses
+                # nothing (review r11 #4)
+                since = max(1, int(s_lit) - 1)
             if u_lit is None:
                 until = None
             elif u_lit.startswith("'"):

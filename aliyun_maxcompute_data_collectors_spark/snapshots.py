@@ -1399,6 +1399,12 @@ class SnapshotTable:
                     # added files - reference it instead of inlining
                     manifest["delta"] = {"added_seg": fresh_seg,
                                          "removed": []}
+                    if delta_dv:
+                        # an oversized MOR update/merge: losing the dv
+                        # marker here would classify the step as a pure
+                        # append and CDF would emit inserts WITHOUT the
+                        # matching deletes (review r11 #2)
+                        manifest["delta"]["dv"] = delta_dv
             # allow_nan=False: a non-finite stat slipping through would
             # emit the nonstandard NaN token other parsers reject - fail
             # the commit instead (collect-time filtering + the carry-path
@@ -1612,13 +1618,22 @@ class SnapshotTable:
         input's (no unification against history - the pre-overwrite
         snapshot keeps its own schema for time travel)."""
         parent = self.current_version()
-        pm = self.manifest(parent)
+        pmj = self._manifest_json(parent)
+        if (pmj.get("file_segments")
+                or len(pmj.get("files") or []) > DELTA_INLINE_MAX):
+            # segmented/oversized parent: the combined delta would
+            # exceed the recording bound and be discarded anyway -
+            # skip the O(table) file-list materialization outright
+            removed = None
+        else:
+            removed = list(pmj.get("files") or [])
         files, n, stats = self._write_files(df)
-        return self._commit_manifest(parent, files, n, operation,
-                                     stats=stats,
-                                     schema=_nullable_schema(df.schema).json(),
-                                     delta_added=files,
-                                     delta_removed=pm["files"])
+        return self._commit_manifest(
+            parent, files, n, operation,
+            stats=stats,
+            schema=_nullable_schema(df.schema).json(),
+            delta_added=files if removed is not None else None,
+            delta_removed=removed)
 
     def rollback(self, version: int) -> int:
         """Publish a NEW snapshot that restores ``version``'s file list
@@ -1857,6 +1872,38 @@ class SnapshotTable:
         if file_col is not None:
             return df.withColumnRenamed("__graft_fp", file_col)
         return df.drop("__graft_fp")
+
+    def _write_dv_sidecar(self, m: dict, per_file: dict,
+                          mapped: dict, new_pos: DataFrame
+                          ) -> tuple[dict, dict]:
+        """Write ONE deletion-vector sidecar for a MOR commit: this
+        commit's fresh positions (``new=true``) plus the touched files'
+        folded prior positions (``new=false``, filtered in the SIDECAR
+        namespace - the same normalized scan paths every capture
+        emits), so each file keeps exactly one live sidecar.  Returns
+        (updated dvs map, delta_dv record); shared by delete/update/
+        merge MOR paths - one fold contract, not three copies."""
+        dvm = self._dvs(m)
+        touched_manifest = sorted(set(mapped.values()))
+        prior_paths = sorted({dvm[f]["path"] for f in touched_manifest
+                              if f in dvm})
+        if prior_paths:
+            tdf = self.spark.createDataFrame(
+                [(f,) for f in sorted(per_file)], "file string")
+            prior = (self.spark.read.parquet(*prior_paths)
+                     .select("file", "row_index")
+                     .join(F.broadcast(tdf), "file", "left_semi")
+                     .withColumn("new", F.lit(False)))
+            new_pos = new_pos.unionByName(prior)
+        stage = os.path.join(self._root, "files", uuid.uuid4().hex)
+        new_pos.coalesce(1).write.mode("errorifexists").parquet(stage)
+        dvs = dict(dvm)
+        for scan_f, mfp in mapped.items():
+            prior_n = (dvm.get(mfp) or {}).get("n", 0)
+            dvs[mfp] = {"path": stage, "n": prior_n + per_file[scan_f]}
+        delta_dv = {"path": stage, "files": touched_manifest,
+                    "n": sum(per_file.values())}
+        return dvs, delta_dv
 
     def _anti_join_dv(self, df: DataFrame,
                       dv_paths: list[str]) -> DataFrame:
@@ -2101,10 +2148,14 @@ class SnapshotTable:
         read-path anti-join and the per-commit CDF (``new=true`` rows)
         both stay exact.  A crashed attempt leaves an unreferenced
         sidecar for vacuum - the staged-data contract."""
-        hits = (self._scan_subset(m, candidates, file_col="file",
-                                  row_col="row_index")
+        # reserved capture names: a user column literally named
+        # 'file'/'row_index' must not collide (review r11 #6)
+        hits = (self._scan_subset(m, candidates,
+                                  file_col="__graft_file",
+                                  row_col="__graft_row")
                 .where(F.coalesce(pred, F.lit(False)))
-                .select("file", "row_index")
+                .select(F.col("__graft_file").alias("file"),
+                        F.col("__graft_row").alias("row_index"))
                 .localCheckpoint(eager=True))
         per_file = {r["file"]: r["n"] for r in
                     hits.groupBy("file")
@@ -2113,32 +2164,8 @@ class SnapshotTable:
             return parent
         mapped = self._map_hits_to_manifest(list(per_file), candidates,
                                             "delete-mor")
-        dvm = self._dvs(m)
-        touched_manifest = sorted(set(mapped.values()))
-        new_pos = hits.withColumn("new", F.lit(True))
-        prior_paths = sorted({dvm[f]["path"] for f in touched_manifest
-                              if f in dvm})
-        if prior_paths:
-            # fold the touched files' prior positions forward so each
-            # file keeps ONE live sidecar (prior sidecars may be shared
-            # with untouched files and stay referenced by them).  Filter
-            # in the SIDECAR namespace (normalized scan paths) - the
-            # same normalization every capture scan applies
-            tdf = self.spark.createDataFrame(
-                [(f,) for f in sorted(per_file)], "file string")
-            prior = (self.spark.read.parquet(*prior_paths)
-                     .select("file", "row_index")
-                     .join(F.broadcast(tdf), "file", "left_semi")
-                     .withColumn("new", F.lit(False)))
-            allpos = new_pos.unionByName(prior)
-        else:
-            allpos = new_pos
-        stage = os.path.join(self._root, "files", uuid.uuid4().hex)
-        allpos.coalesce(1).write.mode("errorifexists").parquet(stage)
-        dvs = dict(dvm)
-        for scan_f, mfp in mapped.items():
-            prior_n = (dvm.get(mfp) or {}).get("n", 0)
-            dvs[mfp] = {"path": stage, "n": prior_n + per_file[scan_f]}
+        dvs, delta_dv = self._write_dv_sidecar(
+            m, per_file, mapped, hits.withColumn("new", F.lit(True)))
         n_del = sum(per_file.values())
         pfsegs = m.get("file_segments") or None
         return self._commit_manifest(
@@ -2149,8 +2176,7 @@ class SnapshotTable:
             file_segments=pfsegs,
             removed_files=m.get("removed_files"),
             delta_added=[], delta_removed=[], dvs=dvs,
-            delta_dv={"path": stage, "files": touched_manifest,
-                      "n": n_del})
+            delta_dv=delta_dv)
 
     def update(self, assignments: dict, where,
                bloom_cols: list[str] | None = None,
@@ -2259,30 +2285,11 @@ class SnapshotTable:
                 f"{self.path}: update-mor row-count mismatch "
                 f"({n_matched} matched, {n_new} written) - aborting "
                 "before commit; staged files are vacuum garbage")
-        dvm = self._dvs(m)
-        touched_manifest = sorted(set(mapped.values()))
-        new_pos = (matched.select(
-            F.col("__graft_file").alias("file"),
-            F.col("__graft_row").alias("row_index"))
+        dvs, delta_dv = self._write_dv_sidecar(
+            m, per_file, mapped,
+            matched.select(F.col("__graft_file").alias("file"),
+                           F.col("__graft_row").alias("row_index"))
             .withColumn("new", F.lit(True)))
-        prior_paths = sorted({dvm[f]["path"] for f in touched_manifest
-                              if f in dvm})
-        if prior_paths:
-            tdf = self.spark.createDataFrame(
-                [(f,) for f in sorted(per_file)], "file string")
-            prior = (self.spark.read.parquet(*prior_paths)
-                     .select("file", "row_index")
-                     .join(F.broadcast(tdf), "file", "left_semi")
-                     .withColumn("new", F.lit(False)))
-            allpos = new_pos.unionByName(prior)
-        else:
-            allpos = new_pos
-        stage = os.path.join(self._root, "files", uuid.uuid4().hex)
-        allpos.coalesce(1).write.mode("errorifexists").parquet(stage)
-        dvs = dict(dvm)
-        for scan_f, mfp in mapped.items():
-            prior_n = (dvm.get(mfp) or {}).get("n", 0)
-            dvs[mfp] = {"path": stage, "n": prior_n + per_file[scan_f]}
         blooms = dict(m.get("blooms") or {})
         if bloom_cols and files:
             blooms.update(self._collect_blooms(files, bloom_cols,
@@ -2296,8 +2303,7 @@ class SnapshotTable:
             segments=m.get("segments"), file_segments=pfsegs,
             removed_files=m.get("removed_files"),
             delta_added=files, delta_removed=[], dvs=dvs,
-            delta_dv={"path": stage, "files": touched_manifest,
-                      "n": n_matched})
+            delta_dv=delta_dv)
 
     def _merge_mor(self, parent: int, m: dict, source: DataFrame,
                    on: str, matched: list, not_matched,
@@ -2411,35 +2417,16 @@ class SnapshotTable:
         n_inserted = n_new - n_updated
         if not per_file and not files:
             return parent  # nothing matched a clause, nothing inserted
-        dvm = self._dvs(m)
-        dvs = dict(dvm)
+        dvs = dict(self._dvs(m))
         delta_dv = None
         if per_file:
             mapped = self._map_hits_to_manifest(
                 list(per_file), candidates, "merge-mor")
-            touched_manifest = sorted(set(mapped.values()))
-            new_pos = (changed.select(
-                F.col("__graft_file").alias("file"),
-                F.col("__graft_row").alias("row_index"))
+            dvs, delta_dv = self._write_dv_sidecar(
+                m, per_file, mapped,
+                changed.select(F.col("__graft_file").alias("file"),
+                               F.col("__graft_row").alias("row_index"))
                 .withColumn("new", F.lit(True)))
-            prior_paths = sorted({dvm[f]["path"]
-                                  for f in touched_manifest if f in dvm})
-            if prior_paths:
-                tdf = self.spark.createDataFrame(
-                    [(f,) for f in sorted(per_file)], "file string")
-                prior = (self.spark.read.parquet(*prior_paths)
-                         .select("file", "row_index")
-                         .join(F.broadcast(tdf), "file", "left_semi")
-                         .withColumn("new", F.lit(False)))
-                new_pos = new_pos.unionByName(prior)
-            stage = os.path.join(self._root, "files", uuid.uuid4().hex)
-            new_pos.coalesce(1).write.mode("errorifexists").parquet(stage)
-            for scan_f, mfp in mapped.items():
-                prior_n = (dvm.get(mfp) or {}).get("n", 0)
-                dvs[mfp] = {"path": stage,
-                            "n": prior_n + per_file[scan_f]}
-            delta_dv = {"path": stage, "files": touched_manifest,
-                        "n": sum(per_file.values())}
         blooms = dict(m.get("blooms") or {})
         if bloom_cols and files:
             blooms.update(self._collect_blooms(files, bloom_cols,
@@ -2546,6 +2533,8 @@ class SnapshotTable:
                 return None
             added, removed = delta
             dv = (mj.get("delta") or {}).get("dv")
+            if op.endswith("-mor") and not dv:
+                return None  # dv marker missing: endpoint diff is exact
             # a COW step replacing files that carried DELETION VECTORS
             # must diff the removed files' LIVE content - their
             # parent-version sidecars ride along so the already-MOR-
@@ -2708,12 +2697,42 @@ class SnapshotTable:
                 "commit attribution is not derivable from an endpoint "
                 "diff (re-run without include_version for net changes)")
 
-        # -- fallback: exact endpoint multiset diff (DV-applied on both
-        # endpoints: MOR-deleted rows are not rows of either snapshot;
-        # BOTH endpoints read under until's unified schema) -----------
+        # -- fallback ----------------------------------------------------
         sm, um = self.manifest(since), self.manifest(until)
         sfiles = set(sm["files"])
         ufiles = um["files"]
+        # PRE-r11 manifests (no recorded deltas) still deserve the
+        # append-only fast path: detect it the r10 way - file sets only
+        # grow across the range (O(versions x files) materialization,
+        # the cost such legacy ranges always paid) - and read ONLY the
+        # new files instead of a full-table exceptAll (review r11 #5)
+        append_only = not self._dvs(sm)
+        prev = sfiles
+        if append_only:
+            for v in range(since + 1, until + 1):
+                vm = self.manifest(v)
+                cur = set(vm["files"])
+                # ANY deletion vectors inside the range disqualify: a
+                # MOR delete leaves file lists untouched, so the
+                # set-inclusion test alone would misread it as append
+                if not prev <= cur or vm.get("dvs"):
+                    append_only = False
+                    break
+                prev = cur
+        if append_only:
+            new = [f for f in ufiles if f not in sfiles]
+            if not new:
+                return (self.read(until if ufiles else since)
+                        .where(F.lit(False))
+                        .withColumn(ctype, F.lit("insert")))
+            return (self._anti_join_dv(
+                ureader.parquet(*new),
+                [v["path"] for f, v in self._dvs(um).items()
+                 if f in set(new)])
+                .withColumn(ctype, F.lit("insert")))
+        # exact endpoint multiset diff (DV-applied on both endpoints:
+        # MOR-deleted rows are not rows of either snapshot; BOTH
+        # endpoints read under until's unified schema)
         old_df = (self._anti_join_dv(
             ureader.parquet(*sorted(sfiles)),
             [v["path"] for f, v in self._dvs(sm).items() if f in sfiles])

@@ -183,7 +183,15 @@ def _dv_positions(dv_path: str, file: str):
     import pyarrow.parquet as pq
 
     t = pq.read_table(dv_path, columns=["file", "row_index"])
-    hit = t.filter(pc.equal(t.column("file"), file))
+    # sidecar 'file' values live in the SCAN namespace (normalized
+    # _metadata.file_path); the partition hands us the MANIFEST string.
+    # They are equal on plain roots; under a symlinked root (macOS
+    # /var -> /private/var) the realpath form bridges them - the same
+    # bridge _map_hits_to_manifest applies driver-side.
+    cands = {file, os.path.realpath(file)}
+    hit = t.filter(pc.is_in(t.column("file"),
+                            value_set=__import__("pyarrow").array(
+                                sorted(cands))))
     return np.sort(hit.column("row_index").to_numpy(zero_copy_only=False))
 
 
@@ -304,14 +312,14 @@ class _SnapshotChangeReader(DataSourceReader):
             if (op in ("init", "compact", "consolidate-metadata")
                     or op.startswith("cluster")):
                 continue
-            if (m.get("delta") or {}).get("dv"):
+            if op.endswith("-mor"):
                 raise SnapshotError(
                     f"graft_snapshot change_feed: v{v} is a merge-on-"
-                    "read DELETE (deletion vectors) - positional "
-                    "deletes are not expressible in the FILE-level "
-                    "changelog; use SnapshotTable.changes() (exact "
-                    "row-level events) or compact() to materialize "
-                    "before streaming this range")
+                    f"read commit ({op}) - positional deletes are not "
+                    "expressible in the FILE-level changelog; use "
+                    "SnapshotTable.changes() (exact row-level events) "
+                    "or compact() to materialize before reading this "
+                    "range")
             parent_files = (set(tab.manifest(m["parent"])["files"])
                             if m["parent"] is not None else set())
             curset = set(m["files"])
@@ -436,7 +444,8 @@ class _SnapshotWriter(DataSourceArrowWriter):
                 blooms=pm.get("blooms"),  # carry inline blooms (r10)
                 segments=pm.get("segments"), file_segments=pfsegs,
                 removed_files=pm.get("removed_files"),
-                delta_added=files, delta_removed=[])
+                delta_added=files, delta_removed=[],
+                dvs=pm.get("dvs"))
 
     def abort(self, messages):
         shutil.rmtree(self._stage, ignore_errors=True)
@@ -593,13 +602,19 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             return []
         # r11: plan the changelog from the commit's recorded delta -
         # O(changed files); pre-r11 manifests diff the materialized lists
-        if (m.get("delta") or {}).get("dv"):
+        if op.endswith("-mor"):
+            # FIX 3: offset bookkeeping (initialOffset/_consumed for
+            # versions the stream never consumes) must not raise -
+            # mirror _added_files' enforce_policy contract
+            if not enforce_policy:
+                return []
             raise SnapshotError(
                 f"graft_snapshot stream change_feed: v{v} is a merge-"
-                "on-read DELETE (deletion vectors) - positional deletes "
-                "are not expressible in the FILE-level changelog; use "
+                "on-read commit ({}) - positional deletes are not "
+                "expressible in the FILE-level changelog; use "
                 "SnapshotTable.changes() driver-side or compact() to "
-                "materialize before streaming past this commit")
+                "materialize before streaming past this commit"
+                .format(op))
         delta = tab._commit_delta(v, m)
         if delta is not None:
             added, removed = delta
@@ -778,7 +793,8 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
                 blooms=pm.get("blooms"),
                 segments=pm.get("segments"), file_segments=pfsegs,
                 removed_files=pm.get("removed_files"),
-                delta_added=files, delta_removed=[])
+                delta_added=files, delta_removed=[],
+                dvs=pm.get("dvs"))
 
         retry_on_conflict(publish)
 

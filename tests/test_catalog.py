@@ -726,18 +726,26 @@ def test_engine_sql_table_changes_tvf(spark, tmp_path):
     v3 = tab.current_version()
     eng.register_snapshot_table("snap", root)
 
+    # version start is INCLUSIVE (Delta's table_changes(t, k) includes
+    # version k's own changes - review r11 #4)
     got = eng.sql(
         f"SELECT _change_type AS ct, _commit_version AS cv, k, v "
-        f"FROM table_changes('snap', {v1}) ORDER BY cv, ct, k").collect()
+        f"FROM table_changes('snap', {v2}) ORDER BY cv, ct, k").collect()
     assert [(r["ct"], r["cv"], r["k"], r["v"]) for r in got] == [
         ("insert", v2, 100, 1),
         ("delete", v3, 3, 3),
         ("insert", v3, 3, 99)]
-    # bounded range + aggregation composes like any relation
+    # bounded range + aggregation composes like any relation; a
+    # single-version range [v2, v2] yields exactly its own commit
+    n = eng.sql(
+        f"SELECT COUNT(*) AS n FROM table_changes('snap', {v2}, {v2}) "
+        "WHERE _change_type = 'insert'").collect()[0]["n"]
+    assert n == 1
+    # ... and an inclusive start at the first data commit sees it all
     n = eng.sql(
         f"SELECT COUNT(*) AS n FROM table_changes('snap', {v1}, {v2}) "
         "WHERE _change_type = 'insert'").collect()[0]["n"]
-    assert n == 1
+    assert n == 11
     # the quoted name inside a LITERAL is untouched
     s = eng.sql("SELECT \"table_changes('snap', 1)\" AS s").collect()
     assert s[0]["s"] == "table_changes('snap', 1)"
@@ -762,10 +770,10 @@ def test_engine_sql_table_changes_tvf(spark, tmp_path):
         f"SELECT COUNT(*) AS n, MIN(_commit_version) AS lo "
         f"FROM table_changes('snap', '{iso2}')").collect()[0]
     assert got["n"] == 3 and got["lo"] == v2
-    # end instant at v2: only v2's insert
+    # end instant at v2 with inclusive version start v2: its own insert
     got = eng.sql(
         f"SELECT COUNT(*) AS n FROM "
-        f"table_changes('snap', {v1}, '{iso2}')").collect()[0]
+        f"table_changes('snap', {v2}, '{iso2}')").collect()[0]
     assert got["n"] == 1
 
     # -- r11: RESTORE TABLE ... TO VERSION|TIMESTAMP AS OF ---------------

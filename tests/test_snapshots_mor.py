@@ -185,10 +185,97 @@ def test_mor_format_api_reads_and_cdf_guards(spark, tmp_path):
     assert old.count() == 60
     # file-level CDF refuses the MOR range loudly (silent missing
     # deletes would be a wrong answer)
-    with pytest.raises(Exception, match="deletion vectors"):
+    with pytest.raises(Exception, match="merge-on-read"):
         (spark.read.format("graft_snapshot").option("path", root)
          .option("change_feed", "true")
          .option("starting_version", str(v_pre)).load().collect())
+
+
+def test_mor_dvs_survive_format_api_writes(spark, tmp_path):
+    """Review r11 #1 regression: a DSv2 batch append (and a streaming
+    sink epoch) onto a DV-carrying table must CARRY the dvs map -
+    dropping it silently resurrected every MOR-deleted row."""
+    from aliyun_maxcompute_data_collectors_spark.sources.pyds import (
+        register_python_datasources,
+    )
+
+    root = str(tmp_path / "wfmt")
+    tab = SnapshotTable.init(spark, root)
+    tab.append(_df(spark, [(i, "x") for i in range(40)]).coalesce(1))
+    tab.delete(("id", "<", 10), mor=True)
+    assert tab.read().count() == 30
+    register_python_datasources(spark)
+    # DSv2 batch append
+    (_df(spark, [(100, "new")]).write.format("graft_snapshot")
+     .option("path", root).mode("append").save())
+    m = tab.manifest()
+    assert m.get("dvs"), "append dropped the deletion vectors"
+    assert tab.read().count() == 31
+    assert tab.read().where("id < 10").count() == 0
+    # streaming sink epoch
+    indir = os.path.join(root, "in")
+    _df(spark, [(200, "s")]).coalesce(1).write.parquet(indir)
+    q = (spark.readStream.schema("id long, v string").parquet(indir)
+         .writeStream.format("graft_snapshot").option("path", root)
+         .option("checkpointLocation", os.path.join(root, "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert tab.manifest().get("dvs"), "stream sink dropped the DVs"
+    assert tab.read().count() == 32
+    assert tab.read().where("id < 10").count() == 0
+
+
+def test_mor_cdf_stream_start_at_mor_head_does_not_wedge(spark, tmp_path):
+    """Review r11 #3 regression: a change_feed stream whose
+    starting_version IS a MOR commit must start (offset bookkeeping
+    never consumes the start version); it fails only when asked to
+    CONSUME a later MOR commit."""
+    from aliyun_maxcompute_data_collectors_spark.sources.pyds import (
+        register_python_datasources,
+    )
+
+    root = str(tmp_path / "cdfw")
+    tab = SnapshotTable.init(spark, root)
+    tab.append(_df(spark, [(i, "x") for i in range(20)]).coalesce(1))
+    v_mor = tab.delete(("id", "==", 1), mor=True)  # a MOR commit
+    register_python_datasources(spark)
+    # starting_version IS the MOR commit: offset bookkeeping counts it
+    # as consumed without raising (the r10-shape dv check wedged here)
+    sdf = (spark.readStream.format("graft_snapshot").option("path", root)
+           .option("change_feed", "true")
+           .option("starting_version", str(v_mor)).load())
+    tab.append(_df(spark, [(500, "z")]).coalesce(1))
+    out, ck = os.path.join(root, "out"), os.path.join(root, "ck")
+    q = (sdf.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 1
+    assert got.collect()[0]["id"] == 500
+
+
+def test_changes_legacy_append_range_keeps_fast_path(spark, table):
+    """Review r11 #5 regression: a pre-r11 (delta-less) append-only
+    range must still plan as read-new-files-only, never a full-table
+    exceptAll diff."""
+    import json as _json
+
+    table.append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    v = table.current_version()
+    table.append(_df(spark, [(3, "c")]).coalesce(1))
+    table.append(_df(spark, [(4, "d")]).coalesce(1))
+    # strip every delta record, as a pre-r11 writer would have left it
+    for ver in range(1, table.current_version() + 1):
+        mp = table._manifest_path(ver)
+        mj = _json.load(open(mp))
+        mj.pop("delta", None)
+        with open(mp, "w") as f:
+            _json.dump(mj, f)
+    ch = table.changes(v)
+    assert sorted(r["id"] for r in ch.collect()) == [3, 4]
+    plan = ch._jdf.queryExecution().executedPlan().toString()
+    assert "Except" not in plan
 
 
 def test_mor_vacuum_keeps_live_sidecars(spark, table):
