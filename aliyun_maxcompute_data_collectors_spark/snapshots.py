@@ -1387,23 +1387,27 @@ class SnapshotTable:
                         "metadata is growing O(dv'd files); run compact() "
                         "to materialize", self.path, len(dvs))
             if delta_added is not None and delta_removed is not None:
-                if (len(delta_added) + len(delta_removed)
+                dv_n = len((delta_dv or {}).get("files") or [])
+                if (len(delta_added) + len(delta_removed) + dv_n
                         <= DELTA_INLINE_MAX):
                     manifest["delta"] = {"added": list(delta_added),
                                          "removed": sorted(delta_removed)}
                     if delta_dv:
                         manifest["delta"]["dv"] = delta_dv
-                elif (not delta_removed and fresh_seg is not None
+                elif (not delta_removed and dv_n <= DELTA_INLINE_MAX
+                        and fresh_seg is not None
                         and fresh_seg_files == list(delta_added)):
                     # huge append: its fresh segment holds exactly the
-                    # added files - reference it instead of inlining
+                    # added files - reference it instead of inlining.
+                    # A MOR update/merge rides this shape too, KEEPING
+                    # its dv marker (losing it would classify the step
+                    # as a pure append and CDF would emit inserts
+                    # WITHOUT the matching deletes - review r11 #2);
+                    # only a dv file list itself past the bound forces
+                    # the no-delta fallback.
                     manifest["delta"] = {"added_seg": fresh_seg,
                                          "removed": []}
                     if delta_dv:
-                        # an oversized MOR update/merge: losing the dv
-                        # marker here would classify the step as a pure
-                        # append and CDF would emit inserts WITHOUT the
-                        # matching deletes (review r11 #2)
                         manifest["delta"]["dv"] = delta_dv
             # allow_nan=False: a non-finite stat slipping through would
             # emit the nonstandard NaN token other parsers reject - fail
@@ -2977,6 +2981,9 @@ class SnapshotTable:
             "bloom_bits": bloom_bits,
             "num_schema_columns": n_schema_cols,
             "num_versions": len(self.versions()),
+            "num_dv_files": len(m.get("dvs") or {}),
+            "dv_deleted_rows": sum(v["n"] for v in
+                                   (m.get("dvs") or {}).values()),
         }
 
     def vacuum(self, keep_last: int = 2,
