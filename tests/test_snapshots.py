@@ -2287,3 +2287,32 @@ def test_sync_changes_null_keys_raise(spark, tmp_path):
         sync_changes(src, dst, ["k"])
     # dst untouched - no partial state
     assert dst.manifest()["files"] == []
+
+
+def test_live_lock_never_ttl_broken_without_proc(spark, tmp_path, monkeypatch):
+    """ADVICE r11 #2: on a platform with NO starttime source (/proc
+    absent), every lock is identity-less by construction - a LIVE
+    same-host owner must block a second writer regardless of the TTL
+    (the in-lock metadata fold of a huge table can exceed it)."""
+    import aliyun_maxcompute_data_collectors_spark.snapshots as S
+
+    t = SnapshotTable.init(spark, str(tmp_path / "np"))
+    lock = os.path.join(t._root, "COMMIT_LOCK")
+    monkeypatch.setattr(S, "_proc_start_time", lambda pid: None)
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))  # live pid, no starttime
+    past = time.time() - 3600  # far past the TTL
+    os.utime(lock, (past, past))
+    old = S.COMMIT_LOCK_TTL_S
+    try:
+        S.COMMIT_LOCK_TTL_S = 0
+        with pytest.raises(SnapshotConflict):
+            t.append(_kv(spark, 0, 10).coalesce(1))
+    finally:
+        S.COMMIT_LOCK_TTL_S = old
+        os.remove(lock)
+    # a DEAD pid still breaks even without starttimes
+    with open(lock, "w") as f:
+        f.write("999999999")
+    t.append(_kv(spark, 0, 10).coalesce(1))
+    assert t.read().count() == 10
