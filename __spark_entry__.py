@@ -5,33 +5,28 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash -> CORRECTNESS_r{N}.json).
 
-Rotation note (round 11): the driver verifies the first 50 entries of
-``queries()`` in iteration order.  Cumulative after r10: 178/180 rows
-hash-green at least once (bpe_merges rows-only by design;
-snapshot_sync_changes landed after the r10 window froze), newest
-evidence r7 for 35 rows / r8 for 44 / r9 for 50 / r10 for 50.  Round 11
-fronts (a) the FOUR rows with zero driver evidence - the r10
-straggler snapshot_sync_changes (VERDICT r10 #1) and the NEW r11 rows
-snapshot_row_cdf (row-level CDF on COW commits at O(touched files),
-VERDICT r10 missing #1 / asks #3+#4), engine_table_changes (the
-table_changes SQL TVF with per-commit attribution), and
-snapshot_mor_delete (merge-on-read deletion vectors), then (b) ALL 35
-rows whose newest
-driver evidence is r7 (after r11 nothing is older than r8), then (c)
-the 11 r8-evidence rows most exposed to this round's snapshots/pyds
-rewrites (per-commit file deltas, delta-planned changes(), sync retry):
-snapshot_changes, snapshot_merge, snapshot_zorder_prune,
-snapshot_bloom_compact, snapshot_schema_evolution,
-snapshot_filelist_segments, pyds_snapshot_read, pyds_stream_cycle,
-pyds_avro_read, pyds_sql_view, mv_refresh.  That fills the window
-at exactly 50.  The remaining
-r8-evidence rows lead the tail (next round's rotation pool); bpe_merges
-stays rows-only and settled.  Every query stays registered; only
-iteration order changes.  All queries remain covered by the local
-harness (tests/test_correctness.py at the driver's sf0.01);
-scripts/driver_sim.py gates rotation slots on a vanilla-session pass -
-including the per-query SQL-conf leak diff - run via scripts/gate.sh as
-the round's last act and committed as GATE_r11.log.
+Rotation note (round 12): the driver verifies the first 50 entries of
+``queries()`` in iteration order.  Cumulative after r11: 182/183 rows
+hash-green at least once (bpe_merges rows-only by design); evidence
+histogram r8x35 / r9x47 / r10x50 / r11x50 (recomputed from the raw
+artifacts this round).  Round 12 fronts (a) the TWO new rows with zero
+driver evidence - snapshot_mor_unmatched (WHEN NOT MATCHED BY SOURCE
+resolved to deletion-vector positions, VERDICT r11 missing #2) and
+snapshot_dv_heavy_read (~1e5 accumulated DV positions: the anti-join
+read tax + compact payoff, VERDICT r11 ask #6); then (b) ALL 35 rows
+whose newest evidence is r8 (after r12 nothing is older than r9, the
+r11 ask #4 criterion); then (c) the 13 r9-evidence rows most exposed
+to this round's snapshots/pyds rewrites (the regex-free
+_norm_meta_path every DV scan now rides, the added_dvs change-feed
+planning, the merge/lock changes).  That fills the window at exactly
+50.  The remaining 34 r9-evidence rows lead the tail (next round's
+rotation pool); bpe_merges stays rows-only and settled.  Every query
+stays registered; only iteration order changes.  All queries remain
+covered by the local harness (tests/test_correctness.py at the
+driver's sf0.01); scripts/driver_sim.py gates rotation slots on a
+vanilla-session pass - including the per-query SQL-conf leak diff -
+run via scripts/gate.sh as the round's last act and committed as
+GATE_r12.log.
 """
 
 from __future__ import annotations
@@ -46,54 +41,50 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from aliyun_maxcompute_data_collectors_spark.queries import REGISTRY  # noqa: E402
 
-# Round-11 driver-verification priority: tier 1 = zero driver evidence
-# (the r10 straggler snapshot_sync_changes + the new r11 rows
-# snapshot_row_cdf, engine_table_changes, snapshot_mor_delete);
-# tier 2 = ALL 35 rows whose newest evidence is r7 (after r11
-# nothing is older than r8); tier 3 = the 11 r8-evidence
-# rows most exposed to the r11 snapshots/pyds rewrites.  Exactly 50
-# slots; the remaining r8 rows lead the tail as next round's pool.
-# Gate discipline: this window holds slots only if
-# scripts/driver_sim.py - run at sf0.01 by scripts/gate.sh, whose stdout
-# is committed as GATE_r11.log BEFORE any prose cites it - exits green
-# (including the per-query SQL-conf leak diff) as the round's LAST act.
+# Round-12 driver-verification priority: tier 1 = zero driver evidence
+# (the new r12 rows); tier 2 = ALL 35 rows whose newest evidence is r8
+# (after r12 nothing is older than r9); tier 3 = 13 r9-evidence rows
+# riding the r12 snapshots/pyds rewrites.  Exactly 50 slots; the
+# remaining r9 rows lead the tail as next round's pool.  Gate
+# discipline: this window holds slots only if scripts/driver_sim.py -
+# run at sf0.01 by scripts/gate.sh, whose stdout is committed as
+# GATE_r12.log BEFORE any prose cites it - exits green (including the
+# per-query SQL-conf leak diff) as the round's LAST act.
 _PRIORITY = [
-    # tier 1: zero driver evidence - the r10 final-commit straggler +
-    # the new r11 row-level-CDF row
-    "snapshot_sync_changes", "snapshot_row_cdf", "engine_table_changes",
-    "snapshot_mor_delete",
-    # tier 2: every row with r7 evidence (alphabetical)
-    "agg_extras", "ann_recall", "asof_join_events", "bitwise_agg",
-    "bm25_topk", "ccnet_buckets", "cdc_snapshot_at", "cohort_retention",
-    "conditional_exprs", "constraint_check", "corpus_drift", "corpus_stats",
-    "corr_stats", "dedup_exact", "embedding_dups", "embedding_topk",
-    "ivf_assign_incremental", "ivf_topk", "minhash_lsh", "recursive_chain",
-    "repetition_profile", "scd2_users", "semantic_dedup",
-    "semantic_dedup_exact", "shard_assign", "simhash32_sig",
-    "simhash_pairs", "span_dedup", "split_assignment", "split_leakage",
-    "stratified_sample", "substring_dedup", "temporal_join_pit",
-    "text_profile", "tfidf_keywords",
-    # tier 3: r8-evidence rows riding the r11 per-commit-delta /
-    # delta-planned-changes() / sync-retry rewrites
-    "snapshot_changes", "snapshot_merge", "snapshot_zorder_prune",
-    "snapshot_bloom_compact", "snapshot_schema_evolution",
-    "snapshot_filelist_segments", "pyds_snapshot_read",
-    "pyds_stream_cycle", "pyds_avro_read", "pyds_sql_view",
-    "mv_refresh",
-    # tail leaders: the remaining r8-evidence rows (next round's pool)
-    "zorder_cluster", "rollup_hypertable", "bpe_pair_counts", "dup_rate_by_source", "embedding_quality",
+    # tier 1: zero driver evidence - the two new r12 rows
+    "snapshot_mor_unmatched", "snapshot_dv_heavy_read",
+    # tier 2: every row with r8 evidence (alphabetical)
+    "bpe_pair_counts", "dup_rate_by_source", "embedding_quality",
     "ewma_user_value", "from_json_typed", "funnel_steps",
     "fuzzy_customer_names", "interp_gapfill", "interval_math",
     "ivfpq_topk", "mad_outliers", "median_stats", "ngram_novelty",
     "pareto_parts", "pivot_priority", "pq_topk",
     "q12_shipmode_priority", "range_join_sessions", "regr_value_trend",
-    "resample_gapfill", "rolling_hourly_stats", "sketch_suite",
-    "source_overlap", "string_agg_nations", "udtf_tokens",
-    "union_by_name", "unpivot_measures", "variant_extract",
-    "weighted_sample", "width_bucket_hist", "window_value_suite",
-    "zipf_profile", "zscore_anomalies", "bpe_merges",
+    "resample_gapfill", "rolling_hourly_stats", "rollup_hypertable",
+    "sketch_suite", "source_overlap", "string_agg_nations",
+    "udtf_tokens", "union_by_name", "unpivot_measures",
+    "variant_extract", "weighted_sample", "width_bucket_hist",
+    "window_value_suite", "zipf_profile", "zorder_cluster",
+    "zscore_anomalies",
+    # tier 3: r9-evidence rows riding the r12 rewrites (DV-scan path
+    # normalization, change-feed added_dvs planning, merge/lock edits)
+    "snapshot_compact", "snapshot_delete_update", "merge_into_apply",
+    "merge_newest_wins", "cdc_apply", "lookup_join", "count_star",
+    "scan_filter_project", "char_entropy_gate", "decontaminate_bloom",
+    "mixture_rebalance", "ngram_containment", "pmi_collocations",
+    # tail leaders: the remaining r9-evidence rows (next round's pool)
+    "cast_matrix", "complex_types", "cube_agg", "date_parts",
+    "date_trunc_extract", "datetime_diff", "distinct_agg",
+    "filter_pushdown_ext", "grouping_sets", "json_get",
+    "percentile_quantity", "q11_important_parts", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_count", "q17_small_quantity",
+    "q18_large_orders", "q1_pricing_summary", "q20_excess_volume",
+    "q2_min_cost_supply", "q3_shipping_priority", "q4_order_priority",
+    "q5_region_revenue", "q6_forecast_revenue", "q7_nation_volume",
+    "q8_market_share", "q9_product_profit", "regexp_extract",
+    "rollup_orders", "salted_agg", "semi_anti_join", "sessionize_events",
+    "set_ops", "stddev_variance", "bpe_merges",
 ]
-
 
 
 def _ordered_names() -> list[str]:

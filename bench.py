@@ -138,6 +138,12 @@ BENCH_QUERIES = [
     # merge-on-read delete (deletion-vector write + anti-join read)
     "snapshot_row_cdf",
     "snapshot_mor_delete",
+    # round-12 additions: WHEN NOT MATCHED BY SOURCE resolved to DV
+    # positions (the CDC full-sync shape) and the DV-heavy read - 16
+    # accumulated MOR deletes (~1e5 positions at sf0.1), the anti-join
+    # read tax, and the compact() payoff, measured not assumed
+    "snapshot_mor_unmatched",
+    "snapshot_dv_heavy_read",
 ]
 
 

