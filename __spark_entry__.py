@@ -9,17 +9,19 @@ Rotation note (round 12): the driver verifies the first 50 entries of
 ``queries()`` in iteration order.  Cumulative after r11: 182/183 rows
 hash-green at least once (bpe_merges rows-only by design); evidence
 histogram r8x35 / r9x47 / r10x50 / r11x50 (recomputed from the raw
-artifacts this round).  Round 12 fronts (a) the TWO new rows with zero
+artifacts this round).  Round 12 fronts (a) the THREE new rows with zero
 driver evidence - snapshot_mor_unmatched (WHEN NOT MATCHED BY SOURCE
 resolved to deletion-vector positions, VERDICT r11 missing #2) and
 snapshot_dv_heavy_read (~1e5 accumulated DV positions: the anti-join
-read tax + compact payoff, VERDICT r11 ask #6); then (b) ALL 35 rows
+read tax + compact payoff, VERDICT r11 ask #6), and snapshot_mirror
+(full sync via WHEN NOT MATCHED BY SOURCE under MOR with a diff-only
+update clause); then (b) ALL 35 rows
 whose newest evidence is r8 (after r12 nothing is older than r9, the
-r11 ask #4 criterion); then (c) the 13 r9-evidence rows most exposed
+r11 ask #4 criterion); then (c) 12 r9-evidence rows most exposed
 to this round's snapshots/pyds rewrites (the regex-free
 _norm_meta_path every DV scan now rides, the added_dvs change-feed
 planning, the merge/lock changes).  That fills the window at exactly
-50.  The remaining 34 r9-evidence rows lead the tail (next round's
+50.  The remaining 35 r9-evidence rows lead the tail (next round's
 rotation pool); bpe_merges stays rows-only and settled.  Every query
 stays registered; only iteration order changes.  All queries remain
 covered by the local harness (tests/test_correctness.py at the
@@ -43,7 +45,7 @@ from aliyun_maxcompute_data_collectors_spark.queries import REGISTRY  # noqa: E4
 
 # Round-12 driver-verification priority: tier 1 = zero driver evidence
 # (the new r12 rows); tier 2 = ALL 35 rows whose newest evidence is r8
-# (after r12 nothing is older than r9); tier 3 = 13 r9-evidence rows
+# (after r12 nothing is older than r9); tier 3 = 12 r9-evidence rows
 # riding the r12 snapshots/pyds rewrites.  Exactly 50 slots; the
 # remaining r9 rows lead the tail as next round's pool.  Gate
 # discipline: this window holds slots only if scripts/driver_sim.py -
@@ -51,8 +53,9 @@ from aliyun_maxcompute_data_collectors_spark.queries import REGISTRY  # noqa: E4
 # GATE_r12.log BEFORE any prose cites it - exits green (including the
 # per-query SQL-conf leak diff) as the round's LAST act.
 _PRIORITY = [
-    # tier 1: zero driver evidence - the two new r12 rows
+    # tier 1: zero driver evidence - the three new r12 rows
     "snapshot_mor_unmatched", "snapshot_dv_heavy_read",
+    "snapshot_mirror",
     # tier 2: every row with r8 evidence (alphabetical)
     "bpe_pair_counts", "dup_rate_by_source", "embedding_quality",
     "ewma_user_value", "from_json_typed", "funnel_steps",
@@ -71,9 +74,9 @@ _PRIORITY = [
     "snapshot_compact", "snapshot_delete_update", "merge_into_apply",
     "merge_newest_wins", "cdc_apply", "lookup_join", "count_star",
     "scan_filter_project", "char_entropy_gate", "decontaminate_bloom",
-    "mixture_rebalance", "ngram_containment", "pmi_collocations",
+    "mixture_rebalance", "ngram_containment",
     # tail leaders: the remaining r9-evidence rows (next round's pool)
-    "cast_matrix", "complex_types", "cube_agg", "date_parts",
+    "pmi_collocations", "cast_matrix", "complex_types", "cube_agg", "date_parts",
     "date_trunc_extract", "datetime_diff", "distinct_agg",
     "filter_pushdown_ext", "grouping_sets", "json_get",
     "percentile_quantity", "q11_important_parts", "q14_promo_revenue",

@@ -909,6 +909,99 @@ FROM ins
 """
 
 
+def snapshot_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL SYNC via ``mirror()`` (r12): make the table row-for-row
+    equal to a source on a key - matched rows update ONLY when values
+    differ (null-safe diff clause), new keys insert, keys absent from
+    the source delete via WHEN NOT MATCHED BY SOURCE - one commit,
+    merge-on-read.  Table: keys %10 0-7.  Truth: keys %10 0-4 with
+    prices doubled for %10 < 2, plus keys %10 = 8.  Hash-pinned: the
+    head aggregate, the CDF event aggregates (deletes = dropped 5-7 +
+    old images of 0-1; inserts = new images + the 8s - rows 2-4 are
+    value-identical and must contribute NO events), and the MOR
+    mechanics (originals kept, dv sidecars present)."""
+    root = tempfile.mkdtemp(prefix="snap_mir_")
+    try:
+        a, b, c = _slices(spark, sf_dir)
+        tab = SnapshotTable.init(spark, root)
+        tab.append(a.coalesce(1))
+        v_pre = tab.append(b.coalesce(1))
+        pre_files = set(tab.manifest()["files"])
+        truth = (a.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 10 < 2,
+                   F.col("o_totalprice") * 2)
+            .otherwise(F.col("o_totalprice")))
+            .unionByName(c))
+        v = tab.mirror(truth, ["o_orderkey"], mor=True)
+        m = tab.manifest()
+        originals_kept = int(pre_files <= set(m["files"]))
+        n_dv = len(m.get("dvs") or {})
+
+        def _row(df: DataFrame, step: str) -> DataFrame:
+            return (df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("sum_key"),
+                F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+                .cast("double").alias("sum_price"))
+                .select(F.lit(step).alias("step"), "n_rows", "sum_key",
+                        "sum_price"))
+
+        ch = tab.changes(v_pre, v).localCheckpoint(eager=True)
+        out = (_row(tab.read(), "head")
+               .unionByName(_row(
+                   ch.where(F.col("_change_type") == "delete"),
+                   "cdf_delete"))
+               .unionByName(_row(
+                   ch.where(F.col("_change_type") == "insert"),
+                   "cdf_insert"))
+               .withColumn("originals_kept", F.lit(originals_kept))
+               .withColumn("dv_files", F.lit(n_dv)))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_MIRROR_SQL = """
+WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_orderkey % 10 < 8),
+     truth AS (
+       SELECT o_orderkey,
+              CASE WHEN o_orderkey % 10 < 2 THEN o_totalprice * 2
+                   ELSE o_totalprice END AS o_totalprice
+       FROM orders WHERE o_orderkey % 10 < 5
+       UNION ALL
+       SELECT o_orderkey, o_totalprice FROM orders
+       WHERE o_orderkey % 10 = 8),
+     dels AS (SELECT * FROM base
+              WHERE o_orderkey % 10 BETWEEN 5 AND 7
+              UNION ALL
+              SELECT * FROM base WHERE o_orderkey % 10 < 2),
+     ins AS (
+       SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM base
+       WHERE o_orderkey % 10 < 2
+       UNION ALL
+       SELECT o_orderkey, o_totalprice FROM orders
+       WHERE o_orderkey % 10 = 8)
+SELECT 'head' AS step, COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_price,
+       1 AS originals_kept, 2 AS dv_files
+FROM truth
+UNION ALL
+SELECT 'cdf_delete', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE),
+       1, 2
+FROM dels
+UNION ALL
+SELECT 'cdf_insert', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE),
+       1, 2
+FROM ins
+"""
+
+
 def snapshot_dv_heavy_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DV-HEAVY READ (r12, VERDICT r11 ask #6): what does an
     uncompacted merge-on-read table actually cost to read?  16
@@ -1873,6 +1966,7 @@ REGISTRY: dict[str, tuple] = {
                                _MOR_UNMATCHED_SQL),
     "snapshot_dv_heavy_read": (snapshot_dv_heavy_read,
                                _DV_HEAVY_READ_SQL),
+    "snapshot_mirror": (snapshot_mirror, _MIRROR_SQL),
     "pyds_cdf_stream": (pyds_cdf_stream, _PYDS_CDF_SQL),
     "snapshot_parquet_segments": (snapshot_parquet_segments,
                                   _PARQUET_SEGMENTS_SQL),

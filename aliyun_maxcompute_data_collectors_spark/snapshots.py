@@ -2617,6 +2617,59 @@ class SnapshotTable:
             delta_added=files, delta_removed=[],
             dvs=dvs or None, delta_dv=delta_dv)
 
+    def mirror(self, source: DataFrame, key_cols: list[str], *,
+               mor: bool = False,
+               validate_cardinality: bool = True,
+               bloom_cols: list[str] | None = None,
+               bloom_bits: int = 1 << 15) -> int:
+        """FULL SYNC: make this table row-for-row equal to ``source``
+        keyed on ``key_cols`` in ONE commit - matched rows take the
+        source's values, new source keys insert, target keys absent
+        from the source DELETE (``WHEN NOT MATCHED BY SOURCE``).  The
+        CDC full-refresh / dimension-snapshot shape: a nightly extract
+        replaces the table's CONTENT while history, time travel and
+        the change feed keep working (``overwrite`` would too, but its
+        change feed is a full delete+insert of every row; mirror's is
+        proportional to what actually changed... under COW file-wise,
+        under ``mor=True`` (r12) row-wise - unmatched rows become DV
+        positions, updates re-emit only matched rows).
+
+        ``source`` must carry every table column (it IS the new truth).
+        Returns the new version (or current when the table was empty
+        and the source inserts everything via the plain merge path)."""
+        m = self.manifest(self.current_version())
+        if m.get("schema"):
+            from pyspark.sql import types as T
+            cols = [f.name for f in
+                    T.StructType.fromJson(json.loads(m["schema"])).fields]
+        else:
+            cols = self.read().columns if m["files"] else source.columns
+        missing = [c for c in cols if c not in source.columns]
+        if missing:
+            raise SnapshotError(
+                f"{self.path}: mirror source lacks table columns "
+                f"{missing}")
+        bad = [k for k in key_cols if k not in cols]
+        if bad:
+            raise SnapshotError(
+                f"{self.path}: mirror keys {bad} are not table columns")
+        on = " AND ".join(f"t.`{k}` = s.`{k}`" for k in key_cols)
+        sets = {c: f"s.`{c}`" for c in cols if c not in key_cols}
+        # update ONLY rows whose values actually differ (null-safe):
+        # an unchanged matched row stays untouched, so the commit and
+        # its change feed are proportional to the real diff, not the
+        # match count.  All-key tables: matched rows are identical by
+        # definition, no matched clause at all.
+        diff = " OR ".join(f"NOT (t.`{c}` <=> s.`{c}`)" for c in sets)
+        return self.merge(
+            source.select(*cols), on,
+            matched=[(diff, sets)] if sets else None,
+            not_matched=(None, "*"),
+            not_matched_by_source=[(None, "delete")],
+            validate_cardinality=validate_cardinality,
+            mor=mor, source_keys=None,
+            bloom_cols=bloom_cols, bloom_bits=bloom_bits)
+
     def replace_where(self, df: DataFrame, where,
                       validate: bool = True,
                       bloom_cols: list[str] | None = None,

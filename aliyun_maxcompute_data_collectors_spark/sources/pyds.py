@@ -326,11 +326,20 @@ class _SnapshotChangeReader(DataSourceReader):
             parent_files = (set(tab.manifest(m["parent"])["files"])
                             if m["parent"] is not None else set())
             curset = set(m["files"])
-            self._entries += [(f, "delete", v)
-                              for f in sorted(parent_files)
-                              if f not in curset]
-            self._entries += [(f, "insert", v) for f in m["files"]
-                              if f not in parent_files]
+            # same dv-aware entry contract as the stream (ADVICE r11
+            # #1): inserts arriving WITH vectors (clone of a MOR table)
+            # and deletes of previously-dv'd files subtract positions
+            cur_dvs = m.get("dvs") or {}
+            parent_dvs = ((tab._manifest_json(m["parent"]).get("dvs")
+                           or {}) if m["parent"] is not None else {})
+            self._entries += [
+                (f, "delete", v,
+                 parent_dvs[f]["path"] if f in parent_dvs else None)
+                for f in sorted(parent_files) if f not in curset]
+            self._entries += [
+                (f, "insert", v,
+                 cur_dvs[f]["path"] if f in cur_dvs else None)
+                for f in m["files"] if f not in parent_files]
 
     def partitions(self):
         return [_ChangePartition(b)

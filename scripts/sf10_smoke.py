@@ -70,6 +70,10 @@ SPOT = [
     # changes(), O(touched files)) and the table_changes SQL TVF with
     # per-commit attribution
     "snapshot_row_cdf", "engine_table_changes", "snapshot_mor_delete",
+    # round-12 additions: NOT MATCHED BY SOURCE under MOR, the DV-heavy
+    # read cycle (accumulate positions -> anti-join read -> compact),
+    # and the mirror() full sync - all linear in table + positions
+    "snapshot_mor_unmatched", "snapshot_dv_heavy_read", "snapshot_mirror",
 ]
 
 

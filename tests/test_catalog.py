@@ -794,3 +794,69 @@ def test_engine_sql_table_changes_tvf(spark, tmp_path):
     assert res2["restored_version"] == v2
     with _pytest.raises(ValueError, match="not a registered"):
         eng.sql("RESTORE TABLE nope TO VERSION AS OF 1")
+
+
+def test_engine_snapshot_dml_mor_mode(spark, tmp_path):
+    """r12: register_snapshot_table(..., dml='mor') routes SQL DELETE /
+    UPDATE / MERGE (incl. WHEN NOT MATCHED BY SOURCE) through deletion
+    vectors - results match COW semantics, data files stay untouched,
+    and reads apply the vectors automatically."""
+    from aliyun_maxcompute_data_collectors_spark.engine import Engine
+    from aliyun_maxcompute_data_collectors_spark.snapshots import SnapshotTable
+
+    root = str(tmp_path / "snap")
+    tab = SnapshotTable.init(spark, root)
+    tab.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, v string")
+        .coalesce(1))
+    files_pre = set(tab.manifest()["files"])
+    eng = Engine(warehouse=str(tmp_path / "wh"), spark=spark)
+    with pytest.raises(ValueError, match="cow.*mor|mor.*cow"):
+        eng.register_snapshot_table("mt", root, dml="bogus")
+    eng.register_snapshot_table("mt", root, dml="mor")
+
+    eng.sql("DELETE FROM mt WHERE id = 3")
+    m = tab.manifest()
+    assert m["operation"] == "delete-mor" and m.get("dvs")
+    assert files_pre <= set(m["files"])
+    assert eng.sql("SELECT COUNT(*) n FROM mt").collect()[0]["n"] == 9
+
+    eng.sql("UPDATE mt SET v = 'U' WHERE id = 4")
+    assert tab.manifest()["operation"] == "update-mor"
+    got = {r["id"]: r["v"] for r in eng.sql("SELECT * FROM mt").collect()}
+    assert got[4] == "U" and 3 not in got and len(got) == 9
+
+    eng.sql("SELECT 1").sparkSession.createDataFrame(
+        [(5, "M5"), (99, "I99")], "id long, v string") \
+        .createOrReplaceTempView("src_mor")
+    eng.sql("""
+        MERGE INTO mt AS t USING src_mor AS s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.id >= 8 THEN DELETE
+    """)
+    m = tab.manifest()
+    assert m["operation"] == "merge-mor" and files_pre <= set(m["files"])
+    got = {r["id"]: r["v"] for r in eng.sql("SELECT * FROM mt").collect()}
+    assert got[5] == "M5" and got[99] == "I99"
+    assert 8 not in got and 9 not in got
+    assert got[0] == "v0" and len(got) == 7 + 1  # 0,1,2,4,5,6,7 + 99
+
+    # cow-registered twin: same statements, same results
+    root2 = str(tmp_path / "snap2")
+    t2 = SnapshotTable.init(spark, root2)
+    t2.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, v string")
+        .coalesce(1))
+    eng.register_snapshot_table("ct", root2)  # default cow
+    eng.sql("DELETE FROM ct WHERE id = 3")
+    eng.sql("UPDATE ct SET v = 'U' WHERE id = 4")
+    eng.sql("""
+        MERGE INTO ct AS t USING src_mor AS s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.id >= 8 THEN DELETE
+    """)
+    assert t2.manifest()["operation"] == "merge"
+    got2 = {r["id"]: r["v"] for r in eng.sql("SELECT * FROM ct").collect()}
+    assert got2 == got

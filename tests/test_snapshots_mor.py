@@ -534,6 +534,13 @@ def test_clone_of_mor_table_changes_and_stream_apply_dvs(spark, tmp_path):
     assert sorted(r["id"] for r in got_s.collect()) == \
         [i for i in range(10) if i != 3]
     assert {r["_change_type"] for r in got_s.collect()} == {"insert"}
+    # the BATCH CDF read applies the clone's sidecars too
+    got_b = (spark.read.format("graft_snapshot")
+             .option("path", str(tmp_path / "clone"))
+             .option("change_feed", "true")
+             .option("starting_version", "1").load())
+    assert sorted(r["id"] for r in got_b.collect()) == \
+        [i for i in range(10) if i != 3]
 
 
 def test_cdf_stream_cow_over_dv_excludes_mor_deleted_rows(spark, tmp_path):
@@ -718,3 +725,45 @@ def test_norm_meta_path_matches_regex_reference(spark):
         ref.alias("old")).collect()
     for r in got:
         assert r["new"] == r["old"], r
+
+
+def test_mirror_full_sync_cow_and_mor(spark, table):
+    """r12: mirror() makes the table equal the source on keys in one
+    commit - updates, inserts, and unmatched-target deletes - under
+    both COW and MOR; MOR keeps the original files (DV positions) and
+    the change feed is proportional to what changed."""
+    table.append(_df(spark, [(i, f"v{i}") for i in range(20)]).coalesce(1))
+    truth = [(i, f"v{i}") for i in range(5, 15)]       # drop 0-4, 15-19
+    truth[0] = (5, "NEW5")                             # change one
+    truth.append((100, "I100"))                        # add one
+    src = spark.createDataFrame(truth, "id long, v string")
+    v_pre = table.current_version()
+    files_pre = set(table.manifest()["files"])
+    v = table.mirror(src, ["id"], mor=True)
+    assert sorted((r["id"], r["v"]) for r in table.read().collect()) == \
+        sorted(truth)
+    m = table.manifest()
+    assert m["rows"] == len(truth)
+    assert files_pre <= set(m["files"])  # originals untouched (MOR)
+    assert m.get("dvs")
+    # change feed: deletes = dropped rows + old image of id 5; inserts
+    # = new image of 5 + the insert
+    ev = sorted((r["id"], r["_change_type"])
+                for r in table.changes(v_pre, v).collect())
+    assert ev == sorted(
+        [(i, "delete") for i in list(range(5)) + list(range(15, 20))]
+        + [(5, "delete"), (5, "insert"), (100, "insert")])
+    # idempotent: mirroring the same truth again commits nothing
+    assert table.mirror(src, ["id"], mor=True) in (v, v + 1)
+    assert table.read().count() == len(truth)
+    # COW parity on a fresh table
+    t2 = SnapshotTable.init(spark, table.path + "_cow")
+    t2.append(_df(spark, [(i, f"v{i}") for i in range(20)]).coalesce(1))
+    t2.mirror(src, ["id"])
+    assert sorted((r["id"], r["v"]) for r in t2.read().collect()) == \
+        sorted(truth)
+    # source missing a column raises
+    with pytest.raises(SnapshotError, match="lacks table columns"):
+        table.mirror(src.select("id"), ["id"])
+    with pytest.raises(SnapshotError, match="not table columns"):
+        table.mirror(src, ["nope"])
