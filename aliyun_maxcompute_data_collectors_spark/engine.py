@@ -70,8 +70,21 @@ _INSERT_REPLACE = re.compile(
 # OPTIMIZE name [ZORDER BY (c1, c2)] — snapshot-table maintenance
 _OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+([A-Za-z_]\w*)"
+    r"(?:\s+WHERE\s+(.*?))?"
     r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*$",
     re.IGNORECASE | re.DOTALL)
+
+# one stats-prunable conjunct of an OPTIMIZE WHERE clause, matched at
+# a scan position (the clause is conjuncts joined by AND; BETWEEN's
+# inner AND makes a naive split unusable):
+#   col = | < | <= | > | >= literal      col BETWEEN a AND b
+_OPT_CONJ = re.compile(
+    r"\s*`?([A-Za-z_]\w*)`?\s*(?:"
+    r"(=|<=|>=|<|>)\s*('[^']*'|-?\d+(?:\.\d+)?)"
+    r"|BETWEEN\s+('[^']*'|-?\d+(?:\.\d+)?)\s+AND\s+"
+    r"('[^']*'|-?\d+(?:\.\d+)?))\s*",
+    re.IGNORECASE)
+_OPT_AND = re.compile(r"AND\s+", re.IGNORECASE)
 
 # VACUUM name [RETAIN n [HOURS]] — snapshot-table retention sweep;
 # bare n = keep the last n snapshots, n HOURS = time-based retention
@@ -628,23 +641,67 @@ class Engine:
                           bloom_bits=bbits or (1 << 15))
         return self._empty_result()
 
-    def _run_optimize(self, name: str, zorder: str | None):
-        """``OPTIMIZE t [ZORDER BY (c1, c2)]`` - snapshot-table
-        maintenance by SQL (the Delta OPTIMIZE surface): bin-pack small
-        files, or rewrite clustered on the z-value when ZORDER BY is
-        given.  Registered snapshot tables only - plain catalog tables
-        have no manifest to optimize."""
+    def _run_optimize(self, name: str, where: str | None,
+                      zorder: str | None):
+        """``OPTIMIZE t [WHERE conj [AND conj ...]] [ZORDER BY (c1,
+        c2)]`` - snapshot-table maintenance by SQL (the Delta OPTIMIZE
+        surface): bin-pack small files - scoped to files whose manifest
+        stats can match the WHERE conjuncts (r12; compact one
+        day/region of a huge table without touching the rest) - or
+        rewrite clustered on the z-value when ZORDER BY is given.
+        WHERE accepts only stats-prunable conjuncts (``col = | < | <= |
+        > | >= literal``, ``col BETWEEN a AND b``, AND-joined) -
+        anything else cannot scope files and is rejected, matching
+        Delta's partition-predicate-only rule.  Registered snapshot
+        tables only - plain catalog tables have no manifest to
+        optimize."""
         if name not in self._snapshot_tables:
             raise ValueError(
                 f"OPTIMIZE: {name!r} is not a registered snapshot table "
                 "(register_snapshot_table first; plain catalog tables "
                 "have no snapshot manifest to optimize)")
         tab = self._snapshot_table(name)
+        if where is not None and zorder:
+            raise ValueError(
+                "OPTIMIZE: WHERE cannot be combined with ZORDER BY "
+                "(clustering rewrites the whole table by design)")
+        conjuncts = None
+        if where is not None:
+
+            def _val(s: str):
+                if s.startswith("'"):
+                    return s[1:-1]
+                return float(s) if "." in s else int(s)
+
+            conjuncts, pos, src = [], 0, where.strip()
+            while True:
+                mm = _OPT_CONJ.match(src, pos)
+                if not mm:
+                    raise ValueError(
+                        f"OPTIMIZE WHERE: {src[pos:].strip()!r} is not "
+                        "a stats-prunable conjunct (col =|<|<=|>|>= "
+                        "literal, or col BETWEEN a AND b, AND-joined)")
+                col, op, lit, lo, hi = mm.groups()
+                if op is not None:
+                    conjuncts.append(
+                        (col, "==" if op == "=" else op, _val(lit)))
+                else:
+                    conjuncts.append(
+                        (col, "between", (_val(lo), _val(hi))))
+                pos = mm.end()
+                if pos >= len(src):
+                    break
+                sep = _OPT_AND.match(src, pos)
+                if not sep:
+                    raise ValueError(
+                        f"OPTIMIZE WHERE: expected AND before "
+                        f"{src[pos:].strip()!r}")
+                pos = sep.end()
         if zorder:
             cols = [c.strip().strip("`") for c in zorder.split(",")]
             tab.cluster(cols)
         else:
-            tab.compact()
+            tab.compact(where=conjuncts)
         return self._empty_result()
 
     def _run_vacuum(self, name: str, retain: str | None,

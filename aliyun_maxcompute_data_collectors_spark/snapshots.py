@@ -3002,7 +3002,8 @@ class SnapshotTable:
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024,
                 small_file_bytes: int | None = None,
                 bloom_cols: list[str] | None = None,
-                bloom_bits: int = 1 << 15) -> int:
+                bloom_bits: int = 1 << 15,
+                where: tuple | list | None = None) -> int:
         """Bin-pack small files into ~``target_file_bytes`` files and
         publish the result as a new snapshot (operation ``compact``).
 
@@ -3024,20 +3025,50 @@ class SnapshotTable:
         - a row-count check (parquet metadata count, no data IO) verifies
           the rewrite preserved every row before the commit publishes it.
 
+        ``where`` (r12; Delta's ``OPTIMIZE ... WHERE``): one
+        ``(col, op, value)`` conjunct or a list of them scopes the
+        maintenance pass to files whose manifest [min, max] stats CAN
+        match - compact one day/region of a 100 TB table without
+        touching the rest.  Conservative by construction (a file that
+        might match joins the scope; compacting an extra file is
+        harmless).  Out-of-scope files - INCLUDING their deletion
+        vectors - carry verbatim; in-scope DV'd files materialize.
+        Free-form SQL strings are rejected (they cannot scope files
+        from stats; run an unscoped compact instead).
+
         Returns the new version, or the CURRENT version unchanged when
         there is nothing worth compacting (fewer than two small files)."""
         if small_file_bytes is None:
             small_file_bytes = target_file_bytes // 2
         parent = self.current_version()
         m = self.manifest(parent)
+        scope = set(m["files"])
+        if where is not None:
+            if isinstance(where, str):
+                raise SnapshotError(
+                    "compact(where=...) takes (col, op, value) "
+                    "conjunct(s) - a free-form SQL string cannot scope "
+                    "files from manifest stats")
+            conjuncts = ([where] if isinstance(where, tuple)
+                         else list(where))
+            if not conjuncts:
+                raise SnapshotError(
+                    "compact(where=[]) is empty - omit where for a "
+                    "whole-table pass")
+            for _col, op, _value in conjuncts:
+                if op not in _PRUNE_OPS:
+                    raise SnapshotError(
+                        f"unsupported prune op {op!r}")
+            scope = set(self.prune_files(m, conjuncts))
         sizes = {f: os.path.getsize(f) for f in m["files"]}
         dvm = self._dvs(m)
-        # any file carrying a DELETION VECTOR joins the rewrite set
-        # regardless of size (r11): OPTIMIZE is the MOR materialization
-        # lever - the rewrite applies the positions and drops the
-        # sidecar, exactly Delta's OPTIMIZE-on-DV behavior
+        # any IN-SCOPE file carrying a DELETION VECTOR joins the
+        # rewrite set regardless of size (r11): OPTIMIZE is the MOR
+        # materialization lever - the rewrite applies the positions and
+        # drops the sidecar, exactly Delta's OPTIMIZE-on-DV behavior
         small = [f for f in m["files"]
-                 if sizes[f] < small_file_bytes or f in dvm]
+                 if f in scope and (sizes[f] < small_file_bytes
+                                    or f in dvm)]
         if len(small) < 2 and not any(f in dvm for f in small):
             return parent
         keep = [f for f in m["files"] if f not in set(small)]
@@ -3069,11 +3100,14 @@ class SnapshotTable:
         # re-segments everything into at most ONE fresh segment - OPTIMIZE
         # folds the table's accreted seg-*.json backlog as part of the
         # same maintenance pass that folds its small files
+        # out-of-scope DV'd files keep their vectors (where-scoped pass)
+        kept_dvs = {f: dvm[f] for f in keep if f in dvm}
         return self._commit_manifest(parent, keep + files, m["rows"],
                                      "compact", stats={**kept_stats, **stats},
                                      schema=m.get("schema"),
                                      blooms=kept_blooms,
-                                     delta_added=files, delta_removed=small)
+                                     delta_added=files, delta_removed=small,
+                                     dvs=kept_dvs or None)
 
     def cluster(self, cols: list[str], n_files: int | None = None,
                 target_file_bytes: int = 128 * 1024 * 1024,

@@ -2316,3 +2316,70 @@ def test_live_lock_never_ttl_broken_without_proc(spark, tmp_path, monkeypatch):
         f.write("999999999")
     t.append(_kv(spark, 0, 10).coalesce(1))
     assert t.read().count() == 10
+
+
+def test_compact_where_scoped(spark, tmp_path):
+    """r12 (Delta's OPTIMIZE ... WHERE): a scoped compact folds only
+    files whose stats can match the conjuncts; out-of-scope files -
+    including their deletion vectors - carry verbatim."""
+    t = SnapshotTable.init(spark, str(tmp_path / "ow"))
+    # three ranged single-file appends: [0,100) [100,200) [200,300)
+    for lo in (0, 100, 200):
+        t.append(_kv(spark, lo, lo + 100).coalesce(1))
+    # plus a second small file in the low range so there is a backlog
+    t.append(_kv(spark, 0, 50).coalesce(1))
+    t.delete(("k", "==", 250), mor=True)  # DV on the high-range file
+    m0 = t.manifest()
+    files0 = set(m0["files"])
+    assert len(files0) == 4 and m0["dvs"]
+
+    # scope: low range only - folds the two low files, keeps the
+    # mid/high files AND the high file's deletion vector
+    v = t.compact(where=("k", "between", (0, 99)))
+    m1 = t.manifest(v)
+    assert m1["operation"] == "compact"
+    kept = files0 & set(m1["files"])
+    assert len(kept) == 2              # mid + high untouched
+    assert m1.get("dvs")               # out-of-scope DV carried
+    assert m1["rows"] == m0["rows"]
+    assert t.read().count() == 349     # 350 - the MOR-deleted row
+    assert t.read().where("k = 250").count() == 0
+    # in-scope rows intact (the two low files folded)
+    assert t.read(where=("k", "<", 100)).count() == 150
+
+    # scoping to the DV'd range materializes ITS vector
+    v2 = t.compact(where=("k", "between", (200, 299)))
+    assert not t.manifest(v2).get("dvs")
+    assert t.read().count() == 349
+
+    # free-form string predicates cannot scope - rejected loudly
+    with pytest.raises(SnapshotError, match="free-form"):
+        t.compact(where="k < 100")
+
+
+def test_engine_optimize_where_sql(spark, tmp_path):
+    """r12: OPTIMIZE t WHERE <conjuncts> by SQL - scoped compact;
+    non-prunable predicates and WHERE+ZORDER are rejected."""
+    from aliyun_maxcompute_data_collectors_spark.engine import Engine
+
+    root = str(tmp_path / "snap")
+    t = SnapshotTable.init(spark, root)
+    for lo in (0, 100):
+        t.append(_kv(spark, lo, lo + 100).coalesce(1))
+    t.append(_kv(spark, 0, 50).coalesce(1))
+    files0 = set(t.manifest()["files"])
+    eng = Engine(warehouse=str(tmp_path / "wh"), spark=spark)
+    eng.register_snapshot_table("ot", root)
+    eng.sql("OPTIMIZE ot WHERE k BETWEEN 0 AND 99")
+    m = t.manifest()
+    assert m["operation"] == "compact"
+    assert len(files0 & set(m["files"])) == 1  # high file untouched
+    assert eng.sql("SELECT COUNT(*) n FROM ot").collect()[0]["n"] == 250
+    with pytest.raises(ValueError, match="stats-prunable"):
+        eng.sql("OPTIMIZE ot WHERE k LIKE 'x%'")
+    with pytest.raises(ValueError, match="ZORDER"):
+        eng.sql("OPTIMIZE ot WHERE k = 1 ZORDER BY (k)")
+    # unscoped + zorder forms still work
+    eng.sql("OPTIMIZE ot")
+    eng.sql("OPTIMIZE ot ZORDER BY (k, v)")
+    assert eng.sql("SELECT COUNT(*) n FROM ot").collect()[0]["n"] == 250
