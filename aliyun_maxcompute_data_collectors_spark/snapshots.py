@@ -1947,24 +1947,51 @@ class SnapshotTable:
         columns (DML phase-1 scans, MOR position capture)."""
         fset = set(files)
         dvs = {f: v for f, v in self._dvs(m).items() if f in fset}
-        base = self._reader_for(m).parquet(*files)
-        if not dvs and file_col is None and row_col is None:
-            return base
-        df = base.withColumn("__graft_fp", self._norm_meta_path()) \
-                 .withColumn("__graft_ri", F.col("_metadata.row_index"))
-        if dvs:
+        want_pos = file_col is not None or row_col is not None
+        if not dvs and not want_pos:
+            return self._reader_for(m).parquet(*files)
+        # CLEAN/DIRTY SPLIT (r12): only rows from files that actually
+        # carry a deletion vector pay the per-row path normalization +
+        # anti-join; every other file rides a plain scan and the two
+        # halves union.  On the intended sparse-DML shape (a few DV'd
+        # files in a large table) the MOR read tax is O(DV'd files'
+        # rows), not O(table) - before this, ONE small MOR delete made
+        # every row of every file cross the join.
+        dirty = [f for f in files if f in dvs]
+        clean = [f for f in files if f not in dvs]
+
+        def _meta(scan):
+            return (scan.withColumn("__graft_fp", self._norm_meta_path())
+                        .withColumn("__graft_ri",
+                                    F.col("_metadata.row_index")))
+
+        df = None
+        if dirty:
             # positions of files NOT in this scan (shared commit
             # sidecars) simply never match the join keys
-            df = df.join(
+            df = _meta(self._reader_for(m).parquet(*dirty)).join(
                 self._dv_build_side([v["path"] for v in dvs.values()]),
                 ["__graft_fp", "__graft_ri"], "left_anti")
-        if row_col is not None:
-            df = df.withColumnRenamed("__graft_ri", row_col)
-        else:
-            df = df.drop("__graft_ri")
-        if file_col is not None:
-            return df.withColumnRenamed("__graft_fp", file_col)
-        return df.drop("__graft_fp")
+            if not want_pos:
+                df = df.drop("__graft_fp", "__graft_ri")
+        if clean:
+            c = self._reader_for(m).parquet(*clean)
+            if want_pos:
+                c = _meta(c)
+            df = c if df is None else df.unionByName(c)
+        if df is None:
+            # zero files (e.g. a DML whose pruning emptied the
+            # candidate set): the pre-split schema-only scan shape
+            df = _meta(self._reader_for(m).parquet())
+        if want_pos:
+            if row_col is not None:
+                df = df.withColumnRenamed("__graft_ri", row_col)
+            else:
+                df = df.drop("__graft_ri")
+            if file_col is not None:
+                return df.withColumnRenamed("__graft_fp", file_col)
+            return df.drop("__graft_fp")
+        return df
 
     def _write_dv_sidecar(self, m: dict, per_file: dict,
                           mapped: dict, new_pos: DataFrame
@@ -2420,17 +2447,27 @@ class SnapshotTable:
         per-trigger cost: a batch touching 0.1% of one file's rows
         writes those rows and a sidecar, not the file.
 
+        SINGLE-PASS SCAN (r12): every clause family resolves from ONE
+        pass over the target - an inner join when only matched/insert
+        clauses exist, a left outer join when NOT MATCHED BY SOURCE
+        needs the unmatched rows too (pre-filtered by their clause
+        codes, so the checkpoint stays O(matched + changed)); the
+        WHEN NOT MATCHED insert set is the source minus the matched
+        source ids, a source-sized anti-join.  The pre-r12 shape
+        re-scanned the target once per clause family (three full
+        passes with NOT MATCHED BY SOURCE, and the source-vs-target
+        anti-join could not broadcast its big build side).
+
         ``WHEN NOT MATCHED BY SOURCE`` (r12, VERDICT r11 missing #2):
-        unmatched target rows resolve to DV positions too - one
-        anti-join of the positional scan against the source finds
-        them, delete clauses cost O(positions) in bytes, update
-        clauses re-emit only the changed rows.  The scan necessarily
-        covers every file (an unmatched row can live anywhere), so
-        source-key pruning is forfeited for the scan - but the WRITE
-        stays O(changed rows + positions), which is the amplification
-        that mattered (COW rewrote every touched FILE).  Per ANSI (and
-        Delta/Spark), these clause conditions and SET expressions may
-        reference only the TARGET row.
+        unmatched target rows resolve to DV positions too - delete
+        clauses cost O(positions) in bytes, update clauses re-emit
+        only the changed rows.  The scan necessarily covers every file
+        (an unmatched row can live anywhere), so source-key pruning is
+        forfeited for the scan - but the WRITE stays O(changed rows +
+        positions), which is the amplification that mattered (COW
+        rewrote every touched FILE).  Per ANSI (and Delta/Spark),
+        these clause conditions and SET expressions may reference only
+        the TARGET row.
 
         Clause semantics mirror ``operators.merge.merge_into`` exactly
         (ordered first-match WHEN MATCHED, ANSI cardinality validation,
@@ -2438,7 +2475,19 @@ class SnapshotTable:
         pinned by tests comparing mor vs cow results on identical
         inputs.  A matched row whose clause conditions all fail is
         UNTOUCHED (no position recorded, nothing re-emitted)."""
-        src = source.localCheckpoint(eager=True)
+        if "__graft_sid" in source.columns:
+            raise SnapshotError(
+                "merge(mor=True): source column name __graft_sid is "
+                "reserved by the merge machinery")
+        # every source row gets a materialized unique id: it marks
+        # "source side present" after the outer join below AND lets the
+        # WHEN NOT MATCHED insert set be derived from the join output
+        # by a tiny id anti-join instead of a second full scan of the
+        # target (r12 - the pre-r12 shape scanned the target once per
+        # clause family, three times with NOT MATCHED BY SOURCE)
+        src = (source.withColumn("__graft_sid",
+                                 F.monotonically_increasing_id())
+               .localCheckpoint(eager=True))
         candidates = m["files"]
         if not_matched_by_source:
             source_keys = None  # unmatched rows can live in ANY file
@@ -2458,9 +2507,38 @@ class SnapshotTable:
                                  row_col="__graft_row")
         data_cols = [c for c in tpos.columns
                      if c not in ("__graft_file", "__graft_row")]
-        j = (tpos.alias(target_alias)
-             .join(src.alias(source_alias), F.expr(on), "inner")
-             .localCheckpoint(eager=True))
+        # WHEN NOT MATCHED BY SOURCE clause codes, built up front: the
+        # single-pass scan below evaluates them on unmatched rows BEFORE
+        # checkpointing so the materialized set stays O(matched +
+        # changed), never O(table).  Per ANSI these clauses see only
+        # the target row, so the conditions resolve on the outer join's
+        # null-extended source side too.
+        act_s = None
+        if not_matched_by_source:
+            for i, (cond, action) in enumerate(not_matched_by_source):
+                branch = F.lit(True) if cond is None else F.expr(cond)
+                code = ("D" if (isinstance(action, str)
+                                and action.lower() == "delete")
+                        else f"S{i}")
+                act_s = (act_s.when(branch, code) if act_s is not None
+                         else F.when(branch, F.lit(code)))
+            act_s = act_s.otherwise("K")
+        # ONE pass over the target finds every clause family's rows:
+        # an inner join when only matched/insert clauses exist, a left
+        # outer join when NOT MATCHED BY SOURCE needs the unmatched
+        # target rows as well - either way the big side streams through
+        # a single scan (broadcastable small source), where the pre-r12
+        # shape re-scanned the target per family.
+        matched_flag = F.col("__graft_sid").isNotNull()
+        joined = (tpos.alias(target_alias)
+                  .join(src.alias(source_alias), F.expr(on),
+                        "left_outer" if not_matched_by_source
+                        else "inner"))
+        if not_matched_by_source:
+            joined = joined.where(matched_flag | (act_s != "K"))
+        joined = joined.localCheckpoint(eager=True)
+        j = joined.where(matched_flag) if not_matched_by_source \
+            else joined
         if validate_cardinality:
             dup = (j.groupBy("__graft_file", "__graft_row")
                    .agg(F.count(F.lit(1)).alias("__n__"))
@@ -2506,15 +2584,6 @@ class SnapshotTable:
         # SETs resolve against the target alias alone.
         changed_s = None
         if not_matched_by_source:
-            act_s = None
-            for i, (cond, action) in enumerate(not_matched_by_source):
-                branch = F.lit(True) if cond is None else F.expr(cond)
-                code = ("D" if (isinstance(action, str)
-                                and action.lower() == "delete")
-                        else f"S{i}")
-                act_s = (act_s.when(branch, code) if act_s is not None
-                         else F.when(branch, F.lit(code)))
-            act_s = act_s.otherwise("K")
             img_cols = []
             for c in data_cols:
                 col = F.expr(f"{target_alias}.`{c}`")
@@ -2523,15 +2592,16 @@ class SnapshotTable:
                         col = F.when(F.col("__act__") == f"S{i}",
                                      F.expr(action[c])).otherwise(col)
                 img_cols.append(col.cast(types[c]).alias(c))
-            changed_s = (tpos.alias(target_alias)
-                         .join(src.alias(source_alias), F.expr(on),
-                               "left_anti")
+            # the unmatched target rows already rode the single-pass
+            # scan (null-extended source side, clause pre-filter) -
+            # this re-derives their action codes from the checkpointed
+            # blocks, no second scan of the target
+            changed_s = (joined.where(~matched_flag)
                          .withColumn("__act__", act_s)
                          .where(F.col("__act__") != "K")
                          .select(F.col("__graft_file"),
                                  F.col("__graft_row"),
-                                 F.col("__act__"), *img_cols)
-                         .localCheckpoint(eager=True))
+                                 F.col("__act__"), *img_cols))
             for r in (changed_s.groupBy("__graft_file")
                       .agg(F.count(F.lit(1)).alias("n")).collect()):
                 per_file[r["__graft_file"]] = \
@@ -2540,17 +2610,23 @@ class SnapshotTable:
             updates = updates.unionByName(
                 changed_s.where(F.col("__act__") != "D")
                 .select(*data_cols))
-        # WHEN NOT MATCHED inserts: source rows matching NO target row.
-        # The anti-join against the CANDIDATE subset equals the anti
-        # against the full table (stats pruning is sound: non-candidate
-        # files cannot hold matches), same argument as the COW phase 2.
+        # WHEN NOT MATCHED inserts: source rows matching NO target row =
+        # source rows whose id never appears in the join output's
+        # matched rows.  The pre-r12 shape anti-joined the source
+        # against the WHOLE target scan - a second full pass, and one
+        # Spark cannot broadcast (the big side is the build side of a
+        # left anti), so at scale it shuffled the table; the id
+        # anti-join touches only the checkpointed source and the
+        # checkpointed matched ids.  (Candidate pruning stays sound for
+        # the same reason as before: non-candidate files cannot hold
+        # matches, so the join output sees every match.)
         inserts = None
         n_inserted = 0
         if not_matched is not None:
             icond, ins = not_matched
             s_only = (src.alias(source_alias)
-                      .join(tpos.alias(target_alias), F.expr(on),
-                            "left_anti"))
+                      .join(j.select("__graft_sid"),
+                            "__graft_sid", "left_anti"))
             if icond is not None:
                 s_only = s_only.where(F.expr(icond))
             if ins == "*":
@@ -3077,7 +3153,13 @@ class SnapshotTable:
         # rewrite under the UNIFIED schema (a column added after some
         # small files were written must not be dropped) with DVs applied
         small_df = self._scan_subset(m, small)
-        n_small = small_df.count()
+        # expected row count from parquet footers minus DV position
+        # counts - metadata only (r12): the old small_df.count() ran a
+        # full second scan (with the DV anti-join) of every small file
+        # just to learn a number the manifest already knows; the write
+        # below is now the only data pass, and the n_new check still
+        # verifies the rewrite against footer truth
+        n_small = self._logical_rows(m, small)
         files, n_new, stats = self._write_files(small_df.coalesce(n_out))
         if n_new != n_small:
             raise SnapshotError(
