@@ -52,6 +52,12 @@ def running_agg(
         raise ValueError(f"agg must be sum|max, got {agg!r}")
     fn = F.sum if agg == "sum" else F.max
     spark = per_value.sparkSession
+    # materialized ONCE (r12): this relation is referenced by the min/max
+    # probe, the per-bin partials, and the within-bin window - lazily it
+    # would re-execute (typically a full aggregate over the caller's DATA)
+    # three times, and the caller's join-back a fourth.  The checkpoint is
+    # O(distinct order values), which the contract already bounds.
+    per_value = per_value.localCheckpoint(eager=True)
 
     # Dates cast to double only via timestamp; everything else orderable-by-
     # value (numeric / timestamp / bool) casts directly.  Strings do NOT -

@@ -37,6 +37,9 @@ def _rank_codes(df: DataFrame, col: str, bits: int, n_rows: int) -> DataFrame:
         df.where(F.col(col).isNotNull())
         .groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
     )
+    # running_agg checkpoints its input once (r12), so the distinct-count
+    # aggregate scans the DATA exactly once per column - lazily it was
+    # re-executed by the probe/partials/window and the rank join (3-4x)
     scanned = running_agg(counts, col, "__cnt", agg="sum")
     if n_rows <= 1:
         code = F.lit(0).cast("long")
@@ -73,6 +76,7 @@ def with_zorder(
     cols: list[str],
     bits: int = DEFAULT_BITS,
     out_col: str = "__z__",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """``df`` plus a z-value column over 2+ numeric/timestamp/date columns
     (``n_cols * bits`` must fit in 63 bits — lower ``bits`` for wide sets).
@@ -90,7 +94,9 @@ def with_zorder(
     if len(cols) * bits > 63:
         raise ValueError(f"{len(cols)} cols x {bits} bits exceeds a long; "
                          "reduce bits")
-    n = df.count()
+    # callers that already know the exact row count (snapshot cluster():
+    # the manifest tracks logical rows) pass it and skip a full count pass
+    n = df.count() if n_rows is None else n_rows
     out = df
     rank_cols = []
     for i, c in enumerate(cols):
@@ -109,12 +115,13 @@ def zorder_by(
     cols: list[str],
     n_files: int = 32,
     bits: int = DEFAULT_BITS,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Cluster rows by z-value: range-partition on the z-value into
     ``n_files`` partitions and sort within - each output file covers a
     compact hyper-rectangle of the column space, so min/max stats prune on
     either column."""
-    z = with_zorder(df, cols, bits)
+    z = with_zorder(df, cols, bits, n_rows=n_rows)
     return (
         z.repartitionByRange(n_files, F.col("__z__"))
         .sortWithinPartitions("__z__")

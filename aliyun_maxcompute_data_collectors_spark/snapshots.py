@@ -3224,8 +3224,10 @@ class SnapshotTable:
         if n_files is None:
             total = sum(os.path.getsize(f) for f in m["files"])
             n_files = max(1, -(-total // target_file_bytes))
+        # the manifest already tracks the exact logical row count - pass
+        # it through so the rank normalization skips its full count pass
         clustered = zorder_by(self.read(parent), cols, n_files=n_files,
-                              bits=bits or DEFAULT_BITS)
+                              bits=bits or DEFAULT_BITS, n_rows=m["rows"])
         files, n, stats = self._write_files(clustered)
         if n != m["rows"]:
             raise SnapshotError(
