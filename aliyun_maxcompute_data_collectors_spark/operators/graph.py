@@ -45,7 +45,9 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iterations):
+    from pyspark.sql import Observation
+
+    for it in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy(F.col("a").alias("node"))
@@ -54,8 +56,11 @@ def connected_components(
         new_label = F.least(F.col("component"),
                             F.coalesce("nbr_min", "component"))
         # labels only ever decrease, so "changed" is new < old - computed
-        # in the same row as the update, which saves the join-back-and-
-        # compare shuffle the previous formulation paid every iteration
+        # in the same row as the update, and COUNTED BY THE CHECKPOINT
+        # JOB ITSELF via observe() (r12): the eager localCheckpoint
+        # already executes the plan, so riding the convergence metric on
+        # it saves the separate count() job every iteration paid before
+        obs = Observation(f"cc_chg_{it}")
         updated = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -63,9 +68,10 @@ def connected_components(
                 new_label.alias("component"),
                 (new_label < F.col("component")).alias("__chg"),
             )
+            .observe(obs, F.count(F.when(F.col("__chg"), 1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        changed = updated.where(F.col("__chg")).count()
+        changed = int(obs.get["n"])
         labels = updated.drop("__chg")
         if changed == 0:
             return labels
