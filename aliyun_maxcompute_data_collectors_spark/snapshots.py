@@ -1914,7 +1914,67 @@ class SnapshotTable:
     def _dvs(m: dict) -> dict:
         return m.get("dvs") or {}
 
-    def _dv_build_side(self, dv_paths: list[str]) -> DataFrame:
+    def _rendered_paths(self, scan: DataFrame,
+                        files: list[str]) -> dict | None:
+        """The exact ``_metadata.file_path`` rendering of each
+        manifest-form path in ``files``, computed DRIVER-side with no
+        Spark job: the column renders via
+        ``org.apache.hadoop.fs.Path.toString``, so round-tripping the
+        scan's ``inputFiles()`` through the same JVM class reproduces
+        it byte-for-byte.  Pre-rendering the DV build side to this form
+        lets the anti-join probe on the raw metadata column - the
+        per-ROW probe-side path normalization was the largest share of
+        the MOR read tax (~half; scripts/dv_read_tax.py r12).  Returns
+        None when any rendering fails to round back onto ``files``
+        exactly (URI-encoding drift on exotic paths, no ``_jvm`` under
+        Connect): the caller then falls back to per-row normalization,
+        so correctness never rides on the rendering assumption."""
+        try:
+            jpath = self.spark._jvm.org.apache.hadoop.fs.Path
+            fset = set(files)
+            out: dict = {}
+            for rf in scan.inputFiles():
+                rmeta = jpath(rf).toString()
+                mfp = _strip_file_scheme(rmeta)
+                if mfp not in fset or mfp in out:
+                    return None
+                out[mfp] = rmeta
+            return out if len(out) == len(fset) else None
+        except Exception:  # pragma: no cover - no JVM gateway
+            return None
+
+    def _map_to_rendered(self, dvp: DataFrame,
+                         rendered: dict) -> DataFrame:
+        """Rewrite ``dvp.__graft_fp`` from manifest form to the scan's
+        rendered form.  Fast path: every rendering is ``prefix +
+        manifest-form`` (always true on one filesystem - e.g. prefix
+        ``file:``), so ONE concat per position suffices - no mapping
+        join, no extra broadcast stage (a tiny-relation join measured
+        +~0.3 s of fixed per-read latency in local mode).  Positions of
+        files outside the scan turn into ``prefix + otherfile``, which
+        can collide with a scanned rendering only if the manifest paths
+        were equal - i.e. never; they drop in the anti/inner join
+        exactly as their manifest-form strings always did.  Mixed
+        renderings (several filesystems in one scan) fall back to a
+        broadcast mapping join."""
+        items = sorted(rendered.items())
+        mfp0, r0 = items[0]
+        prefix = r0[: len(r0) - len(mfp0)] if r0.endswith(mfp0) else None
+        if prefix is not None and \
+                all(r == prefix + mf for mf, r in items):
+            if not prefix:
+                return dvp
+            return dvp.withColumn(
+                "__graft_fp",
+                F.concat(F.lit(prefix), F.col("__graft_fp")))
+        rmap = self.spark.createDataFrame(
+            items, "__graft_fp string, __graft_r string")
+        return (dvp.join(F.broadcast(rmap), "__graft_fp", "inner")
+                .withColumn("__graft_fp", F.col("__graft_r"))
+                .drop("__graft_r"))
+
+    def _dv_build_side(self, dv_paths: list[str],
+                       rendered: dict | None = None) -> DataFrame:
         """The (file, row_index) build side for a DV anti-join, with
         the broadcast decision BOUNDED by the actual position count
         (VERDICT r11 #1): sidecar parquet footers - driver metadata
@@ -1926,6 +1986,8 @@ class SnapshotTable:
         dvp = (self.spark.read.parquet(*paths)
                .select(F.col("file").alias("__graft_fp"),
                        F.col("row_index").alias("__graft_ri")))
+        if rendered is not None:
+            dvp = self._map_to_rendered(dvp, rendered)
         total = sum(_sidecar_rows(p) for p in paths)
         if total > DV_BROADCAST_MAX_POSITIONS:
             _log.warning(
@@ -1969,11 +2031,29 @@ class SnapshotTable:
         if dirty:
             # positions of files NOT in this scan (shared commit
             # sidecars) simply never match the join keys
-            df = _meta(self._reader_for(m).parquet(*dirty)).join(
-                self._dv_build_side([v["path"] for v in dvs.values()]),
-                ["__graft_fp", "__graft_ri"], "left_anti")
-            if not want_pos:
-                df = df.drop("__graft_fp", "__graft_ri")
+            scan = self._reader_for(m).parquet(*dirty)
+            dv_paths = [v["path"] for v in dvs.values()]
+            # pure reads probe on the RAW metadata path against a
+            # pre-rendered build side (r12) - no per-row string
+            # surgery; position-capture scans keep the normalized form
+            # because downstream consumers key on manifest-form paths
+            rendered = None if want_pos else \
+                self._rendered_paths(scan, dirty)
+            if rendered is None:
+                df = _meta(scan).join(
+                    self._dv_build_side(dv_paths),
+                    ["__graft_fp", "__graft_ri"], "left_anti")
+                if not want_pos:
+                    df = df.drop("__graft_fp", "__graft_ri")
+            else:
+                df = (scan
+                      .withColumn("__graft_fp",
+                                  F.col("_metadata.file_path"))
+                      .withColumn("__graft_ri",
+                                  F.col("_metadata.row_index"))
+                      .join(self._dv_build_side(dv_paths, rendered),
+                            ["__graft_fp", "__graft_ri"], "left_anti")
+                      .drop("__graft_fp", "__graft_ri"))
         if clean:
             c = self._reader_for(m).parquet(*clean)
             if want_pos:
@@ -2034,15 +2114,21 @@ class SnapshotTable:
                     "n": sum(per_file.values())}
         return dvs, delta_dv
 
-    def _anti_join_dv(self, df: DataFrame,
-                      dv_paths: list[str]) -> DataFrame:
+    def _anti_join_dv(self, df: DataFrame, dv_paths: list[str],
+                      files: list[str] | None = None) -> DataFrame:
         """Subtract deletion-vector positions from a parquet scan (the
-        scan must still expose ``_metadata``); no-op without paths."""
+        scan must still expose ``_metadata``); no-op without paths.
+        ``files`` = the manifest-form paths ``df`` scans: when given,
+        the build side is pre-rendered so the probe skips the per-row
+        path normalization (r12; falls back automatically)."""
         if not dv_paths:
             return df
-        df = (df.withColumn("__graft_fp", self._norm_meta_path())
+        rendered = self._rendered_paths(df, files) if files else None
+        fp = (F.col("_metadata.file_path") if rendered is not None
+              else self._norm_meta_path())
+        df = (df.withColumn("__graft_fp", fp)
               .withColumn("__graft_ri", F.col("_metadata.row_index")))
-        return (df.join(self._dv_build_side(dv_paths),
+        return (df.join(self._dv_build_side(dv_paths, rendered),
                         ["__graft_fp", "__graft_ri"], "left_anti")
                 .drop("__graft_fp", "__graft_ri"))
 
@@ -2951,15 +3037,24 @@ class SnapshotTable:
                     # O(touched files + positions).  A MOR UPDATE also
                     # carries added files (the rewritten rows): they
                     # fall through to the insert handling below.
-                    old_df = (ureader.parquet(*dv["files"])
-                              .withColumn("__graft_fp",
-                                          self._norm_meta_path())
+                    touched = ureader.parquet(*dv["files"])
+                    rendered = self._rendered_paths(touched, dv["files"])
+                    old_df = (touched
+                              .withColumn(
+                                  "__graft_fp",
+                                  F.col("_metadata.file_path")
+                                  if rendered is not None
+                                  else self._norm_meta_path())
                               .withColumn("__graft_ri",
                                           F.col("_metadata.row_index")))
                     pos = (self.spark.read.parquet(dv["path"])
                            .where(F.col("new"))
                            .select(F.col("file").alias("__graft_fp"),
                                    F.col("row_index").alias("__graft_ri")))
+                    if rendered is not None:
+                        # new=true positions live only on dv["files"],
+                        # so the mapping loses nothing
+                        pos = self._map_to_rendered(pos, rendered)
                     # the dv marker records this commit's NEW position
                     # count - bound the hint like every other dv join
                     if dv.get("n", 0) <= DV_BROADCAST_MAX_POSITIONS:
@@ -2975,28 +3070,32 @@ class SnapshotTable:
                     if include_version:
                         parts.append(_tag(self._anti_join_dv(
                             ureader.parquet(*added),
-                            list(added_dvs.values())), "insert", v, ts))
+                            list(added_dvs.values()),
+                            files=added), "insert", v, ts))
                     else:
                         append_files.extend(added)
                         append_dv_paths.extend(added_dvs.values())
                     continue
                 old_df = self._anti_join_dv(
                     ureader.parquet(*sorted(removed)),
-                    list(removed_dvs.values()))
+                    list(removed_dvs.values()),
+                    files=sorted(removed))
                 if not added:
                     # pure file drop (partition-delete fast path): every
                     # LIVE removed row is a delete, no diff needed
                     parts.append(_tag(old_df, "delete", v, ts))
                     continue
                 new_df = self._anti_join_dv(ureader.parquet(*added),
-                                            list(added_dvs.values()))
+                                            list(added_dvs.values()),
+                                            files=added)
                 parts.append(_tag(new_df.exceptAll(old_df),
                                   "insert", v, ts))
                 parts.append(_tag(old_df.exceptAll(new_df),
                                   "delete", v, ts))
             if append_files:
                 parts.insert(0, self._anti_join_dv(
-                    ureader.parquet(*append_files), append_dv_paths)
+                    ureader.parquet(*append_files), append_dv_paths,
+                    files=append_files)
                     .withColumn(ctype, F.lit("insert")))
             if not parts:
                 base = self.read(until).where(F.lit(False)) \
@@ -3051,18 +3150,20 @@ class SnapshotTable:
             return (self._anti_join_dv(
                 ureader.parquet(*new),
                 [v["path"] for f, v in self._dvs(um).items()
-                 if f in set(new)])
+                 if f in set(new)], files=new)
                 .withColumn(ctype, F.lit("insert")))
         # exact endpoint multiset diff (DV-applied on both endpoints:
         # MOR-deleted rows are not rows of either snapshot; BOTH
         # endpoints read under until's unified schema)
         old_df = (self._anti_join_dv(
             ureader.parquet(*sorted(sfiles)),
-            [v["path"] for f, v in self._dvs(sm).items() if f in sfiles])
+            [v["path"] for f, v in self._dvs(sm).items() if f in sfiles],
+            files=sorted(sfiles))
             if sfiles else None)
         new_df = (self._anti_join_dv(
             ureader.parquet(*ufiles),
-            [v["path"] for f, v in self._dvs(um).items()])
+            [v["path"] for f, v in self._dvs(um).items()],
+            files=list(ufiles))
             if ufiles else None)
         if new_df is None and old_df is None:
             raise SnapshotError(

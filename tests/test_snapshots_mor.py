@@ -617,13 +617,25 @@ def test_dv_broadcast_bound_switches_join_strategy(spark, table,
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def _anti_strategies(plan: str) -> set:
+            # the strategy of the LeftAnti DV join specifically: the
+            # build side legitimately contains a tiny broadcast join
+            # (the r12 rendered-path map, one row per dirty file), so
+            # a bare "BroadcastHashJoin in plan" check is too coarse
+            return {line.strip().split("(")[0].strip("+- :")
+                    for line in plan.splitlines() if "LeftAnti" in line}
+
         plan = table.read()._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" in plan  # forced by the hint
+        assert any("Broadcast" in s
+                   for s in _anti_strategies(plan))  # forced by the hint
 
         monkeypatch.setattr(S, "DV_BROADCAST_MAX_POSITIONS", 0)
         plan0 = (table.read()._jdf.queryExecution().executedPlan()
                  .toString())
-        assert "BroadcastHashJoin" not in plan0  # hint dropped
+        strategies = _anti_strategies(plan0)
+        assert strategies and all("Broadcast" not in s
+                                  for s in strategies)  # hint dropped
         # results identical either way
         assert sorted(r["id"] for r in table.read().collect()) == \
             list(range(10, 100))
