@@ -261,7 +261,7 @@ def main() -> None:
         times[name] = round(min(runs) if cold else min(runs[1:]), 3)
     times.update(_bench_writes(spark, sf_dir, cold))
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    line = json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -269,8 +269,25 @@ def main() -> None:
         "sf": sf,
         "load1_before": load_before,
         "load1_after": _load1(),
-    }))
+    })
+    # Tail-robust result publication (r13, VERDICT r12 ask #2a): the driver
+    # captures a bounded stdout tail and 8 consecutive rounds of its bench
+    # artifacts (r4-r11) were cut MID-JSON, nuking round-over-round PERF.
+    # So (1) the result is ALSO durably written to BENCH_SELF.json next to
+    # this script before anything else can go wrong, and (2) the stdout
+    # JSON is printed as the absolute last act - after spark.stop(), whose
+    # shutdown races could interleave output - followed by an explicit
+    # flush.  Methodology and line format are byte-identical to r12.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_SELF.json"), "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout remains the contract
     spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

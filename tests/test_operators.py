@@ -481,6 +481,37 @@ def test_connected_components_transitive_groups(spark):
     assert kept == [1, 5, 9]  # one per chain-group, singleton survives
 
 
+def test_connected_components_driver_path_matches_distributed(spark):
+    """r13: small edge sets are solved with driver-side union-find; the
+    result must be ROW-IDENTICAL to the distributed label-propagation
+    fixed point (same nodes, same min-reachable component), for both int
+    and string ids, including duplicate and self edges."""
+    import aliyun_maxcompute_data_collectors_spark.operators.graph as G
+
+    int_edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (5, 6), (6, 5), (7, 7), (10, 9), (8, 9)],
+        "id1 long, id2 long")
+    str_edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "id1 string, id2 string")
+    for edges in (int_edges, str_edges):
+        fast = {(r["node"], r["component"])
+                for r in G.connected_components(edges).collect()}
+        prior = G.CC_DRIVER_MAX_EDGES
+        G.CC_DRIVER_MAX_EDGES = -1  # force the distributed path
+        try:
+            slow = {(r["node"], r["component"])
+                    for r in G.connected_components(edges).collect()}
+        finally:
+            G.CC_DRIVER_MAX_EDGES = prior
+        assert fast == slow
+    # float ids: Python/Spark orderings are not provably identical (NaN),
+    # so the driver path must decline and the distributed path answer
+    f_edges = spark.createDataFrame([(2.0, 1.0)], "id1 double, id2 double")
+    out = {(r["node"], r["component"])
+           for r in G.connected_components(f_edges).collect()}
+    assert out == {(1.0, 1.0), (2.0, 1.0)}
+
+
 def test_ivf_topk_recall(spark, sf_dir):
     from aliyun_maxcompute_data_collectors_spark.operators.similarity import (
         cosine_topk, ivf_topk)
