@@ -47,6 +47,14 @@ def running_agg(
     value; anything whose cast to double is NULL raises ValueError).  For
     ``sum``, ``__below``/``__upto`` are 0-based (empty prefix = 0); for
     ``max`` the empty prefix is NULL.
+
+    Cost contract (ADVICE r12 #4): the input is eagerly checkpointed, so
+    every call materializes O(distinct order values) rows into executor
+    storage - that IS the relation's size under the uniqueness contract
+    above, and callers consuming it 2-4x (zorder cluster/pareto) is what
+    the checkpoint pays for.  Callers with a near-unique high-cardinality
+    order column (e.g. z-ordering a raw timestamp) should pre-bucket it
+    rather than feed ~n distinct values through here.
     """
     if agg not in ("sum", "max"):
         raise ValueError(f"agg must be sum|max, got {agg!r}")

@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from aliyun_maxcompute_data_collectors_spark.session import ensure_parallelism, load_tables
+from aliyun_maxcompute_data_collectors_spark.session import (
+    ensure_parallelism, estimated_scan_bytes, load_tables)
 
 # DECIMAL(18,6) is wide enough for every measure in the test tables while
 # leaving sum headroom in both engines.
@@ -48,9 +49,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters and the 7-column projection reach the parquet reader."""
     t = load_tables(spark, sf_dir, ["lineitem"])
     # decimal-exact aggregation is CPU-heavy per row; spread a poorly-split
-    # scan before the partial aggregate (no-op when the scan is already wide)
+    # scan before the partial aggregate (no-op when the scan is already
+    # wide).  input_bytes caps the fan-out by data width: q1 is NOT
+    # row-amplifying, and shuffling a narrow scan to 32 tasks costs more in
+    # row serialization than the cores recover (the 8-core driver run beat
+    # the 32-core one before r13)
     li = ensure_parallelism(
-        t["lineitem"].where(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02"))
+        t["lineitem"].where(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02")),
+        input_bytes=estimated_scan_bytes(t["lineitem"]),
     )
     # pre-project the decimal casts/products ONCE: aggregate expressions are
     # not common-subexpression-eliminated, so inlining _dec(...) would redo

@@ -1754,7 +1754,15 @@ class SnapshotTable:
         rewrite (``cow=False`` forces it; the pre-r9 shape) - use
         ``mor=True`` (r12) to resolve the unmatched rows to
         deletion-vector positions instead: one full scan, but the
-        WRITE stays O(changed rows + positions).
+        WRITE stays O(changed rows + positions).  NOTE (ADVICE r12
+        #2): under ``mor=True`` those conditions and SET expressions
+        evaluate over the single-pass JOINED relation (null-extended
+        source side), matching COW ``merge_into`` semantics - when
+        target and source share column names, qualify references with
+        the target alias (``t.col``); an unqualified shared name
+        raises an ambiguous-reference AnalysisException instead of
+        silently resolving to the target as a target-only anti-join
+        would.
 
         ``source_keys`` (names of equi-join key columns, when the
         caller knows them - the CDC writer always does): phase 1 first
@@ -2073,18 +2081,67 @@ class SnapshotTable:
             return df.drop("__graft_fp")
         return df
 
-    def _write_dv_sidecar(self, m: dict, per_file: dict,
-                          mapped: dict, new_pos: DataFrame
-                          ) -> tuple[dict, dict]:
-        """Write ONE deletion-vector sidecar for a MOR commit: this
-        commit's fresh positions (``new=true``) plus the touched files'
-        folded prior positions (``new=false``, filtered in the SIDECAR
-        namespace - the same normalized scan paths every capture
-        emits), so each file keeps exactly one live sidecar.  Returns
-        (updated dvs map, delta_dv record); shared by delete/update/
-        merge MOR paths - one fold contract, not three copies."""
+    def _stage_dv_sidecar(self, m: dict, candidates: list[str],
+                          new_pos: DataFrame, single_task: bool = False
+                          ) -> tuple[str | None, dict | None]:
+        """Write ONE deletion-vector sidecar for a MOR commit in a
+        SINGLE Spark job (r13; the prior shape paid three jobs per MOR
+        delete - capture checkpoint, per-file count collect, fold+write
+        - at ~0.3s of fixed job cost each locally and an extra pass
+        over the positions at scale): the caller's fresh positions
+        (``new=true``, pre-marked) plus EVERY row of the candidate
+        files' current sidecars (``new=false``).  Per-file NEW counts
+        then come from the staged parquet itself, read driver-side with
+        pyarrow (two tiny columns, bounded by MOR_MAX_NEW_POSITIONS +
+        fold size) - no second Spark job.
+
+        The prior-position fold is deliberately UNFILTERED: restricting
+        it to the touched files needed the touched set up front (the
+        collect job this removes) and a semi-join.  Copying a shared
+        sidecar's other-file rows is harmless - the read path unions
+        every referenced sidecar and joins on (file, row_index), so
+        duplicate positions cannot change an anti/inner join; CDF reads
+        only ``new=true`` rows; and the extra bytes are bounded by the
+        sidecars already being read.  Every candidate file with a prior
+        vector is RE-POINTED at the new sidecar by :meth:`_dv_entries`
+        (its full position set is in there), which also shrinks the
+        table's live-sidecar count.
+
+        Returns (stage_path, per_file-new-counts), or (None, None) -
+        stage removed - when the capture matched nothing.
+        ``single_task``: the caller's ``new_pos`` is already
+        checkpointed/tiny, so a coalesce(1) is safe; the default
+        repartition(1) keeps a live capture SCAN parallel and funnels
+        only the matched positions through the single write task."""
+        dvm = self._dvs(m)
+        prior_paths = sorted({dvm[f]["path"] for f in candidates
+                              if f in dvm})
+        if prior_paths:
+            prior = (self.spark.read.parquet(*prior_paths)
+                     .select("file", "row_index")
+                     .withColumn("new", F.lit(False)))
+            new_pos = new_pos.unionByName(prior)
+        stage = os.path.join(self._root, "files", uuid.uuid4().hex)
+        shaped = new_pos.coalesce(1) if single_task \
+            else new_pos.repartition(1)
+        shaped.write.mode("errorifexists").parquet(stage)
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        parts = [os.path.join(stage, f) for f in sorted(os.listdir(stage))
+                 if f.endswith(".parquet")]
+        per_file: dict[str, int] = {}
+        for p in parts:
+            t = pq.read_table(p, columns=["file", "new"])
+            vc = pc.value_counts(t["file"].filter(t["new"]))
+            for d in vc.to_pylist():
+                per_file[d["values"]] = (per_file.get(d["values"], 0)
+                                         + int(d["counts"]))
+        if not per_file:
+            shutil.rmtree(stage, ignore_errors=True)
+            return None, None
         n_new = sum(per_file.values())
         if n_new > MOR_MAX_NEW_POSITIONS:
+            shutil.rmtree(stage, ignore_errors=True)
             raise SnapshotError(
                 f"{self.path}: merge-on-read matched {n_new} positions "
                 f"(> MOR_MAX_NEW_POSITIONS={MOR_MAX_NEW_POSITIONS}) - "
@@ -2092,25 +2149,24 @@ class SnapshotTable:
                 "DML; re-run with mor=False (copy-on-write rewrites "
                 "files in parallel and is the better plan at this "
                 "fraction), or raise snapshots.MOR_MAX_NEW_POSITIONS")
+        return stage, per_file
+
+    def _dv_entries(self, m: dict, candidates: list[str], stage: str,
+                    per_file: dict, mapped: dict) -> tuple[dict, dict]:
+        """Manifest dv bookkeeping for a staged sidecar: candidate files
+        whose priors were folded re-point to ``stage`` (count
+        unchanged); files with NEW positions add them on top.
+        ``delta_dv.files`` lists only the files with new positions -
+        the exact set CDF must read ``new=true`` events for."""
         dvm = self._dvs(m)
-        touched_manifest = sorted(set(mapped.values()))
-        prior_paths = sorted({dvm[f]["path"] for f in touched_manifest
-                              if f in dvm})
-        if prior_paths:
-            tdf = self.spark.createDataFrame(
-                [(f,) for f in sorted(per_file)], "file string")
-            prior = (self.spark.read.parquet(*prior_paths)
-                     .select("file", "row_index")
-                     .join(F.broadcast(tdf), "file", "left_semi")
-                     .withColumn("new", F.lit(False)))
-            new_pos = new_pos.unionByName(prior)
-        stage = os.path.join(self._root, "files", uuid.uuid4().hex)
-        new_pos.coalesce(1).write.mode("errorifexists").parquet(stage)
         dvs = dict(dvm)
+        for f in candidates:
+            if f in dvm:
+                dvs[f] = {"path": stage, "n": dvm[f]["n"]}
         for scan_f, mfp in mapped.items():
             prior_n = (dvm.get(mfp) or {}).get("n", 0)
             dvs[mfp] = {"path": stage, "n": prior_n + per_file[scan_f]}
-        delta_dv = {"path": stage, "files": touched_manifest,
+        delta_dv = {"path": stage, "files": sorted(set(mapped.values())),
                     "n": sum(per_file.values())}
         return dvs, delta_dv
 
@@ -2351,12 +2407,13 @@ class SnapshotTable:
     def _delete_mor(self, parent: int, m: dict, candidates: list[str],
                     pred) -> int:
         """MERGE-ON-READ delete: capture the LIVE matching (file,
-        row_index) positions in one DV-applied pushdown scan, write
-        them (plus the touched files' folded prior positions) as ONE
-        immutable parquet sidecar, and commit a manifest whose file
-        list is UNCHANGED - write cost is O(matching positions), zero
-        data-file IO.  Each touched file references exactly one live
-        sidecar (prior positions fold forward, ``new=false``), so the
+        row_index) positions in one DV-applied pushdown scan and write
+        them (plus the candidate files' folded prior positions) as ONE
+        immutable parquet sidecar - a SINGLE Spark job (r13: the scan
+        feeds the staged write directly through a 1-partition exchange;
+        per-file counts come off the staged footers driver-side),
+        then commit a manifest whose file list is UNCHANGED - write
+        cost is O(matching positions), zero data-file IO.  The
         read-path anti-join and the per-commit CDF (``new=true`` rows)
         both stay exact.  A crashed attempt leaves an unreferenced
         sidecar for vacuum - the staged-data contract."""
@@ -2368,16 +2425,14 @@ class SnapshotTable:
                 .where(F.coalesce(pred, F.lit(False)))
                 .select(F.col("__graft_file").alias("file"),
                         F.col("__graft_row").alias("row_index"))
-                .localCheckpoint(eager=True))
-        per_file = {r["file"]: r["n"] for r in
-                    hits.groupBy("file")
-                    .agg(F.count(F.lit(1)).alias("n")).collect()}
-        if not per_file:
+                .withColumn("new", F.lit(True)))
+        stage, per_file = self._stage_dv_sidecar(m, candidates, hits)
+        if stage is None:
             return parent
         mapped = self._map_hits_to_manifest(list(per_file), candidates,
                                             "delete-mor")
-        dvs, delta_dv = self._write_dv_sidecar(
-            m, per_file, mapped, hits.withColumn("new", F.lit(True)))
+        dvs, delta_dv = self._dv_entries(m, candidates, stage,
+                                         per_file, mapped)
         n_del = sum(per_file.values())
         pfsegs = m.get("file_segments") or None
         return self._commit_manifest(
@@ -2474,10 +2529,15 @@ class SnapshotTable:
         types = dict(df.dtypes)
         matched = (df.where(F.coalesce(pred, F.lit(False)))
                    .localCheckpoint(eager=True))
-        per_file = {r["__graft_file"]: r["n"] for r in
-                    matched.groupBy("__graft_file")
-                    .agg(F.count(F.lit(1)).alias("n")).collect()}
-        if not per_file:
+        # sidecar staged straight off the checkpoint; per-file counts
+        # come from the staged footers (r13) - the separate groupBy
+        # collect job is gone
+        stage, per_file = self._stage_dv_sidecar(
+            m, candidates,
+            matched.select(F.col("__graft_file").alias("file"),
+                           F.col("__graft_row").alias("row_index"))
+            .withColumn("new", F.lit(True)), single_task=True)
+        if stage is None:
             return parent
         mapped = self._map_hits_to_manifest(list(per_file), candidates,
                                             "update-mor")
@@ -2497,11 +2557,8 @@ class SnapshotTable:
                 f"{self.path}: update-mor row-count mismatch "
                 f"({n_matched} matched, {n_new} written) - aborting "
                 "before commit; staged files are vacuum garbage")
-        dvs, delta_dv = self._write_dv_sidecar(
-            m, per_file, mapped,
-            matched.select(F.col("__graft_file").alias("file"),
-                           F.col("__graft_row").alias("row_index"))
-            .withColumn("new", F.lit(True)))
+        dvs, delta_dv = self._dv_entries(m, candidates, stage,
+                                         per_file, mapped)
         blooms = dict(m.get("blooms") or {})
         if bloom_cols and files:
             blooms.update(self._collect_blooms(files, bloom_cols,
@@ -2644,13 +2701,18 @@ class SnapshotTable:
             act = (act.when(branch, code) if act is not None
                    else F.when(branch, F.lit(code)))
         act = act.otherwise("K") if act is not None else F.lit("K")
-        changed = j.withColumn("__act__", act) \
-                   .where(F.col("__act__") != "K") \
-                   .localCheckpoint(eager=True)
-        per_file = {r["__graft_file"]: r["n"] for r in
-                    changed.groupBy("__graft_file")
-                    .agg(F.count(F.lit(1)).alias("n")).collect()}
-        n_deleted = changed.where(F.col("__act__") == "D").count()
+        # total/deleted counts ride the checkpoint job via observe()
+        # (r13) - the separate count() jobs per clause family are gone
+        from pyspark.sql import Observation
+        obs_c = Observation("merge_mor_changed")
+        changed = (j.withColumn("__act__", act)
+                    .where(F.col("__act__") != "K")
+                    .observe(obs_c, F.count(F.lit(1)).alias("n"),
+                             F.count(F.when(F.col("__act__") == "D", 1))
+                             .alias("d"))
+                    .localCheckpoint(eager=True))
+        mc = obs_c.get
+        n_changed, n_deleted = int(mc["n"]), int(mc["d"])
         # updated images: target fields with per-clause SET overrides
         types = dict(tpos.dtypes)
         upd_cols = []
@@ -2681,18 +2743,22 @@ class SnapshotTable:
             # the unmatched target rows already rode the single-pass
             # scan (null-extended source side, clause pre-filter) -
             # this re-derives their action codes from the checkpointed
-            # blocks, no second scan of the target
+            # blocks, no second scan of the target; its counts ride the
+            # checkpoint job via observe() (r13)
+            obs_s = Observation("merge_mor_nmbs")
             changed_s = (joined.where(~matched_flag)
                          .withColumn("__act__", act_s)
                          .where(F.col("__act__") != "K")
                          .select(F.col("__graft_file"),
                                  F.col("__graft_row"),
-                                 F.col("__act__"), *img_cols))
-            for r in (changed_s.groupBy("__graft_file")
-                      .agg(F.count(F.lit(1)).alias("n")).collect()):
-                per_file[r["__graft_file"]] = \
-                    per_file.get(r["__graft_file"], 0) + r["n"]
-            n_deleted += changed_s.where(F.col("__act__") == "D").count()
+                                 F.col("__act__"), *img_cols)
+                         .observe(obs_s, F.count(F.lit(1)).alias("n"),
+                                  F.count(F.when(F.col("__act__") == "D",
+                                                 1)).alias("d"))
+                         .localCheckpoint(eager=True))
+            ms = obs_s.get
+            n_changed += int(ms["n"])
+            n_deleted += int(ms["d"])
             updates = updates.unionByName(
                 changed_s.where(F.col("__act__") != "D")
                 .select(*data_cols))
@@ -2727,17 +2793,31 @@ class SnapshotTable:
             inserts = s_only.select(*[
                 (F.expr(imap[c]) if c in imap else F.lit(None))
                 .cast(types[c]).alias(c) for c in data_cols])
-            # materialized once so the exact insert count below costs a
-            # metadata read, not a second anti-join scan; _write_files
-            # reuses the checkpointed blocks
-            inserts = inserts.localCheckpoint(eager=True)
+            # materialized once (checkpoint) so _write_files reuses the
+            # blocks; the exact insert count rides the same job (r13)
+            obs_i = Observation("merge_mor_inserts")
+            inserts = (inserts.observe(obs_i,
+                                       F.count(F.lit(1)).alias("n"))
+                       .localCheckpoint(eager=True))
+            n_inserted = int(obs_i.get["n"])
+        # positions sidecar staged off the checkpoints in one job;
+        # per-file counts come from the staged footers (r13)
+        stage = per_file = None
+        if n_changed:
+            pos_df = changed.select(
+                F.col("__graft_file").alias("file"),
+                F.col("__graft_row").alias("row_index"))
+            if changed_s is not None:
+                pos_df = pos_df.unionByName(changed_s.select(
+                    F.col("__graft_file").alias("file"),
+                    F.col("__graft_row").alias("row_index")))
+            stage, per_file = self._stage_dv_sidecar(
+                m, candidates, pos_df.withColumn("new", F.lit(True)),
+                single_task=True)
         new_rows = updates if inserts is None \
             else updates.unionByName(inserts)
         files, n_new, stats = self._write_files(new_rows)
-        n_updated = changed.where(F.col("__act__") != "D").count()
-        if changed_s is not None:
-            n_updated += changed_s.where(F.col("__act__") != "D").count()
-        n_inserted = 0 if inserts is None else inserts.count()
+        n_updated = n_changed - n_deleted
         if n_new != n_updated + n_inserted:
             # mirror the update-mor guard (ADVICE r11 #3): a write
             # anomaly must abort BEFORE the commit, not silently skew
@@ -2754,16 +2834,8 @@ class SnapshotTable:
         if per_file:
             mapped = self._map_hits_to_manifest(
                 list(per_file), candidates, "merge-mor")
-            pos_df = changed.select(
-                F.col("__graft_file").alias("file"),
-                F.col("__graft_row").alias("row_index"))
-            if changed_s is not None:
-                pos_df = pos_df.unionByName(changed_s.select(
-                    F.col("__graft_file").alias("file"),
-                    F.col("__graft_row").alias("row_index")))
-            dvs, delta_dv = self._write_dv_sidecar(
-                m, per_file, mapped,
-                pos_df.withColumn("new", F.lit(True)))
+            dvs, delta_dv = self._dv_entries(m, candidates, stage,
+                                             per_file, mapped)
         blooms = dict(m.get("blooms") or {})
         if bloom_cols and files:
             blooms.update(self._collect_blooms(files, bloom_cols,

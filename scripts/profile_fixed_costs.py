@@ -102,18 +102,15 @@ def prof_delete_mor_phases(spark, reps: int = 3):
                     .where(F.coalesce(pred, F.lit(False)))
                     .select(F.col("__graft_file").alias("file"),
                             F.col("__graft_row").alias("row_index"))
-                    .localCheckpoint(eager=True))
-            t.mark("phase1 scan+checkpoint")
-            per_file = {r["file"]: r["n"] for r in
-                        hits.groupBy("file")
-                        .agg(F.count(F.lit(1)).alias("n")).collect()}
-            t.mark("per-file collect")
+                    .withColumn("new", F.lit(True)))
+            stage, per_file = tab._stage_dv_sidecar(m, candidates, hits)
+            t.mark("stage sidecar (scan+write+footer counts)")
             mapped = tab._map_hits_to_manifest(list(per_file), candidates,
                                                "prof")
             t.mark("map_hits_to_manifest")
-            dvs, delta_dv = tab._write_dv_sidecar(
-                m, per_file, mapped, hits.withColumn("new", F.lit(True)))
-            t.mark("write_dv_sidecar")
+            dvs, delta_dv = tab._dv_entries(m, candidates, stage,
+                                            per_file, mapped)
+            t.mark("dv_entries")
             n_del = sum(per_file.values())
             tab._commit_manifest(
                 parent, m["files"], m["rows"] - n_del, "delete-mor",

@@ -532,18 +532,36 @@ def test_resample_fill_fused_semantics(spark):
     assert out[b0 + 4 * 3600]["filled_sum"] == 8.0
 
 
-def test_recursive_chain_scopes_row_valve(spark, sf_dir):
+def test_recursive_chain_scopes_row_valve(spark, sf_dir, monkeypatch):
     """ADVICE/VERDICT r6: recursive_chain raises cteRecursionRowLimit for
     its own (provably finite) recursion but must restore the session value
     - a leaked valve would silently disable the runaway-row guard for
     every later recursive query in the shared driver session.  The result
-    must stay collectable AFTER the restore (materialized eagerly)."""
-    from aliyun_maxcompute_data_collectors_spark.queries_analytics import (
-        recursive_chain)
+    must stay collectable AFTER the restore (materialized eagerly).
+    r13: the driver fast path never touches the valve, so this test pins
+    the admission bound to -1 to force the NATIVE recursion it guards."""
+    import aliyun_maxcompute_data_collectors_spark.queries_analytics as QA
 
+    monkeypatch.setattr(QA, "RECURSIVE_DRIVER_MAX_BYTES", -1)
     key = "spark.sql.cteRecursionRowLimit"
     before = spark.conf.get(key)
-    df = recursive_chain(spark, sf_dir)
+    df = QA.recursive_chain(spark, sf_dir)
     assert spark.conf.get(key) == before
     assert df.count() > 0
     assert spark.conf.get(key) == before
+
+
+def test_recursive_chain_driver_path_matches_native(spark, sf_dir,
+                                                    monkeypatch):
+    """r13: the small-table driver fixed point must produce EXACTLY the
+    native WITH RECURSIVE result - rows and schema."""
+    import aliyun_maxcompute_data_collectors_spark.queries_analytics as QA
+
+    fast = QA.recursive_chain(spark, sf_dir)
+    monkeypatch.setattr(QA, "RECURSIVE_DRIVER_MAX_BYTES", -1)
+    native = QA.recursive_chain(spark, sf_dir)
+    assert [(f.name, f.dataType) for f in fast.schema] == \
+        [(f.name, f.dataType) for f in native.schema]
+    a = sorted(map(tuple, fast.collect()))
+    b = sorted(map(tuple, native.collect()))
+    assert a == b

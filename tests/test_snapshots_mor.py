@@ -622,9 +622,15 @@ def test_dv_broadcast_bound_switches_join_strategy(spark, table,
             # the strategy of the LeftAnti DV join specifically: the
             # build side legitimately contains a tiny broadcast join
             # (the r12 rendered-path map, one row per dirty file), so
-            # a bare "BroadcastHashJoin in plan" check is too coarse
-            return {line.strip().split("(")[0].strip("+- :")
-                    for line in plan.splitlines() if "LeftAnti" in line}
+            # a bare "BroadcastHashJoin in plan" check is too coarse.
+            # Node name via regex (ADVICE r12 #3): under whole-stage
+            # codegen the line is "*(2) BroadcastHashJoin ..." and a
+            # split on "(" reduced it to "*", making the assertions
+            # formatting-dependent
+            import re
+            return {m.group(1)
+                    for line in plan.splitlines() if "LeftAnti" in line
+                    for m in [re.search(r"(\w+Join)\b", line)] if m}
 
         plan = table.read()._jdf.queryExecution().executedPlan().toString()
         assert any("Broadcast" in s
@@ -779,3 +785,46 @@ def test_mirror_full_sync_cow_and_mor(spark, table):
         table.mirror(src.select("id"), ["id"])
     with pytest.raises(SnapshotError, match="not table columns"):
         table.mirror(src, ["nope"])
+
+
+def test_rendered_paths_match_metadata_on_exotic_path(spark, tmp_path):
+    """ADVICE r12 #1: the pre-rendered DV fast path assumes
+    ``_metadata.file_path`` byte-equals ``hadoop.fs.Path(file).toString()``
+    for every scanned file.  Pin that equality on a directory whose name
+    contains a space AND a percent sign - the URL-encoding shape where a
+    future Spark could diverge silently.  On such paths the rendering
+    does NOT round back onto the manifest's literal path strings, so the
+    designed behavior is: ``_rendered_paths`` declines (fast path off,
+    per-row normalization fallback keeps reads exact) and MOR DML aborts
+    LOUDLY before writing anything rather than committing positions in a
+    namespace its consumers can't join."""
+    root = tmp_path / "dir with space%20pct" / "t"
+    table = SnapshotTable.init(spark, str(root))
+    table.append(_df(spark, [(i, f"a{i}") for i in range(20)]).coalesce(1))
+    m = table.manifest()
+
+    # THE pinned equality: executor-side _metadata.file_path rendering
+    # == driver-side hadoop Path(inputFile).toString(), byte-for-byte,
+    # on the %-encoding-heavy shape
+    scan = spark.read.parquet(*m["files"])
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    driver_rendered = {jpath(rf).toString() for rf in scan.inputFiles()}
+    executor_meta = {
+        r[0] for r in scan.select(F.col("_metadata.file_path"))
+        .distinct().collect()
+    }
+    assert driver_rendered == executor_meta
+
+    # the fast path correctly DECLINES (encoded rendering does not map
+    # onto the literal manifest strings) instead of mis-mapping
+    assert table._rendered_paths(
+        table._scan_subset(m, m["files"]), m["files"]) is None
+    # plain reads stay exact over the exotic path
+    assert sorted(r["id"] for r in table.read().collect()) == \
+        list(range(20))
+    # MOR DML hits the unmappable-hit guard loudly, nothing committed
+    head = table.current_version()
+    with pytest.raises(SnapshotError, match="does not map back"):
+        table.delete(("id", "==", 3), mor=True)
+    assert table.current_version() == head
+    assert table.read().count() == 20
