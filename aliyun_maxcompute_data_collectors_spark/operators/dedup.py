@@ -1079,6 +1079,7 @@ def incremental_minhash_dedup(
     threshold: float = 0.8,
     seed: int = 42,
     hash_fn: str = "md5",
+    batch_sig: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Near-dup dedup of a new batch against the historical corpus via
     MinHash banding, without rescanning history.
@@ -1118,7 +1119,14 @@ def incremental_minhash_dedup(
             "sig_store without bucket_store: no batch-vs-history candidates "
             "would be generated, so every historical near-dup would be "
             "silently kept - pass both stores")
-    sig = minhash_signature(batch, id_col, text_col, k, n, seed, hash_fn) \
+    # batch_sig (r13): the caller may hand in the batch's signatures when
+    # it already computed them - e.g. ONE corpus-wide minhash_signature
+    # pass sliced into history store + batch side, halving the dominant
+    # shingle->hash->min scan count.  Contract: exactly the (id, sig_*)
+    # rows of ``batch`` under the SAME (k, n, seed, hash_fn), already
+    # materialized (the caller owns the checkpoint).
+    sig = batch_sig if batch_sig is not None else \
+        minhash_signature(batch, id_col, text_col, k, n, seed, hash_fn) \
         .localCheckpoint(eager=True)
     buckets = minhash_band_buckets(sig, k, bands)
 

@@ -1843,16 +1843,19 @@ def minhash_incr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the surviving batch doc ids."""
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"]
-    hist = docs.where(F.col("doc_id") % 5 != 0)
     batch = docs.where(F.col("doc_id") % 5 == 0)
-    # lineage cut: hsig feeds BOTH the band-bucket build and the signature
-    # re-attach inside incremental_minhash_dedup; without it the dominant
-    # shingle->hash->min job over history runs twice
-    hsig = D.minhash_signature(hist, "doc_id", "text", D.DEFAULT_K) \
+    # ONE corpus-wide signature pass (r13), sliced into the history store
+    # and the batch side via batch_sig: previously history and batch each
+    # ran their own shingle->hash->min scan (the dominant cost), and the
+    # history slice additionally feeds BOTH the band-bucket build and the
+    # verify re-attach - the checkpoint cuts that relineage too (r12)
+    allsig = D.minhash_signature(docs, "doc_id", "text", D.DEFAULT_K) \
         .localCheckpoint(eager=True)
+    hsig = allsig.where(F.col("id") % 5 != 0)
     hbuckets = D.minhash_band_buckets(hsig)
     kept, _s, _b = D.incremental_minhash_dedup(
-        batch, "doc_id", "text", sig_store=hsig, bucket_store=hbuckets)
+        batch, "doc_id", "text", sig_store=hsig, bucket_store=hbuckets,
+        batch_sig=allsig.where(F.col("id") % 5 == 0))
     return kept.select("doc_id")
 
 

@@ -400,6 +400,20 @@ DV_BROADCAST_MAX_POSITIONS = 4_000_000
 # anyway.
 MOR_MAX_NEW_POSITIONS = 10_000_000
 
+# DV-FRACTION ADMISSION BOUND (r13, VERDICT r12 #1): nothing previously
+# stopped a table from accumulating deletion vectors until a file was
+# MOSTLY dead - every read would still scan all its rows and anti-join
+# the positions away, an unbounded read tax that only a manual
+# compact() cleared.  A mor=True DML that would push any file's folded
+# DV count past this fraction of its physical rows (parquet FOOTER
+# metadata, driver-side, touched files only) refuses with a pointer at
+# compact() / mor=False instead: past ~half-dead, copy-on-write
+# rewriting the file IS the cheaper plan and the read tax stops
+# compounding.  Env-tunable for tables whose DML/compaction cadence
+# differs.
+MOR_MAX_DV_FRACTION = float(os.environ.get(
+    "SPARK_GRAFT_MOR_MAX_DV_FRACTION", "0.5"))
+
 # STALE COMMIT-LOCK TTL (r10): the lock guards only the manifest write
 # (milliseconds; data files stage before it), so a lock this old whose
 # owner cannot be verified alive is a crashed writer's debris - broken
@@ -2152,12 +2166,27 @@ class SnapshotTable:
         return stage, per_file
 
     def _dv_entries(self, m: dict, candidates: list[str], stage: str,
-                    per_file: dict, mapped: dict) -> tuple[dict, dict]:
+                    per_file: dict, mapped: dict, *,
+                    enforce_fraction: bool = False) -> tuple[dict, dict]:
         """Manifest dv bookkeeping for a staged sidecar: candidate files
         whose priors were folded re-point to ``stage`` (count
         unchanged); files with NEW positions add them on top.
         ``delta_dv.files`` lists only the files with new positions -
-        the exact set CDF must read ``new=true`` events for."""
+        the exact set CDF must read ``new=true`` events for.
+
+        ``enforce_fraction`` (r13, the pure-DELETE path): refuses BEFORE
+        the commit when any touched file's folded position count would
+        exceed ``MOR_MAX_DV_FRACTION`` of its physical rows - the
+        unbounded read-tax escape hatch VERDICT r12 #1 asked for.  The
+        staged sidecar becomes vacuum garbage, the staged-data contract
+        for every aborted commit.  Update/merge paths do NOT enforce it:
+        their positions are matched one-for-one by freshly WRITTEN row
+        images (the op already pays a write proportional to the marked
+        rows, unlike a delete whose whole point is writing nothing), and
+        a small file fully updated in place is routine, not a tax trap -
+        MOR_MAX_NEW_POSITIONS bounds them."""
+        import pyarrow.parquet as pq
+
         dvm = self._dvs(m)
         dvs = dict(dvm)
         for f in candidates:
@@ -2165,7 +2194,22 @@ class SnapshotTable:
                 dvs[f] = {"path": stage, "n": dvm[f]["n"]}
         for scan_f, mfp in mapped.items():
             prior_n = (dvm.get(mfp) or {}).get("n", 0)
-            dvs[mfp] = {"path": stage, "n": prior_n + per_file[scan_f]}
+            folded = prior_n + per_file[scan_f]
+            if enforce_fraction:
+                phys = pq.ParquetFile(mfp).metadata.num_rows
+                if folded > MOR_MAX_DV_FRACTION * phys:
+                    shutil.rmtree(stage, ignore_errors=True)
+                    raise SnapshotError(
+                        f"{self.path}: merge-on-read would leave "
+                        f"{folded}/{phys} rows of "
+                        f"{os.path.basename(mfp)!r} deleted "
+                        f"(> MOR_MAX_DV_FRACTION={MOR_MAX_DV_FRACTION})"
+                        " - every read of a mostly-dead file pays its "
+                        "full scan plus the anti-join; run compact() "
+                        "first (it materializes the vectors), use "
+                        "mor=False (COW rewrites the file outright), "
+                        "or raise snapshots.MOR_MAX_DV_FRACTION")
+            dvs[mfp] = {"path": stage, "n": folded}
         delta_dv = {"path": stage, "files": sorted(set(mapped.values())),
                     "n": sum(per_file.values())}
         return dvs, delta_dv
@@ -2432,7 +2476,8 @@ class SnapshotTable:
         mapped = self._map_hits_to_manifest(list(per_file), candidates,
                                             "delete-mor")
         dvs, delta_dv = self._dv_entries(m, candidates, stage,
-                                         per_file, mapped)
+                                         per_file, mapped,
+                                         enforce_fraction=True)
         n_del = sum(per_file.values())
         pfsegs = m.get("file_segments") or None
         return self._commit_manifest(

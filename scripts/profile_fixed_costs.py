@@ -190,6 +190,89 @@ def prof_dedup(spark, reps: int = 3):
         t.dump(f"semantic_dedup rep{rep}")
 
 
+def prof_mv(spark, reps: int = 3):
+    """mv_refresh phase breakdown: the row is 3 source commits + 3
+    incremental refreshes (each = CDF delta agg + full-outer state merge
+    + state OVERWRITE commit) - how much is commit protocol vs compute?"""
+    import os as _os
+
+    from aliyun_maxcompute_data_collectors_spark.mv import MaterializedAggView
+
+    for rep in range(reps):
+        root = tempfile.mkdtemp(prefix="prof_mv_")
+        t = T()
+        try:
+            o = load_tables(spark, SF_DIR, ["orders"])["orders"].select(
+                "o_orderkey", "o_totalprice",
+                (F.col("o_orderkey") % 10).cast("int").alias("bucket"))
+            b = F.col("bucket")
+            src = SnapshotTable.init(spark, _os.path.join(root, "src"))
+            mv = MaterializedAggView.init(
+                spark, src, _os.path.join(root, "state"), keys=["bucket"],
+                aggs={"n": ("count", ""),
+                      "total": ("sum",
+                                "CAST(o_totalprice AS DECIMAL(18,6))")})
+            t.mark("init src+mv")
+            src.append(o.where(b < 4))
+            t.mark("src append 1")
+            mv.refresh()
+            t.mark("mv refresh 1 (delta agg + overwrite)")
+            src.append(o.where((b >= 4) & (b < 7)))
+            t.mark("src append 2")
+            mv.refresh()
+            t.mark("mv refresh 2 (merge + overwrite)")
+            src.overwrite(src.read().where(
+                (b != 0) & ~((b == 1) & (F.col("o_orderkey") % 20 == 1))))
+            t.mark("src overwrite")
+            mv.refresh()
+            t.mark("mv refresh 3 (signed merge + overwrite)")
+            mv.read().write.format("noop").mode("overwrite").save()
+            t.mark("mv read+noop")
+            t.dump(f"mv_refresh rep{rep}")
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+def prof_pyds(spark, reps: int = 3):
+    """pyds_snapshot_read phase breakdown: 3 DSv2 python-writer commits
+    + a pushdown read - is the floor the Python Data Source surface?"""
+    import os as _os
+
+    from aliyun_maxcompute_data_collectors_spark.sources.pyds import (
+        GraftSnapshotDataSource, register_python_datasources)
+
+    for rep in range(reps):
+        root = tempfile.mkdtemp(prefix="prof_pyds_")
+        t = T()
+        try:
+            o = load_tables(spark, SF_DIR, ["orders"])["orders"].select(
+                "o_orderkey", "o_totalprice")
+            mx = o.agg(F.max("o_orderkey")).collect()[0][0]
+            b1, b2 = mx // 3, (2 * mx) // 3
+            lo, hi = b1 // 2, b1 - 1
+            SnapshotTable.init(spark, root)
+            register_python_datasources(spark)
+            t.mark("init+register+max")
+            k = F.col("o_orderkey")
+            for i, sl in enumerate((o.where(k <= b1),
+                                    o.where((k > b1) & (k <= b2)),
+                                    o.where(k > b2))):
+                (sl.coalesce(1).write.format("graft_snapshot")
+                 .option("path", root).mode("append").save())
+                t.mark(f"DSv2 python write {i}")
+            ds = GraftSnapshotDataSource({"path": root})
+            rdr = ds.reader(ds.schema())
+            t.mark("reader plan")
+            (spark.read.format("graft_snapshot").option("path", root)
+             .load().where(k.between(int(lo), int(hi)))
+             .agg(F.count(F.lit(1)), F.sum("o_orderkey"))
+             .write.format("noop").mode("overwrite").save())
+            t.mark("pushdown read+agg")
+            t.dump(f"pyds_snapshot rep{rep}")
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark("profile_fixed_costs")
@@ -202,6 +285,10 @@ def main():
         prof_commit(spark)
     if which in ("dedup", "all"):
         prof_dedup(spark)
+    if which in ("mv", "all"):
+        prof_mv(spark)
+    if which in ("pyds", "all"):
+        prof_pyds(spark)
     spark.stop()
 
 

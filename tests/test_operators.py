@@ -967,6 +967,19 @@ def test_incremental_dedup_two_batches(spark):
     with _pytest.raises(ValueError, match="bucket_store"):
         incremental_minhash_dedup(batch, "doc_id", "text",
                                   sig_store=None, bucket_store=hb)
+    # batch_sig fast path (r13): handing in the batch's precomputed
+    # signatures (e.g. a slice of one corpus-wide pass) must be
+    # result-identical to the internal computation
+    bsig = minhash_signature(batch, "doc_id", "text", DEFAULT_K) \
+        .localCheckpoint(eager=True)
+    kept_p, ksig_p, kbuck_p = incremental_minhash_dedup(
+        batch, "doc_id", "text", sig_store=hsig, bucket_store=hb,
+        threshold=0.5, batch_sig=bsig)
+    assert {r["doc_id"] for r in kept_p.collect()} == ids
+    assert sorted(map(tuple, ksig_p.collect())) == \
+        sorted(map(tuple, ksig.collect()))
+    assert sorted(map(tuple, kbuck_p.collect())) == \
+        sorted(map(tuple, kbuck.collect()))
 
 
 def test_filter_pipeline_modes(spark):

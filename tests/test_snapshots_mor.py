@@ -828,3 +828,29 @@ def test_rendered_paths_match_metadata_on_exotic_path(spark, tmp_path):
         table.delete(("id", "==", 3), mor=True)
     assert table.current_version() == head
     assert table.read().count() == 20
+
+
+def test_mor_dv_fraction_bound_refuses_mostly_dead_file(spark, table,
+                                                        monkeypatch):
+    """VERDICT r12 #1: the DV-fraction admission bound.  Accumulating
+    vectors past MOR_MAX_DV_FRACTION of a file's physical rows refuses
+    loudly (the read tax would compound forever); compact() clears the
+    vectors and MOR DML is admitted again."""
+    import aliyun_maxcompute_data_collectors_spark.snapshots as S
+
+    table.append(_df(spark, [(i, "x") for i in range(100)]).coalesce(1))
+    table.delete(("id", "<", 40), mor=True)  # 40% - admitted
+    head = table.current_version()
+    with pytest.raises(SnapshotError, match="MOR_MAX_DV_FRACTION"):
+        table.delete(("id", "<", 60), mor=True)  # would fold to 60%
+    assert table.current_version() == head  # nothing committed
+    assert table.read().count() == 60
+    # compact() materializes the vectors; the same DML is admitted again
+    table.compact()
+    assert not table.manifest().get("dvs")
+    table.delete(("id", "<", 60), mor=True)  # 20/60 = 33% of the rewrite
+    assert table.read().count() == 40
+    # the bound is tunable
+    monkeypatch.setattr(S, "MOR_MAX_DV_FRACTION", 0.0)
+    with pytest.raises(SnapshotError, match="MOR_MAX_DV_FRACTION"):
+        table.delete(("id", "==", 70), mor=True)
