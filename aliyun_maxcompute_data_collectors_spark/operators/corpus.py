@@ -588,10 +588,17 @@ def distribution_drift(
                 .agg(F.count(F.lit(1)).alias(n_alias)))
 
     ha, hb = hist(a, "n_a"), hist(b, "n_b")
+    # materialized ONCE (r13): this relation feeds the totals broadcast,
+    # the JSD-sum broadcast AND the final projection - lazily each of
+    # those three jobs would re-run both tokenize/aggregate inputs from
+    # scratch.  The checkpoint is O(distinct keys) (the histogram
+    # domain), the same bound the operator's output already implies;
+    # executor storage is disk-backed for vocabulary-sized domains.
     j = (ha.join(hb, "key", "full_outer")
          .select("key",
                  F.coalesce("n_a", F.lit(0)).alias("n_a"),
-                 F.coalesce("n_b", F.lit(0)).alias("n_b")))
+                 F.coalesce("n_b", F.lit(0)).alias("n_b"))
+         .localCheckpoint(eager=True))
     tot = j.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
     # an empty snapshot reads as all-zero probabilities rather than
     # NULL-poisoning the whole report - "snapshot went empty" is exactly

@@ -9,8 +9,11 @@ cd "$(dirname "$0")/.."
 
 echo "== gate start: $(date -u +%FT%TZ)  uptime: $(uptime) =="
 
-echo "== 1/4 unit + integration tests (test_correctness defaults to sf0.01 since r6) =="
-python -m pytest tests/ -q
+echo "== 1/4 unit + integration tests (test_correctness defaults to sf0.01 since r6; FULL property tier since r13) =="
+# the gate runs the FULL hypothesis example budgets; plain `pytest tests/`
+# defaults to the quarter tier so an externally time-boxed verify window
+# still sees a complete green run (VERDICT r12 #2b)
+SPARK_GRAFT_TEST_TIER=full python -m pytest tests/ -q
 
 if [ "${1:-}" != "quick" ]; then
   echo "== 2/4 vanilla-session driver simulation at sf0.01 (no engine configs) =="

@@ -1,10 +1,30 @@
 """Property-based tests (hypothesis): hash parity over arbitrary inputs,
-split planners are loss-proof partitions, type parser round-trips."""
+split planners are loss-proof partitions, type parser round-trips.
+
+Example-count tiers (r13, VERDICT r12 #2b): the Spark-backed properties
+here each run several jobs PER EXAMPLE, and the full example counts had
+grown the whole suite past the external verify window - which truncated
+the run and left the suite's green signal dark.  Default tier divides
+each test's example budget by 4 (floor 5; pure-python properties keep
+their full counts - they cost microseconds); `SPARK_GRAFT_TEST_TIER=full`
+restores every declared budget and is set by scripts/gate.sh, so the
+full tier still gates every round end-to-end.  Hypothesis draws fresh
+random examples each run either way - the tier trades per-run draw
+count, never which properties are checked."""
 
 from __future__ import annotations
 
+import os
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
+
+_FULL_TIER = os.environ.get("SPARK_GRAFT_TEST_TIER", "").lower() == "full"
+
+
+def _ex(n: int) -> int:
+    """Example budget for a SPARK-BACKED property at the current tier."""
+    return n if _FULL_TIER else max(5, n // 4)
 
 from aliyun_maxcompute_data_collectors_spark.operators import hashing as H
 from aliyun_maxcompute_data_collectors_spark.sources.jdbc import integer_splits
@@ -152,7 +172,7 @@ def _merge_ref(target, source, matched, not_matched, by_source):
     st.lists(st.tuples(st.integers(0, 9), st.integers(-50, 50)),
              max_size=8, unique_by=lambda t: t[0]),
 )
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=_ex(12), deadline=None)
 def test_merge_into_matches_reference(spark, tgt_rows, src_rows):
     # fixed clause set over random tables: conditional update, delete the
     # negatives, insert unmatched, flag-not-in-source via update
@@ -189,7 +209,7 @@ def test_merge_into_matches_reference(spark, tgt_rows, src_rows):
              min_size=1, max_size=14, unique_by=lambda t: (t[0], t[1])),
     st.integers(0, 13),
 )
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=_ex(12), deadline=None)
 def test_scd2_incremental_equals_full_rebuild(spark, changelog, cut):
     """Any split of a changelog into (initial, later-batch) — including
     batches that are entirely 'late' — must converge to the same SCD2
@@ -214,7 +234,7 @@ def test_scd2_incremental_equals_full_rebuild(spark, changelog, cut):
     st.sampled_from([0.1, 0.2, 0.4]),
     st.integers(1, 6),
 )
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=_ex(10), deadline=None)
 def test_heavy_hitters_exact_under_random_skew(spark, raw, phi, nparts):
     """heavy_hitters returns EXACTLY the items with count >= phi*N for any
     item distribution, capacity default, and partitioning - the Misra-Gries
@@ -236,7 +256,7 @@ def test_heavy_hitters_exact_under_random_skew(spark, raw, phi, nparts):
                        st.integers(0, 2)),
              min_size=1, max_size=25, unique_by=lambda t: (t[0], t[1])),
 )
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=_ex(12), deadline=None)
 def test_funnel_matches_sequential_reference(spark, events):
     """funnel() equals a per-user sequential scan: step k's time is the
     earliest event of type k strictly after step k-1, for random event
@@ -274,7 +294,7 @@ def test_funnel_matches_sequential_reference(spark, events):
     st.lists(st.tuples(st.integers(-100, 100), st.integers(-50, 50)),
              min_size=1, max_size=20, unique_by=lambda t: t[0]),
 )
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=_ex(12), deadline=None)
 def test_prefixscan_matches_sequential_reference(spark, rows):
     """running_agg's __below/__upto over random distinct-keyed rows equal
     the sequential cumulative sum/max."""
@@ -304,7 +324,7 @@ def test_prefixscan_matches_sequential_reference(spark, rows):
              min_size=0, max_size=25),
     st.lists(st.text(alphabet="ab ", max_size=6), max_size=8),
 )
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=_ex(40), deadline=None)
 def test_incremental_exact_dedup_matches_reference(spark, batch_rows, hist_texts):
     """Incremental dedup == pure-python first-seen-wins reference: a batch
     row survives iff its normalized text is not in history and its id is
@@ -349,7 +369,7 @@ def test_incremental_exact_dedup_matches_reference(spark, batch_rows, hist_texts
     st.lists(st.text(alphabet="ab ", max_size=24), min_size=0, max_size=15),
     st.integers(min_value=1, max_value=4),
 )
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_ex(30), deadline=None)
 def test_span_dedup_matches_reference(spark, texts, span_words):
     """span_dedup == pure-python sequential first-occurrence reference:
     walking docs in (id, pos) order and keeping each aligned window the
@@ -386,7 +406,7 @@ def test_span_dedup_matches_reference(spark, texts, span_words):
              min_size=1, max_size=20),
     st.integers(min_value=1, max_value=8),
 )
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=_ex(25), deadline=None)
 def test_weighted_sample_matches_reference(spark, weights, n):
     """weighted_sample == pure-python Efraimidis-Spirakis with the same
     md5-derived uniforms: identical ranked draw, not just the same bias."""
@@ -417,7 +437,7 @@ def test_weighted_sample_matches_reference(spark, weights, n):
                        st.sampled_from(["cc", "c4", "wiki"])),
              min_size=1, max_size=40),
 )
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=_ex(20), deadline=None)
 def test_ngram_novelty_invariants(spark, docs):
     """novelty in [0,1]; the minimum doc_id of every content group scores
     its grams as novel wherever that content's grams first appear there;
@@ -441,7 +461,7 @@ def test_ngram_novelty_invariants(spark, docs):
                        st.sampled_from(["cc", "c4", "wiki"])),
              min_size=1, max_size=40),
 )
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=_ex(20), deadline=None)
 def test_source_overlap_matches_set_reference(spark, docs):
     """source_overlap == pure-python set intersection counts per pair."""
     from collections import defaultdict
@@ -466,7 +486,7 @@ def test_source_overlap_matches_set_reference(spark, docs):
 
 
 @given(st.integers(2, 5), st.integers(1, 3))
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=_ex(10), deadline=None)
 def test_det_kmeans_partitions_all_rows(spark, k, n_iter):
     """Every vector gets exactly one cell in [0, k); cells reproduce on a
     second identical call (pure determinism, no RNG state)."""
@@ -492,7 +512,7 @@ def test_det_kmeans_partitions_all_rows(spark, k, n_iter):
                        st.integers(0, 3)),    # variant: extra suffix words
              min_size=2, max_size=25),
 )
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=_ex(15), deadline=None)
 def test_ngram_jaccard_matches_python_reference(spark, docs):
     """The r4 identical-content collapse + expansion must equal a direct
     python computation of shingle-set Jaccard over ALL doc pairs - for any
@@ -535,7 +555,7 @@ def test_ngram_jaccard_matches_python_reference(spark, docs):
                        st.integers(0, 3)),    # variant: extra suffix words
              min_size=2, max_size=25),
 )
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=_ex(15), deadline=None)
 def test_ngram_containment_matches_python_reference(spark, docs):
     """Containment through the shared collapse/expansion path must equal a
     direct python computation of |A∩B| / min(|A|,|B|) over ALL doc pairs."""
@@ -601,7 +621,7 @@ def _ref_substring_dedup(corpus: list[tuple[int, str]], k: int) -> dict:
 @given(st.lists(
     st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
     min_size=1, max_size=8))
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=_ex(12), deadline=None)
 def test_substring_dedup_matches_reference(spark, docs):
     import aliyun_maxcompute_data_collectors_spark.operators.dedup as D
 
