@@ -60,12 +60,6 @@ def running_agg(
         raise ValueError(f"agg must be sum|max, got {agg!r}")
     fn = F.sum if agg == "sum" else F.max
     spark = per_value.sparkSession
-    # materialized ONCE (r12): this relation is referenced by the min/max
-    # probe, the per-bin partials, and the within-bin window - lazily it
-    # would re-execute (typically a full aggregate over the caller's DATA)
-    # three times, and the caller's join-back a fourth.  The checkpoint is
-    # O(distinct order values), which the contract already bounds.
-    per_value = per_value.localCheckpoint(eager=True)
 
     # Dates cast to double only via timestamp; everything else orderable-by-
     # value (numeric / timestamp / bool) casts directly.  Strings do NOT -
@@ -74,9 +68,26 @@ def running_agg(
         oc = F.col(order_col).cast("timestamp").cast("double")
     else:
         oc = F.col(order_col).cast("double")
-    lo, hi, n_null, n_rows = per_value.select(
-        F.min(oc), F.max(oc), F.count(F.when(oc.isNull(), 1)), F.count(F.lit(1)),
-    ).first()
+
+    # materialized ONCE (r12): this relation is referenced by the min/max
+    # probe, the per-bin partials, and the within-bin window - lazily it
+    # would re-execute (typically a full aggregate over the caller's DATA)
+    # three times, and the caller's join-back a fourth.  The checkpoint is
+    # O(distinct order values), which the contract already bounds.  The
+    # bin-bounds probe (min/max/null-count) RIDES the checkpoint job via
+    # observe() (r13) - previously a separate .first() job per call.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    per_value = (
+        per_value.observe(
+            obs, F.min(oc).alias("lo"), F.max(oc).alias("hi"),
+            F.count(F.when(oc.isNull(), 1)).alias("n_null"),
+            F.count(F.lit(1)).alias("n_rows"))
+        .localCheckpoint(eager=True)
+    )
+    m = obs.get
+    lo, hi, n_null, n_rows = m["lo"], m["hi"], m["n_null"], m["n_rows"]
     if n_rows == 0:  # genuinely empty input: typed empty-prefix columns
         val_t = per_value.schema[value_col].dataType.simpleString()
         empty = F.lit(0).cast(val_t) if agg == "sum" else F.lit(None).cast(val_t)
