@@ -2022,15 +2022,23 @@ class SnapshotTable:
 
     def _scan_subset(self, m: dict, files: list[str],
                      file_col: str | None = None,
-                     row_col: str | None = None) -> DataFrame:
+                     row_col: str | None = None,
+                     apply_dvs: bool = True) -> DataFrame:
         """Scan a subset of the manifest's files under the unified
         schema with deletion vectors APPLIED.  When none of ``files``
         carries a DV and no extra column is requested, this is exactly
         the pre-r11 plain scan (identical plan).  ``file_col`` /
         ``row_col`` expose the normalized source path and row index as
-        columns (DML phase-1 scans, MOR position capture)."""
+        columns (DML phase-1 scans, MOR position capture).
+
+        ``apply_dvs=False`` (r13, pure-DELETE capture only): skip the
+        anti-join - the scan returns DEAD rows too.  Sound only for a
+        caller that re-subtracts prior positions itself (the dedup fold
+        in :meth:`_stage_dv_sidecar`); it trades the broadcast-build
+        job + probe for a min() in the fold aggregation."""
         fset = set(files)
-        dvs = {f: v for f, v in self._dvs(m).items() if f in fset}
+        dvs = {} if not apply_dvs else \
+            {f: v for f, v in self._dvs(m).items() if f in fset}
         want_pos = file_col is not None or row_col is not None
         if not dvs and not want_pos:
             return self._reader_for(m).parquet(*files)
@@ -2096,7 +2104,8 @@ class SnapshotTable:
         return df
 
     def _stage_dv_sidecar(self, m: dict, candidates: list[str],
-                          new_pos: DataFrame, single_task: bool = False
+                          new_pos: DataFrame, single_task: bool = False,
+                          dedup_priors: bool = False
                           ) -> tuple[str | None, dict | None]:
         """Write ONE deletion-vector sidecar for a MOR commit in a
         SINGLE Spark job (r13; the prior shape paid three jobs per MOR
@@ -2126,7 +2135,19 @@ class SnapshotTable:
         ``single_task``: the caller's ``new_pos`` is already
         checkpointed/tiny, so a coalesce(1) is safe; the default
         repartition(1) keeps a live capture SCAN parallel and funnels
-        only the matched positions through the single write task."""
+        only the matched positions through the single write task.
+
+        ``dedup_priors`` (r13, pure-DELETE capture): the caller's
+        positions came off a NON-DV-applied scan, so already-deleted
+        rows matching the predicate arrive marked ``new=true`` - but
+        every such position is also in the candidate files' prior
+        sidecars (the fold invariant: a file's live sidecar holds its
+        FULL position set), so ``min(new)`` grouped by (file,
+        row_index) restores the exact marking while deduplicating the
+        fold.  This replaces the capture scan's broadcast anti-join
+        (one whole extra job: read priors, build, broadcast) with a
+        partial-aggregate in the same staged job - the priors are read
+        once instead of twice."""
         dvm = self._dvs(m)
         prior_paths = sorted({dvm[f]["path"] for f in candidates
                               if f in dvm})
@@ -2136,8 +2157,17 @@ class SnapshotTable:
                      .withColumn("new", F.lit(False)))
             new_pos = new_pos.unionByName(prior)
         stage = os.path.join(self._root, "files", uuid.uuid4().hex)
-        shaped = new_pos.coalesce(1) if single_task \
-            else new_pos.repartition(1)
+        if dedup_priors:
+            # map-side partial agg keeps the capture scan parallel; the
+            # final agg + write funnel through one task like the
+            # repartition(1) shape (positions bounded by
+            # MOR_MAX_NEW_POSITIONS + fold size)
+            shaped = (new_pos.groupBy("file", "row_index")
+                      .agg(F.min("new").alias("new"))
+                      .coalesce(1))
+        else:
+            shaped = new_pos.coalesce(1) if single_task \
+                else new_pos.repartition(1)
         shaped.write.mode("errorifexists").parquet(stage)
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
@@ -2450,27 +2480,34 @@ class SnapshotTable:
 
     def _delete_mor(self, parent: int, m: dict, candidates: list[str],
                     pred) -> int:
-        """MERGE-ON-READ delete: capture the LIVE matching (file,
-        row_index) positions in one DV-applied pushdown scan and write
-        them (plus the candidate files' folded prior positions) as ONE
-        immutable parquet sidecar - a SINGLE Spark job (r13: the scan
-        feeds the staged write directly through a 1-partition exchange;
-        per-file counts come off the staged footers driver-side),
-        then commit a manifest whose file list is UNCHANGED - write
-        cost is O(matching positions), zero data-file IO.  The
-        read-path anti-join and the per-commit CDF (``new=true`` rows)
-        both stay exact.  A crashed attempt leaves an unreferenced
-        sidecar for vacuum - the staged-data contract."""
+        """MERGE-ON-READ delete: capture the matching (file, row_index)
+        positions in one pushdown scan and write them (plus the
+        candidate files' folded prior positions) as ONE immutable
+        parquet sidecar - a SINGLE Spark job (r13: the scan feeds the
+        staged write directly; per-file counts come off the staged
+        footers driver-side), then commit a manifest whose file list is
+        UNCHANGED - write cost is O(matching positions), zero data-file
+        IO.  The capture scan is NOT DV-applied (r13, second pass):
+        already-deleted rows matching the predicate are re-marked
+        ``new=false`` by the fold's min(new) dedup against the prior
+        sidecars - see :meth:`_stage_dv_sidecar` - which drops the
+        capture's broadcast anti-join (a whole extra job reading the
+        priors a second time).  The read-path anti-join and the
+        per-commit CDF (``new=true`` rows) both stay exact.  A crashed
+        attempt leaves an unreferenced sidecar for vacuum - the
+        staged-data contract."""
         # reserved capture names: a user column literally named
         # 'file'/'row_index' must not collide (review r11 #6)
         hits = (self._scan_subset(m, candidates,
                                   file_col="__graft_file",
-                                  row_col="__graft_row")
+                                  row_col="__graft_row",
+                                  apply_dvs=False)
                 .where(F.coalesce(pred, F.lit(False)))
                 .select(F.col("__graft_file").alias("file"),
                         F.col("__graft_row").alias("row_index"))
                 .withColumn("new", F.lit(True)))
-        stage, per_file = self._stage_dv_sidecar(m, candidates, hits)
+        stage, per_file = self._stage_dv_sidecar(m, candidates, hits,
+                                                 dedup_priors=True)
         if stage is None:
             return parent
         mapped = self._map_hits_to_manifest(list(per_file), candidates,

@@ -19,6 +19,11 @@ import shutil
 import sys
 import tempfile
 
+# the script's own delete sequence leaves one file 2/3 dead - legal for
+# the capture (the fraction bound is a production guard, env-tunable),
+# set BEFORE snapshots.py reads the env at import
+os.environ.setdefault("SPARK_GRAFT_MOR_MAX_DV_FRACTION", "0.7")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F

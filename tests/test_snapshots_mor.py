@@ -106,6 +106,32 @@ def test_mor_repeat_deletes_fold_and_never_double_count(spark, table):
     assert ch.where("_change_type <> 'delete'").count() == 0
 
 
+def test_mor_dedup_fold_sidecar_internals(spark, table):
+    """r13 dedup fold: the pure-DELETE capture scan is no longer
+    DV-applied - already-deleted rows matching the predicate re-enter
+    the staged job marked new=true and MUST be re-marked new=false by
+    the min(new) fold against the prior sidecar, with each position
+    appearing EXACTLY once.  Pins the staged sidecar's internal shape,
+    not just the externally visible counts."""
+    table.append(_df(spark, [(i, "x") for i in range(40)]).coalesce(1))
+    table.delete(("id", "<", 10), mor=True)
+    # overlapping second delete: ids 0..9 are dead but match the pred
+    table.delete(("id", "<", 16), mor=True)
+    m = table.manifest()
+    (f, ent), = m["dvs"].items()
+    assert ent["n"] == 16
+    side = spark.read.parquet(ent["path"]).collect()
+    pos = [(r["file"], r["row_index"], bool(r["new"])) for r in side]
+    # every position exactly once (dedup), no duplicate keys at all
+    keys = [(p[0], p[1]) for p in pos]
+    assert len(keys) == len(set(keys)) == 16
+    # rows dead BEFORE this commit are new=false; only 10..15 are new
+    new_rows = sorted(p[1] for p in pos if p[2])
+    old_rows = sorted(p[1] for p in pos if not p[2])
+    assert new_rows == list(range(10, 16))
+    assert old_rows == list(range(0, 10))
+
+
 def test_mor_then_cow_materializes_and_cdf_stays_exact(spark, table):
     table.append(_df(spark, [(i, f"v{i}") for i in range(20)]).coalesce(1))
     v0 = table.current_version()
