@@ -1522,37 +1522,113 @@ class SnapshotTable:
         stats = {f: _collect_file_stats(f) for f in files}
         return files, n, stats
 
+    @staticmethod
+    def _bloom_pos(c: str, m: int):
+        """Bloom bit position of column ``c``'s value - md5 of the
+        cast-to-string value, mirrored bit-for-bit by _bloom_position on
+        the prune side.  ONE definition shared by the read-back pass
+        and the on-write observation so the two can never diverge."""
+        return F.pmod(F.conv(F.substring(
+            F.md5(F.col(c).cast("string")), 1, 8), 16, 10).cast("long"),
+            F.lit(m))
+
+    @staticmethod
+    def _bloom_hex(positions, m: int) -> dict:
+        ba = bytearray(m // 8)
+        for p in positions:
+            p = int(p)
+            ba[p >> 3] |= 1 << (p & 7)
+        return {"m": m, "hex": ba.hex()}
+
     def _collect_blooms(self, files: list[str], cols: list[str],
                         m: int) -> dict:
         """{file: {col: {m, hex-bitmap}}} built in ONE grouped Spark job
-        over the new files (opt-in per commit - a real data pass, unlike
-        the footer-only [min,max] stats).  Hash = md5 of the
-        cast-to-string value, mirrored bit-for-bit by _bloom_position on
-        the prune side; restrict ``cols`` to integral/string columns
-        (other types render differently across engines and are skipped
-        at prune time anyway)."""
-        aggs = [F.collect_set(
-            F.pmod(F.conv(F.substring(
-                F.md5(F.col(c).cast("string")), 1, 8), 16, 10).cast("long"),
-                F.lit(m))).alias(c) for c in cols]
+        over the new files (the read-back path; commits whose write this
+        module plans itself ride :meth:`_write_files_bloom` instead and
+        never pay this second pass).  Restrict ``cols`` to integral/
+        string columns (other types render differently across engines
+        and are skipped at prune time anyway)."""
+        aggs = [F.collect_set(self._bloom_pos(c, m)).alias(c)
+                for c in cols]
         rows = (self.spark.read.parquet(*files)
                 .select(F.input_file_name().alias("__f"), *cols)
                 .groupBy("__f").agg(*aggs).collect())
         out: dict = {}
         for r in rows:
             path = _strip_file_scheme(r["__f"])
-            entry = {}
-            for c in cols:
-                ba = bytearray(m // 8)
-                for p in (r[c] or []):
-                    p = int(p)
-                    ba[p >> 3] |= 1 << (p & 7)
-                entry[c] = {"m": m, "hex": ba.hex()}
-            out[path] = entry
+            out[path] = {c: self._bloom_hex(r[c] or [], m) for c in cols}
         # map back onto the manifest's exact file strings
         by_real = {os.path.realpath(f): f for f in files}
         return {by_real.get(os.path.realpath(p), p): e
                 for p, e in out.items()}
+
+    def _write_files_bloom(self, df: DataFrame,
+                           bloom_cols: list[str] | None,
+                           bloom_bits: int
+                           ) -> tuple[list[str], int, dict, dict]:
+        """:meth:`_write_files` with the bloom positions riding the
+        WRITE job itself (r13): every bloomed commit previously paid a
+        second full pass over the data it just wrote (one extra Spark
+        job reading the new files back).  The positions instead ride an
+        ``observe()`` on the written frame as ``collect_set(struct(
+        partition_id, position))`` - each write task produces exactly
+        one ``part-<partitionId>-*`` file, so the driver reassembles
+        per-file bitmaps from the committed file names.  Bit-identical
+        to the read-back pass (same :meth:`_bloom_pos` expression, same
+        rows per file; pinned by tests), retry/speculation-safe (set
+        semantics; accumulators count one successful attempt).  Any
+        surprise - reserved column in use, unparsable file name, an
+        observed partition id not matching a kept file - falls back to
+        the read-back pass, so correctness never rides the fusion."""
+        if not bloom_cols:
+            files, n, stats = self._write_files(df)
+            return files, n, stats, {}
+        from pyspark.sql import Observation
+
+        pid = "__graft_pid"
+        obs = None
+        shaped = df
+        if pid not in df.columns and bloom_bits <= 1 << 30:
+            # spark_partition_id() is rejected INSIDE observe metrics
+            # (non-deterministic); as a projected column referenced by
+            # them it is allowed, and the drop keeps it out of the
+            # files.  (pid, position) is packed into ONE long
+            # (pid * m + pos): a collect_set of structs costs ~1s of
+            # per-element py4j marshalling in Observation.get at ~1e5
+            # positions, the long array crosses in ~0.1s (measured).
+            obs = Observation(f"blooms_{uuid.uuid4().hex}")
+            aggs = [F.collect_set(F.when(
+                F.col(c).isNotNull(),
+                F.col(pid).cast("long") * F.lit(bloom_bits)
+                + self._bloom_pos(c, bloom_bits))).alias(c)
+                for c in bloom_cols]
+            shaped = (df.withColumn(pid, F.spark_partition_id())
+                      .observe(obs, *aggs).drop(pid))
+        files, n, stats = self._write_files(shaped)
+        if not files:
+            return files, n, stats, {}
+        if obs is not None:
+            try:
+                row = obs.get
+                bypid: dict = {c: {} for c in bloom_cols}
+                seen = set()
+                for c in bloom_cols:
+                    for e in (row[c] or []):
+                        p, v = divmod(int(e), bloom_bits)
+                        seen.add(p)
+                        bypid[c].setdefault(p, []).append(v)
+                idx = {f: int(os.path.basename(f).split("-")[1])
+                       for f in files}
+                if seen <= set(idx.values()):
+                    return files, n, stats, {
+                        f: {c: self._bloom_hex(bypid[c].get(i, ()),
+                                               bloom_bits)
+                            for c in bloom_cols}
+                        for f, i in idx.items()}
+            except Exception:  # pragma: no cover - defensive fallback
+                pass
+        return (files, n, stats,
+                self._collect_blooms(files, bloom_cols, bloom_bits))
 
     def read(self, version: int | None = None,
              where: tuple | list | None = None) -> DataFrame:
@@ -1657,11 +1733,10 @@ class SnapshotTable:
         parent = self.current_version()
         pm = self.manifest(parent)
         unified = unify_schemas(pm.get("schema"), df.schema)
-        files, n, stats = self._write_files(df)
+        files, n, stats, wblooms = self._write_files_bloom(
+            df, bloom_cols, bloom_bits)
         blooms = dict(pm.get("blooms") or {})
-        if bloom_cols and files:
-            blooms.update(self._collect_blooms(files, bloom_cols,
-                                               bloom_bits))
+        blooms.update(wblooms)
         pfsegs = pm.get("file_segments") or None
         # segmented parent: pass ONLY the new files - the parent's list
         # lives in immutable segments and the commit stays O(new files)
@@ -1821,9 +1896,9 @@ class SnapshotTable:
                 target_alias=target_alias, source_alias=source_alias,
                 validate_cardinality=validate_cardinality)
             unified = unify_schemas(m.get("schema"), merged.schema)
-            files, n, stats = self._write_files(merged)
-            blooms = (self._collect_blooms(files, bloom_cols, bloom_bits)
-                      if bloom_cols and files else None)
+            files, n, stats, wblooms = self._write_files_bloom(
+                merged, bloom_cols, bloom_bits)
+            blooms = wblooms or None
             return self._commit_manifest(parent, files, n, "merge",
                                          delta_added=files,
                                          delta_removed=m["files"],
@@ -1875,12 +1950,11 @@ class SnapshotTable:
             target_alias=target_alias, source_alias=source_alias,
             validate_cardinality=validate_cardinality)
         unified = unify_schemas(m.get("schema"), merged.schema)
-        files, n_new, stats = self._write_files(merged)
-        new_blooms = (self._collect_blooms(files, bloom_cols, bloom_bits)
-                      if bloom_cols and files else None)
+        files, n_new, stats, wblooms = self._write_files_bloom(
+            merged, bloom_cols, bloom_bits)
         return self._publish_cow(parent, m, tfiles, files, stats,
                                  m["rows"] - n_touched + n_new, "merge",
-                                 unified.json(), new_blooms)
+                                 unified.json(), wblooms or None)
 
     # -- copy-on-write row-level DML (r9) -----------------------------------
     def _reader_for(self, m: dict):
@@ -2397,18 +2471,17 @@ class SnapshotTable:
         ``new_df`` (fresh footer stats; fresh blooms only when the
         caller opts in, same contract as compact()), guard it with a
         row-count check, and publish via :meth:`_publish_cow`."""
-        files, n_new, stats = self._write_files(new_df)
+        files, n_new, stats, wblooms = self._write_files_bloom(
+            new_df, bloom_cols, bloom_bits)
         if n_new != expected_rows:
             raise SnapshotError(
                 f"{self.path}: {operation} row-count mismatch "
                 f"({expected_rows} expected, {n_new} written) - aborting "
                 "before commit; staged files are unreferenced garbage "
                 "for vacuum")
-        new_blooms = (self._collect_blooms(files, bloom_cols, bloom_bits)
-                      if bloom_cols and files else None)
         return self._publish_cow(parent, m, touched, files, stats,
                                  total_rows, operation, m.get("schema"),
-                                 new_blooms)
+                                 wblooms or None)
 
     def delete(self, where,
                bloom_cols: list[str] | None = None,
@@ -2632,7 +2705,8 @@ class SnapshotTable:
         updated = matched.select(*[
             (_assign(c) if c in assignments else F.col(c)).alias(c)
             for c in data_cols])
-        files, n_new, stats = self._write_files(updated)
+        files, n_new, stats, wblooms = self._write_files_bloom(
+            updated, bloom_cols, bloom_bits)
         n_matched = sum(per_file.values())
         if n_new != n_matched:
             raise SnapshotError(
@@ -2642,9 +2716,7 @@ class SnapshotTable:
         dvs, delta_dv = self._dv_entries(m, candidates, stage,
                                          per_file, mapped)
         blooms = dict(m.get("blooms") or {})
-        if bloom_cols and files:
-            blooms.update(self._collect_blooms(files, bloom_cols,
-                                               bloom_bits))
+        blooms.update(wblooms)
         pfsegs = m.get("file_segments") or None
         return self._commit_manifest(
             parent, files if pfsegs else m["files"] + files,
@@ -2898,7 +2970,8 @@ class SnapshotTable:
                 single_task=True)
         new_rows = updates if inserts is None \
             else updates.unionByName(inserts)
-        files, n_new, stats = self._write_files(new_rows)
+        files, n_new, stats, wblooms = self._write_files_bloom(
+            new_rows, bloom_cols, bloom_bits)
         n_updated = n_changed - n_deleted
         if n_new != n_updated + n_inserted:
             # mirror the update-mor guard (ADVICE r11 #3): a write
@@ -2919,9 +2992,7 @@ class SnapshotTable:
             dvs, delta_dv = self._dv_entries(m, candidates, stage,
                                              per_file, mapped)
         blooms = dict(m.get("blooms") or {})
-        if bloom_cols and files:
-            blooms.update(self._collect_blooms(files, bloom_cols,
-                                               bloom_bits))
+        blooms.update(wblooms)
         pfsegs = m.get("file_segments") or None
         return self._commit_manifest(
             parent, files if pfsegs else m["files"] + files,
@@ -3014,7 +3085,8 @@ class SnapshotTable:
         m = self.manifest(parent)
         conjuncts, pred = self._resolve_predicate(where)
         unified = unify_schemas(m.get("schema"), df.schema)
-        files, n_new, stats = self._write_files(df)
+        files, n_new, stats, wblooms = self._write_files_bloom(
+            df, bloom_cols, bloom_bits)
         if validate and files:
             bad = (self.spark.read.parquet(*files)
                    .where(~F.coalesce(pred, F.lit(False))).count())
@@ -3033,22 +3105,23 @@ class SnapshotTable:
         n_matched = sum(touched.values())
         rewritten: list[str] = []
         rw_stats: dict = {}
+        rw_blooms: dict = {}
         if tfiles:
             n_touched = self._logical_rows(m, tfiles)
             if n_touched > n_matched:
                 # partially-matched files keep their non-matching rows
                 remaining = (self._scan_subset(m, tfiles)
                              .where(~F.coalesce(pred, F.lit(False))))
-                rewritten, n_kept, rw_stats = self._write_files(remaining)
+                rewritten, n_kept, rw_stats, rw_blooms = \
+                    self._write_files_bloom(remaining, bloom_cols,
+                                            bloom_bits)
                 if n_kept != n_touched - n_matched:
                     raise SnapshotError(
                         f"{self.path}: replace_where row-count mismatch "
                         f"({n_touched - n_matched} expected, {n_kept} "
                         "written) - aborting before commit")
         new_files = rewritten + files
-        new_blooms = (self._collect_blooms(new_files, bloom_cols,
-                                           bloom_bits)
-                      if bloom_cols and new_files else None)
+        new_blooms = {**rw_blooms, **wblooms} or None
         return self._publish_cow(
             parent, m, tfiles, new_files,
             {**rw_stats, **stats}, m["rows"] - n_matched + n_new,
@@ -3415,7 +3488,8 @@ class SnapshotTable:
         # below is now the only data pass, and the n_new check still
         # verifies the rewrite against footer truth
         n_small = self._logical_rows(m, small)
-        files, n_new, stats = self._write_files(small_df.coalesce(n_out))
+        files, n_new, stats, wblooms = self._write_files_bloom(
+            small_df.coalesce(n_out), bloom_cols, bloom_bits)
         if n_new != n_small:
             raise SnapshotError(
                 f"{self.path}: compaction row-count mismatch "
@@ -3428,10 +3502,7 @@ class SnapshotTable:
         # fresh bitmaps only when the caller opts in (VERDICT r7 #7:
         # without this, OPTIMIZE silently degraded point-lookup pruning)
         kept_blooms = {f: b for f, b in all_blooms.items() if f in kset}
-        if bloom_cols and files:
-            kept_blooms = {**kept_blooms,
-                           **self._collect_blooms(files, bloom_cols,
-                                                  bloom_bits)}
+        kept_blooms = {**kept_blooms, **wblooms}
         # SEGMENT CONSOLIDATION (r9, VERDICT r8 #5): carried segments are
         # resolved and re-passed INLINE with segments=None, so the commit
         # re-segments everything into at most ONE fresh segment - OPTIMIZE
@@ -3483,14 +3554,14 @@ class SnapshotTable:
         # it through so the rank normalization skips its full count pass
         clustered = zorder_by(self.read(parent), cols, n_files=n_files,
                               bits=bits or DEFAULT_BITS, n_rows=m["rows"])
-        files, n, stats = self._write_files(clustered)
+        files, n, stats, wblooms = self._write_files_bloom(
+            clustered, bloom_cols, bloom_bits)
         if n != m["rows"]:
             raise SnapshotError(
                 f"{self.path}: cluster row-count mismatch "
                 f"({m['rows']} in, {n} out) - aborting before commit; "
                 "staged files are unreferenced garbage for vacuum")
-        blooms = (self._collect_blooms(files, bloom_cols, bloom_bits)
-                  if bloom_cols and files else None)
+        blooms = wblooms or None
         return self._commit_manifest(
             parent, files, n, f"cluster:zorder={','.join(cols)}",
             stats=stats, schema=m.get("schema"), blooms=blooms,

@@ -689,6 +689,28 @@ def test_bloom_stats_prune_string_equality(spark, table):
                              [("code", "==", "nope")]) == []
 
 
+def test_bloom_on_write_bitmaps_match_readback_pass(spark, table):
+    """r13 fused bloom build: the positions now ride the WRITE job via
+    observe() + partition-id -> part-file mapping instead of a second
+    read-back pass.  The bitmaps must be BYTE-identical to the read-back
+    pass on a multi-partition write with nulls and multiple columns."""
+    rows = [(i, (f"c{i % 37:03d}" if i % 11 else None), i % 53)
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, code string, k int")
+    table.append(df.repartition(4), bloom_cols=["code", "k"],
+                 bloom_bits=1 << 12)
+    m = table.manifest()
+    blooms = m["blooms"]
+    assert len(blooms) == 4  # one entry per written file
+    readback = table._collect_blooms(sorted(blooms), ["code", "k"],
+                                     1 << 12)
+    for f, entry in blooms.items():
+        for c in ("code", "k"):
+            assert entry[c] == readback[f][c], (f, c)
+    # and the bitmaps actually prune: an absent code scans zero files
+    assert table.prune_files(m, [("code", "==", "zz")]) == []
+
+
 def test_nan_stats_never_prune(spark, table):
     """ADVICE r8 (high): Spark's parquet writer folds NaN into the footer
     max; NaN-poisoned [min, max] must DISQUALIFY the column for that
