@@ -414,6 +414,12 @@ MOR_MAX_NEW_POSITIONS = 10_000_000
 MOR_MAX_DV_FRACTION = float(os.environ.get(
     "SPARK_GRAFT_MOR_MAX_DV_FRACTION", "0.5"))
 
+# Memoized hadoop.fs.Path.toString renderings (r13): keyed on the RAW
+# inputFiles() string, a pure function of it - see _rendered_paths.
+# Bounded; cleared wholesale on overflow (renderings are cheap to
+# recompute, the cache only amortizes py4j latency).
+_RENDERED_CACHE: dict[str, str] = {}
+
 # STALE COMMIT-LOCK TTL (r10): the lock guards only the manifest write
 # (milliseconds; data files stage before it), so a lock this old whose
 # owner cannot be verified alive is a crashed writer's debris - broken
@@ -1984,27 +1990,27 @@ class SnapshotTable:
     def _norm_meta_path():
         """_metadata.file_path normalized to the manifest's POSIX form
         (column twin of :func:`_strip_file_scheme`): strip a leading
-        ``file:`` scheme, collapse the authority's slashes to one.
+        ``file:`` scheme, collapse the authority's slashes to one
+        (a relative opaque 'file:x' stays 'x'; schemeless '//x'
+        collapses too - both matching the old anchored regexes).
         Plain string ops, not regexp_replace - this runs per ROW on
         every DV-applied scan, and the two anchored regexes were the
         single largest share of the MOR read tax (0.47s of a 0.22s
         base scan at 500k rows - scripts/dv_read_tax.py r12); the
         substring/trim form measures ~3x cheaper with identical
-        results (equality pinned in tests)."""
-        fp = F.col("_metadata.file_path")
-        rest = F.expr("substring(_metadata.file_path, 6)")
-        return F.when(
-            fp.startswith("file:"),
-            # collapse the authority slashes only when present (a
-            # relative opaque 'file:x' stays 'x', matching the regex)
-            F.when(rest.startswith("/"), F.concat(F.lit("/"), F.expr(
-                "trim(LEADING '/' FROM substring(_metadata.file_path, 6))"))
-            ).otherwise(rest)
-        ).when(  # schemeless '//x': the old regex collapsed these too
-            fp.startswith("//"),
-            F.concat(F.lit("/"), F.expr(
-                "trim(LEADING '/' FROM _metadata.file_path)"))
-        ).otherwise(fp)
+        results (equality pinned in tests).  Built as ONE SQL string:
+        the nested-builder form cost ~70 py4j round trips (23 ms) per
+        construction, paid by every DML plan (r13; semantic equality
+        across exotic paths pinned in tests)."""
+        return F.expr(
+            "CASE WHEN startswith(_metadata.file_path, 'file:') THEN "
+            "(CASE WHEN startswith(substring(_metadata.file_path, 6),"
+            " '/') THEN concat('/', trim(LEADING '/' FROM "
+            "substring(_metadata.file_path, 6))) "
+            "ELSE substring(_metadata.file_path, 6) END) "
+            "WHEN startswith(_metadata.file_path, '//') THEN "
+            "concat('/', trim(LEADING '/' FROM _metadata.file_path)) "
+            "ELSE _metadata.file_path END")
 
     @staticmethod
     def _dvs(m: dict) -> dict:
@@ -2024,13 +2030,27 @@ class SnapshotTable:
         None when any rendering fails to round back onto ``files``
         exactly (URI-encoding drift on exotic paths, no ``_jvm`` under
         Connect): the caller then falls back to per-row normalization,
-        so correctness never rides on the rendering assumption."""
+        so correctness never rides on the rendering assumption.
+
+        Renderings are memoized process-wide (r13, VERDICT r12 #4):
+        ``Path(s).toString`` is a pure function of the string, and the
+        two py4j round trips per dirty file were previously paid again
+        on EVERY read of the same table - a many-dirty-file table at
+        scale paid O(dirty files) driver latency per query instead of
+        once per file ever."""
         try:
-            jpath = self.spark._jvm.org.apache.hadoop.fs.Path
             fset = set(files)
             out: dict = {}
+            jpath = None
             for rf in scan.inputFiles():
-                rmeta = jpath(rf).toString()
+                rmeta = _RENDERED_CACHE.get(rf)
+                if rmeta is None:
+                    if jpath is None:
+                        jpath = self.spark._jvm.org.apache.hadoop.fs.Path
+                    rmeta = jpath(rf).toString()
+                    if len(_RENDERED_CACHE) >= 1 << 16:
+                        _RENDERED_CACHE.clear()
+                    _RENDERED_CACHE[rf] = rmeta
                 mfp = _strip_file_scheme(rmeta)
                 if mfp not in fset or mfp in out:
                     return None
@@ -2127,9 +2147,10 @@ class SnapshotTable:
         clean = [f for f in files if f not in dvs]
 
         def _meta(scan):
-            return (scan.withColumn("__graft_fp", self._norm_meta_path())
-                        .withColumn("__graft_ri",
-                                    F.col("_metadata.row_index")))
+            # one batched call, not two withColumn round trips (r13)
+            return scan.withColumns(
+                {"__graft_fp": self._norm_meta_path(),
+                 "__graft_ri": F.col("_metadata.row_index")})
 
         df = None
         if dirty:
@@ -2151,10 +2172,9 @@ class SnapshotTable:
                     df = df.drop("__graft_fp", "__graft_ri")
             else:
                 df = (scan
-                      .withColumn("__graft_fp",
-                                  F.col("_metadata.file_path"))
-                      .withColumn("__graft_ri",
-                                  F.col("_metadata.row_index"))
+                      .withColumns(
+                          {"__graft_fp": F.col("_metadata.file_path"),
+                           "__graft_ri": F.col("_metadata.row_index")})
                       .join(self._dv_build_side(dv_paths, rendered),
                             ["__graft_fp", "__graft_ri"], "left_anti")
                       .drop("__graft_fp", "__graft_ri"))
@@ -2168,13 +2188,16 @@ class SnapshotTable:
             # candidate set): the pre-split schema-only scan shape
             df = _meta(self._reader_for(m).parquet())
         if want_pos:
+            renames = {}
             if row_col is not None:
-                df = df.withColumnRenamed("__graft_ri", row_col)
+                renames["__graft_ri"] = row_col
             else:
                 df = df.drop("__graft_ri")
             if file_col is not None:
-                return df.withColumnRenamed("__graft_fp", file_col)
-            return df.drop("__graft_fp")
+                renames["__graft_fp"] = file_col
+            else:
+                df = df.drop("__graft_fp")
+            return df.withColumnsRenamed(renames) if renames else df
         return df
 
     def _stage_dv_sidecar(self, m: dict, candidates: list[str],
@@ -2330,8 +2353,8 @@ class SnapshotTable:
         rendered = self._rendered_paths(df, files) if files else None
         fp = (F.col("_metadata.file_path") if rendered is not None
               else self._norm_meta_path())
-        df = (df.withColumn("__graft_fp", fp)
-              .withColumn("__graft_ri", F.col("_metadata.row_index")))
+        df = df.withColumns({"__graft_fp": fp,
+                             "__graft_ri": F.col("_metadata.row_index")})
         return (df.join(self._dv_build_side(dv_paths, rendered),
                         ["__graft_fp", "__graft_ri"], "left_anti")
                 .drop("__graft_fp", "__graft_ri"))
@@ -3266,14 +3289,11 @@ class SnapshotTable:
                     # fall through to the insert handling below.
                     touched = ureader.parquet(*dv["files"])
                     rendered = self._rendered_paths(touched, dv["files"])
-                    old_df = (touched
-                              .withColumn(
-                                  "__graft_fp",
-                                  F.col("_metadata.file_path")
-                                  if rendered is not None
-                                  else self._norm_meta_path())
-                              .withColumn("__graft_ri",
-                                          F.col("_metadata.row_index")))
+                    old_df = touched.withColumns(
+                        {"__graft_fp": F.col("_metadata.file_path")
+                         if rendered is not None
+                         else self._norm_meta_path(),
+                         "__graft_ri": F.col("_metadata.row_index")})
                     pos = (self.spark.read.parquet(dv["path"])
                            .where(F.col("new"))
                            .select(F.col("file").alias("__graft_fp"),
