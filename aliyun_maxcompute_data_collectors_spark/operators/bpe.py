@@ -137,13 +137,19 @@ def bpe_train(
     pinned by tests at threshold 0 vs default."""
     spark = docs.sparkSession
     wc = word_counts(docs, text_col)
-    n_types = wc.count()
-    if n_types == 0:
+    # ONE corpus pass decides the path AND fetches the vocab (r13): a
+    # separate count() guard re-executed the full tokenize+groupBy just
+    # to learn a number.  limit(threshold+1) bounds driver memory by
+    # exactly the budget the collect path was already granted: fewer
+    # rows back means we hold the COMPLETE vocab, one more means
+    # distributed.
+    head = wc.limit(driver_vocab_threshold + 1).collect()
+    if not head:
         return spark.createDataFrame(
             [], "rank int, left string, right string, merged string, "
                 "pair_count long")
-    if n_types <= driver_vocab_threshold:
-        vocab = [(r["word"], r["count"]) for r in wc.collect()]
+    if len(head) <= driver_vocab_threshold:
+        vocab = [(r["word"], r["count"]) for r in head]
         merges = _train_sequential(vocab, n_merges, min_pair_count)
     else:
         merges = _train_distributed(wc, n_merges, min_pair_count)
