@@ -184,8 +184,15 @@ def ngram_jaccard_pairs(
                     _fp_or_sentinel(text_col).alias("__fp"))
     reps = grp.groupBy("__fp").agg(F.min("__gid").alias("__rep"),
                                    F.count(F.lit(1)).alias("__gn"))
+    # cached like ``sh`` below and for the same reason (r13): this
+    # relation is referenced FIVE times downstream (rep_df's semi-join,
+    # m1/m2 pair expansion, both sides of the within-group self-join) -
+    # uncached, each reference re-ran the doc scan + fingerprint
+    # aggregate + join (20 parquet scans in one executed plan).  Four
+    # narrow columns, O(docs) rows - strictly smaller than the cached
+    # shingle table.
     members = grp.join(reps, "__fp").select(
-        F.col("__fp"), F.col("__gid"), F.col("__rep"), F.col("__gn"))
+        F.col("__fp"), F.col("__gid"), F.col("__rep"), F.col("__gn")).cache()
     rep_df = (df.join(members.where(F.col("__gid") == F.col("__rep"))
                       .select(F.col("__gid").alias(id_col)), id_col, "left_semi"))
 
